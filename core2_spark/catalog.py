@@ -1,0 +1,83 @@
+"""Table catalog: load fixture tables / register them as temp views.
+
+core2 is schemaless-at-write with per-chunk Arrow schemas inferred at
+read (reference README.adoc:12); tables are named bags of documents.
+Spark analogue: one Parquet dataset per table; ``mergeSchema`` on read
+unions per-file schemas (the dynamic-schema normalization pass in
+``dynamics.py`` handles type widening / variant encoding when legs
+conflict).
+
+At 100 TB each table is a partitioned Parquet/Delta directory, not a
+single file — ``load_tables`` takes any path Spark's Parquet reader
+accepts, so directories-of-files work unchanged.  Filters and column
+pruning push down to the Parquet scan (check via
+``df.explain`` → PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor we target.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, merge_schema: bool = False
+) -> DataFrame:
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return reader.parquet(table_path(sf_dir, name))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is Parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects outright; read nanos as raw int64 (legacy conf) and floor
+    to microsecond timestamps — same truncation DuckDB applies when it
+    casts ns→µs, so oracle comparisons line up."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load every fixture table under ``sf_dir`` → {name: DataFrame}."""
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view so ``spark.sql`` can use it."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,244 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md
+§2.12) — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- exact dedup: hash-groupBy on a fingerprint column — one shuffle,
+  map-side partial aggregation, no driver state;
+- near dedup: MinHash signatures per document (linear scan), banded
+  into LSH buckets, candidate pairs only *within* a bucket (equi-join
+  on bucket id — a shuffle join on a high-cardinality key), exact
+  Jaccard verification only on candidates.  Never an all-pairs cross
+  join.
+
+The MinHash here is md5-based and lexicographic-min over hex digests —
+deliberately expressible in ANSI SQL so the DuckDB oracle can verify
+the *whole pipeline* (signature → bands → candidate pairs → verified
+duplicates), not just row counts.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from core2_spark.functions.text import fingerprint, tokens
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of exact duplicates by normalized-text fingerprint."""
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def exact_dedup_keep_first(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Survivors of exact dedup: lowest doc_id per fingerprint.
+
+    Implemented as min-per-group + semi-join rather than a window so
+    the heavy side only shuffles once on the fingerprint.
+    """
+    with_fp = df.withColumn("fp", fingerprint(F.col(text_col)))
+    keepers = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return with_fp.join(keepers, ["fp", "doc_id"], "left_semi").drop("fp")
+
+
+def token_set(text_col: Column) -> Column:
+    """Distinct whitespace tokens — the MinHash item set."""
+    return F.array_distinct(tokens(text_col))
+
+
+def _seeded_min_hash(items: Column, seed: int) -> Column:
+    # Single-parameter lambda on purpose: F.transform passes the
+    # element index as a second argument, which would clobber a
+    # default-bound seed.
+    prefix = F.lit(f"{seed}:")
+    return F.array_min(F.transform(items, lambda x: F.md5(F.concat(prefix, x))))
+
+
+def minhash_signature(items: Column, k: int = 8) -> list[Column]:
+    """k MinHash components: for seed i, min over items of
+    md5(i || ':' || item) — lexicographic min over hex digests is a
+    uniform random min, and both engines share md5."""
+    return [_seeded_min_hash(items, i).alias(f"mh{i}") for i in range(k)]
+
+
+def minhash_bands(sig_cols: list[str], rows_per_band: int = 2) -> list[Column]:
+    """Band the signature: one bucket id per band (md5 of the
+    concatenated band slice)."""
+    out = []
+    for b in range(0, len(sig_cols), rows_per_band):
+        band = sig_cols[b : b + rows_per_band]
+        out.append(
+            F.md5(F.concat_ws("|", *[F.col(c) for c in band])).alias(
+                f"band{b // rows_per_band}"
+            )
+        )
+    return out
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    rows_per_band: int = 2,
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """LSH candidate pairs (a < b): documents sharing ≥1 band bucket
+    (and every ``block_cols`` blocking key, e.g. language).
+
+    Plan shape: linear signature scan → explode to (band, bucket) →
+    self-equi-join on (band_idx, bucket, *blocks) → distinct pairs.
+    Bucket ids are md5 strings (high cardinality), so the join shuffles
+    evenly; no cross join at any scale.  Blocking keys additionally cap
+    the worst case when the corpus vocabulary is tiny and every
+    signature collides.
+    """
+    sigs = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        *minhash_signature(token_set(F.col(text_col)), k),
+    )
+    n_bands = k // rows_per_band
+    banded = sigs.select(
+        id_col, *block_cols, *minhash_bands([f"mh{i}" for i in range(k)], rows_per_band)
+    )
+    buckets = banded.select(
+        id_col,
+        *block_cols,
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
+            "band_idx", "bucket"
+        ),
+    )
+    join_keys = ["band_idx", "bucket", *block_cols]
+    left = buckets.select(F.col(id_col).alias("a_id"), *join_keys)
+    right = buckets.select(F.col(id_col).alias("b_id"), *join_keys)
+    return (
+        left.join(right, join_keys)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def jaccard(a_items: Column, b_items: Column) -> Column:
+    """Exact Jaccard similarity of two distinct-item arrays."""
+    inter = F.size(F.array_intersect(a_items, b_items)).cast("double")
+    union = F.size(F.array_distinct(F.concat(a_items, b_items))).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates verified by exact Jaccard
+    ≥ threshold (raw value, rounded only for display).  Returns
+    (a_id, b_id, jaccard_sim)."""
+    pairs = minhash_candidate_pairs(df, id_col, text_col, k, rows_per_band, block_cols)
+    sets_df = df.select(
+        F.col(id_col), token_set(F.col(text_col)).alias("items")
+    )
+    a_sets = sets_df.select(F.col(id_col).alias("a_id"), F.col("items").alias("a_items"))
+    b_sets = sets_df.select(F.col(id_col).alias("b_id"), F.col("items").alias("b_items"))
+    raw = jaccard(F.col("a_items"), F.col("b_items"))
+    # +1e-9 before rounding: Jaccard is a small-denominator rational
+    # that can sit exactly on the 6-decimal boundary, where engines'
+    # ROUND implementations disagree.
+    return (
+        pairs.join(a_sets, "a_id")
+        .join(b_sets, "b_id")
+        .filter(raw >= threshold)
+        .select("a_id", "b_id", F.round(raw + 1e-9, 6).alias("jaccard_sim"))
+    )
+
+
+def ngram_set(text_col: Column, n: int = 3) -> Column:
+    """Distinct character n-gram shingles of the text."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: text_col.substr(i, F.lit(n))))
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document via an Arrow-batched Pandas UDF
+    (the per-bit majority vote isn't worth expressing as 64 column
+    aggregates).  Deterministic: md5-derived per-token hashes."""
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for row, text in enumerate(texts):
+            toks = set((text or "").strip().lower().split())
+            if not toks:
+                continue
+            acc = [0] * 64
+            for t in toks:
+                h = int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:8], "big", signed=False
+                )
+                for j in range(64):
+                    acc[j] += 1 if (h >> j) & 1 else -1
+            sig = 0
+            for j in range(64):
+                if acc[j] > 0:
+                    sig |= 1 << j
+            # two's-complement fold into int64
+            if sig >= 1 << 63:
+                sig -= 1 << 64
+            out[row] = sig
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup: band the 64-bit signature into 4 × 16-bit
+    blocks; near-dups within Hamming distance bound share ≥1 exact
+    block (pigeonhole) → equi-join per block, verify Hamming distance.
+    """
+    sigs = simhash64(df, id_col, text_col)
+    mask = F.lit((1 << band_bits) - 1)
+    blocks = sigs.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), band_bits * i).bitwiseAND(mask)
+                    for i in range(64 // band_bits)
+                ]
+            )
+        ).alias("block_idx", "block"),
+    )
+    a = blocks.select(
+        F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sig"), "block_idx", "block"
+    )
+    b = blocks.select(
+        F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sig"), "block_idx", "block"
+    )
+    hamming = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
+    return (
+        a.join(b, ["block_idx", "block"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,234 @@
+"""Aggregation surface (SURVEY.md §2.4).
+
+core2 has a single vectorized hash-aggregate [upstream: core2
+`operator/group_by.clj`]; Spark's groupBy is the distributed upgrade:
+partial (map-side) aggregation before the shuffle, final after — check
+``.explain`` for HashAggregate(partial) → Exchange → HashAggregate.
+Grouping sets / rollup / cube and the approx sketches are Spark-native
+extensions beyond the reference (core2 had none).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from core2_spark.catalog import load_tables
+from core2_spark.queries.registry import query
+from core2_spark.queries.util import davg, dsum, fround, pround, sql_davg, sql_dsum
+
+
+@query(
+    "agg_basic",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*)                      AS n_rows,
+           COUNT(l_quantity)             AS n_qty,
+           {sum_qty}                     AS sum_qty,
+           {avg_price}                   AS avg_price,
+           ROUND(MIN(l_extendedprice), 4) AS min_price,
+           ROUND(MAX(l_extendedprice), 4) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """.format(sum_qty=sql_dsum("l_quantity"), avg_price=sql_davg("l_extendedprice")),
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count("l_quantity").alias("n_qty"),
+        dsum("l_quantity").alias("sum_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        fround(F.min("l_extendedprice")).alias("min_price"),
+        fround(F.max("l_extendedprice")).alias("max_price"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(DISTINCT l_suppkey)                 AS n_supp,
+           COUNT(DISTINCT l_partkey)                 AS n_part,
+           ROUND(CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4)
+                                                     AS sum_dist_qty,
+           ROUND(CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(DISTINCT l_quantity), 4)    AS avg_dist_qty
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    dist_sum = F.sum_distinct(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+    return li.groupBy("l_linestatus").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.round(dist_sum, 4).alias("sum_dist_qty"),
+        F.round(dist_sum / F.countDistinct("l_quantity"), 4).alias("avg_dist_qty"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(VAR_POP(c_acctbal), 2)     AS var_pop_bal,
+           ROUND(VAR_SAMP(c_acctbal), 2)    AS var_samp_bal,
+           ROUND(STDDEV_POP(c_acctbal), 4)  AS stddev_pop_bal,
+           ROUND(STDDEV_SAMP(c_acctbal), 4) AS stddev_samp_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    return c.groupBy("c_mktsegment").agg(
+        fround(F.var_pop("c_acctbal"), 2).alias("var_pop_bal"),
+        fround(F.var_samp("c_acctbal"), 2).alias("var_samp_bal"),
+        fround(F.stddev_pop("c_acctbal")).alias("stddev_pop_bal"),
+        fround(F.stddev_samp("c_acctbal")).alias("stddev_samp_bal"),
+    )
+
+
+@query(
+    "agg_bool",
+    oracle="""
+    SELECT o_orderstatus,
+           BOOL_AND(o_totalprice > 2000)   AS all_over_2k,
+           BOOL_OR(o_totalprice > 490000)  AS any_over_490k
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL EVERY/ANY — core2 exposes bool-and/bool-or."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 2000).alias("all_over_2k"),
+        F.bool_or(F.col("o_totalprice") > 490000).alias("any_over_490k"),
+    )
+
+
+@query(
+    "agg_array_agg",
+    oracle="""
+    SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY_AGG (core2 array-agg) — emitted as a sorted joined string
+    so the hash compare is order-deterministic."""
+    n = load_tables(spark, sf_dir, ("nation",))["nation"]
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
+    )
+
+
+@query(
+    "agg_count_if_filtered",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05)       AS n_high_disc,
+           CAST(SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregates (COUNT FILTER / count_if)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_high_disc"),
+        F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0)).alias("n_no_tax"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT l_suppkey, {rev} AS supp_revenue
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) > 10000000
+       AND COUNT(*) > 100
+    """.format(rev=sql_dsum("l_extendedprice")),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING — filter over aggregate outputs."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("_rev"),
+            F.count("*").alias("_n"),
+        )
+        .filter((F.col("_rev") > 10000000) & (F.col("_n") > 100))
+        .select("l_suppkey", pround("_rev").alias("supp_revenue"))
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) * 2
+             + CAST(GROUPING(l_linestatus) AS BIGINT) AS gid,
+           {sum_qty} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """.format(sum_qty=sql_dsum("l_quantity")),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (Spark-native extension; core2 had no
+    grouping sets)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        dsum("l_quantity").alias("sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "gid", "sum_qty")
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, {total} AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """.format(total=sql_dsum("o_totalprice")),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping-set combinations."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(MEDIAN(c_acctbal), 4)                       AS median_bal,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.9), 4)           AS p90_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90)."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    return c.groupBy("c_mktsegment").agg(
+        fround(F.percentile("c_acctbal", 0.5)).alias("median_bal"),
+        fround(F.percentile("c_acctbal", 0.9)).alias("p90_bal"),
+    )
+
+
+@query("agg_approx_sketches")  # rows-only: sketch internals differ from DuckDB's
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches (HLL distinct, approx quantile) — Spark
+    freebies beyond the reference (cf. quantile-sketch literature,
+    PAPERS.md).  No oracle: sketch estimates are engine-specific."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+    )

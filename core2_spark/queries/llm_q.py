@@ -1,0 +1,441 @@
+"""LLM-training-data operators as driver-checked queries (SURVEY.md
+§2.12): dedup (exact, MinHash LSH, SimHash), similarity search, text
+analysis.  Beyond the reference's surface — required by the build
+contract's north star.
+
+The MinHash/LSH oracle is the interesting part: the signature uses
+md5-hex lexicographic minima, which BOTH engines can compute, so the
+DuckDB oracle verifies the entire near-dup pipeline (shingle →
+signature → bands → candidate join → Jaccard verify), not just counts.
+
+Where the fixtures have no true duplicates (all 500 doc texts are
+distinct), queries plant them deterministically inside the query
+(UNION ALL of a mutated copy) identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from core2_spark import dedup, similarity
+from core2_spark.catalog import load_tables
+from core2_spark.functions import text as tx
+from core2_spark.functions import vectors as vec
+from core2_spark.queries.registry import query
+from core2_spark.queries.util import davg, fround, pround, sql_davg
+
+
+def _augmented_docs(d: DataFrame) -> DataFrame:
+    """documents ∪ planted duplicates: ids shifted by 100000, text
+    mutated with a trailing marker token (near-dup, not exact)."""
+    clones = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzduplicate")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return d.select("doc_id", "text", "lang", "source", "n_chars").unionByName(clones)
+
+
+_AUG_SQL = """
+    aug AS (
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text || ' zzduplicate', lang, source, n_chars
+        FROM documents
+    )
+"""
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents
+    )
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keep_doc_id
+    FROM aug
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on normalized-text fingerprint (hash-groupBy;
+    one shuffle, map-side combine)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    aug = d.select("doc_id", "text").unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return dedup.exact_dedup_groups(aug)
+
+
+@query(
+    "dedup_exact_survivors",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text, lang FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs
+    FROM (SELECT * FROM aug
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+            ORDER BY doc_id) = 1)
+    GROUP BY lang
+    """,
+)
+def dedup_exact_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first exact dedup, summarized per language."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    aug = d.select("doc_id", "text", "lang").unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang")
+    )
+    return (
+        dedup.exact_dedup_keep_first(aug)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _minhash_oracle() -> str:
+    """Build the DuckDB twin of dedup.minhash_near_duplicates with
+    k=8 seeds, 4 bands of 2 rows, Jaccard threshold 0.5."""
+    mh_cols = ",\n          ".join(
+        "list_aggregate(list_transform(items, x -> md5('{i}:' || x)), 'min') AS mh{i}".format(
+            i=i
+        )
+        for i in range(8)
+    )
+    bands = "\n      UNION ALL ".join(
+        "SELECT doc_id, lang, source, {b} AS band_idx,"
+        " md5(mh{i} || '|' || mh{j}) AS bucket FROM sigs".format(
+            b=b, i=2 * b, j=2 * b + 1
+        )
+        for b in range(4)
+    )
+    return f"""
+    WITH {_AUG_SQL.strip()},
+    toks AS (
+        SELECT doc_id, lang, source,
+               list_distinct(string_split(trim(text), ' ')) AS items
+        FROM aug
+    ),
+    sigs AS (
+        SELECT doc_id, lang, source,
+          {mh_cols}
+        FROM toks
+    ),
+    bands AS (
+      {bands}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b USING (band_idx, bucket, lang, source)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT p.a_id, p.b_id,
+           ROUND(CAST(len(list_intersect(ta.items, tb.items)) AS DOUBLE) /
+                 len(list_distinct(list_concat(ta.items, tb.items)))
+                 + 0.000000001, 6) AS jaccard_sim
+    FROM pairs p
+    JOIN toks ta ON ta.doc_id = p.a_id
+    JOIN toks tb ON tb.doc_id = p.b_id
+    WHERE CAST(len(list_intersect(ta.items, tb.items)) AS DOUBLE) /
+          len(list_distinct(list_concat(ta.items, tb.items))) >= 0.5
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline, fully oracle-verified: md5-based
+    signatures → 4 LSH bands → bucket equi-join candidates (blocked by
+    lang+source against the fixture's tiny shared vocabulary) → exact
+    Jaccard ≥ 0.5.  No cross join at any stage."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.minhash_near_duplicates(
+        _augmented_docs(d),
+        k=8,
+        rows_per_band=2,
+        threshold=0.5,
+        block_cols=("lang", "source"),
+    )
+
+
+@query("dedup_simhash")  # rows-only: 64-bit band join (Pandas-UDF signature stage)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (banded 64-bit signatures, Hamming
+    ≤ 8 verification).  Rows-only: the signature stage is an Arrow
+    Pandas UDF, not SQL-expressible."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.simhash_near_duplicates(_augmented_docs(d), max_hamming=8)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, lang, source,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(length(text) - 2, 1)),
+                 i -> substr(text, CAST(i AS INT), 3))) AS g3
+        FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(CAST(len(list_intersect(a.g3, b.g3)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.g3, b.g3)))
+                 + 0.000000001, 6) AS trigram_jaccard
+    FROM grams a JOIN grams b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.g3, b.g3)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.g3, b.g3))) >= 0.55
+    """,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Jaccard near-dup, blocked by (lang, source) —
+    blocking keys bound the pair count (the LSH-free variant for small
+    blocks; at scale switch blocking to MinHash buckets)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    grams = d.select(
+        "doc_id", "lang", "source", dedup.ngram_set(F.col("text"), 3).alias("g3")
+    )
+    a = grams.select(
+        F.col("doc_id").alias("a_id"), "lang", "source", F.col("g3").alias("a_g3")
+    )
+    b = grams.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("source").alias("b_source"),
+        F.col("g3").alias("b_g3"),
+    )
+    jac = dedup.jaccard(F.col("a_g3"), F.col("b_g3"))
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("b_lang"))
+            & (F.col("source") == F.col("b_source"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .withColumn("trigram_jaccard", F.round(jac + 1e-9, 6))
+        .filter(jac >= 0.55)
+        .select("a_id", "b_id", "trigram_jaccard")
+    )
+
+
+@query(
+    "text_quality_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS BIGINT) AS n_bpe_tokens,
+           ROUND(
+             0.4 * (CASE WHEN len(string_split(trim(text), ' ')) BETWEEN 5 AND 1000
+                         THEN 1.0 ELSE 0.3 END)
+           + 0.3 * (CASE WHEN length(text) > 0
+                         THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                              / length(text)
+                         ELSE 0.0 END)
+           + 0.3 * (CASE WHEN len(string_split(trim(text), ' ')) > 0
+                          AND CAST(length(text) AS DOUBLE)
+                              / len(string_split(trim(text), ' ')) BETWEEN 3 AND 12
+                         THEN 1.0 ELSE 0.5 END)
+             + 0.000000001, 4) AS quality
+    FROM documents
+    """,
+)
+def text_quality_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and heuristic
+    quality scoring — pure column algebra over documents."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        pround(tx.quality_score(F.col("text"))).alias("quality"),
+    )
+
+
+def _langid_oracle() -> str:
+    hits = {
+        lang: "len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ({})))".format(
+            ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+        )
+        for lang in ("en", "es", "fr", "de")
+    }
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS labeled_lang,
+               {hits['en']} AS en_hits,
+               {hits['es']} AS es_hits,
+               {hits['fr']} AS fr_hits,
+               {hits['de']} AS de_hits
+        FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CAST(en_hits AS BIGINT) AS en_hits,
+           CAST(es_hits AS BIGINT) AS es_hits,
+           CAST(fr_hits AS BIGINT) AS fr_hits,
+           CAST(de_hits AS BIGINT) AS de_hits,
+           CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits
+                THEN 'en'
+                WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+                WHEN fr_hits >= de_hits THEN 'fr'
+                ELSE 'de' END AS predicted_lang
+    FROM scored
+    """
+
+
+@query("text_language_id", oracle=_langid_oracle())
+def text_language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID heuristic (deterministic tie-break
+    en > es > fr > de), oracle-replicated exactly."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            tx.stopword_hits(F.col("text"), lang).alias(f"{lang}_hits")
+            for lang in ("en", "es", "fr", "de")
+        ],
+    )
+    en, es, fr, de = (F.col(f"{m}_hits") for m in ("en", "es", "fr", "de"))
+    predicted = (
+        F.when((en >= es) & (en >= fr) & (en >= de), "en")
+        .when((es >= fr) & (es >= de), "es")
+        .when(fr >= de, "fr")
+        .otherwise("de")
+    )
+    return scored.withColumn("predicted_lang", predicted)
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT source,
+           COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+             AS n_unique_fp,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting rolled up per source."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        d.withColumn("fp", tx.fingerprint(F.col("text")))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("fp").alias("n_unique_fp"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+_KNN_ORACLE = """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT vec_id,
+               ROUND(list_dot_product(embedding::DOUBLE[], qv) /
+                     (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qv, qv))), 6) AS cosine_sim
+        FROM embeddings, q
+    )
+    SELECT vec_id, cosine_sim FROM scored
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+"""
+
+
+@query("knn_brute_force_cosine", oracle=_KNN_ORACLE)
+def knn_brute_force_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the vec_id=0 query embedding — the
+    similarity-search correctness baseline (query vector folded into
+    the plan as literals; single scan + TakeOrderedAndProject)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = similarity.query_vector(e, "vec_id", "embedding", 0)
+    return similarity.brute_force_knn(e, qv, k=10)
+
+
+@query(
+    "knn_top3_per_label",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT vec_id, label,
+               ROUND(list_dot_product(embedding::DOUBLE[], qv) /
+                     (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qv, qv))), 6) AS cosine_sim
+        FROM embeddings, q
+    )
+    SELECT vec_id, label, cosine_sim FROM scored
+    QUALIFY ROW_NUMBER() OVER
+      (PARTITION BY label ORDER BY cosine_sim DESC, vec_id) <= 3
+    """,
+)
+def knn_top3_per_label_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 nearest per label: similarity + grouped window ranking."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = similarity.query_vector(e, "vec_id", "embedding", 0)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    sim = F.round(vec.cosine(vec.as_double(F.col("embedding")), q), 6)
+    w = Window.partitionBy("label").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    return (
+        e.select("vec_id", "label", sim.alias("cosine_sim"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("vec_id", "label", "cosine_sim")
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+             AS avg_norm,
+           ROUND(MAX(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+             AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_norm_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics over the embedding column."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    norm = vec.l2_norm(vec.as_double(F.col("embedding")))
+    return (
+        e.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            fround(F.avg("nrm")).alias("avg_norm"),
+            fround(F.max("nrm")).alias("max_norm"),
+        )
+    )
+
+
+@query("knn_lsh_bucketed")  # rows-only: approximate result set is engine-specific
+def knn_lsh_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate kNN (sign random projection,
+    multi-probe) — the 100 TB scale path for similarity search."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = similarity.query_vector(e, "vec_id", "embedding", 0)
+    return similarity.lsh_bucketed_knn(e, qv, k=10, multiprobe_bits=2)
+
+
+@query("embedding_cosine_near_dup")  # rows-only: LSH bucketing stage
+def embedding_cosine_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucket equi-join
+    — no cross join.  Threshold 0.4 suits the fixture's random
+    embeddings (max pairwise cosine ≈ 0.51); real corpora use ≥0.9."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.embedding_cosine_near_duplicates(e, threshold=0.4)

@@ -1,0 +1,184 @@
+"""Nested / dynamic data operators (SURVEY.md §2.7, §1.2).
+
+core2 represents complex and nested data as Arrow types automatically
+(reference README.adoc:12): lists, structs, and dense unions for
+polymorphic columns, with `:unwind` for unnesting [upstream: core2
+`operator/unwind.clj`] and dot/subscript navigation in the expression
+JIT.  Spark mapping: ArrayType/StructType/MapType + explode family;
+JSON-encoded dynamic columns (the `events.props` fixture) are accessed
+with get_json_object / from_json — the variant-encoding strategy for
+union-typed documents (dynamics.py).
+
+Array-valued outputs are serialized to strings (concat_ws) so the
+oracle hash compare is representation-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from core2_spark.catalog import load_tables
+from core2_spark.queries.registry import query
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    """Whitespace tokens of document text (single-space fixture)."""
+    return df.withColumn("toks", F.split(F.trim(F.col("text")), " "))
+
+
+@query(
+    "unwind_explode",
+    oracle="""
+    SELECT d.doc_id, u.word
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+          FROM documents WHERE doc_id < 100) d,
+         unnest(d.toks) AS u(word)
+    """,
+)
+def unwind_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`:unwind` — array → rows (SQL UNNEST / Datalog collection
+    binding)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        _tokens(d.filter(F.col("doc_id") < 100))
+        .select("doc_id", F.explode("toks").alias("word"))
+    )
+
+
+@query(
+    "unwind_with_ordinality",
+    oracle="""
+    SELECT d.doc_id, CAST(t.i - 1 AS BIGINT) AS pos, d.toks[CAST(t.i AS INT)] AS word
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+          FROM documents WHERE doc_id < 50) d,
+         unnest(generate_series(1, len(d.toks))) AS t(i)
+    """,
+)
+def unwind_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`:unwind` with ordinality — posexplode."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        _tokens(d.filter(F.col("doc_id") < 50))
+        .select("doc_id", F.posexplode("toks").alias("pos", "word"))
+        .withColumn("pos", F.col("pos").cast("bigint"))
+        .select("doc_id", "pos", "word")
+    )
+
+
+@query(
+    "unwind_outer_empty",
+    oracle="""
+    SELECT d.doc_id, u.word
+    FROM (SELECT doc_id,
+                 list_filter(string_split(trim(text), ' '), x -> length(x) >= 8) AS toks
+          FROM documents WHERE doc_id < 100) d
+    LEFT JOIN LATERAL (SELECT unnest(d.toks) AS word) u ON TRUE
+    """,
+)
+def unwind_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer — empty arrays keep their parent row (NULL word),
+    matching core2's absent-field → NULL semantics."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    long_toks = F.filter(F.col("toks"), lambda x: F.length(x) >= 8)
+    return (
+        _tokens(d.filter(F.col("doc_id") < 100))
+        .withColumn("toks", long_toks)
+        .select("doc_id", F.explode_outer("toks").alias("word"))
+    )
+
+
+@query(
+    "array_functions",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT)                          AS n_toks,
+           toks[2]                                            AS second_tok,
+           array_to_string(list_slice(toks, 1, 3), ',')       AS first3,
+           array_to_string(list_sort(list_distinct(toks)), ',') AS uniq_sorted,
+           list_contains(toks, 'spark')                       AS has_spark
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+          FROM documents WHERE doc_id < 100)
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CARDINALITY / subscript (1-based) / TRIM_ARRAY-style slice /
+    distinct / membership — §2.8 array family."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return _tokens(d.filter(F.col("doc_id") < 100)).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        F.element_at("toks", 2).alias("second_tok"),
+        F.concat_ws(",", F.slice("toks", 1, 3)).alias("first3"),
+        F.concat_ws(",", F.array_sort(F.array_distinct("toks"))).alias("uniq_sorted"),
+        F.array_contains("toks", "spark").alias("has_spark"),
+    )
+
+
+@query(
+    "json_dynamic_access",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_dynamic_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-document field access: the `props` column is the
+    variant/JSON encoding of core2's union-typed documents — navigate
+    with get_json_object (dot-path), aggregate the extracted leg."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
+@query(
+    "struct_construct_access",
+    oracle="""
+    SELECT c_custkey,
+           struct_pack(name := c_name, bal := ROUND(c_acctbal, 4)).name AS nested_name,
+           struct_pack(name := c_name, bal := ROUND(c_acctbal, 4)).bal  AS nested_bal
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def struct_construct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + dot navigation (`a.b` paths over open
+    maps in core2)."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    nested = F.struct(
+        F.col("c_name").alias("name"), F.round("c_acctbal", 4).alias("bal")
+    )
+    return c.filter(F.col("c_custkey") <= 200).select(
+        "c_custkey",
+        nested.getField("name").alias("nested_name"),
+        nested.getField("bal").alias("nested_bal"),
+    )
+
+
+@query(
+    "map_construct_access",
+    oracle="""
+    SELECT o_orderkey,
+           map(['status', 'priority'], [o_orderstatus, o_orderpriority])['status'][1]
+             AS m_status
+    FROM orders WHERE o_orderkey <= 300
+    """,
+)
+def map_construct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + key lookup."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("priority"), F.col("o_orderpriority")
+    )
+    return o.filter(F.col("o_orderkey") <= 300).select(
+        "o_orderkey", F.element_at(m, "status").alias("m_status")
+    )

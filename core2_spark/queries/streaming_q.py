@@ -1,0 +1,135 @@
+"""Event-time windowing — batch forms (SURVEY.md §2.10).
+
+core2 has no event-time streaming: its "watermark" is a consistent
+snapshot handle [upstream: core2 `watermark.clj`], and continuous
+behavior lives in the tx log.  These queries are the Spark-native
+extension: tumbling / sliding / session windows computed in *batch* so
+the DuckDB oracle can verify them; `core2_spark.streaming.events`
+wraps the same aggregations as true Structured Streaming queries
+(readStream + withWatermark), checked by unit tests instead.
+
+Timestamp discipline: the events fixture is nanosecond-precision;
+Spark truncates to microseconds on read, so every derived time column
+passes through date_trunc('second') on both sides before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from core2_spark.catalog import load_tables
+from core2_spark.queries.registry import query
+from core2_spark.queries.util import davg, dsum, sql_davg, sql_dsum
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {total_value} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """.format(total_value=sql_dsum("value")),
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (F.window), batch form."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    WITH offsets AS (SELECT * FROM (VALUES (0), (1)) t(h))
+    SELECT date_trunc('hour', ts) - h * INTERVAL 1 HOUR AS window_start,
+           COUNT(*) AS n,
+           {avg_value} AS avg_value
+    FROM events, offsets
+    GROUP BY 1
+    """.format(avg_value=sql_davg("value")),
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 2-hour length, 1-hour slide — each event lands
+    in two windows (oracle reproduces via the 2-offset expansion)."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), davg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "avg_value")
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, date_trunc('second', ts) AS ts, value FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, value,
+               -- Spark's session_window merges an event landing exactly
+               -- on the session end (start <= end inclusive), so the
+               -- gap comparison here is <=, not <.
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL 10 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM e
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER
+                 (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts)                        AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTE   AS session_end,
+           COUNT(*) AS n_events,
+           {session_value} AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """.format(session_value=sql_dsum("value")),
+)
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) in batch via F.session_window;
+    the oracle derives identical sessions with the gaps-and-islands
+    construction (lag + cumulative sum) — a genuine cross-check of the
+    semantics, per SURVEY.md §7 M6."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    sec = F.date_trunc("second", F.col("ts"))
+    return (
+        e.withColumn("ts2", sec)
+        .groupBy(F.session_window("ts2", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query("stream_structured_tumbling")  # rows-only: true streaming execution
+def structured_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same tumbling aggregation executed as a real Structured
+    Streaming query (readStream over the parquet dir, watermark, memory
+    sink).  Rows-only check: streaming execution isn't SQL-expressible
+    for the oracle; the batch twin above is the value check."""
+    from core2_spark.streaming.events import run_tumbling_batch
+
+    return run_tumbling_batch(spark, sf_dir)

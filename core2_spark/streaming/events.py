@@ -1,0 +1,102 @@
+"""Structured Streaming wrappers (SURVEY.md §2.10 Spark-native
+extension).
+
+core2's ingest is a totally-ordered tx log consumed by an indexer
+[upstream: core2 `log.clj`, `indexer.clj`]; its queries are batch at a
+basis.  The Spark-native analogue of continuous ingest is Structured
+Streaming: readStream over the append-only table directory, event-time
+watermarks for late data, windowed/stateful aggregation, and
+dropDuplicatesWithinWatermark as the streaming form of the bitemporal
+latest-version dedup.
+
+For deterministic local verification the streaming queries run with a
+memory sink and ``processAllAvailable()`` — one pass over the fixture
+parquet acts as the bounded stream.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from core2_spark.catalog import table_path
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table.
+
+    The fixture is a single parquet *file* while the stream source
+    needs a *directory*, so a session-temp dir with a symlink stands in
+    — at scale the table is a directory of appended files anyway.
+    The ns-precision ts arrives as int64 (see catalog._load_events) and
+    is floored to a microsecond timestamp here too.
+    """
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), "core2_spark_stream", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour count/sum with an event-time watermark bounding
+    state — the streaming twin of `stream_tumbling_window`."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup on event_id within the watermark horizon — the
+    streaming analogue of latest-version visibility."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, mode: str = "complete", name: str | None = None
+) -> str:
+    """Drive a streaming DataFrame to completion into a memory sink;
+    returns the sink table name.  ``mode``: "complete" for
+    aggregations, "append" for row-wise operators like dedup."""
+    name = name or f"sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def run_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the tumbling aggregation through the real streaming
+    engine and return the materialized result as a batch DataFrame."""
+    stream = _event_stream(spark, sf_dir)
+    sink = run_stream_to_memory(tumbling_agg(stream), mode="complete")
+    return spark.table(sink)

@@ -1,0 +1,161 @@
+"""Bitemporal layer: core2's distinctive capability on Spark.
+
+Reference semantics (README.adoc:11 — "system time... as well as
+application time versioning of all data"): every row version lives on
+two timelines,
+
+- system time  [system_time_start, system_time_end)  — when the
+  database learned the fact (assigned at transaction time, immutable),
+- application time [app_time_start, app_time_end)    — when the fact
+  is true in the domain (user-supplied, defaults to [tx-time, ∞)).
+
+core2 resolves visibility with a temporal kd-tree index [upstream:
+core2 `temporal.clj`, `temporal/kd_tree.clj`]; queries run at a *basis*
+(S, T) and see versions where start <= t < end on both axes.  The
+Spark-native design needs no index: versions are ordinary columns on an
+append-only table, visibility is a pushed-down Parquet filter, and
+"latest version per id" is a key-partitioned window dedup.  At 100 TB,
+partition/Z-order the version table by a time column so as-of filters
+prune files; the window dedup shuffles by `id` only once.
+
+DML [upstream: core2 `indexer.clj`, `sql/plan.clj` DML section]:
+- put    → append new version rows (never rewrite),
+- delete → append a tombstone closing the app-time period,
+- erase  → the only destructive op: anti-join rewrite removing an id.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Open-ended sentinel, same convention as SQL:2011 "until changed".
+END_OF_TIME = "9999-12-31 00:00:00"
+
+SYS_START = "system_time_start"
+SYS_END = "system_time_end"
+APP_START = "app_time_start"
+APP_END = "app_time_end"
+TEMPORAL_COLS = (SYS_START, SYS_END, APP_START, APP_END)
+
+
+def _ts(value: str | datetime | Column) -> Column:
+    if isinstance(value, Column):
+        return value
+    return F.lit(value).cast("timestamp")
+
+
+def put(
+    df: DataFrame,
+    tx_time: str | datetime,
+    app_start: str | datetime | Column | None = None,
+    app_end: str | datetime | Column | None = None,
+) -> DataFrame:
+    """Stamp incoming rows as new versions (core2 `:put`).
+
+    ``system_time_start`` is the transaction time; app-time defaults to
+    [tx_time, ∞) as in the reference.  Appending the result to the
+    version table is the caller's write (`df.write.mode("append")`).
+    """
+    return (
+        df.withColumn(SYS_START, _ts(tx_time))
+        .withColumn(SYS_END, _ts(END_OF_TIME))
+        .withColumn(APP_START, _ts(app_start if app_start is not None else tx_time))
+        .withColumn(APP_END, _ts(app_end if app_end is not None else END_OF_TIME))
+    )
+
+
+def close_system_versions(versions: DataFrame, id_col: str = "id") -> DataFrame:
+    """Derive ``system_time_end`` from the succeeding version per id.
+
+    Append-only writers don't rewrite the previous version's end; reads
+    reconstruct it: each version's system period ends where the next
+    version (by system_time_start) begins — a lead() window per id.
+    This is the read-side equivalent of core2's indexer updating its
+    temporal index on ingest.
+    """
+    w = Window.partitionBy(id_col).orderBy(F.col(SYS_START).asc())
+    return versions.withColumn(
+        SYS_END, F.coalesce(F.lead(SYS_START).over(w), _ts(END_OF_TIME))
+    )
+
+
+def as_of_predicate(
+    system_time: str | datetime | Column | None = None,
+    app_time: str | datetime | Column | None = None,
+) -> Column:
+    """Visibility predicate at a basis (S, T): start <= t < end on each
+    requested axis — plain column algebra, pushes down to the scan."""
+    pred = F.lit(True)
+    if system_time is not None:
+        s = _ts(system_time)
+        pred = pred & (F.col(SYS_START) <= s) & (s < F.col(SYS_END))
+    if app_time is not None:
+        t = _ts(app_time)
+        pred = pred & (F.col(APP_START) <= t) & (t < F.col(APP_END))
+    return pred
+
+
+def scan_as_of(
+    versions: DataFrame,
+    system_time: str | datetime | None = None,
+    app_time: str | datetime | None = None,
+) -> DataFrame:
+    """core2 default scan: visible versions at the basis (SQL
+    ``FOR SYSTEM_TIME AS OF s`` / ``FOR APPLICATION_TIME AS OF t``)."""
+    return versions.filter(as_of_predicate(system_time, app_time))
+
+
+def scan_between(
+    versions: DataFrame,
+    axis_start_col: str,
+    axis_end_col: str,
+    lo: str | datetime,
+    hi: str | datetime,
+) -> DataFrame:
+    """SQL:2011 ``FOR ... FROM lo TO hi``: versions whose period
+    overlaps [lo, hi)."""
+    return versions.filter(
+        (F.col(axis_start_col) < _ts(hi)) & (F.col(axis_end_col) > _ts(lo))
+    )
+
+
+def scan_all_time(versions: DataFrame) -> DataFrame:
+    """``FOR ALL SYSTEM_TIME`` — the full version history, unfiltered."""
+    return versions
+
+
+def latest_versions(versions: DataFrame, id_col: str = "id") -> DataFrame:
+    """Newest system-time version per id (the "current state" view) via
+    key-partitioned row_number — one shuffle on id, no index needed."""
+    w = Window.partitionBy(id_col).orderBy(F.col(SYS_START).desc())
+    return (
+        versions.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def delete(
+    versions_now: DataFrame,
+    ids: DataFrame,
+    id_col: str,
+    tx_time: str | datetime,
+) -> DataFrame:
+    """core2 `:delete`: append rows closing the app-time period at
+    tx_time for matching ids.  Returns the tombstone rows to append."""
+    current = latest_versions(versions_now, id_col)
+    return (
+        current.join(F.broadcast(ids), id_col, "left_semi")
+        .withColumn(APP_END, _ts(tx_time))
+        .withColumn(SYS_START, _ts(tx_time))
+        .withColumn(SYS_END, _ts(END_OF_TIME))
+    )
+
+
+def erase(versions: DataFrame, ids: DataFrame, id_col: str) -> DataFrame:
+    """core2 `:erase` — the only destructive op: physically remove every
+    version of the given ids (anti-join rewrite of the table)."""
+    return versions.join(F.broadcast(ids), id_col, "left_anti")

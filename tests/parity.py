@@ -1,0 +1,51 @@
+"""Shared differential-compare helper emulating the driver's check:
+row count + schema width + order-insensitive rounded-value equality
+between a Spark result and its DuckDB oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+
+import datetime
+
+
+def _norm_cell(v):
+    if v is None or v is pd.NaT:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "∅"
+        r = round(v, 6)
+        return "0.0" if r == 0 else repr(r)
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    if isinstance(v, pd.Timestamp):
+        # DuckDB DATE → pandas midnight Timestamp; Spark DATE →
+        # datetime.date.  Collapse midnight timestamps to the date
+        # form so the logical value compares equal.
+        v = v.floor("us")
+        if v.time() == datetime.time(0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
+    return str(v)
+
+
+def normalize_frame(df: pd.DataFrame) -> list[tuple]:
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = [tuple(_norm_cell(v) for v in rec) for rec in df.itertuples(index=False)]
+    return sorted(rows)
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
+    )
+    a, b = normalize_frame(spark_pdf), normalize_frame(duck_pdf)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatching rows; first: {mismatches[:3]}"
