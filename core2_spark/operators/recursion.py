@@ -1,0 +1,47 @@
+"""Recursion / fixpoint (SURVEY.md §2.7 `:assign` / `:fixpoint` μ).
+
+core2's logical-plan algebra specs a fixpoint operator for Datalog
+rules and WITH-RECURSIVE-shaped queries [upstream: core2
+`logical_plan.clj`].  Spark has no recursive CTE; the engine runs the
+standard semi-naive iteration: keep a frontier of newly-derived rows,
+derive the next frontier, anti-join against everything seen, stop when
+empty.
+
+Scale notes: each iteration is one distributed join; the accumulated
+set is checkpointed every few rounds to truncate the lineage chain
+(without it, plan depth grows linearly and planning cost quadratically).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def fixpoint(
+    base: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    key_cols: list[str] | None = None,
+    max_iterations: int = 50,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Least fixpoint of ``base ∪ step(·)`` under set semantics.
+
+    ``step`` maps the current frontier to candidate new rows (same
+    schema).  ``key_cols`` identify a row (default: all columns).
+    """
+    keys = key_cols or base.columns
+    acc = base.distinct()
+    frontier = acc
+    for i in range(max_iterations):
+        derived = step(frontier).distinct()
+        new = derived.join(acc, keys, "left_anti")
+        if new.isEmpty():
+            return acc
+        acc = acc.unionByName(new)
+        frontier = new
+        if (i + 1) % checkpoint_every == 0:
+            acc = acc.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
+    raise RuntimeError(f"fixpoint did not converge in {max_iterations} iterations")

@@ -1,0 +1,337 @@
+"""Remaining operator-surface coverage: recursion (μ fixpoint),
+literal relations, correlated `:apply` subqueries through the SQL
+frontend, pivot/unpivot, external data sources, the Datalog frontend,
+and analytic-window extras.  (SURVEY.md §2.1 :table/:arrow-csv, §2.3
+:apply, §2.7 :fixpoint, §2.9, §3.2.)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from core2_spark import datalog
+from core2_spark.catalog import load_tables, register_views
+from core2_spark.operators.recursion import fixpoint
+from core2_spark.queries.registry import query
+from core2_spark.queries.util import fround, pround, sql_pround
+
+
+@query(
+    "recursion_fixpoint_ancestors",
+    oracle="""
+    WITH RECURSIVE parent AS (
+        SELECT n_nationkey AS child, n_nationkey // 2 AS par
+        FROM nation WHERE n_nationkey >= 1
+    ),
+    anc AS (
+        SELECT child, par AS ancestor FROM parent
+        UNION
+        SELECT a.child, p.par AS ancestor
+        FROM anc a JOIN parent p ON a.ancestor = p.child
+    )
+    SELECT child, ancestor FROM anc
+    """,
+)
+def recursion_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """μ fixpoint: transitive ancestor closure over a derived
+    parent(child, child/2) relation — semi-naive iteration in Spark,
+    checked against DuckDB's WITH RECURSIVE."""
+    n = load_tables(spark, sf_dir, ("nation",))["nation"]
+    parent = n.filter(F.col("n_nationkey") >= 1).select(
+        F.col("n_nationkey").alias("child"),
+        F.expr("n_nationkey div 2").alias("par"),
+    )
+    base = parent.select("child", F.col("par").alias("ancestor"))
+
+    def step(frontier: DataFrame) -> DataFrame:
+        return (
+            frontier.alias("a")
+            .join(parent.alias("p"), F.col("a.ancestor") == F.col("p.child"))
+            .select(F.col("a.child").alias("child"), F.col("p.par").alias("ancestor"))
+        )
+
+    return fixpoint(base, step, key_cols=["child", "ancestor"])
+
+
+@query(
+    "table_literal_values",
+    oracle="""
+    SELECT t.tier, COUNT(*) AS n_nations
+    FROM nation n
+    JOIN (VALUES (0, 'west'), (1, 'east'), (2, 'south'), (3, 'north'), (4, 'central'))
+         AS t(rk, tier)
+      ON n.n_regionkey = t.rk
+    GROUP BY t.tier
+    """,
+)
+def table_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`:table` — inline literal relation (SQL VALUES, Datalog :in)
+    joined against a scan; always a broadcast."""
+    n = load_tables(spark, sf_dir, ("nation",))["nation"]
+    tiers = spark.createDataFrame(
+        [(0, "west"), (1, "east"), (2, "south"), (3, "north"), (4, "central")],
+        "rk int, tier string",
+    )
+    return (
+        n.join(F.broadcast(tiers), F.col("n_regionkey") == F.col("rk"))
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_nations"))
+    )
+
+
+@query(
+    "apply_correlated_scalar",
+    oracle="""
+    SELECT c_custkey,
+           ROUND((SELECT MAX(o.o_totalprice) FROM orders o
+                  WHERE o.o_custkey = c.c_custkey), 4) AS max_order
+    FROM customer c
+    WHERE c_custkey <= 300
+    """,
+)
+def apply_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL frontend — core2's
+    `:apply` single-join; Catalyst decorrelates it into the same
+    aggregate+join the reference's planner produces [upstream: core2
+    `operator/apply.clj`, `sql/plan.clj` decorrelation]."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               ROUND((SELECT MAX(o.o_totalprice) FROM orders o
+                      WHERE o.o_custkey = c.c_custkey), 4) AS max_order
+        FROM customer c
+        WHERE c_custkey <= 300
+        """
+    )
+
+
+@query(
+    "apply_correlated_exists",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND o.o_totalprice > 400000)
+    """,
+)
+def apply_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS via SQL → decorrelated to a semi join."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT'
+                        AND o.o_totalprice > 400000)
+        """
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — Spark-native extension (core2 has none); explicit value
+    list so no extra distinct-scan pass."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, ROUND(c_acctbal, 4) AS val
+    FROM customer WHERE c_custkey <= 100
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val
+    FROM customer WHERE c_custkey <= 100
+    """,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT via stack() — wide→long."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    return (
+        c.filter(F.col("c_custkey") <= 100)
+        .select(
+            "c_custkey",
+            F.expr(
+                "stack(2, 'acctbal', ROUND(c_acctbal, 4),"
+                " 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)"
+            ),
+        )
+    )
+
+
+@query(
+    "external_csv_source",
+    oracle="""
+    SELECT n.n_name, r.r_name, LENGTH(n.n_name) AS name_len
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    """,
+)
+def external_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`:arrow`/`:csv` external-data operator [upstream: core2
+    `operator/external_data.clj`]: export a deterministic CSV, then
+    query over the CSV reader with an explicit schema (no inference in
+    the plan).  The oracle derives the same rows from the base tables,
+    proving the round-trip is lossless."""
+    t = load_tables(spark, sf_dir, ("nation", "region"))
+    out_dir = "/root/repo/_data/external_csv"
+    joined = (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .select("n_name", "r_name")
+    )
+    joined.coalesce(1).write.mode("overwrite").option("header", True).csv(out_dir)
+    csv = spark.read.schema("n_name string, r_name string").option("header", True).csv(
+        out_dir
+    )
+    return csv.select(
+        "n_name", "r_name", F.length("n_name").cast("bigint").alias("name_len")
+    )
+
+
+@query(
+    "external_json_source",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def external_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON external source round-trip with explicit schema."""
+    t = load_tables(spark, sf_dir, ("region",))
+    out_dir = "/root/repo/_data/external_json"
+    t["region"].coalesce(1).write.mode("overwrite").json(out_dir)
+    return spark.read.schema("r_regionkey int, r_name string").json(out_dir).select(
+        "r_regionkey", "r_name"
+    )
+
+
+@query(
+    "datalog_join_filter",
+    oracle="""
+    SELECT c.c_name AS name, ROUND(o.o_totalprice, 4) AS price
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 480000 AND c.c_mktsegment = 'BUILDING'
+    """,
+)
+def datalog_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datalog frontend (§3.2): shared logic variables become equi
+    joins, predicates become filters — same algebra, different syntax."""
+    res = datalog.q(
+        spark,
+        sf_dir,
+        {
+            "find": ["?name", "?price"],
+            "where": [
+                ("customer", {"c_custkey": "?cust", "c_name": "?name",
+                              "c_mktsegment": "BUILDING"}),
+                ("orders", {"o_custkey": "?cust", "o_totalprice": "?price"}),
+                (">", "?price", 480000),
+            ],
+        },
+    )
+    return res.select("name", fround("price").alias("price"))
+
+
+@query(
+    "datalog_aggregate",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(DISTINCT c.c_custkey) AS n_customers,
+           ROUND(MAX(c.c_acctbal), 4) AS max_bal
+    FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def datalog_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datalog find-aggregates → groupBy."""
+    res = datalog.q(
+        spark,
+        sf_dir,
+        {
+            "find": [
+                "?nation",
+                ("count-distinct", "?cust", "n_customers"),
+                ("max", "?bal", "max_bal"),
+            ],
+            "where": [
+                ("nation", {"n_nationkey": "?nk", "n_name": "?nation"}),
+                ("customer", {"c_nationkey": "?nk", "c_custkey": "?cust",
+                              "c_acctbal": "?bal"}),
+            ],
+        },
+    )
+    return res.select("nation", "n_customers", fround("max_bal").alias("max_bal"))
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey,
+           {pr} AS pct_rank,
+           {cd} AS cume
+    FROM customer
+    WHERE c_custkey <= 400
+    """.format(
+        pr=sql_pround(
+            "PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)",
+            6,
+        ),
+        cd=sql_pround(
+            "CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)",
+            6,
+        ),
+    ),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist distribution windows."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.filter(F.col("c_custkey") <= 400).select(
+        "c_custkey",
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        pround(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "string_regex_functions",
+    oracle="""
+    SELECT c_custkey,
+           regexp_matches(c_name, '#0*1[0-9]$')                 AS like_regex,
+           regexp_extract(c_name, '([0-9]+)$', 1)               AS trailing_digits,
+           concat(substr(c_name, 1, 2), 'XX', substr(c_name, 5)) AS overlaid
+    FROM customer
+    WHERE c_custkey <= 250
+    """,
+)
+def string_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE_REGEX / regexp extraction / OVERLAY (§2.8 string family)."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    return c.filter(F.col("c_custkey") <= 250).select(
+        "c_custkey",
+        F.col("c_name").rlike("#0*1[0-9]$").alias("like_regex"),
+        F.regexp_extract("c_name", "([0-9]+)$", 1).alias("trailing_digits"),
+        F.overlay(F.col("c_name"), F.lit("XX"), 3, 2).alias("overlaid"),
+    )

@@ -66,6 +66,7 @@ def _ensure_loaded() -> None:
     # Imports are side-effecting: each module's @query decorators register.
     from core2_spark.queries import (  # noqa: F401
         aggregates,
+        extras_q,
         joins_q,
         llm_q,
         nested,
