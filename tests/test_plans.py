@@ -1,0 +1,101 @@
+"""Physical-plan audits: the scale properties SURVEY.md §4 promises.
+
+These tests read `.explain("formatted")` output and assert the plan
+shape that must survive a 100× scale-up: predicate pushdown into the
+Parquet scan, column pruning, broadcast joins for dimension sides, and
+no cartesian products in the LSH/kNN pipelines.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import DataFrame
+
+from core2_spark.queries.registry import all_queries
+from tests.conftest import SF_DIR
+
+QUERIES = all_queries()
+
+
+def plan_of(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    plan = plan_of(QUERIES["tpch_q1_pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
+    # Column pruning: unused lineitem columns must not be read.
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q1_partial_aggregation(spark):
+    """Map-side combine before the shuffle (partial → final)."""
+    plan = plan_of(QUERIES["tpch_q1_pricing_summary"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_q3_broadcasts_customer_side(spark):
+    plan = plan_of(QUERIES["tpch_q3_shipping_priority"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k fused, no global sort
+
+
+def test_q5_no_cartesian_all_dims_broadcast(spark):
+    plan = plan_of(QUERIES["tpch_q5_region_revenue"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_scan_projection_prunes_columns(spark):
+    plan = plan_of(QUERIES["project_compute"](spark, SF_DIR))
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_shipdate" not in read_schema  # untouched column pruned
+    assert "PushedFilters" in plan
+
+
+def test_minhash_lsh_no_cartesian(spark):
+    """The near-dup pipeline must be equi-join-only at any scale."""
+    plan = plan_of(QUERIES["dedup_minhash_lsh"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_no_shuffle_of_embeddings(spark):
+    """Brute-force kNN: single scan + TakeOrderedAndProject; the only
+    ordering reduction is top-k, never a full sort/shuffle of vectors."""
+    plan = plan_of(QUERIES["knn_brute_force_cosine"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bitemporal_asof_filter_pushdown(spark):
+    """As-of visibility predicates are plain column filters — they
+    reach the scan (only the derived version columns are filtered
+    post-derivation, but base o_orderdate filters push down)."""
+    plan = plan_of(QUERIES["temporal_asof_system"](spark, SF_DIR))
+    assert "PushedFilters" in plan
+
+
+def test_window_topk_partitions_by_group(spark):
+    plan = plan_of(QUERIES["window_topk_per_group"](spark, SF_DIR))
+    # partitionBy o_custkey → hashpartitioning exchange, not single-partition
+    assert "hashpartitioning(o_custkey" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_ngram_jaccard", "embedding_cosine_near_dup", "knn_lsh_bucketed"],
+)
+def test_llm_pipelines_no_cartesian(spark, name):
+    plan = plan_of(QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
