@@ -127,10 +127,16 @@ def scan_all_time(versions: DataFrame) -> DataFrame:
     return versions
 
 
-def latest_versions(versions: DataFrame, id_col: str = "id") -> DataFrame:
+def latest_versions(
+    versions: DataFrame, id_col: str = "id", tiebreak_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Newest system-time version per id (the "current state" view) via
-    key-partitioned row_number — one shuffle on id, no index needed."""
-    w = Window.partitionBy(id_col).orderBy(F.col(SYS_START).desc())
+    key-partitioned row_number — one shuffle on id, no index needed.
+
+    ``tiebreak_cols`` break equal system_time_start deterministically
+    (core2 uses the monotonic row-id: the later write wins)."""
+    order = [F.col(SYS_START).desc()] + [F.col(c).desc() for c in tiebreak_cols]
+    w = Window.partitionBy(id_col).orderBy(*order)
     return (
         versions.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -1,0 +1,126 @@
+"""Property-based bitemporal tests (SURVEY.md §5.5).
+
+The reference used test.check generative tests for its temporal index
+[upstream: core2 temporal kd-tree property tests]; the analogue here:
+hypothesis generates random version histories and bases, and the
+library's as-of / between / latest scans must agree with a naive
+row-at-a-time Python oracle.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from core2_spark import temporal as bt
+
+T0 = datetime(2024, 1, 1)
+END = datetime(9999, 12, 31)
+
+
+versions_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),      # id
+        st.integers(min_value=0, max_value=400),    # sys_start day offset
+        st.integers(min_value=0, max_value=400),    # app_start day offset
+        st.integers(min_value=1, max_value=200),    # app period length (days)
+        st.floats(min_value=0, max_value=1000, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _naive_history(rows):
+    """Python oracle: per id, order by sys_start (ties: stable input
+    order broken by value row index), close sys periods by successor."""
+    hist = []
+    for idx, (rid, sys_off, app_off, app_len, val) in enumerate(rows):
+        hist.append(
+            {
+                "id": rid,
+                "row_idx": idx,
+                "sys_start": T0 + timedelta(days=sys_off),
+                "app_start": T0 + timedelta(days=app_off),
+                "app_end": T0 + timedelta(days=app_off + app_len),
+                "val": val,
+            }
+        )
+    by_id: dict[int, list[dict]] = {}
+    for h in hist:
+        by_id.setdefault(h["id"], []).append(h)
+    for rid, items in by_id.items():
+        items.sort(key=lambda h: (h["sys_start"], h["row_idx"]))
+        for i, h in enumerate(items):
+            h["sys_end"] = items[i + 1]["sys_start"] if i + 1 < len(items) else END
+    return hist
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=versions_strategy, s_off=st.integers(0, 400), t_off=st.integers(0, 500))
+def test_asof_matches_naive_oracle(spark, rows, s_off, t_off):
+    hist = _naive_history(rows)
+    df = spark.createDataFrame(
+        [
+            (
+                h["id"],
+                h["row_idx"],
+                h["val"],
+                h["sys_start"],
+                h["app_start"],
+                h["app_end"],
+            )
+            for h in hist
+        ],
+        "id long, row_idx long, val double, system_time_start timestamp,"
+        " app_time_start timestamp, app_time_end timestamp",
+    )
+    # Tie-break sys_end reconstruction identically to the oracle:
+    # secondary order on row_idx for equal sys_start.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("id").orderBy(
+        F.col(bt.SYS_START).asc(), F.col("row_idx").asc()
+    )
+    versions = df.withColumn(
+        bt.SYS_END,
+        F.coalesce(F.lead(bt.SYS_START).over(w), F.lit("9999-12-31").cast("timestamp")),
+    )
+
+    s = T0 + timedelta(days=s_off)
+    t = T0 + timedelta(days=t_off)
+
+    got = {
+        (r["id"], r["row_idx"])
+        for r in bt.scan_as_of(versions, system_time=s, app_time=t).collect()
+    }
+    want = {
+        (h["id"], h["row_idx"])
+        for h in hist
+        if h["sys_start"] <= s < h["sys_end"] and h["app_start"] <= t < h["app_end"]
+    }
+    assert got == want
+
+    # Latest version: ties on sys_start resolved by row_idx (core2's
+    # monotonic row-id — the later write wins).
+    got_latest = {
+        (r["id"], r["row_idx"])
+        for r in bt.latest_versions(versions, "id", tiebreak_cols=("row_idx",)).collect()
+    }
+    by_id: dict[int, dict] = {}
+    for h in hist:
+        cur = by_id.get(h["id"])
+        if cur is None or (h["sys_start"], h["row_idx"]) > (
+            cur["sys_start"],
+            cur["row_idx"],
+        ):
+            by_id[h["id"]] = h
+    want_latest = {(h["id"], h["row_idx"]) for h in by_id.values()}
+    assert got_latest == want_latest
