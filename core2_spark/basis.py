@@ -1,0 +1,64 @@
+"""Basis / repeatable reads (SURVEY.md §3.3, §1.1 transaction log).
+
+core2 queries run at a *basis*: a pinned log position + clock, so the
+same query re-run later returns identical results (reference
+README.adoc:13 — deterministic transactions/indexing).  Without Delta
+in this environment, the engine pins a basis as a **file manifest**:
+the exact set of parquet files visible at basis-acquisition time plus
+an explicit ``current_time``.  Readers load via the manifest, so files
+appended afterwards are invisible — repeatable reads over an
+append-only table directory.
+
+At 100 TB this is exactly the Delta/Iceberg snapshot model (their
+manifests do the same thing with statistics attached); ``Basis`` keeps
+the engine's semantics identical so swapping the storage layer in is a
+config change, not a redesign.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Basis:
+    """A pinned snapshot: {table → exact file list} + query clock."""
+
+    current_time: datetime
+    manifests: dict[str, tuple[str, ...]] = field(default_factory=dict)
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        files = self.manifests[table]
+        return spark.read.parquet(*files)
+
+
+def _list_parquet_files(path: str) -> tuple[str, ...]:
+    if os.path.isfile(path):
+        return (path,)
+    out = []
+    for root, _dirs, names in os.walk(path):
+        for n in sorted(names):
+            if n.endswith(".parquet"):
+                out.append(os.path.join(root, n))
+    return tuple(sorted(out))
+
+
+def acquire_basis(
+    table_paths: dict[str, str], current_time: datetime | str
+) -> Basis:
+    """Snapshot the current file sets of the given tables.
+
+    ``current_time`` is the query clock: queries must use it instead of
+    the wall clock (core2's determinism rule — LOCALTIMESTAMP is
+    basis-pinned, never `now()`).
+    """
+    if isinstance(current_time, str):
+        current_time = datetime.fromisoformat(current_time)
+    return Basis(
+        current_time=current_time,
+        manifests={t: _list_parquet_files(p) for t, p in table_paths.items()},
+    )

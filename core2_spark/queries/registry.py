@@ -67,6 +67,7 @@ def _ensure_loaded() -> None:
     from core2_spark.queries import (  # noqa: F401
         aggregates,
         extras_q,
+        functions_q,
         joins_q,
         llm_q,
         nested,
