@@ -432,6 +432,15 @@ def knn_lsh_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_knn(e, qv, k=10, multiprobe_bits=2)
 
 
+@query("knn_ivf_probe")  # rows-only: approximate result set is engine-specific
+def knn_ivf_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate kNN: deterministic coarse quantizer cells,
+    nprobe=2 — the partition-pruning scale path beside LSH."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = similarity.query_vector(e, "vec_id", "embedding", 0)
+    return similarity.ivf_knn(e, qv, k=10, n_clusters=8, nprobe=2)
+
+
 @query("embedding_cosine_near_dup")  # rows-only: LSH bucketing stage
 def embedding_cosine_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucket equi-join

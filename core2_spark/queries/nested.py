@@ -142,6 +142,30 @@ def json_dynamic_access(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_from_json_struct",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read variant decoding: from_json parses the dynamic
+    column into a typed struct (the declared-leg form of §1.2's variant
+    encoding), then navigates it like any nested column."""
+    from pyspark.sql import types as T
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = e.withColumn("p", F.from_json("props", schema))
+    return (
+        parsed.groupBy(F.expr("p.k div 10").alias("k_bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
     "struct_construct_access",
     oracle="""
     SELECT c_custkey,

@@ -88,6 +88,58 @@ def lsh_bucketed_knn(
     )
 
 
+def _centroids_from_seed_rows(
+    df: DataFrame, n_clusters: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: the embeddings of the n lowest
+    ids seed the centroids (IVF needs *stable* cell assignment more
+    than optimal cells; swapping in k-means centroids is a local
+    change).  O(n_clusters · d) driver memory."""
+    rows = (
+        df.orderBy(F.col(id_col)).limit(n_clusters).select(id_col, vec_col).collect()
+    )
+    return [[float(x) for x in r[1]] for r in rows]
+
+
+def ivf_knn(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate kNN: assign every row to its nearest
+    centroid cell (one linear scan, centroids inlined as literals),
+    then score only the ``nprobe`` cells nearest the query.
+
+    At 100 TB the cell id is a partition/cluster column written at
+    ingest, so probing reads only nprobe/n_clusters of the data —
+    file-level pruning, no full scan per query."""
+    import numpy as np  # local alias for clarity
+
+    cents = _centroids_from_seed_rows(df, n_clusters, id_col, vec_col)
+    cent_cols = [F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    v = as_double(F.col(vec_col))
+    dists = F.array(*[dot(v, c) for c in cent_cols])
+    cell = (F.array_position(dists, F.array_max(dists)) - 1).cast("int")
+
+    q_arr = np.array(query)
+    q_sims = [float(np.dot(q_arr, np.array(c))) for c in cents]
+    probe_cells = sorted(range(len(cents)), key=lambda i: -q_sims[i])[:nprobe]
+
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = cosine(as_double(F.col(vec_col)), q)
+    return (
+        df.withColumn("cell", cell)
+        .filter(F.col("cell").isin(probe_cells))
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_cosine_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

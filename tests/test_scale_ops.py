@@ -1,0 +1,94 @@
+"""Scale-operator tests: salted skew join correctness, bucketed
+co-located joins (no shuffle), partitioned-write pruning."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from core2_spark.catalog import load_tables
+from core2_spark.operators.skew import salted_count_per_key, salted_join
+from core2_spark.sinks import write_bucketed_table, write_partitioned
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_salted_join_matches_plain_join(spark):
+    t = load_tables(spark, SF_DIR, ("orders", "customer"))
+    plain = (
+        t["orders"]
+        .join(t["customer"].select("c_custkey", "c_mktsegment"),
+              t["orders"].o_custkey == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+    salted = (
+        salted_join(
+            t["orders"].withColumnRenamed("o_custkey", "k"),
+            t["customer"].select(F.col("c_custkey").alias("k"), "c_mktsegment"),
+            on="k",
+            salt_buckets=4,
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_salted_aggregation_matches_plain(spark):
+    t = load_tables(spark, SF_DIR, ("lineitem",))
+    plain = {
+        (r["l_returnflag"], r["n"])
+        for r in t["lineitem"].groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    }
+    salted = {
+        (r["l_returnflag"], r["n"])
+        for r in salted_count_per_key(t["lineitem"], "l_returnflag", 4).collect()
+    }
+    assert plain == salted
+
+
+def test_bucketed_join_needs_no_shuffle(spark):
+    """Two tables bucketed on the join key: the join plans with zero
+    Exchange — the co-location discipline for repeated big joins."""
+    import shutil
+
+    t = load_tables(spark, SF_DIR, ("orders", "lineitem"))
+    for name in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"/root/repo/spark-warehouse/{name}", ignore_errors=True)
+    write_bucketed_table(t["orders"], "b_orders", "o_orderkey", 8)
+    write_bucketed_table(
+        t["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        "o_orderkey",
+        8,
+    )
+    joined = (
+        spark.table("b_orders")
+        .hint("merge")  # force sort-merge: shows bucketing removed the shuffle
+        .join(spark.table("b_lineitem"), "o_orderkey")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert joined.count() > 0
+
+
+def test_partitioned_write_prunes(spark):
+    t = load_tables(spark, SF_DIR, ("orders",))
+    path = "/root/repo/_data/orders_by_status"
+    write_partitioned(t["orders"], path, ["o_orderstatus"])
+    pruned = spark.read.parquet(path).filter(F.col("o_orderstatus") == "O")
+    plan = _plan(pruned)
+    # partition filter applied at scan, not as a post-filter
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1].splitlines()[0]
+    assert pruned.count() > 0
