@@ -39,7 +39,10 @@ def main() -> None:
     from core2_spark.queries.registry import all_queries
     from core2_spark.session import get_spark
 
-    spark = get_spark(app_name="core2-spark-bench")
+    # sf0.1 is small for Spark: a handful of shuffle partitions beats
+    # one-per-core task overhead (BASELINE.md tuning note); AQE still
+    # re-splits if a partition turns out large.
+    spark = get_spark(app_name="core2-spark-bench", shuffle_partitions=8)
     queries = all_queries()
 
     # Warm the JVM + parquet footers once so per-query numbers measure

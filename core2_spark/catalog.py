@@ -41,15 +41,38 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Per-(session, sf_dir, table) cache of persisted DataFrames, keyed by
+# session id so a restarted session re-caches.  DIMENSIONS ONLY:
+# persisting a fact table materializes every column and replaces the
+# pruned/pushed-down Parquet scan with a full-width InMemoryTableScan —
+# measurably slower for narrow queries (and fatal at 100 TB).  Facts
+# always stream from Parquet with pruning.  Disable entirely with
+# SPARK_GRAFT_NO_CACHE=1.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+_CACHEABLE = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, merge_schema: bool = False
 ) -> DataFrame:
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
+    import os as _os
+
+    use_cache = not _os.environ.get("SPARK_GRAFT_NO_CACHE") and name in _CACHEABLE
+    key = (id(spark), sf_dir, name)
+    if use_cache and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     if name == "events":
-        return _load_events(spark, sf_dir)
-    return reader.parquet(table_path(sf_dir, name))
+        df = _load_events(spark, sf_dir)
+    else:
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(table_path(sf_dir, name))
+    if use_cache:
+        df = df.persist()
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

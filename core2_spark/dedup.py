@@ -36,14 +36,18 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def exact_dedup_keep_first(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Survivors of exact dedup: lowest doc_id per fingerprint.
+    """Survivors of exact dedup: lowest doc_id per fingerprint —
+    one fingerprint-partitioned window pass (a single shuffle; the
+    groupBy-then-semi-join alternative costs two)."""
+    from pyspark.sql import Window
 
-    Implemented as min-per-group + semi-join rather than a window so
-    the heavy side only shuffles once on the fingerprint.
-    """
-    with_fp = df.withColumn("fp", fingerprint(F.col(text_col)))
-    keepers = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    return with_fp.join(keepers, ["fp", "doc_id"], "left_semi").drop("fp")
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("fp", "_rn")
+    )
 
 
 def token_set(text_col: Column) -> Column:

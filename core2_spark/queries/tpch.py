@@ -161,6 +161,107 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a correlated non-equi condition →
+    semi join with residual predicate (no commitdate in the fixture,
+    so 'late shipment' stands in)."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    return (
+        o.join(
+            t["lineitem"],
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate — the pushdown benchmark
+    (every predicate reaches the Parquet scan)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+@query(
+    "tpch_q18_large_volume",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           {sql_dsum('l.l_quantity')} AS total_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 180
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: IN over a grouped-HAVING subquery → aggregate, semi
+    join, re-aggregate, top-k."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    big_orders = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        t["lineitem"]
+        .join(
+            big_orders.withColumnRenamed("l_orderkey", "big_key"),
+            F.col("l_orderkey") == F.col("big_key"),
+            "inner",
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
     "tpch_q10_returned_items",
     oracle=f"""
     SELECT c.c_custkey, c.c_name,

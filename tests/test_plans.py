@@ -20,6 +20,14 @@ from tests.conftest import SF_DIR
 QUERIES = all_queries()
 
 
+@pytest.fixture(autouse=True)
+def _no_table_cache(monkeypatch):
+    """Plan audits inspect the Parquet scan (PushedFilters/ReadSchema);
+    the catalog's in-memory table cache would replace it with an
+    InMemoryTableScan, so bypass caching here."""
+    monkeypatch.setenv("SPARK_GRAFT_NO_CACHE", "1")
+
+
 def plan_of(df: DataFrame) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
