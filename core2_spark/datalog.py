@@ -65,11 +65,8 @@ def _var_name(v: str) -> str:
     return v[1:]
 
 
-def _compile_pattern(
-    spark: SparkSession, sf_dir: str, table: str, bindings: dict
-) -> DataFrame:
-    """Scan + rename columns to variable names + constant filters."""
-    df = load_table(spark, sf_dir, table)
+def _compile_pattern(df: DataFrame, bindings: dict) -> DataFrame:
+    """Rename columns to variable names + constant filters."""
     cols, filters = [], []
     for col, v in bindings.items():
         if _is_var(v):
@@ -81,8 +78,10 @@ def _compile_pattern(
     return df.select(*cols)
 
 
-def q(spark: SparkSession, sf_dir: str, query: dict) -> DataFrame:
-    """Compile and run a Datalog-ish query against the catalog."""
+def q_with_resolver(resolver, query: dict) -> DataFrame:
+    """Compile and run a Datalog-ish query; ``resolver(table)`` supplies
+    each pattern's relation (a catalog scan, or a basis-pinned
+    bitemporal view when called through Engine/Snapshot)."""
     rel: DataFrame | None = None
     predicates: list[tuple] = []
     for clause in query["where"]:
@@ -90,7 +89,7 @@ def q(spark: SparkSession, sf_dir: str, query: dict) -> DataFrame:
             predicates.append(clause)
             continue
         table, bindings = clause
-        part = _compile_pattern(spark, sf_dir, table, bindings)
+        part = _compile_pattern(resolver(table), bindings)
         if rel is None:
             rel = part
         else:
@@ -116,3 +115,8 @@ def q(spark: SparkSession, sf_dir: str, query: dict) -> DataFrame:
     if group_vars:
         return rel.groupBy(*group_vars).agg(*aggs)
     return rel.agg(*aggs)
+
+
+def q(spark: SparkSession, sf_dir: str, query: dict) -> DataFrame:
+    """Compile and run a Datalog-ish query against the catalog."""
+    return q_with_resolver(lambda table: load_table(spark, sf_dir, table), query)

@@ -1,0 +1,168 @@
+"""Engine facade: core2's top-3 entry points on Spark (SURVEY.md §3).
+
+A user of the reference talks to three surfaces (reference
+README.adoc:13-15): ``submit-tx`` (ingest/DML), SQL at a basis, and
+Datalog at a basis.  This module packages the engine's layers
+(catalog, temporal, basis, datalog) behind the same shape:
+
+    eng = Engine(spark, "/path/to/db")
+    basis = eng.submit_tx([
+        Put("trades", rows_df),
+        Put("trades", corrections, app_start="2024-01-01"),
+        Delete("trades", ids_df),
+    ])
+    db = eng.db(basis)                    # or eng.db() for latest
+    db.table("trades")                    # current-state view at basis
+    db.history("trades")                  # full bitemporal history
+    db.sql("SELECT * FROM trades ...")    # SQL over basis views
+    db.q({"find": [...], "where": [...]}) # Datalog over the same basis
+
+Semantics carried from the reference:
+- transactions are totally ordered: each submit_tx gets a strictly
+  increasing tx_time (explicit or logical-clock-derived) — the log
+  position IS the basis;
+- reads are repeatable: a Basis pins the file manifest, so later
+  transactions never change an old basis' answers;
+- deletes close app-time periods (history preserved); erase is the
+  only destructive op.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+
+from core2_spark import temporal as bt
+from core2_spark.basis import Basis, acquire_basis
+from core2_spark import datalog as dl
+
+
+@dataclass(frozen=True)
+class Put:
+    table: str
+    rows: DataFrame
+    app_start: str | None = None
+    app_end: str | None = None
+
+
+@dataclass(frozen=True)
+class Delete:
+    table: str
+    ids: DataFrame
+    id_col: str = "id"
+
+
+@dataclass(frozen=True)
+class Erase:
+    table: str
+    ids: DataFrame
+    id_col: str = "id"
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, root: str, epoch: str = "2024-01-01"):
+        self.spark = spark
+        self.root = root
+        self._epoch = datetime.fromisoformat(epoch)
+        self._tx_counter = 0
+        os.makedirs(root, exist_ok=True)
+
+    def _table_path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _next_tx_time(self, tx_time: str | datetime | None) -> datetime:
+        """Totally-ordered logical transaction clock (deterministic:
+        epoch + counter seconds unless an explicit time is given)."""
+        self._tx_counter += 1
+        if tx_time is None:
+            return self._epoch + timedelta(seconds=self._tx_counter)
+        return (
+            datetime.fromisoformat(tx_time) if isinstance(tx_time, str) else tx_time
+        )
+
+    # -- §3.3 submit-tx ------------------------------------------------
+    def submit_tx(
+        self, ops: list[Put | Delete | Erase], tx_time: str | datetime | None = None
+    ) -> Basis:
+        """Apply ops atomically-enough for a single writer (the
+        reference's single totally-ordered log) and return the basis
+        at which the transaction is visible."""
+        t = self._next_tx_time(tx_time)
+        touched: set[str] = set()
+        for op in ops:
+            path = self._table_path(op.table)
+            if isinstance(op, Put):
+                bt.put(
+                    op.rows, tx_time=t, app_start=op.app_start, app_end=op.app_end
+                ).write.mode("append").parquet(path)
+            elif isinstance(op, Delete):
+                versions = bt.close_system_versions(
+                    self.spark.read.parquet(path), op.id_col
+                )
+                bt.delete(versions, op.ids, op.id_col, t).write.mode("append").parquet(
+                    path
+                )
+            elif isinstance(op, Erase):
+                remaining = bt.erase(
+                    self.spark.read.parquet(path), op.ids, op.id_col
+                ).localCheckpoint(eager=True)
+                remaining.write.mode("overwrite").parquet(path)
+            touched.add(op.table)
+        all_tables = {
+            name: self._table_path(name)
+            for name in os.listdir(self.root)
+            if os.path.isdir(self._table_path(name))
+        }
+        return acquire_basis(all_tables, t)
+
+    def db(self, basis: Basis | None = None) -> "Snapshot":
+        if basis is None:
+            tables = {
+                name: self._table_path(name)
+                for name in os.listdir(self.root)
+                if os.path.isdir(self._table_path(name))
+            }
+            basis = acquire_basis(tables, datetime.now())
+        return Snapshot(self, basis)
+
+
+class Snapshot:
+    """Read view at a basis — core2's 'database value'."""
+
+    def __init__(self, engine: Engine, basis: Basis):
+        self.engine = engine
+        self.basis = basis
+
+    def history(self, table: str) -> DataFrame:
+        """FOR ALL SYSTEM_TIME — every version visible at the basis."""
+        raw = self.basis.read(self.engine.spark, table)
+        return bt.close_system_versions(raw, "id")
+
+    def table(
+        self,
+        table: str,
+        system_time: str | datetime | None = None,
+        app_time: str | datetime | None = None,
+    ) -> DataFrame:
+        """Default scan: current visible version per id.  As-of args
+        move the basis clocks (FOR SYSTEM_TIME/APPLICATION_TIME AS OF)."""
+        versions = self.history(table)
+        s = system_time if system_time is not None else self.basis.current_time
+        t = app_time if app_time is not None else self.basis.current_time
+        visible = bt.scan_as_of(versions, system_time=s, app_time=t)
+        return visible.drop(*bt.TEMPORAL_COLS)
+
+    # -- §3.1 SQL ------------------------------------------------------
+    def sql(self, query: str, **asof) -> DataFrame:
+        """SQL over basis-pinned current-state views of every table."""
+        for name in self.basis.manifests:
+            self.table(name, **asof).createOrReplaceTempView(name)
+        return self.engine.spark.sql(query)
+
+    # -- §3.2 Datalog --------------------------------------------------
+    def q(self, query: dict, **asof) -> DataFrame:
+        """Datalog over the same basis-pinned views."""
+        return dl.q_with_resolver(lambda table: self.table(table, **asof), query)

@@ -1,0 +1,99 @@
+"""End-to-end Engine facade tests: the reference's three entry points
+(submit-tx → basis, SQL at a basis, Datalog at a basis) round-tripping
+through the real write path."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from core2_spark.engine import Delete, Engine, Erase, Put
+
+ROOT = "/root/repo/_data/engine_test"
+
+
+@pytest.fixture
+def engine(spark):
+    shutil.rmtree(ROOT, ignore_errors=True)
+    return Engine(spark, ROOT)
+
+
+def test_submit_tx_sql_datalog_and_time_travel(spark, engine):
+    trades_v1 = spark.createDataFrame(
+        [(1, "AAPL", 100.0), (2, "MSFT", 200.0), (3, "GOOG", 300.0)],
+        "id long, sym string, px double",
+    )
+    basis1 = engine.submit_tx([Put("trades", trades_v1)])
+
+    # current-state view at basis1
+    db1 = engine.db(basis1)
+    assert {(r["id"], r["px"]) for r in db1.table("trades").collect()} == {
+        (1, 100.0), (2, 200.0), (3, 300.0),
+    }
+
+    # tx2: correct AAPL price (new version), delete GOOG
+    fix = spark.createDataFrame([(1, "AAPL", 111.0)], "id long, sym string, px double")
+    ids = spark.createDataFrame([(3,)], "id long")
+    basis2 = engine.submit_tx([Put("trades", fix), Delete("trades", ids)])
+
+    db2 = engine.db(basis2)
+    assert {(r["id"], r["px"]) for r in db2.table("trades").collect()} == {
+        (1, 111.0), (2, 200.0),
+    }
+
+    # repeatable reads: basis1 still answers with the old state
+    assert {(r["id"], r["px"]) for r in engine.db(basis1).table("trades").collect()} == {
+        (1, 100.0), (2, 200.0), (3, 300.0),
+    }
+
+    # SQL entry point over basis views (AAPL corrected to 111 < 150,
+    # GOOG deleted → only MSFT survives the filter)
+    rows = db2.sql("SELECT sym, px FROM trades WHERE px > 150 ORDER BY sym").collect()
+    assert [(r["sym"], r["px"]) for r in rows] == [("MSFT", 200.0)]
+
+    # Datalog entry point over the same basis
+    dl_rows = db2.q(
+        {
+            "find": ["?sym", "?px"],
+            "where": [
+                ("trades", {"id": "?id", "sym": "?sym", "px": "?px"}),
+                (">", "?px", 150),
+            ],
+        }
+    ).collect()
+    assert {(r["sym"], r["px"]) for r in dl_rows} == {
+        (r["sym"], r["px"]) for r in rows
+    }
+
+    # history keeps every version (FOR ALL SYSTEM_TIME)
+    assert engine.db(basis2).history("trades").count() == 5  # 3 puts + fix + tombstone
+
+    # erase physically removes id=1's whole history
+    basis3 = engine.submit_tx([Erase("trades", spark.createDataFrame([(1,)], "id long"))])
+    db3 = engine.db(basis3)
+    assert {r["id"] for r in db3.table("trades").collect()} == {2}
+    assert {r["id"] for r in db3.history("trades").select("id").distinct().collect()} == {2, 3}
+
+
+def test_sql_datalog_agree_on_aggregates(spark, engine):
+    df = spark.createDataFrame(
+        [(i, "grp%d" % (i % 3), float(i * 10)) for i in range(30)],
+        "id long, g string, v double",
+    )
+    basis = engine.submit_tx([Put("m", df)])
+    db = engine.db(basis)
+    via_sql = {
+        (r["g"], r["n"], r["s"])
+        for r in db.sql("SELECT g, COUNT(*) AS n, SUM(v) AS s FROM m GROUP BY g").collect()
+    }
+    via_dl = {
+        (r["g"], r["n"], r["s"])
+        for r in db.q(
+            {
+                "find": ["?g", ("count", "?id", "n"), ("sum", "?v", "s")],
+                "where": [("m", {"id": "?id", "g": "?g", "v": "?v"})],
+            }
+        ).collect()
+    }
+    assert via_sql == via_dl

@@ -1,0 +1,122 @@
+"""Randomized differential SQL testing (SURVEY.md §5.3).
+
+The reference ran SQLite's sqllogictest corpus against itself; the
+modern equivalent here: hypothesis generates random queries in the
+ANSI subset both engines parse identically, and the SAME SQL text runs
+on Spark SQL (views over the fixtures) and DuckDB — results must
+hash-match.  This catches semantic divergence (3VL, grouping, ordering,
+type coercion) beyond the hand-written oracle pairs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from core2_spark.catalog import register_views
+from tests.conftest import SF_DIR
+from tests.parity import assert_frames_match
+
+# Column pools per table: (name, kind) with kind in num/str/int
+TABLES = {
+    "orders": [
+        ("o_orderkey", "int"),
+        ("o_custkey", "int"),
+        ("o_totalprice", "num"),
+        ("o_orderstatus", "str"),
+        ("o_orderpriority", "str"),
+    ],
+    "customer": [
+        ("c_custkey", "int"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "num"),
+        ("c_mktsegment", "str"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "int"),
+        ("l_suppkey", "int"),
+        ("l_quantity", "num"),
+        ("l_returnflag", "str"),
+        ("l_linestatus", "str"),
+    ],
+}
+
+STR_CONSTS = {
+    "o_orderstatus": ["'O'", "'F'", "'P'"],
+    "o_orderpriority": ["'1-URGENT'", "'5-LOW'", "'3-MEDIUM'"],
+    "c_mktsegment": ["'BUILDING'", "'AUTOMOBILE'", "'MACHINERY'"],
+    "l_returnflag": ["'A'", "'N'", "'R'"],
+    "l_linestatus": ["'O'", "'F'"],
+}
+
+
+@st.composite
+def predicates(draw, table):
+    cols = TABLES[table]
+    clauses = []
+    for _ in range(draw(st.integers(1, 3))):
+        name, kind = draw(st.sampled_from(cols))
+        if kind == "str":
+            const = draw(st.sampled_from(STR_CONSTS[name]))
+            op = draw(st.sampled_from(["=", "<>", "IN"]))
+            if op == "IN":
+                clauses.append(f"{name} IN ({const}, {draw(st.sampled_from(STR_CONSTS[name]))})")
+            else:
+                clauses.append(f"{name} {op} {const}")
+        elif kind == "int":
+            const = draw(st.integers(0, 2000))
+            op = draw(st.sampled_from(["<", "<=", ">", ">=", "%"]))
+            if op == "%":
+                clauses.append(f"{name} % {draw(st.integers(2, 13))} = 0")
+            else:
+                clauses.append(f"{name} {op} {const}")
+        else:
+            lo = draw(st.integers(0, 4000)) * 100
+            op = draw(st.sampled_from(["<", ">", "BETWEEN"]))
+            if op == "BETWEEN":
+                clauses.append(f"{name} BETWEEN {lo} AND {lo + 150000}")
+            else:
+                clauses.append(f"{name} {op} {lo}")
+    joiner = draw(st.sampled_from([" AND ", " OR "]))
+    return joiner.join(clauses)
+
+
+@st.composite
+def random_query(draw):
+    table = draw(st.sampled_from(sorted(TABLES)))
+    cols = TABLES[table]
+    pred = draw(predicates(table))
+    group_col = draw(st.sampled_from([c for c, k in cols if k == "str"]))
+    int_col = draw(st.sampled_from([c for c, k in cols if k == "int"]))
+    num_col = draw(st.sampled_from([c for c, k in cols if k == "num"]))
+    shape = draw(st.sampled_from(["agg", "agg", "project"]))
+    if shape == "agg":
+        return f"""
+        SELECT {group_col} AS g,
+               COUNT(*) AS n,
+               CAST(MIN({int_col}) AS BIGINT) AS mn,
+               CAST(MAX({int_col}) AS BIGINT) AS mx,
+               ROUND(MIN({num_col}), 4) AS mnum
+        FROM {table}
+        WHERE {pred}
+        GROUP BY {group_col}
+        """
+    return f"""
+    SELECT {int_col} AS k, {group_col} AS g, ROUND({num_col}, 4) AS v
+    FROM {table}
+    WHERE {pred}
+    """
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(sql=random_query())
+def test_same_sql_same_answer(spark, duck, sql):
+    register_views(spark, SF_DIR, ("orders", "customer", "lineitem"))
+    spark_pdf = spark.sql(sql).toPandas()
+    duck_pdf = duck.execute(sql).df()
+    assert_frames_match(spark_pdf, duck_pdf, sql.strip().splitlines()[0])
