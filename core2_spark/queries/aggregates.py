@@ -222,6 +222,29 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_min_by_max_by",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_min(c_name, c_acctbal)  AS poorest,
+           arg_max(c_name, c_acctbal)  AS richest,
+           ROUND(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 4) AS bal_key_corr
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN_BY / MAX_BY (argmin/argmax) + Pearson correlation."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    return c.groupBy("c_mktsegment").agg(
+        F.min_by("c_name", "c_acctbal").alias("poorest"),
+        F.max_by("c_name", "c_acctbal").alias("richest"),
+        fround(F.corr("c_acctbal", F.col("c_custkey").cast("double"))).alias(
+            "bal_key_corr"
+        ),
+    )
+
+
 @query("agg_approx_sketches")  # rows-only: sketch internals differ from DuckDB's
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches (HLL distinct, approx quantile) — Spark

@@ -441,6 +441,80 @@ def knn_ivf_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_knn(e, qv, k=10, n_clusters=8, nprobe=2)
 
 
+@query(
+    "embedding_label_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                 + 0.000000001, 6) AS cosine_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+    """,
+)
+def embedding_label_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with label blocking — the
+    oracle-checkable twin of the LSH variant (blocking key stands in
+    for the bucket; at scale the key is the LSH bucket itself)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = e.select("vec_id", "label", vec.as_double(F.col("embedding")).alias("v"))
+    a = base.select(
+        F.col("vec_id").alias("a_id"), "label", F.col("v").alias("a_v")
+    )
+    b = base.select(
+        F.col("vec_id").alias("b_id"), F.col("label").alias("b_label"), F.col("v").alias("b_v")
+    )
+    sim = vec.dot(F.col("a_v"), F.col("b_v")) / (
+        vec.l2_norm(F.col("a_v")) * vec.l2_norm(F.col("b_v"))
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("b_label")) & (F.col("a_id") < F.col("b_id")))
+        .filter(sim >= 0.35)
+        .select("a_id", "b_id", F.round(sim + 1e-9, 6).alias("cosine_sim"))
+    )
+
+
+@query("multimodal_feature_extract")  # rows-only: Pandas-UDF decode stage
+def multimodal_feature_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the driver surface: documents' text
+    bytes stand in as opaque binary payloads; the (stubbed-decoder)
+    mapInPandas pipeline extracts fixed-width features per media row."""
+    from core2_spark import multimodal
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return multimodal.extract_features(media, fake=True)
+
+
+@query("multimodal_frame_sampling")  # rows-only: plan-level expansion
+def multimodal_frame_sampling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: metadata → frame timestamp rows
+    (column algebra; the frame grab itself is the stubbed decode)."""
+    from core2_spark import multimodal
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = d.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return multimodal.frame_sample_plan(media, every_ms=1000)
+
+
 @query("embedding_cosine_near_dup")  # rows-only: LSH bucketing stage
 def embedding_cosine_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucket equi-join

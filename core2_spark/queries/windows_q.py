@@ -134,6 +134,33 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_range_frame",
+    oracle="""
+    SELECT c_custkey,
+           CAST(COUNT(*) OVER
+             (PARTITION BY c_mktsegment ORDER BY c_acctbal
+              RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS BIGINT)
+             AS n_within_500
+    FROM customer
+    WHERE c_custkey <= 300
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering — peers counted by value
+    distance (±500 balance), not row position."""
+    o = load_tables(spark, sf_dir, ("customer",))["customer"]
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal"))
+        .rangeBetween(-500, 500)
+    )
+    return o.filter(F.col("c_custkey") <= 300).select(
+        "c_custkey",
+        F.count("*").over(w).cast("bigint").alias("n_within_500"),
+    )
+
+
+@query(
     "window_moving_avg",
     oracle="""
     SELECT o_custkey, o_orderkey,
