@@ -151,6 +151,98 @@ def hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "arithmetic_safe",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice / NULLIF(l_discount, 0.0) + 0.000000001, 4)
+                                                        AS price_per_disc,
+           l_quantity / NULLIF(l_quantity - l_quantity, 0.0) AS div_by_zero,
+           ((CAST(l_linenumber AS BIGINT) - 3) % 4 + 4) % 4  AS pmod4
+    FROM lineitem
+    WHERE l_orderkey % 97 = 0
+    """,
+)
+def arithmetic_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overflow/zero-safe arithmetic: core2's expression engine is
+    checked (errors instead of wrapping); Spark's lenient twins are the
+    try_* family — division by zero yields NULL, and pmod gives the
+    non-negative modulus."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.filter(F.col("l_orderkey") % 97 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.nullif(F.col("l_discount"), F.lit(0.0)))
+            + 1e-9,
+            4,
+        ).alias("price_per_disc"),
+        F.try_divide(F.col("l_quantity"), F.col("l_quantity") - F.col("l_quantity")).alias(
+            "div_by_zero"
+        ),
+        F.pmod(F.col("l_linenumber").cast("bigint") - 3, F.lit(4)).alias("pmod4"),
+    )
+
+
+@query(
+    "datetime_extract_extended",
+    oracle="""
+    SELECT CAST(quarter(o_orderdate) AS BIGINT)      AS qtr,
+           CAST(weekofyear(o_orderdate) AS BIGINT)   AS iso_week,
+           CAST(dayofyear(o_orderdate) AS BIGINT)    AS doy,
+           CAST(epoch(o_orderdate) AS BIGINT)        AS epoch_sec,
+           CAST(to_timestamp(epoch(o_orderdate)) AS TIMESTAMP) AS from_epoch
+    FROM orders
+    WHERE o_orderkey % 53 = 0
+    """,
+)
+def datetime_extract_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUARTER / ISO week / day-of-year / epoch round-trip."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.filter(F.col("o_orderkey") % 53 == 0).select(
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        F.weekofyear("o_orderdate").cast("bigint").alias("iso_week"),
+        F.dayofyear("o_orderdate").cast("bigint").alias("doy"),
+        F.unix_timestamp("o_orderdate").alias("epoch_sec"),
+        F.timestamp_seconds(F.unix_timestamp("o_orderdate")).alias("from_epoch"),
+    )
+
+
+@query(
+    "with_cte_reuse",
+    oracle="""
+    WITH seg_stats AS (
+        SELECT c_mktsegment AS seg, COUNT(*) AS n_cust,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                     + 0.000000001, 4) AS seg_bal
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT a.seg, a.n_cust, a.seg_bal,
+           CAST(a.n_cust - b.n_cust AS BIGINT) AS vs_building
+    FROM seg_stats a
+    CROSS JOIN (SELECT n_cust FROM seg_stats WHERE seg = 'BUILDING') b
+    """,
+)
+def with_cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`:assign` named sub-relations: one CTE referenced twice through
+    the SQL frontend (Catalyst decides reuse vs recompute)."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        WITH seg_stats AS (
+            SELECT c_mktsegment AS seg, COUNT(*) AS n_cust,
+                   ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                         + 0.000000001, 4) AS seg_bal
+            FROM customer GROUP BY c_mktsegment
+        )
+        SELECT a.seg, a.n_cust, a.seg_bal,
+               CAST(a.n_cust - b.n_cust AS BIGINT) AS vs_building
+        FROM seg_stats a
+        CROSS JOIN (SELECT n_cust FROM seg_stats WHERE seg = 'BUILDING') b
+        """
+    )
+
+
+@query(
     "grouping_sets_sql",
     oracle="""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {qty} AS qty

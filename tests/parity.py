@@ -25,7 +25,10 @@ def _norm_cell(v):
     if isinstance(v, pd.Timestamp):
         # DuckDB DATE → pandas midnight Timestamp; Spark DATE →
         # datetime.date.  Collapse midnight timestamps to the date
-        # form so the logical value compares equal.
+        # form so the logical value compares equal.  tz-aware values
+        # normalize to naive UTC.
+        if v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
         v = v.floor("us")
         if v.time() == datetime.time(0, 0):
             return v.date().isoformat()
