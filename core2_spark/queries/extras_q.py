@@ -286,6 +286,40 @@ def datalog_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouped_map_pandas",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER
+             (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank
+    FROM orders
+    WHERE o_custkey <= 80
+    """,
+)
+def grouped_map_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDF surface (§2.11): applyInPandas gets each
+    customer's orders as a pandas frame and ranks them — checked
+    exactly against the equivalent SQL window (integer output, so no
+    float-parity concerns crossing the Arrow boundary)."""
+    import pandas as pd
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+
+    def rank_orders(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).reset_index(drop=True)
+        pdf["price_rank"] = pdf.index + 1
+        return pdf[["o_custkey", "o_orderkey", "price_rank"]]
+
+    return (
+        o.filter(F.col("o_custkey") <= 80)
+        .groupBy("o_custkey")
+        .applyInPandas(rank_orders, "o_custkey long, o_orderkey long, price_rank long")
+    )
+
+
+@query(
     "window_distribution",
     oracle="""
     SELECT c_custkey,

@@ -1,0 +1,87 @@
+"""Semantic ground-truth tests for the near-dup pipelines: planted
+duplicates MUST be found (recall), and the LSH candidate stage must
+never drop a pair that exact verification would accept at high
+similarity — checks the oracle hash-compare can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from core2_spark import dedup, similarity
+from core2_spark.catalog import load_tables
+from tests.conftest import SF_DIR
+
+
+def test_minhash_finds_planted_clones(spark):
+    d = load_tables(spark, SF_DIR, ("documents",))["documents"].filter(
+        F.col("doc_id") < 60
+    )
+    base = d.select("doc_id", "text", "lang", "source")
+    clones = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        "lang",
+        "source",
+    )
+    aug = base.unionByName(clones)
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.minhash_near_duplicates(
+            aug, k=8, rows_per_band=2, threshold=0.5, block_cols=("lang", "source")
+        ).collect()
+    }
+    planted = {(i, i + 100000) for i in range(60)}
+    found = planted & pairs
+    # LSH is probabilistic per band, but a near-identical clone (one
+    # extra token) shares ~94% of its tokens — with 4 bands of 2 rows
+    # essentially every clone pair must surface.
+    assert len(found) >= 55, f"only {len(found)}/60 planted clones found"
+
+
+def test_simhash_finds_planted_clones(spark):
+    d = load_tables(spark, SF_DIR, ("documents",))["documents"].filter(
+        F.col("doc_id") < 40
+    )
+    base = d.select("doc_id", "text")
+    clones = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    aug = base.unionByName(clones)
+    # Short docs (~17 tokens) shift up to ~12 of 64 bits when one token
+    # is added; with n_blocks = max_hamming+1 the pigeonhole guarantee
+    # covers that radius, so EVERY planted clone must surface.
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.simhash_near_duplicates(aug, max_hamming=13).collect()
+    }
+    planted = {(i, i + 100000) for i in range(40)}
+    assert planted <= pairs, f"missing: {sorted(planted - pairs)[:5]}"
+
+
+def test_lsh_knn_recall_vs_brute_force(spark):
+    e = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    qv = similarity.query_vector(e, "vec_id", "embedding", 0)
+    brute = [r["vec_id"] for r in similarity.brute_force_knn(e, qv, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.lsh_bucketed_knn(e, qv, k=10, multiprobe_bits=3).collect()
+    ]
+    # the query's own vector must always be found (cosine 1.0 with itself)
+    assert brute[0] == 0 and approx[0] == 0
+    # random 64-d vectors are near-orthogonal (top cosine ≈ 0.4), the
+    # hard case for 8-plane sign-LSH — measured recall ≈ 3/10; assert
+    # the floor, not the dream
+    assert len(set(brute) & set(approx)) >= 2
+
+
+def test_ivf_knn_recall(spark):
+    e = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    qv = similarity.query_vector(e, "vec_id", "embedding", 0)
+    brute = [r["vec_id"] for r in similarity.brute_force_knn(e, qv, k=10).collect()]
+    ivf = [
+        r["vec_id"]
+        for r in similarity.ivf_knn(e, qv, k=10, n_clusters=8, nprobe=4).collect()
+    ]
+    assert ivf[0] == 0
+    assert len(set(brute) & set(ivf)) >= 4
