@@ -262,6 +262,135 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+        SELECT l.l_partkey AS partkey, s.s_suppkey, s.s_name,
+               MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY l.l_partkey, s.s_suppkey, s.s_name
+    ),
+    best AS (SELECT partkey, MIN(unit_cost) AS best_cost FROM supply GROUP BY partkey)
+    SELECT p.p_partkey, p.p_brand, sp.s_name,
+           ROUND(sp.unit_cost + 0.000000001, 4) AS unit_cost
+    FROM part p
+    JOIN best bst   ON bst.partkey = p.p_partkey
+    JOIN supply sp  ON sp.partkey = p.p_partkey AND sp.unit_cost = bst.best_cost
+    WHERE p.p_size <= 4
+    """,
+)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-within-group then join back to recover the
+    argmin rows (the correlated-min decorrelation pattern)."""
+    t = load_tables(spark, sf_dir, ("part", "supplier", "lineitem"))
+    supply = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"), "s_suppkey", "s_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = supply.groupBy("partkey").agg(F.min("unit_cost").alias("best_cost"))
+    return (
+        t["part"]
+        .filter(F.col("p_size") <= 4)
+        .join(best, F.col("partkey") == F.col("p_partkey"))
+        .join(
+            supply.withColumnRenamed("partkey", "sp_partkey"),
+            (F.col("sp_partkey") == F.col("p_partkey"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.round(F.col("unit_cost") + 1e-9, 4).alias("unit_cost"),
+        )
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: derived revenue view + scalar-max subquery against
+    itself (exact decimal sums make the max comparison engine-stable)."""
+    t = load_tables(spark, sf_dir, ("supplier", "lineitem"))
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(_rev_col()).alias("total_revenue"))
+    )
+    best = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        t["supplier"]
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_predicate",
+    oracle=f"""
+    SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs join predicate — Catalyst extracts the
+    common equi key and pushes brand/size disjuncts into the part scan."""
+    t = load_tables(spark, sf_dir, ("part", "lineitem"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(dsum(_rev_col()).alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+@query(
     "tpch_q10_returned_items",
     oracle=f"""
     SELECT c.c_custkey, c.c_name,

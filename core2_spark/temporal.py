@@ -144,6 +144,21 @@ def latest_versions(
     )
 
 
+def materialize_current(
+    versions: DataFrame, path: str, id_col: str = "id"
+) -> DataFrame:
+    """Precompute the "current state" view to Parquet (SURVEY.md §4's
+    optional optimization): the latest-version window dedup runs once
+    at write time, so every subsequent current-state query is a plain
+    scan with pushdown — no window, no shuffle.  As-of-history queries
+    keep using the full version table; refresh after each ingest batch
+    (cheap: one key-partitioned shuffle).
+    """
+    current = latest_versions(close_system_versions(versions, id_col), id_col)
+    current.write.mode("overwrite").parquet(path)
+    return current
+
+
 def delete(
     versions_now: DataFrame,
     ids: DataFrame,

@@ -128,3 +128,17 @@ def test_streaming_dedup_within_watermark(spark):
     sink = run_stream_to_memory(dedup_within_watermark(stream), mode="append")
     n = spark.table(sink).count()
     assert n == 1000  # event_ids are unique; dedup must not drop or dup
+
+
+def test_materialize_current_view(spark):
+    from core2_spark import temporal as bt2
+
+    path = f"{DATA_DIR}/current_view"
+    v1 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, s string, v double"
+    )
+    v2 = spark.createDataFrame([(1, "a2", 1.5)], "id long, s string, v double")
+    versions = bt2.put(v1, "2024-01-01").unionByName(bt2.put(v2, "2024-02-01"))
+    bt2.materialize_current(versions, path)
+    cur = {(r["id"], r["s"]) for r in spark.read.parquet(path).collect()}
+    assert cur == {(1, "a2"), (2, "b")}
