@@ -62,6 +62,18 @@ class Erase:
     id_col: str = "id"
 
 
+@dataclass(frozen=True)
+class Call:
+    """core2 transaction function (`:call` op [upstream: core2
+    `indexer.clj` tx-fn section]): a deterministic user function run
+    AT TRANSACTION TIME against the pre-transaction database state,
+    emitting further ops applied in the same transaction.  The
+    function must be pure given the snapshot — the reference replays
+    the log deterministically on every node, and so would we."""
+
+    fn: object  # Callable[[Snapshot], list[Put | Delete | Erase]]
+
+
 class Engine:
     def __init__(self, spark: SparkSession, root: str, epoch: str = "2024-01-01"):
         self.spark = spark
@@ -85,12 +97,27 @@ class Engine:
 
     # -- §3.3 submit-tx ------------------------------------------------
     def submit_tx(
-        self, ops: list[Put | Delete | Erase], tx_time: str | datetime | None = None
+        self,
+        ops: list[Put | Delete | Erase | Call],
+        tx_time: str | datetime | None = None,
     ) -> Basis:
         """Apply ops atomically-enough for a single writer (the
         reference's single totally-ordered log) and return the basis
-        at which the transaction is visible."""
+        at which the transaction is visible.  Call ops expand against
+        the pre-transaction snapshot before anything is written."""
         t = self._next_tx_time(tx_time)
+        expanded: list[Put | Delete | Erase] = []
+        pre_snapshot = None
+        for op in ops:
+            if isinstance(op, Call):
+                if pre_snapshot is None:
+                    # basis clock pinned to tx time, never the wall
+                    # clock — tx-fns must replay identically
+                    pre_snapshot = Snapshot(self, acquire_basis(self._all_tables(), t))
+                expanded.extend(op.fn(pre_snapshot))
+            else:
+                expanded.append(op)
+        ops = expanded
         touched: set[str] = set()
         for op in ops:
             path = self._table_path(op.table)
@@ -111,21 +138,20 @@ class Engine:
                 ).localCheckpoint(eager=True)
                 remaining.write.mode("overwrite").parquet(path)
             touched.add(op.table)
-        all_tables = {
+        return acquire_basis(self._all_tables(), t)
+
+    def _all_tables(self) -> dict[str, str]:
+        return {
             name: self._table_path(name)
             for name in os.listdir(self.root)
             if os.path.isdir(self._table_path(name))
         }
-        return acquire_basis(all_tables, t)
 
     def db(self, basis: Basis | None = None) -> "Snapshot":
         if basis is None:
-            tables = {
-                name: self._table_path(name)
-                for name in os.listdir(self.root)
-                if os.path.isdir(self._table_path(name))
-            }
-            basis = acquire_basis(tables, datetime.now())
+            basis = acquire_basis(
+                self._all_tables(), self._epoch + timedelta(seconds=self._tx_counter)
+            )
         return Snapshot(self, basis)
 
 

@@ -286,6 +286,41 @@ def datalog_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_enrichment",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, date_trunc('second', ts) AS ts FROM events
+    ),
+    err AS (
+        SELECT user_id, date_trunc('second', ts) AS ts, MAX(event_id) AS last_error_id
+        FROM events WHERE event_type = 'error'
+        GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, err.last_error_id
+    FROM e ASOF LEFT JOIN err
+      ON e.user_id = err.user_id AND e.ts >= err.ts
+    """,
+)
+def asof_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event enriched with the user's most recent
+    error event at or before it — union+window implementation checked
+    against DuckDB's native ASOF JOIN."""
+    from core2_spark.operators.asof_join import asof_join
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    sec = F.date_trunc("second", F.col("ts"))
+    left = e.select("event_id", "user_id", sec.alias("ts"))
+    errors = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", sec.alias("ts"))
+        .agg(F.max("event_id").alias("last_error_id"))
+    )
+    return asof_join(
+        left, errors, ts_col="ts", by_cols=["user_id"], value_cols=["last_error_id"]
+    ).select("event_id", "user_id", "last_error_id")
+
+
+@query(
     "grouped_map_pandas",
     oracle="""
     SELECT o_custkey, o_orderkey,

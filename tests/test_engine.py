@@ -97,3 +97,23 @@ def test_sql_datalog_agree_on_aggregates(spark, engine):
         ).collect()
     }
     assert via_sql == via_dl
+
+
+def test_call_transaction_function(spark, engine):
+    """core2 `:call`: a deterministic tx-fn reads the pre-tx snapshot
+    and emits further ops applied in the same transaction."""
+    from pyspark.sql import functions as F
+
+    acct = spark.createDataFrame([(1, 100.0), (2, 50.0)], "id long, bal double")
+    engine.submit_tx([Put("accounts", acct)])
+
+    def apply_interest(snapshot):
+        cur = snapshot.table("accounts")
+        bumped = cur.withColumn("bal", F.round(F.col("bal") * 1.1, 2))
+        return [Put("accounts", bumped)]
+
+    from core2_spark.engine import Call
+
+    basis = engine.submit_tx([Call(apply_interest)])
+    got = {(r["id"], r["bal"]) for r in engine.db(basis).table("accounts").collect()}
+    assert got == {(1, 110.0), (2, 55.0)}
