@@ -208,6 +208,33 @@ def datetime_extract_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "time_of_day_encoding",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%H:%M:%S')  AS tod,
+           CAST(EXTRACT(HOUR FROM ts) * 3600 + EXTRACT(MINUTE FROM ts) * 60
+                + EXTRACT(SECOND FROM ts) AS BIGINT) AS sec_of_day
+    FROM events
+    WHERE event_id % 31 = 0
+    """,
+)
+def time_of_day_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-of-day values (core2's Arrow time type): Spark 4.1 gates
+    TIME off (UNSUPPORTED_TIME_TYPE), so the engine uses SURVEY §1.2's
+    fallback — canonical string + seconds-since-midnight long."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return e.filter(F.col("event_id") % 31 == 0).select(
+        "event_id",
+        F.date_format("ts", "HH:mm:ss").alias("tod"),
+        (
+            F.hour("ts").cast("bigint") * 3600
+            + F.minute("ts").cast("bigint") * 60
+            + F.second("ts").cast("bigint")
+        ).alias("sec_of_day"),
+    )
+
+
+@query(
     "with_cte_reuse",
     oracle="""
     WITH seg_stats AS (

@@ -70,3 +70,34 @@ def test_stateful_running_profile(spark):
         bn, btv = batch[uid]
         assert n == bn
         assert abs(total - btv) < 1e-3
+
+
+def test_foreachbatch_streaming_ingest_to_bitemporal(spark, tmp_path):
+    """Continuous ingest (core2's tx-log consumption) emulated with
+    foreachBatch: each micro-batch is a transaction appended as
+    version rows; the final current-state equals the batch answer."""
+    from core2_spark import temporal as bt
+
+    table_dir = str(tmp_path / "events_versions")
+
+    def ingest(batch_df, epoch_id):
+        rows = batch_df.select(
+            F.col("event_id").alias("id"), "user_id", "value", "ts"
+        )
+        # tx_time = a deterministic per-epoch instant
+        bt.put(rows, tx_time=f"2024-06-01 00:00:{epoch_id % 60:02d}").write.mode(
+            "append"
+        ).parquet(table_dir)
+
+    q = (
+        _event_stream(spark, SF)
+        .writeStream.outputMode("append")
+        .foreachBatch(ingest)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    versions = bt.close_system_versions(spark.read.parquet(table_dir), "id")
+    current = bt.latest_versions(versions, "id")
+    assert current.count() == load_table(spark, SF, "events").count()
