@@ -355,6 +355,44 @@ def grouped_map_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "datalog_two_hop_graph",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_partkey <= 40
+    )
+    SELECT a.cust AS a_cust, b.cust AS b_cust, COUNT(*) AS shared_parts
+    FROM edges a JOIN edges b ON a.part = b.part AND a.cust < b.cust
+    GROUP BY a.cust, b.cust
+    HAVING COUNT(*) >= 2
+    """,
+)
+def datalog_two_hop_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-shaped 2-hop pattern (reference README.adoc:15 — Datalog
+    gives graph-ish querying): co-purchase pairs via shared parts.
+    Pattern → scans + equi-joins on the shared variable, same algebra."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    edges = (
+        t["orders"]
+        .join(
+            t["lineitem"].filter(F.col("l_partkey") <= 40),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    a = edges.select(F.col("cust").alias("a_cust"), "part")
+    b = edges.select(F.col("cust").alias("b_cust"), F.col("part").alias("b_part"))
+    return (
+        a.join(b, (F.col("part") == F.col("b_part")) & (F.col("a_cust") < F.col("b_cust")))
+        .groupBy("a_cust", "b_cust")
+        .agg(F.count("*").alias("shared_parts"))
+        .filter(F.col("shared_parts") >= 2)
+    )
+
+
+@query(
     "window_distribution",
     oracle="""
     SELECT c_custkey,

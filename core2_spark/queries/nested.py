@@ -189,6 +189,77 @@ def struct_construct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_semantics_arrays",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_sort(list_distinct(string_split(trim(text), ' ')))      AS s,
+               list_sort(list_distinct(string_split(upper(trim(text)), ' '))) AS u
+        FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(list_sort(list_intersect(s, u)), ','), '')
+                                                                  AS set_inter,
+           CAST(len(list_distinct(list_concat(s, u))) AS BIGINT)  AS set_union_size,
+           COALESCE(array_to_string(list_sort(list_filter(s, x -> NOT list_contains(u, x))), ','), '')
+                                                                  AS set_minus
+    FROM t
+    """,
+)
+def set_semantics_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """core2's `set` type → arrays + distinct discipline (§1.2):
+    set intersection / union-cardinality / difference as column ops."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = d.filter(F.col("doc_id") < 60).select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.split(F.trim("text"), " "))).alias("s"),
+        F.array_sort(
+            F.array_distinct(F.split(F.trim(F.upper("text")), " "))
+        ).alias("u"),
+    )
+    return t.select(
+        "doc_id",
+        F.concat_ws(",", F.array_sort(F.array_intersect("s", "u"))).alias("set_inter"),
+        F.size(F.array_union("s", "u")).cast("bigint").alias("set_union_size"),
+        F.concat_ws(",", F.array_sort(F.array_except("s", "u"))).alias("set_minus"),
+    )
+
+
+@query(
+    "tagged_identifier_types",
+    oracle="""
+    SELECT doc_id,
+           substr(md5(text), 1, 8) || '-' || substr(md5(text), 9, 4) || '-' ||
+           substr(md5(text), 13, 4) || '-' || substr(md5(text), 17, 4) || '-' ||
+           substr(md5(text), 21, 12)                       AS doc_uuid,
+           ':' || lower(lang) || '/' || source             AS doc_keyword
+    FROM documents WHERE doc_id < 80
+    """,
+)
+def tagged_identifier_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """core2's uuid / keyword extension types (§1.2) as tagged strings:
+    a deterministic content-derived UUID (md5-formatted) and a
+    keyword-form identifier."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    h = F.md5("text")
+    uuid_str = F.concat_ws(
+        "-",
+        h.substr(1, 8),
+        h.substr(9, 4),
+        h.substr(13, 4),
+        h.substr(17, 4),
+        h.substr(21, 12),
+    )
+    return d.filter(F.col("doc_id") < 80).select(
+        "doc_id",
+        uuid_str.alias("doc_uuid"),
+        F.concat(F.lit(":"), F.lower("lang"), F.lit("/"), F.col("source")).alias(
+            "doc_keyword"
+        ),
+    )
+
+
+@query(
     "map_construct_access",
     oracle="""
     SELECT o_orderkey,
