@@ -42,12 +42,13 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 # Per-(session, sf_dir, table) cache of persisted DataFrames, keyed by
-# session id so a restarted session re-caches.  DIMENSIONS ONLY:
-# persisting a fact table materializes every column and replaces the
-# pruned/pushed-down Parquet scan with a full-width InMemoryTableScan —
-# measurably slower for narrow queries (and fatal at 100 TB).  Facts
-# always stream from Parquet with pruning.  Disable entirely with
-# SPARK_GRAFT_NO_CACHE=1.
+# session id so a restarted session re-caches.  OPT-IN via
+# SPARK_GRAFT_CACHE=1 and dimensions only: persisting replaces the
+# pruned/pushed-down Parquet scan with a full-width InMemoryTableScan,
+# which measured SLOWER even for dims at bench scale (persist jobs
+# outweigh re-scan savings on small tables) and would be fatal for
+# facts at 100 TB.  The knob exists for long sessions that touch the
+# same dims hundreds of times.
 _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 _CACHEABLE = frozenset({"region", "nation", "customer", "supplier", "part"})
@@ -58,7 +59,7 @@ def load_table(
 ) -> DataFrame:
     import os as _os
 
-    use_cache = not _os.environ.get("SPARK_GRAFT_NO_CACHE") and name in _CACHEABLE
+    use_cache = _os.environ.get("SPARK_GRAFT_CACHE") == "1" and name in _CACHEABLE
     key = (id(spark), sf_dir, name)
     if use_cache and key in _TABLE_CACHE:
         return _TABLE_CACHE[key]

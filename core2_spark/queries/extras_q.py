@@ -7,8 +7,6 @@ and analytic-window extras.  (SURVEY.md §2.1 :table/:arrow-csv, §2.3
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 

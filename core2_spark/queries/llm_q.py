@@ -23,7 +23,7 @@ from core2_spark.catalog import load_tables
 from core2_spark.functions import text as tx
 from core2_spark.functions import vectors as vec
 from core2_spark.queries.registry import query
-from core2_spark.queries.util import davg, fround, pround, sql_davg
+from core2_spark.queries.util import fround, pround
 
 
 def _augmented_docs(d: DataFrame) -> DataFrame:

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from core2_spark.catalog import load_tables
 from core2_spark.functions import periods
 from core2_spark.queries.registry import query
-from core2_spark.queries.util import davg, dsum, fround, sql_davg, sql_dsum
+from core2_spark.queries.util import dsum, fround, sql_dsum
 from core2_spark import temporal as bt
 
 # Shared derivation of the versioned table, used by several queries.

@@ -23,9 +23,9 @@ QUERIES = all_queries()
 @pytest.fixture(autouse=True)
 def _no_table_cache(monkeypatch):
     """Plan audits inspect the Parquet scan (PushedFilters/ReadSchema);
-    the catalog's in-memory table cache would replace it with an
-    InMemoryTableScan, so bypass caching here."""
-    monkeypatch.setenv("SPARK_GRAFT_NO_CACHE", "1")
+    the catalog's opt-in table cache would replace it with an
+    InMemoryTableScan, so force it off here."""
+    monkeypatch.delenv("SPARK_GRAFT_CACHE", raising=False)
 
 
 def plan_of(df: DataFrame) -> str:
