@@ -82,6 +82,12 @@ def predicates(draw, table):
     return joiner.join(clauses)
 
 
+JOINS = {
+    ("orders", "customer"): "o_custkey = c_custkey",
+    ("lineitem", "orders"): "l_orderkey = o_orderkey",
+}
+
+
 @st.composite
 def random_query(draw):
     table = draw(st.sampled_from(sorted(TABLES)))
@@ -90,7 +96,7 @@ def random_query(draw):
     group_col = draw(st.sampled_from([c for c, k in cols if k == "str"]))
     int_col = draw(st.sampled_from([c for c, k in cols if k == "int"]))
     num_col = draw(st.sampled_from([c for c, k in cols if k == "num"]))
-    shape = draw(st.sampled_from(["agg", "agg", "project"]))
+    shape = draw(st.sampled_from(["agg", "agg", "project", "having_limit", "join"]))
     if shape == "agg":
         return f"""
         SELECT {group_col} AS g,
@@ -101,6 +107,28 @@ def random_query(draw):
         FROM {table}
         WHERE {pred}
         GROUP BY {group_col}
+        """
+    if shape == "having_limit":
+        n_min = draw(st.integers(1, 400))
+        return f"""
+        SELECT {group_col} AS g, COUNT(*) AS n
+        FROM {table}
+        WHERE {pred}
+        GROUP BY {group_col}
+        HAVING COUNT(*) >= {n_min}
+        ORDER BY n DESC, g
+        LIMIT 3
+        """
+    if shape == "join":
+        (lt, rt) = draw(st.sampled_from(sorted(JOINS)))
+        cond = JOINS[(lt, rt)]
+        lpred = draw(predicates(lt))
+        r_str = draw(st.sampled_from([c for c, k in TABLES[rt] if k == "str"]))
+        return f"""
+        SELECT {r_str} AS g, COUNT(*) AS n
+        FROM {lt} JOIN {rt} ON {cond}
+        WHERE {lpred}
+        GROUP BY {r_str}
         """
     return f"""
     SELECT {int_col} AS k, {group_col} AS g, ROUND({num_col}, 4) AS v
