@@ -158,15 +158,18 @@ def minhash_near_duplicates(
     )
     a_sets = sets_df.select(F.col(id_col).alias("a_id"), F.col("items").alias("a_items"))
     b_sets = sets_df.select(F.col(id_col).alias("b_id"), F.col("items").alias("b_items"))
-    raw = jaccard(F.col("a_items"), F.col("b_items"))
-    # +1e-9 before rounding: Jaccard is a small-denominator rational
-    # that can sit exactly on the 6-decimal boundary, where engines'
-    # ROUND implementations disagree.
+    # materialize the jaccard once (filter + projection would evaluate
+    # array_intersect twice); +1e-9 before rounding: Jaccard is a
+    # small-denominator rational that can sit exactly on the 6-decimal
+    # boundary, where engines' ROUND implementations disagree.
     return (
         pairs.join(a_sets, "a_id")
         .join(b_sets, "b_id")
-        .filter(raw >= threshold)
-        .select("a_id", "b_id", F.round(raw + 1e-9, 6).alias("jaccard_sim"))
+        .withColumn("_raw_jac", jaccard(F.col("a_items"), F.col("b_items")))
+        .filter(F.col("_raw_jac") >= threshold)
+        .select(
+            "a_id", "b_id", F.round(F.col("_raw_jac") + 1e-9, 6).alias("jaccard_sim")
+        )
     )
 
 

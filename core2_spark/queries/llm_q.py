@@ -214,7 +214,9 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("b_source"),
         F.col("g3").alias("b_g3"),
     )
-    jac = dedup.jaccard(F.col("a_g3"), F.col("b_g3"))
+    # materialize the jaccard ONCE: referencing the expression in both
+    # the filter and the projection would evaluate array_intersect
+    # twice per pair (no CSE across operators) — measured 2× slower.
     return (
         a.join(
             b,
@@ -222,9 +224,11 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("source") == F.col("b_source"))
             & (F.col("a_id") < F.col("b_id")),
         )
-        .withColumn("trigram_jaccard", F.round(jac + 1e-9, 6))
-        .filter(jac >= 0.55)
-        .select("a_id", "b_id", "trigram_jaccard")
+        .withColumn("_raw_jac", dedup.jaccard(F.col("a_g3"), F.col("b_g3")))
+        .filter(F.col("_raw_jac") >= 0.55)
+        .select(
+            "a_id", "b_id", F.round(F.col("_raw_jac") + 1e-9, 6).alias("trigram_jaccard")
+        )
     )
 
 

@@ -189,6 +189,53 @@ def struct_construct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "array_higher_order",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks
+        FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(list_slice(toks, 1, 5), x -> upper(x)), ',')
+                                                                 AS up5,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT)
+                                                                 AS total_chars,
+           len(list_filter(toks, x -> length(x) > 5)) > 0        AS has_long,
+           len(list_filter(toks, x -> length(x) >= 2)) = len(toks) AS all_ge2,
+           array_to_string(list_transform(generate_series(1, 3),
+                                          i -> toks[CAST(i AS INT)] || ':' || CAST(i AS VARCHAR)), ',')
+                                                                 AS zipped3
+    FROM t
+    """,
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform / aggregate / exists /
+    forall / sequence+zip) — the column-lambda surface Catalyst fully
+    codegens, mirroring core2's per-leg vectorized expression JIT."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = _tokens(d.filter(F.col("doc_id") < 60))
+    toks = F.col("toks")
+    zipped = F.transform(
+        F.sequence(F.lit(1), F.lit(3)),
+        lambda i: F.concat(F.element_at(toks, i), F.lit(":"), i.cast("string")),
+    )
+    return t.select(
+        "doc_id",
+        F.concat_ws(",", F.transform(F.slice(toks, 1, 5), lambda x: F.upper(x))).alias(
+            "up5"
+        ),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.exists(toks, lambda x: F.length(x) > 5).alias("has_long"),
+        F.forall(toks, lambda x: F.length(x) >= 2).alias("all_ge2"),
+        F.concat_ws(",", zipped).alias("zipped3"),
+    )
+
+
+@query(
     "set_semantics_arrays",
     oracle="""
     WITH t AS (
