@@ -26,6 +26,9 @@ Query shape::
   filter, shared vars join (equi, on all common vars).
 - predicate clause: (op, "?var", value-or-var) with op in
   > >= < <= = != — becomes a filter.
+- negation clause: ("not-exists", (table, {column: binding, ...})) —
+  anti join on the shared variables (core2 `not-exists?` →
+  `:anti-join`).
 - find: plain vars project; (agg, "?var", alias) aggregates with
   plain find-vars as grouping keys (agg in count/sum/avg/min/max/
   count-distinct).
@@ -84,9 +87,13 @@ def q_with_resolver(resolver, query: dict) -> DataFrame:
     bitemporal view when called through Engine/Snapshot)."""
     rel: DataFrame | None = None
     predicates: list[tuple] = []
+    negations: list[tuple] = []
     for clause in query["where"]:
         if isinstance(clause[0], str) and clause[0] in _PRED_OPS:
             predicates.append(clause)
+            continue
+        if clause[0] == "not-exists":
+            negations.append(clause[1])
             continue
         table, bindings = clause
         part = _compile_pattern(resolver(table), bindings)
@@ -97,6 +104,13 @@ def q_with_resolver(resolver, query: dict) -> DataFrame:
             rel = rel.join(part, shared) if shared else rel.crossJoin(part)
     if rel is None:
         raise ValueError("query has no pattern clauses")
+
+    for table, bindings in negations:
+        part = _compile_pattern(resolver(table), bindings)
+        shared = sorted(set(rel.columns) & set(part.columns))
+        if not shared:
+            raise ValueError("not-exists clause shares no variables with the query")
+        rel = rel.join(part, shared, "left_anti")
 
     for op, a, b in predicates:
         left: Column = F.col(_var_name(a)) if _is_var(a) else F.lit(a)

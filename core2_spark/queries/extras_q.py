@@ -353,6 +353,35 @@ def grouped_map_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "datalog_not_exists",
+    oracle="""
+    SELECT c.c_custkey AS cust, c.c_acctbal AS bal
+    FROM customer c
+    WHERE c.c_acctbal > 9500
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'P')
+    """,
+)
+def datalog_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datalog negation: core2's `not-exists?` compiles to `:anti-join`
+    [upstream: core2 `datalog.clj`] — here a left_anti on the shared
+    logic variable."""
+    return datalog.q(
+        spark,
+        sf_dir,
+        {
+            "find": ["?cust", "?bal"],
+            "where": [
+                ("customer", {"c_custkey": "?cust", "c_acctbal": "?bal"}),
+                (">", "?bal", 9500),
+                ("not-exists", ("orders", {"o_custkey": "?cust", "o_orderstatus": "P"})),
+            ],
+        },
+    ).select(F.col("cust"), F.col("bal"))
+
+
+@query(
     "datalog_two_hop_graph",
     oracle="""
     WITH edges AS (

@@ -142,3 +142,30 @@ def test_materialize_current_view(spark):
     bt2.materialize_current(versions, path)
     cur = {(r["id"], r["s"]) for r in spark.read.parquet(path).collect()}
     assert cur == {(1, "a2"), (2, "b")}
+
+
+def test_merge_schema_parquet_evolution(spark):
+    """Schema evolution on disk (core2 schemaless-at-write): files with
+    different column sets union at read; missing columns → NULL; the
+    normalization pass widens promotable per-file types."""
+    path = f"{DATA_DIR}/evolving"
+    spark.createDataFrame([(1, 10)], "id long, v int").write.parquet(f"{path}/b1")
+    spark.createDataFrame([(2, 3.5, "x")], "id long, v double, extra string").write.parquet(
+        f"{path}/b2"
+    )
+    frames = [spark.read.parquet(f"{path}/b1"), spark.read.parquet(f"{path}/b2")]
+    out = dynamics.normalize_frames(frames)
+    rows = {r["id"]: (r["v"], r["extra"]) for r in out.collect()}
+    assert rows[1] == (10.0, None)
+    assert rows[2] == (3.5, "x")
+    assert dict(out.dtypes)["v"] == "double"
+
+
+def test_entry_is_deterministic(spark):
+    """Repeatable queries (reference README.adoc:13 determinism): the
+    flagship query returns identical rows across runs in one session."""
+    import __spark_entry__ as entrymod
+
+    a = [tuple(r) for r in entrymod.entry(spark).collect()]
+    b = [tuple(r) for r in entrymod.entry(spark).collect()]
+    assert a == b and len(a) > 0
