@@ -68,6 +68,25 @@ def tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def session_agg(events: DataFrame, gap: str = "10 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Streaming session windows (gap-based), append mode: a session
+    emits once the watermark passes its end — the streaming twin of
+    `stream_session_window`.  Bounded replays leave the trailing
+    watermark-horizon sessions unflushed by design (they might still
+    grow); tests compare the emitted prefix against the batch answer."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming dedup on event_id within the watermark horizon — the
     streaming analogue of latest-version visibility."""

@@ -101,3 +101,29 @@ def test_foreachbatch_streaming_ingest_to_bitemporal(spark, tmp_path):
     versions = bt.close_system_versions(spark.read.parquet(table_dir), "id")
     current = bt.latest_versions(versions, "id")
     assert current.count() == load_table(spark, SF, "events").count()
+
+
+def test_streaming_session_windows_emit_prefix_of_batch(spark):
+    """Append-mode streaming session windows: every emitted session
+    must match a batch-computed session exactly; trailing sessions
+    inside the watermark horizon stay unflushed on a bounded replay."""
+    from core2_spark.streaming.events import session_agg
+
+    sink = run_stream_to_memory(
+        session_agg(_event_stream(spark, SF)), mode="append"
+    )
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table(sink).collect()
+    }
+    batch = {
+        (r["user_id"], r["w"]["start"], r["w"]["end"], r["n"])
+        for r in (
+            load_table(spark, SF, "events")
+            .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    }
+    assert streamed, "no sessions emitted"
+    assert streamed <= batch
