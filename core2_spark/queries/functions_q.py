@@ -208,6 +208,28 @@ def datetime_extract_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "like_variants",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority ILIKE '%urgent%'            AS is_urgent_ci,
+           o_orderpriority LIKE '%\\_%' ESCAPE '\\'    AS has_underscore,
+           o_orderpriority NOT LIKE '1%'               AS not_top
+    FROM orders WHERE o_orderkey % 41 = 0
+    """,
+)
+def like_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE family variants: case-insensitive ILIKE, ESCAPE clause,
+    NOT LIKE."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.filter(F.col("o_orderkey") % 41 == 0).select(
+        "o_orderkey",
+        F.col("o_orderpriority").ilike("%urgent%").alias("is_urgent_ci"),
+        F.expr("o_orderpriority LIKE '%\\\\_%' ESCAPE '\\\\'").alias("has_underscore"),
+        (~F.col("o_orderpriority").like("1%")).alias("not_top"),
+    )
+
+
+@query(
     "time_of_day_encoding",
     oracle="""
     SELECT event_id,

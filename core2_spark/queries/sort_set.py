@@ -143,6 +143,64 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_intersect_distinct",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+    """,
+)
+def set_intersect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set) — multiplicities collapse."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 250000).select("o_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "set_except_distinct",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+    """,
+)
+def set_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set) — distinct difference."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 250000).select("o_custkey")
+    return a.subtract(b)
+
+
+@query(
+    "set_union_by_name_missing",
+    oracle="""
+    SELECT c_custkey AS entity_id, c_name AS label, c_acctbal AS bal
+    FROM customer WHERE c_acctbal > 9900
+    UNION ALL BY NAME
+    SELECT s_suppkey AS entity_id, s_name AS label
+    FROM supplier WHERE s_acctbal > 9000
+    """,
+)
+def set_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-schema union: BY NAME with missing columns → NULL
+    (core2's absent-field semantics when uniting evolving documents)."""
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    a = t["customer"].filter(F.col("c_acctbal") > 9900).select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("label"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    b = t["supplier"].filter(F.col("s_acctbal") > 9000).select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("label"),
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@query(
     "set_union_distinct",
     oracle="""
     SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
