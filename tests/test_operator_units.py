@@ -1,0 +1,142 @@
+"""Operator unit tests in the reference's style (SURVEY.md §5.1):
+tiny literal relations in → exact expected rows out, one block per
+operator family [upstream: core2 `operator/*_test.clj`].  These
+complement the oracle tests with hand-computed expectations that don't
+depend on any other engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def rows(df, *cols):
+    # None sorts first (keyed by (is_not_none, value-or-0-ish))
+    return sorted(
+        (tuple(r[c] for c in cols) for r in df.collect()),
+        key=lambda t: tuple((v is not None, v if v is not None else 0) for v in t),
+    )
+
+
+def test_join_all_variants_literal(spark):
+    l = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, lv string")
+    r = spark.createDataFrame([(2, "x"), (3, "y"), (3, "z"), (4, "w")], "rk int, rv string")
+    on = l["k"] == r["rk"]
+    assert rows(l.join(r, on, "inner"), "k", "rv") == [(2, "x"), (3, "y"), (3, "z")]
+    assert rows(l.join(r, on, "left"), "k", "rv") == [(1, None), (2, "x"), (3, "y"), (3, "z")]
+    assert rows(l.join(r, on, "full"), "k", "rv") == [
+        (None, "w"), (1, None), (2, "x"), (3, "y"), (3, "z"),
+    ]
+    assert rows(l.join(r, on, "left_semi"), "k") == [(2,), (3,)]
+    assert rows(l.join(r, on, "left_anti"), "k") == [(1,)]
+    assert l.crossJoin(r).count() == 12
+
+
+def test_set_ops_bag_semantics_literal(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "x int")
+    b = spark.createDataFrame([(1,), (2,), (2,)], "x int")
+    assert rows(a.unionAll(b), "x") == [(1,), (1,), (1,), (2,), (2,), (2,), (3,)]
+    # bag intersection: multiplicity = min(2,1)=1 for x=1, min(1,2)=1 for x=2
+    assert rows(a.intersectAll(b), "x") == [(1,), (2,)]
+    # bag difference: 2 ones minus 1 one = 1 one; 1 two minus 2 twos = 0
+    assert rows(a.exceptAll(b), "x") == [(1,), (3,)]
+    assert rows(a.intersect(b), "x") == [(1,), (2,)]
+    assert rows(a.subtract(b), "x") == [(3,)]
+
+
+def test_unwind_ordinality_literal(spark):
+    df = spark.createDataFrame([(1, ["a", "b"]), (2, []), (3, None)],
+                               "id int, xs array<string>")
+    assert rows(df.select("id", F.explode("xs").alias("x")), "id", "x") == [
+        (1, "a"), (1, "b"),
+    ]
+    assert rows(df.select("id", F.explode_outer("xs").alias("x")), "id", "x") == [
+        (1, "a"), (1, "b"), (2, None), (3, None),
+    ]
+    assert rows(
+        df.select("id", F.posexplode("xs").alias("p", "x")), "id", "p", "x"
+    ) == [(1, 0, "a"), (1, 1, "b")]
+
+
+def test_three_valued_logic_literal(spark):
+    df = spark.createDataFrame([(1, 10), (2, None), (3, 30)], "id int, v int")
+    # WHERE keeps only TRUE — the NULL comparison row drops
+    assert rows(df.filter(F.col("v") > 15), "id") == [(3,)]
+    assert rows(df.filter(~(F.col("v") > 15)), "id") == [(1,)]
+    assert rows(df.filter((F.col("v") > 15).isNull()), "id") == [(2,)]
+    # null-safe equality matches NULL to NULL
+    assert rows(df.filter(F.col("v").eqNullSafe(F.lit(None))), "id") == [(2,)]
+    # aggregates skip NULLs; count(*) doesn't
+    agg = df.agg(F.count("*").alias("n"), F.count("v").alias("nv"),
+                 F.sum("v").alias("s")).collect()[0]
+    assert (agg["n"], agg["nv"], agg["s"]) == (3, 2, 40)
+
+
+def test_bitemporal_visibility_literal(spark):
+    from core2_spark import temporal as bt
+
+    versions = spark.createDataFrame(
+        [
+            # id 1: v1 known Jan–Feb, superseded by v2 from Feb
+            (1, "v1", "2024-01-01", "2024-02-01", "2024-01-01", "2099-01-01"),
+            (1, "v2", "2024-02-01", "2099-01-01", "2024-01-15", "2099-01-01"),
+            # id 2: fact valid only during January, known since Jan 1
+            (2, "w1", "2024-01-01", "2099-01-01", "2024-01-01", "2024-02-01"),
+        ],
+        "id int, tag string, system_time_start string, system_time_end string,"
+        " app_time_start string, app_time_end string",
+    )
+    for c in bt.TEMPORAL_COLS:
+        versions = versions.withColumn(c, F.col(c).cast("timestamp"))
+
+    # System Jan 20, app Jan 20: id1→v1 (v2 not yet known), id2→w1
+    got = rows(bt.scan_as_of(versions, "2024-01-20", "2024-01-20"), "id", "tag")
+    assert got == [(1, "v1"), (2, "w1")]
+    # System Mar 1, app Jan 20: id1→v2 (retroactively valid from Jan 15)
+    got = rows(bt.scan_as_of(versions, "2024-03-01", "2024-01-20"), "id", "tag")
+    assert got == [(1, "v2"), (2, "w1")]
+    # System Mar 1, app Mar 1: id2's fact expired end of January
+    got = rows(bt.scan_as_of(versions, "2024-03-01", "2024-03-01"), "id", "tag")
+    assert got == [(1, "v2")]
+
+
+def test_period_predicates_literal(spark):
+    from core2_spark.functions import periods
+
+    df = spark.createDataFrame(
+        [(1, 0, 10, 5, 15), (2, 0, 10, 10, 20), (3, 0, 10, 2, 8), (4, 12, 14, 0, 10)],
+        "id int, a_s int, a_e int, b_s int, b_e int",
+    )
+    out = {
+        r["id"]: (r["ov"], r["ct"], r["pr"], r["ip"], r["sc"])
+        for r in df.select(
+            "id",
+            periods.overlaps(F.col("a_s"), F.col("a_e"), F.col("b_s"), F.col("b_e")).alias("ov"),
+            periods.contains_period(F.col("a_s"), F.col("a_e"), F.col("b_s"), F.col("b_e")).alias("ct"),
+            periods.precedes(F.col("a_s"), F.col("a_e"), F.col("b_s"), F.col("b_e")).alias("pr"),
+            periods.immediately_precedes(F.col("a_s"), F.col("a_e"), F.col("b_s"), F.col("b_e")).alias("ip"),
+            periods.succeeds(F.col("a_s"), F.col("a_e"), F.col("b_s"), F.col("b_e")).alias("sc"),
+        ).collect()
+    }
+    assert out[1] == (True, False, False, False, False)   # plain overlap
+    assert out[2] == (False, False, True, True, False)    # meets exactly
+    assert out[3] == (True, True, False, False, False)    # contains
+    assert out[4] == (False, False, False, False, True)   # after
+
+
+def test_fixpoint_literal(spark):
+    from core2_spark.operators.recursion import fixpoint
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src int, dst int")
+
+    def step(frontier):
+        return (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+        )
+
+    closure = fixpoint(edges, step, key_cols=["src", "dst"])
+    assert rows(closure, "src", "dst") == [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+    ]

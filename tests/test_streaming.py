@@ -127,3 +127,67 @@ def test_streaming_session_windows_emit_prefix_of_batch(spark):
     }
     assert streamed, "no sessions emitted"
     assert streamed <= batch
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data policy: rows older than the watermark when their
+    micro-batch arrives are excluded from append-mode aggregates.
+    Deterministic construction: batch 1 advances event time to 12:00,
+    batch 2 carries an hour-1 straggler — beyond the 10-minute
+    watermark, so its window never re-emits."""
+    import time
+
+    src = str(tmp_path / "late_src")
+    os_mk = __import__("os").makedirs(src, exist_ok=True)  # noqa: F841
+    on_time = [(i, f"2024-01-01 {h:02d}:00:01", 1.0) for i, h in enumerate(range(12))]
+    late = [(99, "2024-01-01 01:00:02", 1.0)]  # hour-1 straggler
+    schema = "event_id long, ts timestamp, value double"
+
+    spark.createDataFrame(
+        [(i, __import__("datetime").datetime.fromisoformat(t), v) for i, t, v in on_time],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/batch1")
+    spark.createDataFrame(
+        [(i, __import__("datetime").datetime.fromisoformat(t), v) for i, t, v in late],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/batch2")
+
+    # stage the two batches as separate files arriving in order
+    stream_dir = str(tmp_path / "late_stream")
+    __import__("os").makedirs(stream_dir)
+    import glob as _glob
+    import shutil as _shutil
+
+    # guarantee two micro-batches: the straggler file only appears
+    # after the first processAllAvailable() has advanced the watermark
+    _shutil.copy(_glob.glob(f"{src}/batch1/*.parquet")[0], f"{stream_dir}/00.parquet")
+
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_data_sink")
+        .start()
+    )
+    q.processAllAvailable()  # batch 1: watermark advances to 11:50
+    _shutil.copy(_glob.glob(f"{src}/batch2/*.parquet")[0], f"{stream_dir}/01.parquet")
+    time.sleep(0.1)
+    q.processAllAvailable()  # batch 2: straggler is beyond the watermark
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    q.stop()
+    emitted = {
+        (r["ws"].hour, r["n"]) for r in spark.sql("SELECT * FROM late_data_sink").collect()
+    }
+    # the straggler was dropped by the watermark, never aggregated
+    assert dropped >= 1, [p for p in q.recentProgress]
+    assert all(n == 1 for _h, n in emitted), emitted
