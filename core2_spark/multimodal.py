@@ -43,27 +43,29 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_SCHEMA = "media_id long, mime string, n_bytes long, feature array<double>"
 
 
-def _fake_decode(payload: bytes) -> list[float]:
-    """Deterministic stand-in for a real decode→feature step: 8 byte
-    histogram buckets, normalized."""
-    if payload is None:
-        return [0.0] * 8
-    buckets = [0] * 8
-    for byte in payload:
-        buckets[byte >> 5] += 1
-    total = max(sum(buckets), 1)
-    return [b / total for b in buckets]
-
-
 def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow-batched).
 
     Real decoders are not available in this environment; pass
     ``fake=True`` for the deterministic fake, otherwise the task raises
     NotImplementedError at execution time (clearly-marked stub).
+
+    The decode helper is nested so cloudpickle serializes it BY VALUE:
+    executors must not need `core2_spark` importable on their own
+    sys.path (the driver harness may run from any cwd).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_decode(payload):
+            # deterministic stand-in: 8 normalized byte-histogram buckets
+            if payload is None:
+                return [0.0] * 8
+            buckets = [0] * 8
+            for byte in payload:
+                buckets[byte >> 5] += 1
+            total = max(sum(buckets), 1)
+            return [b / total for b in buckets]
+
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
@@ -75,7 +77,7 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "mime": pdf["mime"],
                     "n_bytes": pdf["payload"].map(lambda p: 0 if p is None else len(p)),
-                    "feature": pdf["payload"].map(_fake_decode),
+                    "feature": pdf["payload"].map(fake_decode),
                 }
             )
 

@@ -23,32 +23,36 @@ OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts timest
 STATE_SCHEMA = "n long, total double"
 
 
-def _update_profile(
-    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
-    last_ts = None
-    for pdf in batches:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        batch_max = pdf["ts"].max()
-        last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
-    state.update((n, total))
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id],
-            "n_events": [n],
-            "total_value": [round(total, 4)],
-            "last_ts": [last_ts],
-        }
-    )
-
-
 def running_user_profile(events: DataFrame) -> DataFrame:
-    """Continuously-updated per-user profile over the event stream."""
+    """Continuously-updated per-user profile over the event stream.
+
+    The state function is nested so cloudpickle ships it by value —
+    executors never need `core2_spark` on their sys.path.
+    """
+
+    def update_profile(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        last_ts = None
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = pdf["ts"].max()
+            last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "last_ts": [last_ts],
+            }
+        )
+
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_profile,
+        update_profile,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
