@@ -1,0 +1,82 @@
+"""Tests for the SQL:2011 temporal dialect pre-pass."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from core2_spark import temporal as bt
+from core2_spark.sql_dialect import rewrite_temporal_sql, sql_with_temporal
+
+
+def test_rewrite_string_forms():
+    sql = "SELECT * FROM trades FOR SYSTEM_TIME AS OF TIMESTAMP '2024-02-15 00:00:00'"
+    out = rewrite_temporal_sql(sql)
+    assert "system_time_start <= TIMESTAMP '2024-02-15 00:00:00'" in out
+    assert "AS trades" in out
+
+    both = rewrite_temporal_sql(
+        "SELECT * FROM t FOR SYSTEM_TIME AS OF TIMESTAMP '2024-01-01 00:00:00' "
+        "FOR APPLICATION_TIME AS OF TIMESTAMP '2024-06-01 00:00:00'"
+    )
+    assert "system_time_start" in both and "app_time_start" in both
+
+    ranged = rewrite_temporal_sql(
+        "SELECT * FROM t FOR SYSTEM_TIME FROM TIMESTAMP '2024-01-01 00:00:00' "
+        "TO TIMESTAMP '2024-02-01 00:00:00'"
+    )
+    assert "system_time_start < TIMESTAMP '2024-02-01 00:00:00'" in ranged
+    assert "system_time_end > TIMESTAMP '2024-01-01 00:00:00'" in ranged
+
+    all_time = rewrite_temporal_sql("SELECT * FROM t FOR SYSTEM_TIME ALL")
+    assert all_time == "SELECT * FROM (SELECT * FROM t) AS t"
+
+    untouched = "SELECT * FROM plain_table WHERE x = 1"
+    assert rewrite_temporal_sql(untouched) == untouched
+
+
+def test_sql_with_temporal_end_to_end(spark):
+    v1 = spark.createDataFrame(
+        [(1, "old", 10.0), (2, "keep", 20.0)], "id long, tag string, px double"
+    )
+    v2 = spark.createDataFrame([(1, "new", 11.0)], "id long, tag string, px double")
+    versions = bt.close_system_versions(
+        bt.put(v1, "2024-01-01").unionByName(bt.put(v2, "2024-02-01")), "id"
+    )
+
+    jan = sql_with_temporal(
+        spark,
+        "SELECT id, tag FROM trades FOR SYSTEM_TIME AS OF TIMESTAMP '2024-01-15 00:00:00' "
+        "ORDER BY id",
+        version_views={"trades": versions},
+    ).collect()
+    assert [(r["id"], r["tag"]) for r in jan] == [(1, "old"), (2, "keep")]
+
+    feb = sql_with_temporal(
+        spark,
+        "SELECT id, tag FROM trades FOR SYSTEM_TIME AS OF TIMESTAMP '2024-02-15 00:00:00' "
+        "ORDER BY id",
+        version_views={"trades": versions},
+    ).collect()
+    assert [(r["id"], r["tag"]) for r in feb] == [(1, "new"), (2, "keep")]
+
+    # FOR ALL SYSTEM_TIME sees the full history
+    hist = sql_with_temporal(
+        spark,
+        "SELECT COUNT(*) AS n FROM trades FOR SYSTEM_TIME ALL",
+        version_views={"trades": versions},
+    ).collect()[0]["n"]
+    assert hist == 3
+
+    # joins between a temporal reference and a plain table
+    dim = spark.createDataFrame([(1, "alpha"), (2, "beta")], "id long, name string")
+    dim.createOrReplaceTempView("dim")
+    joined = sql_with_temporal(
+        spark,
+        "SELECT t.id, t.tag, d.name FROM trades FOR SYSTEM_TIME AS OF "
+        "TIMESTAMP '2024-02-15 00:00:00' t JOIN dim d ON d.id = t.id ORDER BY t.id",
+        version_views={"trades": versions},
+    ).collect()
+    assert [(r["id"], r["tag"], r["name"]) for r in joined] == [
+        (1, "new", "alpha"),
+        (2, "keep", "beta"),
+    ]
