@@ -183,10 +183,24 @@ class Snapshot:
 
     # -- §3.1 SQL ------------------------------------------------------
     def sql(self, query: str, **asof) -> DataFrame:
-        """SQL over basis-pinned current-state views of every table."""
+        """SQL over basis-pinned current-state views of every table.
+
+        The SQL:2011 temporal dialect is enabled: table references may
+        carry ``FOR SYSTEM_TIME AS OF/FROM..TO/ALL`` (and
+        APPLICATION_TIME) clauses, which resolve against the FULL
+        version history at this basis; bare references see the
+        current-state view."""
+        from core2_spark.sql_dialect import _FOR_RE, rewrite_temporal_sql
+
+        temporal_tables = {
+            m.group("table") for m in _FOR_RE.finditer(query)
+        }
         for name in self.basis.manifests:
-            self.table(name, **asof).createOrReplaceTempView(name)
-        return self.engine.spark.sql(query)
+            if name in temporal_tables:
+                self.history(name).createOrReplaceTempView(name)
+            else:
+                self.table(name, **asof).createOrReplaceTempView(name)
+        return self.engine.spark.sql(rewrite_temporal_sql(query))
 
     # -- §3.2 Datalog --------------------------------------------------
     def q(self, query: dict, **asof) -> DataFrame:

@@ -117,3 +117,27 @@ def test_call_transaction_function(spark, engine):
     basis = engine.submit_tx([Call(apply_interest)])
     got = {(r["id"], r["bal"]) for r in engine.db(basis).table("accounts").collect()}
     assert got == {(1, 110.0), (2, 55.0)}
+
+
+def test_engine_sql_temporal_dialect(spark, engine):
+    """FOR SYSTEM_TIME AS OF inside Engine SQL resolves against the
+    version history at the basis."""
+    v1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, px double")
+    b1 = engine.submit_tx([Put("quotes", v1)], tx_time="2024-03-01")
+    v2 = spark.createDataFrame([(1, 11.0)], "id long, px double")
+    b2 = engine.submit_tx([Put("quotes", v2)], tx_time="2024-04-01")
+
+    db = engine.db(b2)
+    asof_march = db.sql(
+        "SELECT id, px FROM quotes FOR SYSTEM_TIME AS OF "
+        "TIMESTAMP '2024-03-15 00:00:00' ORDER BY id"
+    ).collect()
+    assert [(r["id"], r["px"]) for r in asof_march] == [(1, 10.0), (2, 20.0)]
+
+    current = db.sql("SELECT id, px FROM quotes ORDER BY id").collect()
+    assert [(r["id"], r["px"]) for r in current] == [(1, 11.0), (2, 20.0)]
+
+    n_all = db.sql(
+        "SELECT COUNT(*) AS n FROM quotes FOR SYSTEM_TIME ALL"
+    ).collect()[0]["n"]
+    assert n_all == 3
