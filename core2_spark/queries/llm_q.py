@@ -480,6 +480,71 @@ def embedding_label_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_curation_pipeline",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text, lang, source FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, text, lang, source,
+               len(string_split(trim(text), ' ')) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / length(text) AS alpha_ratio
+        FROM aug
+    ),
+    filtered AS (
+        SELECT * FROM scored
+        WHERE n_tokens BETWEEN 12 AND 95 AND alpha_ratio > 0.7
+          AND lang IN ('en', 'es', 'fr', 'de')
+    ),
+    deduped AS (
+        SELECT * FROM filtered
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+          ORDER BY doc_id) = 1
+    )
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+    FROM deduped
+    GROUP BY lang, source
+    """,
+)
+def corpus_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition: the full training-corpus curation DAG —
+    quality gates (token-count band, alpha ratio) → language selection
+    → exact dedup keep-first — summarized per (lang, source).  One
+    declarative plan: Catalyst fuses the gates into the scan and the
+    dedup is a single fingerprint-partitioned window."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    aug = d.select("doc_id", "text", "lang", "source").unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source"
+        )
+    )
+    n_tokens = tx.token_count(F.col("text"))
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+        / F.length("text")
+    )
+    filtered = (
+        aug.withColumn("n_tokens", n_tokens)
+        .withColumn("alpha_ratio", alpha_ratio)
+        .filter(
+            F.col("n_tokens").between(12, 95)
+            & (F.col("alpha_ratio") > 0.7)
+            & F.col("lang").isin("en", "es", "fr", "de")
+        )
+    )
+    deduped = dedup.exact_dedup_keep_first(filtered)
+    return deduped.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 @query("multimodal_feature_extract")  # rows-only: Pandas-UDF decode stage
 def multimodal_feature_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing through the driver surface: documents' text
