@@ -391,6 +391,47 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q14_promo_share",
+    oracle="""
+    SELECT ROUND(100.0 *
+             CAST(SUM(CAST(CASE WHEN p.p_type LIKE 'PROMO%'
+                                THEN l.l_extendedprice * (1 - l.l_discount)
+                                ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(38,6))) AS DOUBLE)
+             + 0.000000001, 4) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: conditional revenue share — ratio of two exact
+    decimal sums (both sides bit-identical, so the division is too)."""
+    t = load_tables(spark, sf_dir, ("part", "lineitem"))
+    rev = _rev_col().cast("decimal(38,6)")
+    promo = (
+        F.when(F.col("p_type").like("PROMO%"), _rev_col())
+        .otherwise(F.lit(0.0))
+        .cast("decimal(38,6)")
+    )
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double") + 1e-9,
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
     "tpch_q10_returned_items",
     oracle=f"""
     SELECT c.c_custkey, c.c_name,

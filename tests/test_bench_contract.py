@@ -1,0 +1,30 @@
+"""Guard the driver's bench contract: one stdout line, valid JSON,
+required keys, sane values.  Runs the real bench at sf0.001 so the
+check is fast."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_emits_one_json_line():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    out = subprocess.run(
+        [sys.executable, "/root/repo/bench.py"],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, f"stdout must be exactly one line, got {len(lines)}"
+    payload = json.loads(lines[0])
+    assert payload["unit"] == "sec"
+    assert payload["value"] > 0
+    assert payload["sf"] == 0.001
+    assert len(payload["queries"]) == 10
+    assert all(v >= 0 for v in payload["queries"].values())
