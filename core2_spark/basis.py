@@ -33,7 +33,9 @@ class Basis:
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         files = self.manifests[table]
-        return spark.read.parquet(*files)
+        # mergeSchema: version files may differ (e.g. tombstone rows
+        # carry no data columns) — union by name, absent fields NULL.
+        return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
 def _list_parquet_files(path: str) -> tuple[str, ...]:

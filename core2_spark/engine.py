@@ -34,6 +34,7 @@ from dataclasses import dataclass
 from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from core2_spark import temporal as bt
 from core2_spark.basis import Basis, acquire_basis
@@ -124,14 +125,13 @@ class Engine:
             if isinstance(op, Put):
                 bt.put(
                     op.rows, tx_time=t, app_start=op.app_start, app_end=op.app_end
-                ).write.mode("append").parquet(path)
+                ).withColumn(bt.TOMBSTONE, F.lit(False)).write.option(
+                    "mergeSchema", "true"
+                ).mode("append").parquet(path)
             elif isinstance(op, Delete):
-                versions = bt.close_system_versions(
-                    self.spark.read.parquet(path), op.id_col
-                )
-                bt.delete(versions, op.ids, op.id_col, t).write.mode("append").parquet(
-                    path
-                )
+                bt.delete_tombstone(op.ids, op.id_col, t).write.option(
+                    "mergeSchema", "true"
+                ).mode("append").parquet(path)
             elif isinstance(op, Erase):
                 remaining = bt.erase(
                     self.spark.read.parquet(path), op.ids, op.id_col
@@ -173,13 +173,18 @@ class Snapshot:
         system_time: str | datetime | None = None,
         app_time: str | datetime | None = None,
     ) -> DataFrame:
-        """Default scan: current visible version per id.  As-of args
-        move the basis clocks (FOR SYSTEM_TIME/APPLICATION_TIME AS OF)."""
-        versions = self.history(table)
+        """Default scan: the visible version per id at the basis
+        clocks (or explicit FOR SYSTEM_TIME/APPLICATION_TIME AS OF
+        args), using the rectangle-correct resolution: latest known
+        version covering the app instant wins, tombstones hide ids —
+        partial retroactive corrections never shadow periods they
+        don't cover."""
+        versions = self.basis.read(self.engine.spark, table)
         s = system_time if system_time is not None else self.basis.current_time
         t = app_time if app_time is not None else self.basis.current_time
-        visible = bt.scan_as_of(versions, system_time=s, app_time=t)
-        return visible.drop(*bt.TEMPORAL_COLS)
+        visible = bt.resolve_as_of(versions, s, t, "id")
+        drop = [*bt.TEMPORAL_COLS, bt.TOMBSTONE]
+        return visible.drop(*[c for c in drop if c in visible.columns])
 
     # -- §3.1 SQL ------------------------------------------------------
     def sql(self, query: str, **asof) -> DataFrame:

@@ -144,6 +144,55 @@ def latest_versions(
     )
 
 
+TOMBSTONE = "_tombstone"
+
+
+def resolve_as_of(
+    versions: DataFrame,
+    system_time: str | datetime | Column,
+    app_time: str | datetime | Column,
+    id_col: str = "id",
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Rectangle-correct bitemporal point query (core2's 2-D model):
+    among versions KNOWN at S (system_time_start <= S) whose app period
+    COVERS T, the latest system version per id wins; tombstones hide
+    the id.
+
+    Unlike the lead()-closure view (`close_system_versions` +
+    `scan_as_of`, which treats every newer version as fully superseding
+    the older one), this resolution honors PARTIAL app-time
+    corrections: a February transaction asserting a fact only for
+    January leaves the original version visible for March queries.
+    No system_time_end column is needed at all — supersession is
+    implied by "latest covering version wins".
+    """
+    s, t = _ts(system_time), _ts(app_time)
+    known = versions.filter(
+        (F.col(SYS_START) <= s) & (F.col(APP_START) <= t) & (t < F.col(APP_END))
+    )
+    latest = latest_versions(known, id_col, tiebreak_cols)
+    if TOMBSTONE in versions.columns:
+        latest = latest.filter(~F.coalesce(F.col(TOMBSTONE), F.lit(False)))
+    return latest
+
+
+def delete_tombstone(
+    ids: DataFrame, id_col: str, tx_time: str | datetime
+) -> DataFrame:
+    """Tombstone rows for `resolve_as_of` semantics: a version covering
+    app [tx, ∞) flagged deleted — queries at T >= tx resolve to it and
+    hide the id; history before tx is untouched."""
+    return (
+        ids.select(id_col)
+        .withColumn(SYS_START, _ts(tx_time))
+        .withColumn(SYS_END, _ts(END_OF_TIME))
+        .withColumn(APP_START, _ts(tx_time))
+        .withColumn(APP_END, _ts(END_OF_TIME))
+        .withColumn(TOMBSTONE, F.lit(True))
+    )
+
+
 def materialize_current(
     versions: DataFrame, path: str, id_col: str = "id"
 ) -> DataFrame:

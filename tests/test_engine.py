@@ -141,3 +141,33 @@ def test_engine_sql_temporal_dialect(spark, engine):
         "SELECT COUNT(*) AS n FROM quotes FOR SYSTEM_TIME ALL"
     ).collect()[0]["n"]
     assert n_all == 3
+
+
+def test_retroactive_correction_app_time(spark, engine):
+    """Bitemporal's killer feature: a February transaction records a
+    fact valid during January (retroactive correction).  Queries asking
+    "what was true in January, as we knew it in January" exclude it;
+    "as we know it now" include it."""
+    jan_fact = spark.createDataFrame([(1, 100.0)], "id long, px double")
+    engine.submit_tx([Put("marks", jan_fact)], tx_time="2024-01-10")
+
+    correction = spark.createDataFrame([(1, 95.0)], "id long, px double")
+    engine.submit_tx(
+        [Put("marks", correction, app_start="2024-01-01", app_end="2024-02-01")],
+        tx_time="2024-02-10",
+    )
+    db = engine.db()
+
+    # January knowledge of January: the original mark
+    as_known_jan = db.table("marks", system_time="2024-01-20", app_time="2024-01-20")
+    assert [(r["id"], r["px"]) for r in as_known_jan.collect()] == [(1, 100.0)]
+
+    # current knowledge of January: the correction (newer system
+    # version covering Jan 20) wins
+    corrected = db.table("marks", system_time="2024-03-01", app_time="2024-01-20")
+    assert [(r["id"], r["px"]) for r in corrected.collect()] == [(1, 95.0)]
+
+    # current knowledge of March: correction expired end of January →
+    # the open-ended original carries forward
+    as_of_march = db.table("marks", system_time="2024-03-01", app_time="2024-03-01")
+    assert [(r["id"], r["px"]) for r in as_of_march.collect()] == [(1, 100.0)]
