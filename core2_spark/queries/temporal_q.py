@@ -167,6 +167,62 @@ def temporal_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "temporal_rectangle_resolution",
+    oracle="""
+    WITH raw_versions AS (
+        SELECT o_orderkey AS id, o_totalprice AS price,
+               o_orderdate                    AS system_time_start,
+               o_orderdate                    AS app_time_start,
+               o_orderdate + INTERVAL 90 DAY  AS app_time_end
+        FROM orders
+        UNION ALL
+        -- partial retroactive correction: only the first 15 days
+        SELECT o_orderkey, o_totalprice * 0.8,
+               o_orderdate + INTERVAL 5 DAY,
+               o_orderdate,
+               o_orderdate + INTERVAL 15 DAY
+        FROM orders WHERE o_orderstatus = 'O'
+    ),
+    resolved AS (
+        SELECT id, price FROM raw_versions
+        WHERE system_time_start <= TIMESTAMP '1999-06-01'
+          AND app_time_start <= TIMESTAMP '1999-05-21'
+          AND TIMESTAMP '1999-05-21' < app_time_end
+        QUALIFY ROW_NUMBER() OVER
+          (PARTITION BY id ORDER BY system_time_start DESC) = 1
+    )
+    SELECT id, ROUND(price, 4) AS price FROM resolved
+    """,
+)
+def temporal_rectangle_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle-correct point resolution (`temporal.resolve_as_of`):
+    the latest KNOWN version whose app period COVERS the query instant
+    wins — a partial retroactive correction (first 15 days only) never
+    shadows later validity, unlike the lead()-closure view."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = o.select(
+        F.col("o_orderkey").alias("id"), "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    v1 = bt.put(
+        base,
+        tx_time=F.col("o_orderdate"),
+        app_start=F.col("o_orderdate"),
+        app_end=F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+    ).withColumn("price", F.col("o_totalprice"))
+    v2 = bt.put(
+        base.filter(F.col("o_orderstatus") == "O"),
+        tx_time=F.col("o_orderdate") + F.expr("INTERVAL 5 DAY"),
+        app_start=F.col("o_orderdate"),
+        app_end=F.col("o_orderdate") + F.expr("INTERVAL 15 DAY"),
+    ).withColumn("price", F.col("o_totalprice") * 0.8)
+    versions = v1.unionByName(v2).select("id", "price", *bt.TEMPORAL_COLS)
+    resolved = bt.resolve_as_of(
+        versions, system_time="1999-06-01", app_time="1999-05-21", id_col="id"
+    )
+    return resolved.select("id", fround("price").alias("price"))
+
+
+@query(
     "period_predicates",
     oracle="""
     WITH p AS (
