@@ -253,6 +253,40 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "exists_flag_projection",
+    oracle="""
+    SELECT c_custkey,
+           EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 450000) AS has_big_order
+    FROM customer c
+    WHERE c_custkey <= 400
+    """,
+)
+def exists_flag_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a projected boolean (not a filter): distributed form
+    is a left join against the distinct key set — no correlated
+    execution, one shuffle."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    big_keys = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 400)
+        .join(big_keys, F.col("c_custkey") == F.col("k"), "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("_hit"), F.lit(False)).alias("has_big_order"),
+        )
+    )
+
+
+@query(
     "subquery_not_in_3vl",
     oracle="""
     SELECT p_partkey FROM part

@@ -134,6 +134,39 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_statistics",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(STDDEV_SAMP(c_acctbal) OVER
+             (PARTITION BY c_mktsegment), 4) AS seg_stddev,
+           ROUND(c_acctbal
+                 - CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) OVER
+                     (PARTITION BY c_mktsegment) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY c_mktsegment)
+                 + 0.000000001, 4) AS bal_vs_seg_avg
+    FROM customer
+    WHERE c_custkey <= 200
+    """,
+)
+def window_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic aggregates over unordered partitions: per-segment
+    stddev and deviation from the exact-decimal segment mean (double
+    AVG differs by summation order between engines and the deviations
+    land on rounding ties — the usual dsum discipline, window form)."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    w = Window.partitionBy("c_mktsegment")
+    seg_avg = (
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    return c.filter(F.col("c_custkey") <= 200).select(
+        "c_custkey",
+        fround(F.stddev_samp("c_acctbal").over(w)).alias("seg_stddev"),
+        F.round(F.col("c_acctbal") - seg_avg + 1e-9, 4).alias("bal_vs_seg_avg"),
+    )
+
+
+@query(
     "window_range_frame",
     oracle="""
     SELECT c_custkey,
