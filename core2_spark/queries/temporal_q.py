@@ -144,6 +144,33 @@ def temporal_system_from_to(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "temporal_app_from_to",
+    oracle=_VERSIONS_SQL
+    + """
+    SELECT id, ROUND(price, 4) AS price,
+           CAST(app_time_start AS DATE) AS valid_from
+    FROM versions
+    WHERE app_time_start < TIMESTAMP '1999-08-01'
+      AND app_time_end   > TIMESTAMP '1999-07-01'
+      AND system_time_start <= TIMESTAMP '2002-01-01'
+    """,
+)
+def temporal_app_from_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOR APPLICATION_TIME FROM lo TO hi — versions whose validity
+    overlaps [lo, hi), regardless of when they became known."""
+    v = _versions(spark, sf_dir)
+    return (
+        bt.scan_between(v, bt.APP_START, bt.APP_END, "1999-07-01", "1999-08-01")
+        .filter(F.col(bt.SYS_START) <= F.lit("2002-01-01").cast("timestamp"))
+        .select(
+            "id",
+            fround("price").alias("price"),
+            F.col(bt.APP_START).cast("date").alias("valid_from"),
+        )
+    )
+
+
+@query(
     "temporal_latest_versions",
     oracle=_VERSIONS_SQL
     + """
@@ -335,6 +362,7 @@ def date_trunc_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_orderdate AS DATE)                   AS order_date,
            CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
            CAST(o_orderdate - INTERVAL 1 MONTH AS DATE) AS prior_month,
+           CAST(o_orderdate + INTERVAL 14 MONTH AS DATE) AS plus_1y2m,
            DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k
     FROM orders
     WHERE o_orderkey % 13 = 0
@@ -348,6 +376,9 @@ def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("order_date"),
         (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).cast("date").alias("due_date"),
         (F.col("o_orderdate") - F.expr("INTERVAL 1 MONTH")).cast("date").alias("prior_month"),
+        (F.col("o_orderdate") + F.expr("INTERVAL '1-2' YEAR TO MONTH"))
+        .cast("date")
+        .alias("plus_1y2m"),
         F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
         .cast("bigint")
         .alias("days_to_y2k"),

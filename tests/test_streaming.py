@@ -191,3 +191,52 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the straggler was dropped by the watermark, never aggregated
     assert dropped >= 1, [p for p in q.recentProgress]
     assert all(n == 1 for _h, n in emitted), emitted
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Stream-stream inner join with event-time bounds: purchases
+    joined to the same user's errors within the preceding 10 minutes.
+    On a bounded replay the result must equal the batch join."""
+    left = (
+        _event_stream(spark, SF)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", "30 minutes")
+    )
+    right = (
+        _event_stream(spark, SF)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("e_id"),
+        )
+        .withWatermark("e_ts", "30 minutes")
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") <= F.col("p_ts"))
+        & (F.col("e_ts") > F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("p_id", "e_id")
+    sink = run_stream_to_memory(joined, mode="append")
+    streamed = {(r["p_id"], r["e_id"]) for r in spark.table(sink).collect()}
+
+    ev = load_table(spark, SF, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("e_id"),
+    )
+    batch = {
+        (r["p_id"], r["e_id"])
+        for r in p.join(
+            e,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("e_ts") <= F.col("p_ts"))
+            & (F.col("e_ts") > F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+        ).select("p_id", "e_id").collect()
+    }
+    assert streamed == batch and len(batch) > 0
