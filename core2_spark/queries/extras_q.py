@@ -132,6 +132,66 @@ def apply_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multi_column_in_subquery",
+    oracle="""
+    -- DuckDB 1.0 lacks row-value IN subqueries; the equivalent EXISTS
+    SELECT l.l_orderkey, l.l_linenumber
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM supplier s
+                  WHERE s.s_suppkey = l.l_suppkey
+                    AND l.l_returnflag = 'R'
+                    AND s.s_acctbal > 9000)
+      AND l.l_orderkey <= 3000
+    """,
+)
+def multi_column_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column IN (row-value constructor) subquery via the SQL
+    frontend — decorrelates to a semi join on the composite key."""
+    register_views(spark, sf_dir, ("lineitem", "supplier"))
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber
+        FROM lineitem
+        WHERE (l_suppkey, l_returnflag) IN
+              (SELECT s_suppkey, 'R' FROM supplier WHERE s_acctbal > 9000)
+          AND l_orderkey <= 3000
+        """
+    )
+
+
+@query(
+    "pivot_sum_values",
+    oracle="""
+    SELECT l_returnflag,
+           {o} AS "O",
+           {f} AS "F"
+    FROM lineitem
+    GROUP BY l_returnflag
+    """.format(
+        o="ROUND(CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END"
+          " AS DECIMAL(38,6))) AS DOUBLE) + 0.000000001, 4)",
+        f="ROUND(CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END"
+          " AS DECIMAL(38,6))) AS DOUBLE) + 0.000000001, 4)",
+    ),
+)
+def pivot_sum_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with a SUM aggregate (exact-decimal discipline applies
+    inside the pivot cells too)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.withColumn("qty_dec", F.col("l_quantity").cast("decimal(38,6)"))
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("qty_dec")
+        .select(
+            "l_returnflag",
+            F.round(F.col("O").cast("double") + 1e-9, 4).alias("O"),
+            F.round(F.col("F").cast("double") + 1e-9, 4).alias("F"),
+        )
+    )
+
+
+@query(
     "pivot_status_by_priority",
     oracle="""
     SELECT o_orderpriority,
