@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
         streaming_q,
         temporal_q,
         tpch,
+        tpch2,
         windows_q,
     )
 
