@@ -107,3 +107,31 @@ def test_window_topk_partitions_by_group(spark):
 def test_llm_pipelines_no_cartesian(spark, name):
     plan = plan_of(QUERIES[name](spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_q8_snowflake_all_dims_broadcast(spark):
+    """Q8's 7-table snowflake: every dimension side broadcast, zero
+    cartesian products — the one shuffle is the final aggregate."""
+    plan = plan_of(QUERIES["tpch_q8_market_share"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q21_single_orderkey_window_after_partial_agg(spark):
+    """Q21's double-correlation rewrite: per-(order,supplier) partial
+    aggregate shrinks line-level rows BEFORE the order-level window —
+    the window shuffle moves aggregated rows, not lineitem."""
+    plan = plan_of(QUERIES["tpch_q21_waiting_suppliers"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "hashpartitioning(l_orderkey" in plan
+    # partial + final aggregate pairs around each exchange
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_q13_left_join_preserves_zero_order_customers(spark):
+    """Q13 must plan a real outer join (anti-join rewrite would drop
+    the c_count=0 population) followed by two aggregation levels."""
+    plan = plan_of(QUERIES["tpch_q13_customer_distribution"](spark, SF_DIR))
+    assert "LeftOuter" in plan or "BuildRight" in plan
+    assert plan.count("HashAggregate") >= 3
