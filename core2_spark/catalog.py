@@ -80,14 +80,17 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts is Parquet TIMESTAMP(NANOS), which Spark's reader
     rejects outright; read nanos as raw int64 (legacy conf) and floor
     to microsecond timestamps — same truncation DuckDB applies when it
-    casts ns→µs, so oracle comparisons line up."""
+    casts ns→µs, so oracle comparisons line up.
+
+    The division MUST be integral (`DIV`): epoch-nanos ≈ 1.7e18
+    exceeds double's 53-bit mantissa, so `/ 1000` in double arithmetic
+    perturbs the low microseconds and individual timestamps drift ±1µs
+    from the oracle's."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def load_tables(

@@ -77,6 +77,7 @@ def _ensure_loaded() -> None:
         temporal_q,
         tpch,
         tpch2,
+        tsdevices_q,
         windows_q,
     )
 

@@ -50,9 +50,9 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    # Integral DIV, not `/ 1000`: epoch-nanos overflow double precision
+    # (see catalog._load_events).
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
