@@ -591,3 +591,102 @@ def embedding_cosine_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings (max pairwise cosine ≈ 0.51); real corpora use ≥0.9."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return similarity.embedding_cosine_near_duplicates(e, threshold=0.4)
+
+
+@query(
+    "text_doc_frequency_idf",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    stats AS (
+        SELECT term,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+               CAST(COUNT(*) AS BIGINT) AS tf_total
+        FROM terms WHERE term <> '' GROUP BY term
+    )
+    SELECT term, df, tf_total,
+           ROUND(ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / df)
+                 + 0.000000001, 4) AS idf
+    FROM stats
+    ORDER BY df DESC, term
+    LIMIT 30
+    """,
+)
+def text_doc_frequency_idf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document-frequency / IDF table — the global statistics
+    pass of every TF-IDF / quality-filter pipeline.  explode + two
+    exact integer aggregates; at 100 TB this is the canonical
+    map-side-combined token count (partial aggregation shrinks each
+    partition's term list before the single shuffle)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n_docs = d.count()  # scalar: one job over parquet row-group stats
+    terms = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("tf_total"),
+        )
+        .select(
+            "term",
+            "df",
+            "tf_total",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("df")) + 1e-9, 4).alias("idf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("term"))
+        .limit(30)
+    )
+
+
+@query(
+    "text_tfidf_distinctive_term_per_doc",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM terms WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id, term, tf, df
+    FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY df.df ASC, tf.tf DESC, tf.term)
+                 AS rn
+        FROM tf JOIN df ON tf.term = df.term
+    ) WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def text_tfidf_distinctive_term_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most distinctive term per document: argmax of TF-IDF expressed
+    with an all-integer ordering (rarest df, then highest tf, then
+    term) — exact in both engines, no float ordering ties.  The df
+    side is a small broadcast; the window partitions by doc_id."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    terms = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("tf").desc(), F.col("term")
+    )
+    return (
+        tf.join(F.broadcast(df.withColumnRenamed("term", "df_term")),
+                F.col("df_term") == F.col("term"))
+        .select("doc_id", "term", "tf", "df")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("doc_id")
+    )
