@@ -32,6 +32,19 @@ Query shape::
 - find: plain vars project; (agg, "?var", alias) aggregates with
   plain find-vars as grouping keys (agg in count/sum/avg/min/max/
   count-distinct).
+- bind clause (core2 function expressions in `:where`):
+  ("bind", "?new", (op, term, term)) with op in + - * / div mod —
+  computes a new variable from bound ones (nestable expressions).
+- in bindings (core2 `:in`): ``"in": ["?a", "?coll"]`` + ``args=[...]``
+  — a scalar arg filters/binds its variable; a list/tuple arg is a
+  collection binding (core2 `[?x ...]` → `:table` relation joined on
+  the variable, i.e. relational membership, never a driver-side loop).
+- rules (core2 `:rules`): ``"rules": [(name, [head vars], [body
+  clauses]), ...]`` — multiple definitions of one name union; a rule
+  is invoked from `where` (or another rule body) as
+  ``(name, term, ...)`` with positional terms.  Self-recursive rules
+  run as a semi-naive fixpoint (operators.recursion.fixpoint), the
+  algebra's μ operator.
 """
 
 from __future__ import annotations
@@ -48,6 +61,16 @@ _PRED_OPS = {
     "<=": lambda a, b: a <= b,
     "=": lambda a, b: a == b,
     "!=": lambda a, b: a != b,
+}
+
+_BIND_OPS = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+    # floor division (matches SQL DIV on the non-negative keys it's used for)
+    "div": lambda a, b: F.floor(a / b).cast("long"),
+    "mod": lambda a, b: a % b,
 }
 
 _AGGS = {
@@ -81,13 +104,156 @@ def _compile_pattern(df: DataFrame, bindings: dict) -> DataFrame:
     return df.select(*cols)
 
 
-def q_with_resolver(resolver, query: dict) -> DataFrame:
+def _collection_relation(resolver, var: str, values) -> DataFrame:
+    """core2 collection binding `[?x ...]` → an inline `:table`
+    relation with one column named after the variable; joined on that
+    variable it is relational membership (and broadcastable)."""
+    spark = SparkSession.getActiveSession()
+    name = _var_name(var)
+    return spark.createDataFrame([(v,) for v in values], [name]).distinct()
+
+
+def _references(body: list, name: str) -> bool:
+    return any(
+        isinstance(c[0], str) and c[0] == name
+        for c in body
+        if isinstance(c, tuple) and len(c) >= 1
+    )
+
+
+def _eval_rules(
+    resolver,
+    rules: list[tuple],
+    outer_frames: dict[str, tuple[list[str], DataFrame]],
+) -> dict[str, tuple[list[str], DataFrame]]:
+    """Evaluate rule definitions into named relations.
+
+    Multiple definitions of one name union (bag→set).  A rule whose
+    bodies reference itself runs as a semi-naive fixpoint: the base
+    bodies seed the accumulator, each iteration re-evaluates the
+    recursive bodies with the self-invocation bound to the previous
+    frontier only — the μ operator of core2's logical-plan algebra
+    [upstream: core2 `logical_plan.clj` fixpoint] on Spark joins.
+    Mutual recursion across names is not supported.
+    """
+    from core2_spark.operators.recursion import fixpoint
+
+    defs: dict[str, list[tuple[list[str], list]]] = {}
+    order: list[str] = []
+    for name, head, body in rules:
+        if name not in defs:
+            order.append(name)
+        defs.setdefault(name, []).append((head, body))
+
+    frames = dict(outer_frames)
+
+    def eval_body(head: list[str], body: list, extra) -> DataFrame:
+        df = q_with_resolver(
+            resolver, {"find": head, "where": body}, rule_frames={**frames, **extra}
+        )
+        return df
+
+    for name in order:
+        bodies = defs[name]
+        canon_head = bodies[0][0]
+        canon_cols = [_var_name(v) for v in canon_head]
+        for later in order:
+            if later != name and later not in frames and any(
+                _references(b, later) for _, b in bodies
+            ):
+                raise ValueError(
+                    f"rule {name!r} references {later!r} before its definition "
+                    "(mutual recursion is not supported)"
+                )
+        base_bodies = [(h, b) for h, b in bodies if not _references(b, name)]
+        rec_bodies = [(h, b) for h, b in bodies if _references(b, name)]
+
+        def to_canon(df: DataFrame, head: list[str]) -> DataFrame:
+            return df.toDF(*canon_cols) if [_var_name(v) for v in head] != canon_cols else df
+
+        if not rec_bodies:
+            parts = [to_canon(eval_body(h, b, {}), h) for h, b in bodies]
+            rel = parts[0]
+            for p in parts[1:]:
+                rel = rel.unionByName(p)
+            frames[name] = (canon_head, rel.distinct())
+            continue
+
+        if not base_bodies:
+            raise ValueError(f"recursive rule {name!r} has no non-recursive body")
+        base = None
+        for h, b in base_bodies:
+            part = to_canon(eval_body(h, b, {}), h)
+            base = part if base is None else base.unionByName(part)
+
+        def step(frontier: DataFrame) -> DataFrame:
+            out = None
+            for h, b in rec_bodies:
+                part = to_canon(eval_body(h, b, {name: (canon_head, frontier)}), h)
+                out = part if out is None else out.unionByName(part)
+            return out
+
+        frames[name] = (canon_head, fixpoint(base, step, key_cols=canon_cols))
+
+    return frames
+
+
+def _compile_invocation(
+    frame: DataFrame, head_vars: list[str], terms: tuple
+) -> DataFrame:
+    """Bind a rule's relation (columns = head var names) to the
+    invocation's positional terms: vars rename, constants filter,
+    repeated vars assert equality."""
+    if len(terms) != len(head_vars):
+        raise ValueError(
+            f"rule invoked with {len(terms)} terms, head has {len(head_vars)}"
+        )
+    df = frame
+    seen: dict[str, str] = {}
+    keep: list[F.Column] = []
+    for head_var, term in zip(head_vars, terms):
+        col = _var_name(head_var)
+        if _is_var(term):
+            name = _var_name(term)
+            if name in seen:
+                df = df.filter(F.col(col) == F.col(seen[name]))
+            else:
+                seen[name] = col
+                keep.append(F.col(col).alias(name))
+        else:
+            df = df.filter(F.col(col) == F.lit(term))
+    return df.select(*keep)
+
+
+def q_with_resolver(
+    resolver,
+    query: dict,
+    args: list | None = None,
+    rule_frames: dict[str, tuple[list[str], DataFrame]] | None = None,
+) -> DataFrame:
     """Compile and run a Datalog-ish query; ``resolver(table)`` supplies
     each pattern's relation (a catalog scan, or a basis-pinned
     bitemporal view when called through Engine/Snapshot)."""
+    rule_frames = dict(rule_frames or {})
+    if query.get("rules"):
+        rule_frames.update(_eval_rules(resolver, query["rules"], rule_frames))
+
+    scalar_in: dict[str, object] = {}
+    collection_parts: list[DataFrame] = []
+    in_vars = query.get("in", [])
+    if in_vars:
+        if args is None or len(args) != len(in_vars):
+            raise ValueError(f"query declares {len(in_vars)} :in vars, args mismatch")
+        for var, value in zip(in_vars, args):
+            if isinstance(value, (list, tuple, set)):
+                collection_parts.append(_collection_relation(resolver, var, value))
+            else:
+                scalar_in[_var_name(var)] = value
+
     rel: DataFrame | None = None
     predicates: list[tuple] = []
     negations: list[tuple] = []
+    binds: list[tuple] = []
     for clause in query["where"]:
         if isinstance(clause[0], str) and clause[0] in _PRED_OPS:
             predicates.append(clause)
@@ -95,8 +261,15 @@ def q_with_resolver(resolver, query: dict) -> DataFrame:
         if clause[0] == "not-exists":
             negations.append(clause[1])
             continue
-        table, bindings = clause
-        part = _compile_pattern(resolver(table), bindings)
+        if clause[0] == "bind":
+            binds.append(clause)
+            continue
+        if isinstance(clause[0], str) and clause[0] in rule_frames:
+            head_vars, frame = rule_frames[clause[0]]
+            part = _compile_invocation(frame, head_vars, tuple(clause[1:]))
+        else:
+            table, bindings = clause
+            part = _compile_pattern(resolver(table), bindings)
         if rel is None:
             rel = part
         else:
@@ -104,6 +277,26 @@ def q_with_resolver(resolver, query: dict) -> DataFrame:
             rel = rel.join(part, shared) if shared else rel.crossJoin(part)
     if rel is None:
         raise ValueError("query has no pattern clauses")
+
+    for part in collection_parts:
+        shared = sorted(set(rel.columns) & set(part.columns))
+        if not shared:
+            raise ValueError("collection :in binding shares no variables")
+        rel = rel.join(F.broadcast(part), shared)
+    for name, value in scalar_in.items():
+        if name in rel.columns:
+            rel = rel.filter(F.col(name) == F.lit(value))
+        else:
+            rel = rel.withColumn(name, F.lit(value))
+
+    def compile_expr(term) -> Column:
+        if isinstance(term, tuple):
+            op, x, y = term
+            return _BIND_OPS[op](compile_expr(x), compile_expr(y))
+        return F.col(_var_name(term)) if _is_var(term) else F.lit(term)
+
+    for _, var, expr in binds:
+        rel = rel.withColumn(_var_name(var), compile_expr(expr))
 
     for table, bindings in negations:
         part = _compile_pattern(resolver(table), bindings)
@@ -131,6 +324,10 @@ def q_with_resolver(resolver, query: dict) -> DataFrame:
     return rel.agg(*aggs)
 
 
-def q(spark: SparkSession, sf_dir: str, query: dict) -> DataFrame:
+def q(
+    spark: SparkSession, sf_dir: str, query: dict, args: list | None = None
+) -> DataFrame:
     """Compile and run a Datalog-ish query against the catalog."""
-    return q_with_resolver(lambda table: load_table(spark, sf_dir, table), query)
+    return q_with_resolver(
+        lambda table: load_table(spark, sf_dir, table), query, args=args
+    )

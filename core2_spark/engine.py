@@ -208,6 +208,8 @@ class Snapshot:
         return self.engine.spark.sql(rewrite_temporal_sql(query))
 
     # -- §3.2 Datalog --------------------------------------------------
-    def q(self, query: dict, **asof) -> DataFrame:
+    def q(self, query: dict, args: list | None = None, **asof) -> DataFrame:
         """Datalog over the same basis-pinned views."""
-        return dl.q_with_resolver(lambda table: self.table(table, **asof), query)
+        return dl.q_with_resolver(
+            lambda table: self.table(table, **asof), query, args=args
+        )

@@ -529,3 +529,149 @@ def string_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("c_name", "([0-9]+)$", 1).alias("trailing_digits"),
         F.overlay(F.col("c_name"), F.lit("XX"), 3, 2).alias("overlaid"),
     )
+
+
+@query(
+    "datalog_in_bindings",
+    oracle="""
+    SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND c_acctbal > 1000.0
+    GROUP BY c_mktsegment
+    ORDER BY seg
+    """,
+)
+def datalog_in_bindings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """core2 `:in` bindings: a scalar arg filters its variable, a
+    collection arg becomes an inline relation joined on the variable
+    (relational membership, broadcast)."""
+    from core2_spark import datalog as dl
+
+    return dl.q(
+        spark,
+        sf_dir,
+        {
+            "find": ["?seg", ("count", "?cust", "n")],
+            "where": [
+                (
+                    "customer",
+                    {
+                        "c_custkey": "?cust",
+                        "c_mktsegment": "?seg",
+                        "c_acctbal": "?bal",
+                    },
+                ),
+                (">", "?bal", "?minbal"),
+            ],
+            "in": ["?minbal", "?seg"],
+        },
+        args=[1000.0, ["BUILDING", "MACHINERY"]],
+    ).orderBy("seg")
+
+
+@query(
+    "datalog_rules_union",
+    oracle="""
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_partners
+    FROM (
+        SELECT c_nationkey AS nkey FROM customer WHERE c_acctbal > 4500.0
+        UNION
+        SELECT s_nationkey AS nkey FROM supplier WHERE s_acctbal > 4500.0
+    ) p
+    JOIN nation ON n_nationkey = p.nkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def datalog_rules_union_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """core2 `:rules`, multi-body: two definitions of one rule union
+    (customers and suppliers above a balance), invoked from `where`
+    and joined against nation.
+
+    The UNION dedups on nkey alone — the rule head is the single-var
+    relation, matching Datalog set semantics.
+    """
+    from core2_spark import datalog as dl
+
+    return dl.q(
+        spark,
+        sf_dir,
+        {
+            "find": ["?name", ("count", "?nkey", "n_partners")],
+            "where": [
+                ("rich_partner_nation", "?nkey"),
+                ("nation", {"n_nationkey": "?nkey", "n_name": "?name"}),
+            ],
+            "rules": [
+                (
+                    "rich_partner_nation",
+                    ["?nkey"],
+                    [
+                        ("customer", {"c_nationkey": "?nkey", "c_acctbal": "?b"}),
+                        (">", "?b", 4500.0),
+                    ],
+                ),
+                (
+                    "rich_partner_nation",
+                    ["?nkey"],
+                    [
+                        ("supplier", {"s_nationkey": "?nkey", "s_acctbal": "?b"}),
+                        (">", "?b", 4500.0),
+                    ],
+                ),
+            ],
+        },
+    ).orderBy("name").withColumnRenamed("name", "n_name")
+
+
+@query(
+    "datalog_rules_recursive",
+    oracle="""
+    WITH RECURSIVE anc AS (
+        SELECT n_nationkey AS child, n_nationkey // 2 AS ancestor
+        FROM nation WHERE n_nationkey >= 1
+        UNION
+        SELECT a.child, p.n_nationkey // 2 AS ancestor
+        FROM anc a JOIN nation p ON a.ancestor = p.n_nationkey
+        WHERE p.n_nationkey >= 1
+    )
+    SELECT child, ancestor FROM anc
+    """,
+)
+def datalog_rules_recursive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """core2 recursive `:rules`: ancestor closure over the derived
+    parent(n, n div 2) relation, written as a base body + a
+    self-invoking body with a `bind` function expression — compiled to
+    the same semi-naive fixpoint as `recursion_fixpoint_ancestors`."""
+    from core2_spark import datalog as dl
+
+    return dl.q(
+        spark,
+        sf_dir,
+        {
+            "find": ["?c", "?a"],
+            "where": [("anc", "?c", "?a")],
+            "rules": [
+                (
+                    "anc",
+                    ["?c", "?a"],
+                    [
+                        ("nation", {"n_nationkey": "?c"}),
+                        (">=", "?c", 1),
+                        ("bind", "?a", ("div", "?c", 2)),
+                    ],
+                ),
+                (
+                    "anc",
+                    ["?c", "?a"],
+                    [
+                        ("anc", "?c", "?m"),
+                        ("nation", {"n_nationkey": "?m"}),
+                        (">=", "?m", 1),
+                        ("bind", "?a", ("div", "?m", 2)),
+                    ],
+                ),
+            ],
+        },
+    ).select(F.col("c").alias("child"), F.col("a").alias("ancestor"))
