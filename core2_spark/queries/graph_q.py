@@ -1,0 +1,153 @@
+"""WatDiv-shaped graph-pattern queries (SURVEY.md §5.6).
+
+The reference benchmarked graph workloads with WatDiv [upstream: core2
+`modules/bench`] — star, linear-path, and complex join topologies over
+an entity graph.  core2 answers those through Datalog triple patterns
+compiled onto the same relational algebra (reference README.adoc:15);
+we do the identical thing: the star and path queries below are written
+in the engine's Datalog DSL (`datalog.py`) and compile to the same
+broadcast/shuffle join plans Catalyst gives SQL, checked against the
+DuckDB oracle like every other query.
+
+Scale notes: star centers broadcast their small satellites; the
+linear path chains shuffles on each hop key (the unavoidable shape);
+the co-occurrence self-join aggregates within order groups before
+pairing, so pair explosion is bounded by per-order line counts, not
+table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from core2_spark import datalog as dl
+from core2_spark.catalog import load_tables
+from core2_spark.queries.registry import query
+
+
+@query(
+    "graph_star_supplier_profile",
+    oracle="""
+    SELECT s.s_name, n.n_name,
+           CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS n_parts
+    FROM supplier s
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_acctbal > 3000.0
+    GROUP BY s.s_name, n.n_name
+    ORDER BY n_parts DESC, s_name
+    LIMIT 20
+    """,
+)
+def graph_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WatDiv star shape: one center entity (supplier) with edges to
+    its nation and shipped parts, via Datalog triple patterns."""
+    return (
+        dl.q(
+            spark,
+            sf_dir,
+            {
+                "find": ["?sname", "?nname", ("count-distinct", "?part", "n_parts")],
+                "where": [
+                    (
+                        "supplier",
+                        {
+                            "s_suppkey": "?s",
+                            "s_name": "?sname",
+                            "s_nationkey": "?nk",
+                            "s_acctbal": "?bal",
+                        },
+                    ),
+                    ("nation", {"n_nationkey": "?nk", "n_name": "?nname"}),
+                    ("lineitem", {"l_suppkey": "?s", "l_partkey": "?part"}),
+                    (">", "?bal", 3000.0),
+                ],
+            },
+        )
+        .select(
+            F.col("sname").alias("s_name"),
+            F.col("nname").alias("n_name"),
+            "n_parts",
+        )
+        .orderBy(F.col("n_parts").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "graph_linear_path_4hop",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_paths,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'REGION_0'
+      AND l.l_quantity > 45
+    """,
+)
+def graph_linear_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WatDiv linear shape: 4-hop path region→nation→customer→orders→
+    lineitem with endpoint filters, as chained Datalog patterns."""
+    return dl.q(
+        spark,
+        sf_dir,
+        {
+            "find": [("count", "?l", "n_paths"), ("count-distinct", "?c", "n_customers")],
+            "where": [
+                ("region", {"r_regionkey": "?r", "r_name": "REGION_0"}),
+                ("nation", {"n_regionkey": "?r", "n_nationkey": "?n"}),
+                ("customer", {"c_nationkey": "?n", "c_custkey": "?c"}),
+                ("orders", {"o_custkey": "?c", "o_orderkey": "?o"}),
+                (
+                    "lineitem",
+                    {"l_orderkey": "?o", "l_linenumber": "?l", "l_quantity": "?q"},
+                ),
+                (">", "?q", 45),
+            ],
+        },
+    )
+
+
+@query(
+    "graph_copurchase_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 25
+    """,
+)
+def graph_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence join (the graph-analytics edge-building shape):
+    part pairs appearing in the same order.  Dedup to distinct
+    (order, part) BEFORE the self-join so pair counts are per-order
+    and the join fan-out is bounded by order size; the `<` predicate
+    halves the pair space.  At 100 TB the same plan holds: one shuffle
+    on l_orderkey, per-order pair generation, re-aggregate on pairs."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = op.select(
+        F.col("l_orderkey").alias("b_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("l_orderkey") == F.col("b_orderkey"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), F.col("part_a"), F.col("part_b"))
+        .limit(25)
+    )

@@ -68,6 +68,7 @@ def _ensure_loaded() -> None:
         aggregates,
         extras_q,
         functions_q,
+        graph_q,
         joins_q,
         llm_q,
         nested,
