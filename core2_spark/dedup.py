@@ -91,6 +91,7 @@ def minhash_candidate_pairs(
     k: int = 8,
     rows_per_band: int = 2,
     block_cols: tuple[str, ...] = (),
+    items_fn=token_set,
 ) -> DataFrame:
     """LSH candidate pairs (a < b): documents sharing ≥1 band bucket
     (and every ``block_cols`` blocking key, e.g. language).
@@ -105,7 +106,7 @@ def minhash_candidate_pairs(
     sigs = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
-        *minhash_signature(token_set(F.col(text_col)), k),
+        *minhash_signature(items_fn(F.col(text_col)), k),
     )
     n_bands = k // rows_per_band
     banded = sigs.select(
@@ -148,13 +149,16 @@ def minhash_near_duplicates(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     block_cols: tuple[str, ...] = (),
+    items_fn=token_set,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified by exact Jaccard
     ≥ threshold (raw value, rounded only for display).  Returns
     (a_id, b_id, jaccard_sim)."""
-    pairs = minhash_candidate_pairs(df, id_col, text_col, k, rows_per_band, block_cols)
+    pairs = minhash_candidate_pairs(
+        df, id_col, text_col, k, rows_per_band, block_cols, items_fn
+    )
     sets_df = df.select(
-        F.col(id_col), token_set(F.col(text_col)).alias("items")
+        F.col(id_col), items_fn(F.col(text_col)).alias("items")
     )
     a_sets = sets_df.select(F.col(id_col).alias("a_id"), F.col("items").alias("a_items"))
     b_sets = sets_df.select(F.col(id_col).alias("b_id"), F.col("items").alias("b_items"))

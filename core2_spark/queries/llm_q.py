@@ -104,9 +104,14 @@ def dedup_exact_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(
+    items_expr: str = "list_distinct(string_split(trim(text), ' '))",
+    threshold: float = 0.5,
+    sim_alias: str = "jaccard_sim",
+) -> str:
     """Build the DuckDB twin of dedup.minhash_near_duplicates with
-    k=8 seeds, 4 bands of 2 rows, Jaccard threshold 0.5."""
+    k=8 seeds, 4 bands of 2 rows, over any SQL item-set expression
+    (word tokens by default, trigram shingles for the n-gram variant)."""
     mh_cols = ",\n          ".join(
         "list_aggregate(list_transform(items, x -> md5('{i}:' || x)), 'min') AS mh{i}".format(
             i=i
@@ -124,7 +129,7 @@ def _minhash_oracle() -> str:
     WITH {_AUG_SQL.strip()},
     toks AS (
         SELECT doc_id, lang, source,
-               list_distinct(string_split(trim(text), ' ')) AS items
+               {items_expr} AS items
         FROM aug
     ),
     sigs AS (
@@ -143,12 +148,12 @@ def _minhash_oracle() -> str:
     SELECT p.a_id, p.b_id,
            ROUND(CAST(len(list_intersect(ta.items, tb.items)) AS DOUBLE) /
                  len(list_distinct(list_concat(ta.items, tb.items)))
-                 + 0.000000001, 6) AS jaccard_sim
+                 + 0.000000001, 6) AS {sim_alias}
     FROM pairs p
     JOIN toks ta ON ta.doc_id = p.a_id
     JOIN toks tb ON tb.doc_id = p.b_id
     WHERE CAST(len(list_intersect(ta.items, tb.items)) AS DOUBLE) /
-          len(list_distinct(list_concat(ta.items, tb.items))) >= 0.5
+          len(list_distinct(list_concat(ta.items, tb.items))) >= {threshold}
     """
 
 
@@ -690,3 +695,34 @@ def text_tfidf_distinctive_term_q(spark: SparkSession, sf_dir: str) -> DataFrame
         .drop("rn")
         .orderBy("doc_id")
     )
+
+
+_TRIGRAM_ITEMS_SQL = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(length(text) - 2, 1)), "
+    "i -> substr(text, CAST(i AS INT), 3)))"
+)
+
+
+@query(
+    "dedup_ngram_jaccard_lsh",
+    oracle=_minhash_oracle(
+        items_expr=_TRIGRAM_ITEMS_SQL, threshold=0.55, sim_alias="trigram_jaccard"
+    ),
+)
+def dedup_ngram_jaccard_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for `dedup_ngram_jaccard` (SURVEY §8 trade-off,
+    now closed): MinHash signatures over the SAME trigram shingles
+    prefilter candidates through LSH bucket equi-joins, and the exact
+    trigram Jaccard runs only on candidates — linear signature scan +
+    bucket join instead of quadratic pairs within every block.  Same
+    ≥0.55 verification threshold; fully oracle-verified end-to-end."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.minhash_near_duplicates(
+        _augmented_docs(d),
+        k=8,
+        rows_per_band=2,
+        threshold=0.55,
+        block_cols=("lang", "source"),
+        items_fn=lambda c: dedup.ngram_set(c, 3),
+    ).withColumnRenamed("jaccard_sim", "trigram_jaccard")
