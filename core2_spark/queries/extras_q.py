@@ -675,3 +675,84 @@ def datalog_rules_recursive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         },
     ).select(F.col("c").alias("child"), F.col("a").alias("ancestor"))
+
+
+@query(
+    "external_arrow_source",
+    oracle="""
+    SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r_name
+    """,
+)
+def external_arrow_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.1 `:arrow` external data (SQL ARROW_TABLE): the region
+    table round-trips through an Arrow IPC file and is queried like any
+    relation — the oracle reads the same rows from parquet, so the
+    comparison proves IPC fidelity end-to-end."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.feather
+
+    from core2_spark.catalog import load_tables
+    from core2_spark.sources import read_arrow_ipc
+
+    region = load_tables(spark, sf_dir, ("region", "nation"))["region"]
+    out_dir = "/root/repo/_data/arrow_ipc"
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "region.arrow")
+    pa.feather.write_feather(
+        pa.Table.from_pandas(region.toPandas()), path, compression="uncompressed"
+    )
+    arrow_region = read_arrow_ipc(spark, path)
+    nation = load_tables(spark, sf_dir, ("nation",))["nation"]
+    return (
+        nation.join(
+            F.broadcast(arrow_region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_nations"))
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "skew_salted_hot_key_agg",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                 + 0.000000001, 4) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def skew_salted_hot_key_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew handling (SURVEY scale rules): 3 hot grouping keys spread
+    over 8 salt buckets — partial (key, salt) aggregate then final per
+    key.  Identical result to the plain GROUP BY oracle; the payoff is
+    plan shape under pathological skew, where one hot key would
+    otherwise pin a single reducer."""
+    from core2_spark.catalog import load_tables
+
+    t = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    salt = F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(8))
+    partial = (
+        t.withColumn("_salt", salt)
+        .groupBy("l_returnflag", "_salt")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_q"),
+        )
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("_n").alias("n"),
+            F.round(F.sum("_q").cast("double") + 1e-9, 4).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
