@@ -96,7 +96,21 @@ def random_query(draw):
     group_col = draw(st.sampled_from([c for c, k in cols if k == "str"]))
     int_col = draw(st.sampled_from([c for c, k in cols if k == "int"]))
     num_col = draw(st.sampled_from([c for c, k in cols if k == "num"]))
-    shape = draw(st.sampled_from(["agg", "agg", "project", "having_limit", "join"]))
+    shape = draw(
+        st.sampled_from(
+            [
+                "agg",
+                "agg",
+                "project",
+                "having_limit",
+                "join",
+                "left_join",
+                "union_all",
+                "case_bucket",
+                "distinct_count",
+            ]
+        )
+    )
     if shape == "agg":
         return f"""
         SELECT {group_col} AS g,
@@ -129,6 +143,50 @@ def random_query(draw):
         FROM {lt} JOIN {rt} ON {cond}
         WHERE {lpred}
         GROUP BY {r_str}
+        """
+    if shape == "left_join":
+        (rt, lt) = draw(st.sampled_from(sorted(JOINS)))
+        cond = JOINS[(rt, lt)]
+        lpred = draw(predicates(lt))
+        l_str = draw(st.sampled_from([c for c, k in TABLES[lt] if k == "str"]))
+        r_key = TABLES[rt][0][0]
+        return f"""
+        SELECT {l_str} AS g,
+               COUNT({r_key}) AS n_matched,
+               COUNT(*) AS n
+        FROM {lt} LEFT JOIN {rt} ON {cond}
+        WHERE {lpred}
+        GROUP BY {l_str}
+        """
+    if shape == "union_all":
+        pred2 = draw(predicates(table))
+        return f"""
+        SELECT g, COUNT(*) AS n FROM (
+            SELECT {group_col} AS g FROM {table} WHERE {pred}
+            UNION ALL
+            SELECT {group_col} AS g FROM {table} WHERE {pred2}
+        ) u
+        GROUP BY g
+        """
+    if shape == "case_bucket":
+        mod = draw(st.integers(2, 5))
+        return f"""
+        SELECT CASE WHEN {int_col} % {mod} = 0 THEN 'zero'
+                    WHEN {int_col} % {mod} = 1 THEN 'one'
+                    ELSE 'rest' END AS g,
+               COUNT(*) AS n,
+               ROUND(MAX({num_col}), 4) AS mx
+        FROM {table}
+        WHERE {pred}
+        GROUP BY 1
+        """
+    if shape == "distinct_count":
+        return f"""
+        SELECT {group_col} AS g,
+               CAST(COUNT(DISTINCT {int_col}) AS BIGINT) AS ndv
+        FROM {table}
+        WHERE {pred}
+        GROUP BY {group_col}
         """
     return f"""
     SELECT {int_col} AS k, {group_col} AS g, ROUND({num_col}, 4) AS v
