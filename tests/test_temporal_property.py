@@ -124,3 +124,59 @@ def test_asof_matches_naive_oracle(spark, rows, s_off, t_off):
             by_id[h["id"]] = h
     want_latest = {(h["id"], h["row_idx"]) for h in by_id.values()}
     assert got_latest == want_latest
+
+
+# ---------------------------------------------------------------------------
+# asof_join vs pandas merge_asof (property-based)
+# ---------------------------------------------------------------------------
+
+asof_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100)),  # (key, ts)
+    min_size=1,
+    max_size=25,
+)
+asof_right = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(-999, 999)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(left=asof_left, right=asof_right)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """operators.asof_join (union + ignore-nulls window) must agree
+    with pandas.merge_asof (backward, inclusive) on random keyed
+    series — including same-instant ties and keys absent from one
+    side."""
+    import pandas as pd
+
+    from core2_spark.operators.asof_join import asof_join
+
+    # dedupe right per (key, ts): asof_join's documented precondition
+    rmap = {}
+    for k, ts, v in right:
+        rmap[(k, ts)] = v
+    right_rows = [(k, ts, v) for (k, ts), v in sorted(rmap.items())]
+
+    ldf = spark.createDataFrame(left, ["k", "ts"])
+    rdf = spark.createDataFrame(right_rows, ["k", "ts", "v"])
+    got = {
+        (r["k"], r["ts"], r["v"])
+        for r in asof_join(ldf, rdf, "ts", ["k"], ["v"]).collect()
+    }
+
+    lpd = pd.DataFrame(left, columns=["k", "ts"]).sort_values("ts", kind="stable")
+    rpd = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values(
+        "ts", kind="stable"
+    )
+    merged = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="backward")
+    want = {
+        (int(r.k), int(r.ts), None if pd.isna(r.v) else int(r.v))
+        for r in merged.itertuples(index=False)
+    }
+    assert got == want
