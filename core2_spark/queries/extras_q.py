@@ -756,3 +756,64 @@ def skew_salted_hot_key_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "dynamic_variant_union_legs",
+    oracle="""
+    WITH docs AS (
+        SELECT o_orderkey AS id, o_totalprice AS val_f64, NULL AS val_str
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey AS id, NULL AS val_f64, o_orderpriority AS val_str
+        FROM orders WHERE o_orderkey % 3 = 1
+    )
+    SELECT
+        CASE WHEN val_f64 IS NOT NULL THEN 'f64' ELSE 'str' END AS leg,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        ROUND(CAST(SUM(CAST(COALESCE(val_f64, 0) AS DECIMAL(38,6)))
+              AS DOUBLE) + 0.000000001, 4) AS sum_f64,
+        COALESCE(MAX(val_str), '') AS max_str
+    FROM docs
+    GROUP BY 1
+    ORDER BY leg
+    """,
+)
+def dynamic_variant_union_legs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §1.2 dense-union columns, oracle-checked end-to-end: two
+    document batches disagree on `val`'s type (double vs string — not
+    promotable), so `dynamics.normalize_frames` routes them into the
+    variant struct (one nullable leg per type, exactly one non-null);
+    the query then dispatches per leg like core2's union-leg access."""
+    from core2_spark.catalog import load_tables
+    from core2_spark.dynamics import normalize_frames, variant_leg
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    batch_f64 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("val")
+    )
+    batch_str = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        F.col("o_orderkey").alias("id"), F.col("o_orderpriority").alias("val")
+    )
+    docs = normalize_frames([batch_f64, batch_str])
+    return (
+        docs.select(
+            F.when(variant_leg("val", "f64").isNotNull(), "f64")
+            .otherwise("str")
+            .alias("leg"),
+            variant_leg("val", "f64").alias("v_f64"),
+            variant_leg("val", "str").alias("v_str"),
+        )
+        .groupBy("leg")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(
+                F.sum(F.coalesce(F.col("v_f64"), F.lit(0.0)).cast("decimal(38,6)"))
+                .cast("double")
+                + 1e-9,
+                4,
+            ).alias("sum_f64"),
+            F.coalesce(F.max("v_str"), F.lit("")).alias("max_str"),
+        )
+        .orderBy("leg")
+    )
