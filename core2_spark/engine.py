@@ -140,6 +140,20 @@ class Engine:
             touched.add(op.table)
         return acquire_basis(self._all_tables(), t)
 
+    def sql_dml(
+        self,
+        statement: str,
+        tx_time: str | datetime | None = None,
+        id_col: str = "id",
+    ) -> Basis:
+        """Execute one SQL DML statement (INSERT/UPDATE/DELETE/ERASE —
+        core2 runs SQL DML deterministically at index time) as a
+        transaction; returns the basis at which it is visible.  See
+        sql_dml.py for the supported dialect."""
+        from core2_spark.sql_dml import dml_to_ops
+
+        return self.submit_tx(dml_to_ops(self, statement, id_col), tx_time)
+
     def _all_tables(self) -> dict[str, str]:
         return {
             name: self._table_path(name)
