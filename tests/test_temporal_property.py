@@ -180,3 +180,44 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         for r in merged.itertuples(index=False)
     }
     assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(left=asof_left, right=asof_right, tol=st.one_of(st.none(), st.integers(0, 30)))
+def test_asof_join_forward_and_tolerance_match_pandas(spark, left, right, tol):
+    """direction='forward' and integer tolerance must agree with
+    pandas.merge_asof(direction='forward', tolerance=...)."""
+    import pandas as pd
+
+    from core2_spark.operators.asof_join import asof_join
+
+    rmap = {}
+    for k, ts, v in right:
+        rmap[(k, ts)] = v
+    right_rows = [(k, ts, v) for (k, ts), v in sorted(rmap.items())]
+
+    ldf = spark.createDataFrame(left, ["k", "ts"])
+    rdf = spark.createDataFrame(right_rows, ["k", "ts", "v"])
+    got = {
+        (r["k"], r["ts"], r["v"])
+        for r in asof_join(
+            ldf, rdf, "ts", ["k"], ["v"], direction="forward", tolerance=tol
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(left, columns=["k", "ts"]).sort_values("ts", kind="stable")
+    rpd = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values(
+        "ts", kind="stable"
+    )
+    merged = pd.merge_asof(
+        lpd, rpd, on="ts", by="k", direction="forward", tolerance=tol
+    )
+    want = {
+        (int(r.k), int(r.ts), None if pd.isna(r.v) else int(r.v))
+        for r in merged.itertuples(index=False)
+    }
+    assert got == want
