@@ -817,3 +817,50 @@ def dynamic_variant_union_legs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("leg")
     )
+
+
+@query(
+    "asof_join_forward_tolerance",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, date_trunc('second', ts) AS ts
+        FROM events WHERE event_type = 'click'
+    ),
+    buys AS (
+        SELECT user_id, date_trunc('second', ts) AS ts,
+               MAX(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id, c.ts AS ts,
+           CASE WHEN b.ts <= c.ts + INTERVAL 1 HOUR
+                THEN b.purchase_id END AS purchase_id
+    FROM clicks c ASOF LEFT JOIN buys b
+      ON c.user_id = b.user_id AND c.ts <= b.ts
+    """,
+)
+def asof_join_forward_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance (click→next-purchase attribution
+    within 1 hour) — the direction/tolerance extension of asof_join,
+    checked against DuckDB's forward ASOF JOIN + tolerance CASE."""
+    from core2_spark.operators.asof_join import asof_join
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    sec = F.date_trunc("second", F.col("ts"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", sec.alias("ts")
+    )
+    buys = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", sec.alias("ts"))
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    return asof_join(
+        clicks,
+        buys,
+        "ts",
+        ["user_id"],
+        ["purchase_id"],
+        direction="forward",
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
