@@ -133,3 +133,38 @@ def structured_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from core2_spark.streaming.events import run_tumbling_batch
 
     return run_tumbling_batch(spark, sf_dir)
+
+
+@query(
+    "stream_interval_join_batch_twin",
+    oracle="""
+    SELECT p.event_id AS p_id, e.event_id AS e_id
+    FROM events p JOIN events e
+      ON p.user_id = e.user_id
+     AND e.ts <= p.ts
+     AND e.ts >  p.ts - INTERVAL 10 MINUTE
+    WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+    """,
+)
+def stream_interval_join_batch_twin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (tests/test_streaming.py::test_stream_stream_join_matches_batch —
+    purchases joined to the same user's errors in the preceding 10
+    minutes).  The streaming form adds watermarks on both sides; the
+    join condition and result set are identical, which is exactly the
+    property the streaming test asserts."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("e_id"),
+    )
+    return p.join(
+        e,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") <= F.col("p_ts"))
+        & (F.col("e_ts") > F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+    ).select("p_id", "e_id")
