@@ -45,14 +45,111 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# Driver-gate priority: the round-1 correctness gate truncated at the
+# first ~50 registry entries in insertion order, so micro-variant
+# aggregates consumed slots while every TPC-H/join/temporal flagship
+# went driver-unchecked.  all_queries()/all_oracles() therefore emit
+# this explicit priority prefix first (flagship suites, then one
+# representative per operator family), falling back to registration
+# order for the tail.  Any prefix of the returned dict is then a
+# maximally-informative correctness sample.
+_PRIORITY: list[str] = [
+    # TPC-H 22-query suite (SURVEY §5.4) — the headline relational surface.
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_predicate",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    # Join family (SURVEY §2.3) — all eight physical/logical shapes.
+    "join_inner_equi",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_theta_nonequi",
+    "join_nullsafe_equal",
+    # Bitemporal visibility (SURVEY §2.2/§2.8) — the reference's core.
+    "temporal_asof_system",
+    "temporal_asof_bitemporal",
+    "temporal_system_from_to",
+    "temporal_app_from_to",
+    "temporal_latest_versions",
+    "temporal_rectangle_resolution",
+    "period_predicates",
+    # LLM-pipeline flagships.
+    "dedup_exact_survivors",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_lsh",
+    "knn_brute_force_cosine",
+    "corpus_curation_pipeline",
+    # One representative per remaining family.
+    "window_topk_per_group",
+    "window_distribution",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "agg_basic",
+    "agg_rollup",
+    "set_union_all",
+    "set_except_all",
+    "orderby_multi_key_limit",
+    "unwind_explode",
+    "array_higher_order",
+    "json_dynamic_access",
+    "subquery_not_in_3vl",
+    "apply_correlated_scalar",
+    "recursion_fixpoint_ancestors",
+    "datalog_rules_recursive",
+    "asof_join_enrichment",
+    "skew_salted_hot_key_agg",
+    "grouped_map_pandas",
+    "dynamic_variant_union_legs",
+    "null_three_valued_logic",
+    "cast_functions",
+    "string_regex_functions",
+    "datetime_construction",
+    "interval_arithmetic",
+    "pivot_sum_values",
+    "external_csv_source",
+    "table_literal_values",
+    "graph_linear_path_4hop",
+    "ts_last_point_per_device",
+    "text_quality_stats",
+    "ts_hourly_rollup_daily_peak",
+]
+
+
+def _priority_ordered(mapping: dict[str, object]) -> dict[str, object]:
+    head = {n: mapping[n] for n in _PRIORITY if n in mapping}
+    tail = {n: v for n, v in mapping.items() if n not in head}
+    return {**head, **tail}
+
+
 def all_queries() -> dict[str, QueryFn]:
     _ensure_loaded()
-    return dict(_QUERIES)
+    return _priority_ordered(_QUERIES)  # type: ignore[return-value]
 
 
 def all_oracles() -> dict[str, str]:
     _ensure_loaded()
-    return dict(_ORACLES)
+    return _priority_ordered(_ORACLES)  # type: ignore[return-value]
 
 
 _LOADED = False

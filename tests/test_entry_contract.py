@@ -18,6 +18,35 @@ def test_registry_shape():
     assert all(isinstance(sql, str) and "SELECT" in sql.upper() for sql in os_.values())
 
 
+def test_priority_prefix_covers_flagships():
+    """The driver's correctness gate truncated at ~50 entries in r1;
+    the registry now emits a priority prefix so any prefix certifies
+    the flagship surface.  Pin that contract."""
+    from core2_spark.queries.registry import _PRIORITY, all_queries
+
+    names = list(all_queries())
+    # every priority name actually exists (catches typos/renames)
+    missing = [n for n in _PRIORITY if n not in names]
+    assert not missing, missing
+    # and the priority list is exactly the head of the ordering
+    assert names[: len(_PRIORITY)] == _PRIORITY
+    first50 = set(names[:50])
+    for n in [f"tpch_q{i}" for i in range(1, 23)]:
+        assert any(q.startswith(n + "_") for q in first50), n
+    for n in [
+        "join_inner_equi",
+        "join_full_outer",
+        "join_anti",
+        "join_theta_nonequi",
+        "temporal_asof_bitemporal",
+        "temporal_rectangle_resolution",
+        "dedup_exact_survivors",
+        "dedup_minhash_lsh",
+        "knn_brute_force_cosine",
+    ]:
+        assert n in first50, n
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
