@@ -81,6 +81,11 @@ class Engine:
         self.root = root
         self._epoch = datetime.fromisoformat(epoch)
         self._tx_counter = 0
+        # Clock of the last committed transaction (explicit or
+        # logical-clock-derived): the default read basis.  Using the
+        # counter alone would let db() predate an explicitly-timed
+        # transaction and silently see an empty current state.
+        self._last_tx_time: datetime | None = None
         os.makedirs(root, exist_ok=True)
 
     def _table_path(self, name: str) -> str:
@@ -88,13 +93,28 @@ class Engine:
 
     def _next_tx_time(self, tx_time: str | datetime | None) -> datetime:
         """Totally-ordered logical transaction clock (deterministic:
-        epoch + counter seconds unless an explicit time is given)."""
+        epoch + counter seconds unless an explicit time is given).
+        The total order is ENFORCED: the log position is the basis, so
+        a transaction time not after its predecessor's is an error,
+        and a derived time always advances past any explicit one."""
         self._tx_counter += 1
         if tx_time is None:
-            return self._epoch + timedelta(seconds=self._tx_counter)
-        return (
-            datetime.fromisoformat(tx_time) if isinstance(tx_time, str) else tx_time
-        )
+            t = self._epoch + timedelta(seconds=self._tx_counter)
+            if self._last_tx_time is not None and t <= self._last_tx_time:
+                t = self._last_tx_time + timedelta(seconds=1)
+        else:
+            t = (
+                datetime.fromisoformat(tx_time)
+                if isinstance(tx_time, str)
+                else tx_time
+            )
+            if self._last_tx_time is not None and t <= self._last_tx_time:
+                raise ValueError(
+                    f"tx_time {t} is not after the last transaction "
+                    f"({self._last_tx_time}): the log is totally ordered"
+                )
+        self._last_tx_time = t
+        return t
 
     # -- §3.3 submit-tx ------------------------------------------------
     def submit_tx(
@@ -120,16 +140,22 @@ class Engine:
                 expanded.append(op)
         ops = expanded
         touched: set[str] = set()
-        for op in ops:
+        for seq, op in enumerate(ops):
             path = self._table_path(op.table)
+            # All ops share one tx_time; the op's position in the
+            # transaction is the within-tx order (later write wins).
             if isinstance(op, Put):
                 bt.put(
                     op.rows, tx_time=t, app_start=op.app_start, app_end=op.app_end
-                ).withColumn(bt.TOMBSTONE, F.lit(False)).write.option(
+                ).withColumn(bt.TOMBSTONE, F.lit(False)).withColumn(
+                    bt.TX_SEQ, F.lit(seq)
+                ).write.option(
                     "mergeSchema", "true"
                 ).mode("append").parquet(path)
             elif isinstance(op, Delete):
-                bt.delete_tombstone(op.ids, op.id_col, t).write.option(
+                bt.delete_tombstone(op.ids, op.id_col, t).withColumn(
+                    bt.TX_SEQ, F.lit(seq)
+                ).write.option(
                     "mergeSchema", "true"
                 ).mode("append").parquet(path)
             elif isinstance(op, Erase):
@@ -162,9 +188,12 @@ class Engine:
         }
 
     def db(self, basis: Basis | None = None) -> "Snapshot":
+        """Latest snapshot: basis clock = the last committed tx_time
+        (never a counter-derived guess, which could predate an
+        explicitly-timed transaction and read an empty state)."""
         if basis is None:
             basis = acquire_basis(
-                self._all_tables(), self._epoch + timedelta(seconds=self._tx_counter)
+                self._all_tables(), self._last_tx_time or self._epoch
             )
         return Snapshot(self, basis)
 
@@ -197,7 +226,7 @@ class Snapshot:
         s = system_time if system_time is not None else self.basis.current_time
         t = app_time if app_time is not None else self.basis.current_time
         visible = bt.resolve_as_of(versions, s, t, "id")
-        drop = [*bt.TEMPORAL_COLS, bt.TOMBSTONE]
+        drop = [*bt.TEMPORAL_COLS, bt.TOMBSTONE, bt.TX_SEQ]
         return visible.drop(*[c for c in drop if c in visible.columns])
 
     # -- §3.1 SQL ------------------------------------------------------
@@ -206,20 +235,27 @@ class Snapshot:
 
         The SQL:2011 temporal dialect is enabled: table references may
         carry ``FOR SYSTEM_TIME AS OF/FROM..TO/ALL`` (and
-        APPLICATION_TIME) clauses, which resolve against the FULL
-        version history at this basis; bare references see the
-        current-state view."""
+        APPLICATION_TIME) clauses, which resolve against the version
+        history at this basis (delete markers close periods, then drop
+        out — a FOR query never returns the tombstone row itself).
+        Bare references ALWAYS see the current-state view, even when
+        the same table also appears with a FOR clause elsewhere in the
+        query (the history lives under an internal view name)."""
         from core2_spark.sql_dialect import _FOR_RE, rewrite_temporal_sql
 
         temporal_tables = {
             m.group("table") for m in _FOR_RE.finditer(query)
         }
+        table_map: dict[str, str] = {}
         for name in self.basis.manifests:
+            self.table(name, **asof).createOrReplaceTempView(name)
             if name in temporal_tables:
-                self.history(name).createOrReplaceTempView(name)
-            else:
-                self.table(name, **asof).createOrReplaceTempView(name)
-        return self.engine.spark.sql(rewrite_temporal_sql(query))
+                hist_name = f"{name}__sys_history"
+                bt.without_tombstones(self.history(name)).drop(
+                    bt.TX_SEQ
+                ).createOrReplaceTempView(hist_name)
+                table_map[name] = hist_name
+        return self.engine.spark.sql(rewrite_temporal_sql(query, table_map))
 
     # -- §3.2 Datalog --------------------------------------------------
     def q(self, query: dict, args: list | None = None, **asof) -> DataFrame:

@@ -40,6 +40,14 @@ APP_START = "app_time_start"
 APP_END = "app_time_end"
 TEMPORAL_COLS = (SYS_START, SYS_END, APP_START, APP_END)
 
+# Monotonic position of an op WITHIN one transaction.  All ops in a
+# submit_tx share one tx_time, so system_time_start alone cannot order
+# two Puts (or a Put and a Delete) touching the same id in the same
+# transaction; the reference's row-id rule is "later write wins".
+# Writers stamp it (Engine.submit_tx); readers use it as the default
+# tiebreaker wherever versions are ordered.
+TX_SEQ = "_tx_seq"
+
 
 def _ts(value: str | datetime | Column) -> Column:
     if isinstance(value, Column):
@@ -76,7 +84,10 @@ def close_system_versions(versions: DataFrame, id_col: str = "id") -> DataFrame:
     This is the read-side equivalent of core2's indexer updating its
     temporal index on ingest.
     """
-    w = Window.partitionBy(id_col).orderBy(F.col(SYS_START).asc())
+    order = [F.col(SYS_START).asc()]
+    if TX_SEQ in versions.columns:
+        order.append(F.col(TX_SEQ).asc())  # same-tx versions: write order
+    w = Window.partitionBy(id_col).orderBy(*order)
     return versions.withColumn(
         SYS_END, F.coalesce(F.lead(SYS_START).over(w), _ts(END_OF_TIME))
     )
@@ -128,13 +139,19 @@ def scan_all_time(versions: DataFrame) -> DataFrame:
 
 
 def latest_versions(
-    versions: DataFrame, id_col: str = "id", tiebreak_cols: tuple[str, ...] = ()
+    versions: DataFrame,
+    id_col: str = "id",
+    tiebreak_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Newest system-time version per id (the "current state" view) via
     key-partitioned row_number — one shuffle on id, no index needed.
 
     ``tiebreak_cols`` break equal system_time_start deterministically
-    (core2 uses the monotonic row-id: the later write wins)."""
+    (core2 uses the monotonic row-id: the later write wins).  Default
+    (None): the engine's intra-transaction sequence column ``_tx_seq``
+    when present, else no tiebreak."""
+    if tiebreak_cols is None:
+        tiebreak_cols = (TX_SEQ,) if TX_SEQ in versions.columns else ()
     order = [F.col(SYS_START).desc()] + [F.col(c).desc() for c in tiebreak_cols]
     w = Window.partitionBy(id_col).orderBy(*order)
     return (
@@ -152,7 +169,7 @@ def resolve_as_of(
     system_time: str | datetime | Column,
     app_time: str | datetime | Column,
     id_col: str = "id",
-    tiebreak_cols: tuple[str, ...] = (),
+    tiebreak_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Rectangle-correct bitemporal point query (core2's 2-D model):
     among versions KNOWN at S (system_time_start <= S) whose app period
@@ -193,6 +210,17 @@ def delete_tombstone(
     )
 
 
+def without_tombstones(versions: DataFrame) -> DataFrame:
+    """Row versions only — delete markers removed.  Apply AFTER
+    ``close_system_versions`` has let the markers close their
+    predecessors' system periods: SQL:2011 FOR SYSTEM_TIME queries
+    return row versions, never the delete marker itself (a marker row
+    would surface the deleted id with NULL data columns)."""
+    if TOMBSTONE in versions.columns:
+        return versions.filter(~F.coalesce(F.col(TOMBSTONE), F.lit(False)))
+    return versions
+
+
 def materialize_current(
     versions: DataFrame, path: str, id_col: str = "id"
 ) -> DataFrame:
@@ -203,7 +231,9 @@ def materialize_current(
     keep using the full version table; refresh after each ingest batch
     (cheap: one key-partitioned shuffle).
     """
-    current = latest_versions(close_system_versions(versions, id_col), id_col)
+    current = without_tombstones(
+        latest_versions(close_system_versions(versions, id_col), id_col)
+    )
     current.write.mode("overwrite").parquet(path)
     return current
 
