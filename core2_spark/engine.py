@@ -87,6 +87,27 @@ class Engine:
         # transaction and silently see an empty current state.
         self._last_tx_time: datetime | None = None
         os.makedirs(root, exist_ok=True)
+        self._recover_clock()
+
+    def _recover_clock(self) -> None:
+        """A re-opened Engine over an existing root must not reset the
+        transaction clock to the epoch — db() would silently read an
+        empty current state.  The committed data itself is the log:
+        recover max(system_time_start) across all tables."""
+        for name, path in self._all_tables().items():
+            try:
+                row = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(path)
+                    .agg(F.max(bt.SYS_START).alias("t"))
+                    .first()
+                )
+            except Exception:
+                continue
+            if row and row["t"] is not None:
+                t = row["t"]
+                if self._last_tx_time is None or t > self._last_tx_time:
+                    self._last_tx_time = t
 
     def _table_path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -159,8 +180,13 @@ class Engine:
                     "mergeSchema", "true"
                 ).mode("append").parquet(path)
             elif isinstance(op, Erase):
+                # mergeSchema: tombstone files carry a narrow schema;
+                # a plain read could silently drop data columns that
+                # only appear in a subset of files before the rewrite.
                 remaining = bt.erase(
-                    self.spark.read.parquet(path), op.ids, op.id_col
+                    self.spark.read.option("mergeSchema", "true").parquet(path),
+                    op.ids,
+                    op.id_col,
                 ).localCheckpoint(eager=True)
                 remaining.write.mode("overwrite").parquet(path)
             touched.add(op.table)
@@ -252,7 +278,7 @@ class Snapshot:
             if name in temporal_tables:
                 hist_name = f"{name}__sys_history"
                 bt.without_tombstones(self.history(name)).drop(
-                    bt.TX_SEQ
+                    bt.TX_SEQ, bt.TOMBSTONE
                 ).createOrReplaceTempView(hist_name)
                 table_map[name] = hist_name
         return self.engine.spark.sql(rewrite_temporal_sql(query, table_map))

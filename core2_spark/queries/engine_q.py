@@ -1,0 +1,130 @@
+"""Driver-gated queries routed through the Engine / Snapshot.sql path.
+
+The round-2 regression (Snapshot.sql raising TypeError) was invisible
+to the driver gate because no registered query touched `Engine`.  These
+queries close that hole: each one ingests deterministic rows derived
+from the `nation` fixture through `Engine.submit_tx` / `Engine.sql_dml`
+and reads the result back through `Snapshot.sql`, so the full ingest →
+bitemporal storage → SQL:2011-dialect read path gets a CORRECTNESS row
+every round.  The oracle reconstructs the expected state directly from
+`nation` — the engine's visibility rules (latest-covering-version wins,
+tombstones hide ids, FOR clauses read closed system periods) are simple
+enough at this fixture shape to express as plain SQL.
+
+Reference surface: README.adoc:13-15 (submit-tx, SQL at a basis);
+SURVEY.md §3.1/§3.3.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from core2_spark.queries.registry import query
+
+
+def _nation_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from core2_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("id"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("regionkey"),
+    )
+
+
+@query(
+    "engine_sql_time_travel",
+    oracle="""
+    SELECT n_nationkey AS id,
+           CASE WHEN n_nationkey % 3 = 0 THEN n_name || '_v2' ELSE n_name END
+               AS name_now,
+           n_name AS name_orig
+    FROM nation
+    WHERE n_nationkey % 5 <> 0
+    ORDER BY id
+    """,
+)
+def engine_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """submit_tx ingest (put, retroactive put, delete) → Snapshot.sql
+    joining a bare reference (current state) with a FOR SYSTEM_TIME AS
+    OF reference (pre-update state) on the same table — the exact shape
+    the round-2 regression broke."""
+    from core2_spark.engine import Delete, Engine, Put
+
+    nation = _nation_rows(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="engine_q_tt_"))
+    eng.submit_tx([Put("nations", nation)], tx_time="2024-01-01 00:00:01")
+    eng.submit_tx(
+        [
+            Put(
+                "nations",
+                nation.filter(F.col("id") % 3 == 0).withColumn(
+                    "name", F.concat(F.col("name"), F.lit("_v2"))
+                ),
+            )
+        ],
+        tx_time="2024-01-01 00:00:02",
+    )
+    eng.submit_tx(
+        [Delete("nations", nation.filter(F.col("id") % 5 == 0).select("id"))],
+        tx_time="2024-01-01 00:00:03",
+    )
+    return eng.db().sql(
+        """
+        SELECT n.id AS id, n.name AS name_now, h.name AS name_orig
+        FROM nations n
+        JOIN nations FOR SYSTEM_TIME AS OF TIMESTAMP '2024-01-01 00:00:01' h
+          ON n.id = h.id
+        ORDER BY n.id
+        """
+    )
+
+
+@query(
+    "engine_dml_roundtrip",
+    oracle="""
+    WITH base AS (
+        SELECT n_nationkey AS id, n_name AS name, n_regionkey AS regionkey
+        FROM nation
+        UNION ALL
+        SELECT n_nationkey + 100, n_name, n_regionkey
+        FROM nation WHERE n_regionkey = 0
+    ),
+    upd AS (
+        SELECT id,
+               CASE WHEN regionkey = 1 THEN name || '_upd' ELSE name END AS name,
+               regionkey
+        FROM base
+    )
+    SELECT id, name, regionkey FROM upd WHERE id % 7 <> 0 ORDER BY id
+    """,
+)
+def engine_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML pipeline through the engine log: INSERT…SELECT (reads
+    the snapshot via Snapshot.sql — the other red round-2 path), then
+    UPDATE and DELETE, then a bare Snapshot.sql read of final current
+    state.  Oracle replays the same edits in plain SQL over nation."""
+    from core2_spark.engine import Engine, Put
+
+    nation = _nation_rows(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="engine_q_dml_"))
+    eng.submit_tx([Put("nations", nation)], tx_time="2024-01-01 00:00:01")
+    eng.sql_dml(
+        "INSERT INTO nations "
+        "SELECT id + 100 AS id, name, regionkey FROM nations WHERE regionkey = 0",
+        tx_time="2024-01-01 00:00:02",
+    )
+    eng.sql_dml(
+        "UPDATE nations SET name = concat(name, '_upd') WHERE regionkey = 1",
+        tx_time="2024-01-01 00:00:03",
+    )
+    eng.sql_dml(
+        "DELETE FROM nations WHERE id % 7 = 0",
+        tx_time="2024-01-01 00:00:04",
+    )
+    return eng.db().sql(
+        "SELECT id, name, regionkey FROM nations ORDER BY id"
+    )

@@ -94,6 +94,9 @@ _PRIORITY: list[str] = [
     "temporal_latest_versions",
     "temporal_rectangle_resolution",
     "period_predicates",
+    # Engine path: ingest → bitemporal storage → Snapshot.sql (§3.1/§3.3).
+    "engine_sql_time_travel",
+    "engine_dml_roundtrip",
     # LLM-pipeline flagships.
     "dedup_exact_survivors",
     "dedup_minhash_lsh",
@@ -163,6 +166,7 @@ def _ensure_loaded() -> None:
     # Imports are side-effecting: each module's @query decorators register.
     from core2_spark.queries import (  # noqa: F401
         aggregates,
+        engine_q,
         extras_q,
         functions_q,
         graph_q,

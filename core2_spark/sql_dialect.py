@@ -74,9 +74,17 @@ def _axis_predicate(axis: str, m: re.Match) -> str | None:
     return f"{start_col} < TIMESTAMP '{hi}' AND {end_col} > TIMESTAMP '{lo}'"
 
 
-def rewrite_temporal_sql(sql: str) -> str:
+def rewrite_temporal_sql(sql: str, table_map: dict[str, str] | None = None) -> str:
     """Rewrite every `table FOR <axis> ...` reference into a filtered
-    subquery aliased to the table name."""
+    subquery aliased to the table name.
+
+    ``table_map`` redirects the rewritten subquery's FROM source (e.g.
+    ``{"trades": "trades__sys_history"}``): the engine registers the
+    current-state view under the bare name (temporal columns dropped)
+    and the full version history under an internal view name, so a
+    FOR-clause reference must read the history view while bare
+    references in the same query keep reading current state."""
+    table_map = table_map or {}
 
     def replace(match: re.Match) -> str:
         table = match.group("table")
@@ -86,6 +94,7 @@ def rewrite_temporal_sql(sql: str) -> str:
             trailing = " " + alias  # not an alias — restore the keyword
             alias = None
         name = alias or table
+        source = table_map.get(table, table)
         preds = []
         for cm in _CLAUSE_RE.finditer(match.group("clauses")):
             axis = cm.group("axis").upper()
@@ -93,9 +102,9 @@ def rewrite_temporal_sql(sql: str) -> str:
             if p:
                 preds.append(p)
         if not preds:
-            return f"(SELECT * FROM {table}) AS {name}{trailing}"
+            return f"(SELECT * FROM {source}) AS {name}{trailing}"
         where = " AND ".join(preds)
-        return f"(SELECT * FROM {table} WHERE {where}) AS {name}{trailing}"
+        return f"(SELECT * FROM {source} WHERE {where}) AS {name}{trailing}"
 
     return _FOR_RE.sub(replace, sql)
 
