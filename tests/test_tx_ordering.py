@@ -1,0 +1,136 @@
+"""Transaction total-order + within-tx sequencing semantics.
+
+Round 2 added (a) enforcement of the totally-ordered tx clock
+(`Engine._next_tx_time`: explicit times must strictly advance, derived
+times advance past explicit ones) and (b) the `_tx_seq` within-tx
+tiebreaker ("later write wins" when one transaction touches the same id
+twice).  These tests pin both, plus a property test replaying random op
+sequences against a naive per-id dict model.
+"""
+
+from __future__ import annotations
+
+import shutil
+from datetime import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from core2_spark.engine import Delete, Engine, Put
+
+ROOT = "/root/repo/_data/tx_ordering_test"
+
+
+@pytest.fixture
+def engine(spark):
+    shutil.rmtree(ROOT, ignore_errors=True)
+    return Engine(spark, ROOT)
+
+
+def _state(db, table="t"):
+    return {(r["id"], r["v"]) for r in db.table(table).collect()}
+
+
+def test_explicit_tx_time_must_advance(spark, engine):
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    engine.submit_tx([Put("t", df)], tx_time="2024-06-01 00:00:00")
+    with pytest.raises(ValueError, match="totally ordered"):
+        engine.submit_tx([Put("t", df)], tx_time="2024-06-01 00:00:00")
+    with pytest.raises(ValueError, match="totally ordered"):
+        engine.submit_tx([Put("t", df)], tx_time="2024-05-31 00:00:00")
+    # strictly-later explicit time is fine
+    engine.submit_tx([Put("t", df)], tx_time="2024-06-01 00:00:01")
+
+
+def test_derived_time_advances_past_explicit(spark, engine):
+    """A derived (counter) time after a far-future explicit time must
+    not travel back — db() would otherwise read an empty state."""
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    df2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    engine.submit_tx([Put("t", df1)], tx_time="2030-01-01 00:00:00")
+    engine.submit_tx([Put("t", df2)])  # derived — must land after 2030
+    assert engine._last_tx_time > datetime(2030, 1, 1)
+    assert _state(engine.db()) == {(1, "a"), (2, "b")}
+
+
+def test_same_tx_put_put_later_write_wins(spark, engine):
+    a = spark.createDataFrame([(1, "first")], "id long, v string")
+    b = spark.createDataFrame([(1, "second")], "id long, v string")
+    engine.submit_tx([Put("t", a), Put("t", b)])
+    assert _state(engine.db()) == {(1, "second")}
+
+
+def test_same_tx_put_then_delete_hides_id(spark, engine):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    ids = spark.createDataFrame([(1,)], "id long")
+    engine.submit_tx([Put("t", a), Delete("t", ids, "id")])
+    assert _state(engine.db()) == {(2, "y")}
+
+
+def test_same_tx_delete_then_put_resurrects_id(spark, engine):
+    base = spark.createDataFrame([(1, "old")], "id long, v string")
+    engine.submit_tx([Put("t", base)])
+    ids = spark.createDataFrame([(1,)], "id long")
+    new = spark.createDataFrame([(1, "new")], "id long, v string")
+    engine.submit_tx([Delete("t", ids, "id"), Put("t", new)])
+    assert _state(engine.db()) == {(1, "new")}
+
+
+def test_reopened_engine_recovers_clock(spark):
+    """Re-opening an Engine over an existing root must keep reading the
+    committed state (clock recovered from the data, not the epoch)."""
+    shutil.rmtree(ROOT, ignore_errors=True)
+    eng1 = Engine(spark, ROOT)
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    eng1.submit_tx([Put("t", df)], tx_time="2024-06-01 00:00:00")
+
+    eng2 = Engine(spark, ROOT)
+    assert _state(eng2.db()) == {(1, "a")}
+    # and the recovered clock still enforces the total order
+    with pytest.raises(ValueError, match="totally ordered"):
+        eng2.submit_tx([Put("t", df)], tx_time="2024-05-01 00:00:00")
+
+
+# -- property test: random same-tx op sequences vs a dict replay -------
+
+_OP = st.tuples(
+    st.sampled_from(["put", "delete"]),
+    st.integers(min_value=1, max_value=4),  # id
+    st.integers(min_value=0, max_value=99),  # value (puts only)
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(txs=st.lists(st.lists(_OP, min_size=1, max_size=4), min_size=1, max_size=3))
+def test_random_tx_sequences_match_naive_replay(spark, txs):
+    """Replay random transactions (each a list of put/delete ops, order
+    significant within the tx) through the engine and through a naive
+    per-id dict; final current states must agree."""
+    root = ROOT + "_prop"
+    shutil.rmtree(root, ignore_errors=True)
+    eng = Engine(spark, root)
+    model: dict[int, int] = {}
+    for tx in txs:
+        ops = []
+        for verb, rid, val in tx:
+            if verb == "put":
+                ops.append(
+                    Put("t", spark.createDataFrame([(rid, val)], "id long, v long"))
+                )
+            else:
+                ops.append(
+                    Delete("t", spark.createDataFrame([(rid,)], "id long"), "id")
+                )
+        eng.submit_tx(ops)
+        for verb, rid, val in tx:  # dict replay: later op wins
+            if verb == "put":
+                model[rid] = val
+            else:
+                model.pop(rid, None)
+    got = {(r["id"], r["v"]) for r in eng.db().table("t").collect()}
+    assert got == {(rid, val) for rid, val in model.items()}
