@@ -552,23 +552,38 @@ def corpus_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multimodal_feature_extract")  # rows-only: Pandas-UDF decode stage
 def multimodal_feature_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing through the driver surface: documents' text
-    bytes stand in as opaque binary payloads; the (stubbed-decoder)
-    mapInPandas pipeline extracts fixed-width features per media row."""
+    """Real decode through the driver surface: doc_ids become
+    deterministic PPM/BMP/WAV payloads (executor-side generation), then
+    the mapInPandas codec layer decodes each format and extracts
+    fixed-width features — no stubs on this path."""
     from core2_spark import multimodal
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit("text/plain").alias("mime"),
-        F.struct(
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
-        ).alias("meta"),
+    media = multimodal.generate_media(
+        d.filter(F.col("doc_id") < 120).select(F.col("doc_id").alias("media_id"))
     )
-    return multimodal.extract_features(media, fake=True)
+    return multimodal.extract_features(media)
+
+
+@query("multimodal_image_resize")  # rows-only: binary-out transform stage
+def multimodal_image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode (PPM) over the
+    generated image payloads; returns sizes + payload checksums so the
+    rows-only check pins the transform deterministically."""
+    from core2_spark import multimodal
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    images = multimodal.generate_media(
+        d.filter(F.col("doc_id") < 120).select(F.col("doc_id").alias("media_id"))
+    ).filter(F.col("mime") != multimodal.MIME_WAV)
+    resized = multimodal.resize_images(images, 8, 8)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
 
 
 @query("multimodal_frame_sampling")  # rows-only: plan-level expansion

@@ -113,12 +113,60 @@ def test_multimodal_fake_decode(spark):
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000]
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+def test_multimodal_compressed_codecs_not_implemented(spark):
+    """Formats without a pure-Python decoder (PNG etc.) fail loudly."""
     media = spark.createDataFrame(
         [(1, bytearray(b"x"), "image/png", (1, 1, None))], multimodal.MEDIA_SCHEMA
     )
     with pytest.raises(Exception):
         multimodal.extract_features(media, fake=False).collect()
+
+
+def test_multimodal_codec_roundtrips():
+    """Driver-side unit check of the pure-Python codecs: generated
+    PPM/BMP bytes decode to identical pixels; WAV decodes to the sine
+    it encodes; resize halves dimensions."""
+    fns = multimodal._codec_fns()
+    w, h, seed = 20, 14, 7
+    pw, ph, ppx = fns["decode_ppm"](fns["make_ppm"](w, h, seed))
+    bw, bh, bpx = fns["decode_bmp"](fns["make_bmp"](w, h, seed))
+    assert (pw, ph) == (bw, bh) == (w, h)
+    assert (ppx == bpx).all()  # same pattern through both encoders
+
+    rate, ch, frames = fns["decode_wav"](fns["make_wav"](1600, 8000, 440, 3))
+    assert (rate, ch) == (8000, 1)
+    assert len(frames) == 1600
+    assert 0.2 < abs(frames).max() <= 0.51  # ~0.5 amplitude sine
+
+    small = fns["resize_nearest"](ppx, 10, 7)
+    assert small.shape == (7, 10, 3)
+
+    img_feat = fns["features"](fns["make_ppm"](w, h, seed), multimodal.MIME_PPM)
+    assert img_feat[:2] == [float(w), float(h)]
+    assert all(0.0 <= v <= 1.0 for v in img_feat[3:])
+    wav_feat = fns["features"](
+        fns["make_wav"](1600, 8000, 440, 3), multimodal.MIME_WAV
+    )
+    assert abs(wav_feat[0] - 0.2) < 1e-9  # duration_s
+    assert 0.3 < wav_feat[3] < 0.4  # sine RMS ≈ 0.5/√2
+
+
+def test_multimodal_real_pipeline(spark):
+    """generate → decode → features and generate → resize, distributed."""
+    ids = spark.range(0, 12).withColumnRenamed("id", "media_id")
+    media = multimodal.generate_media(ids)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 12
+    for r in feats:
+        assert len(r["feature"]) == 8 and r["n_bytes"] > 0
+
+    images = media.filter(media.mime != multimodal.MIME_WAV)
+    resized = multimodal.resize_images(images, 8, 8).collect()
+    assert len(resized) == 8  # ids with id % 3 in (0, 1)
+    fns = multimodal._codec_fns()
+    for r in resized:
+        rw, rh, _ = fns["decode_ppm"](bytes(r["payload"]))
+        assert (rw, rh) == (8, 8)
 
 
 def test_streaming_dedup_within_watermark(spark):
