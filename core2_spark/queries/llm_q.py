@@ -443,11 +443,12 @@ def knn_lsh_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("knn_ivf_probe")  # rows-only: approximate result set is engine-specific
 def knn_ivf_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat approximate kNN: deterministic coarse quantizer cells,
-    nprobe=2 — the partition-pruning scale path beside LSH."""
+    """IVF-flat approximate kNN: deterministic coarse quantizer cells
+    (count derived ~sqrt(N)), nprobe=2 — the partition-pruning scale
+    path beside LSH."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     qv = similarity.query_vector(e, "vec_id", "embedding", 0)
-    return similarity.ivf_knn(e, qv, k=10, n_clusters=8, nprobe=2)
+    return similarity.ivf_knn(e, qv, k=10, nprobe=2)
 
 
 @query(

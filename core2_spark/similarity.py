@@ -54,19 +54,41 @@ def deterministic_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[f
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def auto_n_planes(n_rows: int, target_bucket_size: int = 256) -> int:
+    """Plane count scaled to corpus size: 2^n_planes buckets sized so
+    the EXPECTED bucket holds ~target_bucket_size rows.  A fixed plane
+    count (the naive choice) gives buckets that grow linearly with N —
+    at 10^9 rows, 256 fixed buckets hold ~4M candidates each and the
+    'approximate' search degenerates to a scan; log2-scaling keeps the
+    per-bucket candidate work constant as data grows."""
+    import math
+
+    if n_rows <= target_bucket_size:
+        return 4
+    return max(4, min(30, math.ceil(math.log2(n_rows / target_bucket_size))))
+
+
 def lsh_bucketed_knn(
     df: DataFrame,
     query: list[float],
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe_bits: int = 1,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: only rows whose sign-projection bucket is
     within ``multiprobe_bits`` Hamming distance of the query's bucket
-    are scored.  At scale, persist the bucket id as a partition/cluster
-    column so the probe prunes files instead of scanning."""
+    are scored.
+
+    ``n_planes=None`` (default) derives the plane count from the corpus
+    size via ``auto_n_planes`` — pass ``n_rows`` if known to skip the
+    count job.  At scale, persist the bucket id as a partition/cluster
+    column at ingest (plane count fixed then, once, from table size) so
+    the probe prunes files instead of scanning."""
+    if n_planes is None:
+        n_planes = auto_n_planes(n_rows if n_rows is not None else df.count())
     planes = deterministic_planes(n_planes, len(query))
     q_arr = np.array(query)
     q_bucket = 0
@@ -105,10 +127,11 @@ def ivf_knn(
     df: DataFrame,
     query: list[float],
     k: int = 10,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-flat approximate kNN: assign every row to its nearest
     centroid cell (one linear scan, centroids inlined as literals),
@@ -116,8 +139,18 @@ def ivf_knn(
 
     At 100 TB the cell id is a partition/cluster column written at
     ingest, so probing reads only nprobe/n_clusters of the data —
-    file-level pruning, no full scan per query."""
+    file-level pruning, no full scan per query.
+
+    ``n_clusters=None`` derives ~sqrt(N) cells (FAISS's IVF rule of
+    thumb): cell count and cell size then both grow as sqrt(N) instead
+    of cells growing linearly at a fixed count."""
+    import math
+
     import numpy as np  # local alias for clarity
+
+    if n_clusters is None:
+        n = n_rows if n_rows is not None else df.count()
+        n_clusters = max(4, min(65536, int(math.isqrt(max(n, 1)))))
 
     cents = _centroids_from_seed_rows(df, n_clusters, id_col, vec_col)
     cent_cols = [F.array(*[F.lit(float(x)) for x in c]) for c in cents]
@@ -143,31 +176,67 @@ def ivf_knn(
 def embedding_cosine_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    bands: int = 4,
+    bits_per_band: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
-    """Embedding-space near-dup detection: LSH bucket equi-join (no
-    cross join), verify cosine ≥ threshold within buckets."""
+    """Embedding-space near-dup detection via BANDED sign-projection
+    signatures (the MinHash-LSH banding scheme transplanted to cosine
+    space): candidates are pairs agreeing on ALL bits of at least one
+    band, verified with exact cosine.
+
+    Banding is what makes this scale-proof on both axes: per-band
+    buckets shrink as 2^bits_per_band (``bits_per_band=None`` derives
+    it from the corpus size so the expected bucket stays constant as N
+    grows), while true near-dup recall stays high because a pair only
+    needs one of ``bands`` independent chances.  The single-bucket
+    variant (bands=1) can't do both — more bits cut recall, fewer bits
+    grow buckets linearly.
+    """
+    if bits_per_band is None:
+        n = n_rows if n_rows is not None else df.count()
+        # per-band expected bucket ~64 rows; at threshold 0.95 a true
+        # pair matches one 16-bit band with p≈0.18 → 4 bands ≈ 0.56,
+        # and real near-dups (sim → 1) approach 1. Scaled, not fixed.
+        bits_per_band = auto_n_planes(n, target_bucket_size=64)
     sample = df.select(vec_col).head()
     dim = len(sample[0]) if sample else 0
-    planes = deterministic_planes(n_planes, dim)
-    bucketed = df.select(
-        F.col(id_col),
-        as_double(F.col(vec_col)).alias("v"),
-        random_projection_bits(as_double(F.col(vec_col)), planes).alias("bucket"),
+    planes = deterministic_planes(bands * bits_per_band, dim)
+    band_keys = [
+        random_projection_bits(
+            F.col("v"), planes[b * bits_per_band : (b + 1) * bits_per_band]
+        )
+        for b in range(bands)
+    ]
+    bucketed = (
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+        .select(
+            id_col,
+            "v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), key.alias("key"))
+                        for b, key in enumerate(band_keys)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select(id_col, "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
     a = bucketed.select(
-        F.col(id_col).alias("a_id"), F.col("v").alias("a_v"), "bucket"
+        F.col(id_col).alias("a_id"), F.col("v").alias("a_v"), "band", "key"
     )
     b = bucketed.select(
-        F.col(id_col).alias("b_id"), F.col("v").alias("b_v"), "bucket"
+        F.col(id_col).alias("b_id"), F.col("v").alias("b_v"), "band", "key"
     )
     sim = dot(F.col("a_v"), F.col("b_v")) / (
         l2_norm(F.col("a_v")) * l2_norm(F.col("b_v"))
     )
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band", "key"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", F.round(sim, 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)

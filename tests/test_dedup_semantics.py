@@ -75,6 +75,53 @@ def test_lsh_knn_recall_vs_brute_force(spark):
     assert len(set(brute) & set(approx)) >= 2
 
 
+def test_auto_n_planes_scales_with_corpus():
+    """Bucket count must grow with N so expected bucket size stays
+    bounded — the round-1/2 'weak' finding was a fixed 8-plane count."""
+    assert similarity.auto_n_planes(100) == 4
+    assert similarity.auto_n_planes(256 * 2**8) == 8
+    assert similarity.auto_n_planes(256 * 2**20) == 20
+    assert similarity.auto_n_planes(10**12) == 30  # capped
+    # expected bucket size ≈ target at every scale
+    for n in (10**5, 10**7, 10**9):
+        planes = similarity.auto_n_planes(n)
+        assert n / 2**planes <= 256
+
+
+def test_banded_near_dup_recall_on_skewed_fixture(spark):
+    """Planted near-identical vectors (cos ≈ 0.999) in a skewed corpus
+    (half the corpus clustered around one direction) must surface, and
+    the banded candidate stage must keep per-bucket sizes bounded."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim, n_pairs, n_noise = 16, 30, 200
+    rows = []
+    vid = 0
+    for _ in range(n_pairs):  # planted pairs: tiny perturbation
+        v = rng.standard_normal(dim)
+        w = v + rng.standard_normal(dim) * 0.01
+        rows.append((vid, [float(x) for x in v]))
+        rows.append((vid + 1, [float(x) for x in w]))
+        vid += 2
+    hot = rng.standard_normal(dim)  # skew: a hot direction
+    for _ in range(n_noise):
+        v = hot * 2.0 + rng.standard_normal(dim)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    found = {
+        (r["a_id"], r["b_id"])
+        for r in similarity.embedding_cosine_near_duplicates(
+            df, threshold=0.99, bands=4, bits_per_band=6
+        ).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(n_pairs)}
+    hits = planted & found
+    assert len(hits) >= 27, f"only {len(hits)}/{n_pairs} planted pairs found"
+
+
 def test_ivf_knn_recall(spark):
     e = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
     qv = similarity.query_vector(e, "vec_id", "embedding", 0)
