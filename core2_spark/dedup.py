@@ -50,6 +50,34 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def assert_bounded_blocks(
+    df: DataFrame,
+    block_cols: tuple[str, ...],
+    max_block_rows: int = 20_000,
+    lsh_twin: str = "minhash_near_duplicates",
+) -> None:
+    """Refuse a quadratic within-block pair join when any block is too
+    big: an O(block²) join over a b-row block is b²/2 comparisons, and
+    blocks grow linearly with data — at 100 TB a 'small' blocking key
+    silently becomes a cartesian.  The check itself is one cheap
+    map-side-combined aggregation (O(N)), nothing next to the O(N²) it
+    prevents."""
+    top = (
+        df.groupBy(*[F.col(c) for c in block_cols])
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    if top is not None and top > max_block_rows:
+        raise ValueError(
+            f"quadratic pair join refused: largest {block_cols} block has "
+            f"{top} rows (> {max_block_rows}), i.e. ~{top * top // 2:,} "
+            f"comparisons for that block alone. Use the LSH-banded twin "
+            f"({lsh_twin}) which bounds candidate buckets, or raise "
+            "max_block_rows deliberately."
+        )
+
+
 def token_set(text_col: Column) -> Column:
     """Distinct whitespace tokens — the MinHash item set."""
     return F.array_distinct(tokens(text_col))

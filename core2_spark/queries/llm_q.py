@@ -204,9 +204,13 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram Jaccard near-dup, blocked by (lang, source) —
-    blocking keys bound the pair count (the LSH-free variant for small
-    blocks; at scale switch blocking to MinHash buckets)."""
+    the quadratic LSH-free variant for small blocks.  Guarded: the
+    block-size check refuses to run when any (lang, source) block
+    exceeds the cap, pointing at the dedup_ngram_jaccard_lsh twin."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    dedup.assert_bounded_blocks(
+        d, ("lang", "source"), lsh_twin="dedup_ngram_jaccard_lsh"
+    )
     grams = d.select(
         "doc_id", "lang", "source", dedup.ngram_set(F.col("text"), 3).alias("g3")
     )

@@ -159,3 +159,28 @@ def test_arrow_ipc_source_roundtrip(spark):
     pa.feather.write_feather(table, path)
     df = read_arrow_ipc(spark, path)
     assert {(r["k"], r["name"]) for r in df.collect()} == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_arrow_ipc_size_guard(spark):
+    import pytest
+
+    from core2_spark.sources import read_arrow_ipc
+
+    path = "/root/repo/_data/ref.arrow"  # written by the roundtrip test
+    with pytest.raises(ValueError, match="driver-side reference-data"):
+        read_arrow_ipc(spark, path, max_bytes=10)
+
+
+def test_quadratic_pair_join_block_guard(spark):
+    import pytest
+
+    from core2_spark import dedup
+
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    # real blocks are small → guard passes silently
+    dedup.assert_bounded_blocks(docs, ("lang", "source"))
+    # a tiny cap trips it, naming the LSH twin
+    with pytest.raises(ValueError, match="dedup_ngram_jaccard_lsh"):
+        dedup.assert_bounded_blocks(
+            docs, ("lang",), max_block_rows=5, lsh_twin="dedup_ngram_jaccard_lsh"
+        )
