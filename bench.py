@@ -72,6 +72,16 @@ def main() -> None:
         per_query = {name: round(dt, 3) for name, dt in ex.map(run, HEADLINE)}
     wall = time.perf_counter() - t_sweep
 
+    # Sequential companion sweep: per-query numbers measured WITHOUT
+    # co-running queries, so round-over-round per-query deltas are
+    # attributable to code changes (the concurrent numbers above are
+    # contaminated by scheduler contention; only their wall is the
+    # headline).
+    queries_sequential = {}
+    for name in HEADLINE:
+        _, dt = run(name)
+        queries_sequential[name] = round(dt, 3)
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -80,6 +90,7 @@ def main() -> None:
                 "value": round(wall, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "queries_sequential": queries_sequential,
                 "sf": float(sf) if sf else None,
                 "concurrency": CONCURRENCY,
             }

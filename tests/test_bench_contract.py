@@ -28,3 +28,6 @@ def test_bench_emits_one_json_line():
     assert payload["sf"] == 0.001
     assert len(payload["queries"]) == 10
     assert all(v >= 0 for v in payload["queries"].values())
+    # sequential companion: same query set, uncontaminated per-query times
+    assert set(payload["queries_sequential"]) == set(payload["queries"])
+    assert all(v >= 0 for v in payload["queries_sequential"].values())
