@@ -267,11 +267,9 @@ class Snapshot:
         Bare references ALWAYS see the current-state view, even when
         the same table also appears with a FOR clause elsewhere in the
         query (the history lives under an internal view name)."""
-        from core2_spark.sql_dialect import _FOR_RE, rewrite_temporal_sql
+        from core2_spark.sql_dialect import find_temporal_tables, rewrite_temporal_sql
 
-        temporal_tables = {
-            m.group("table") for m in _FOR_RE.finditer(query)
-        }
+        temporal_tables = find_temporal_tables(query)
         table_map: dict[str, str] = {}
         for name in self.basis.manifests:
             self.table(name, **asof).createOrReplaceTempView(name)

@@ -4,23 +4,32 @@ core2's SQL accepts `FOR SYSTEM_TIME AS OF ...` / `FOR
 APPLICATION_TIME AS OF ...` table clauses; Spark SQL does not.  This
 module rewrites those clauses into ordinary filtered subqueries over
 the bitemporal version columns BEFORE handing the query to
-``spark.sql`` — a string-level pre-pass, exactly the "tiny rewrite,
-not a SQL engine" approach the survey prescribes (Catalyst does the
-rest).
+``spark.sql`` — a pre-pass, not a SQL engine (Catalyst does the rest).
+
+The pre-pass is TOKENIZER-BASED, not a bare regex: the scanner
+understands string literals, quoted identifiers (``"t"`` / `` `t` ``),
+and comments, and only rewrites a name in table position (after FROM /
+JOIN / a FROM-list comma).  That closes the regex failure shapes —
+a `FOR SYSTEM_TIME` inside a string literal, keyword-like table names,
+and quoted identifiers all behave; subqueried FOR clauses rewrite
+because the scan sees every token, parenthesized or not.
 
 Supported clause forms (per table reference, any order, at most one
 per axis)::
 
     t FOR SYSTEM_TIME AS OF TIMESTAMP '2024-01-02 03:04:05'
     t FOR SYSTEM_TIME FROM TIMESTAMP '...' TO TIMESTAMP '...'
+    t FOR SYSTEM_TIME BETWEEN TIMESTAMP '...' AND TIMESTAMP '...'
     t FOR SYSTEM_TIME ALL
-    t FOR APPLICATION_TIME AS OF TIMESTAMP '...'   (also FROM..TO / ALL)
+    t FOR APPLICATION_TIME ...          (same forms)
 
-The rewrite targets *version tables* (those carrying the four
-temporal columns).  `FOR ... ALL` disables the axis filter.  A bare
-table reference with no FOR clause defaults to "latest at now" only
-when the caller supplies ``default_system_time`` — there is no silent
-wall-clock read (determinism rule)."""
+`TIMESTAMP`/`DATE` markers are optional before each literal.  The
+rewrite targets *version tables* (those carrying the four temporal
+columns).  `FOR ... ALL` disables the axis filter.  A bare table
+reference is never rewritten — the engine maps bare names to the
+current-state view and FOR references to the history view via
+``table_map``.
+"""
 
 from __future__ import annotations
 
@@ -35,43 +44,164 @@ _AXIS_COLS = {
     "APPLICATION_TIME": (bt.APP_START, bt.APP_END),
 }
 
-_FOR_RE = re.compile(
-    r"(?P<table>\b\w+\b)"
-    r"(?P<clauses>(?:\s+FOR\s+(?:SYSTEM_TIME|APPLICATION_TIME)\s+"
-    r"(?:AS\s+OF\s+TIMESTAMP\s+'[^']+'|"
-    r"FROM\s+TIMESTAMP\s+'[^']+'\s+TO\s+TIMESTAMP\s+'[^']+'|ALL))+)"
-    r"(?:\s+(?:AS\s+)?(?P<alias>\w+))?",
-    re.IGNORECASE,
-)
-
 # words that can follow a table reference and must not be mistaken for
 # an alias
 _KEYWORDS = {
     "join", "inner", "left", "right", "full", "cross", "on", "where",
     "group", "order", "having", "limit", "union", "intersect", "except",
-    "natural", "using", "qualify", "window", "for", "asof",
+    "natural", "using", "qualify", "window", "for", "asof", "as",
+    "outer", "semi", "anti", "lateral", "by",
 }
 
-_CLAUSE_RE = re.compile(
-    r"FOR\s+(?P<axis>SYSTEM_TIME|APPLICATION_TIME)\s+"
-    r"(?:AS\s+OF\s+TIMESTAMP\s+'(?P<asof>[^']+)'|"
-    r"FROM\s+TIMESTAMP\s+'(?P<lo>[^']+)'\s+TO\s+TIMESTAMP\s+'(?P<hi>[^']+)'|"
-    r"(?P<all>ALL))",
-    re.IGNORECASE,
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+|--[^\n]*|/\*.*?\*/)
+    | (?P<str>'(?:[^']|'')*')
+    | (?P<qid>"(?:[^"]|"")*"|`(?:[^`]|``)*`)
+    | (?P<word>[A-Za-z_][A-Za-z0-9_$]*)
+    | (?P<other>.)
+    """,
+    re.VERBOSE | re.DOTALL,
 )
 
 
-def _axis_predicate(axis: str, m: re.Match) -> str | None:
-    start_col, end_col = _AXIS_COLS[axis]
-    if m.group("all"):
-        return None
-    if m.group("asof"):
-        t = m.group("asof")
-        return (
-            f"{start_col} <= TIMESTAMP '{t}' AND TIMESTAMP '{t}' < {end_col}"
+class _Tok:
+    __slots__ = ("kind", "text", "start", "end")
+
+    def __init__(self, kind: str, text: str, start: int, end: int):
+        self.kind, self.text, self.start, self.end = kind, text, start, end
+
+    def word(self) -> str:
+        return self.text.upper() if self.kind == "word" else ""
+
+
+def _tokens(sql: str) -> list[_Tok]:
+    """Significant tokens only (whitespace/comments dropped — the
+    rewrite splices by source offsets, so nothing else is reformatted)."""
+    out = []
+    for m in _TOKEN_RE.finditer(sql):
+        kind = m.lastgroup
+        if kind != "ws":
+            out.append(_Tok(kind, m.group(), m.start(), m.end()))
+    return out
+
+
+def _unquote(tok: _Tok) -> str:
+    if tok.kind == "qid":
+        q = tok.text[0]
+        return tok.text[1:-1].replace(q + q, q)
+    return tok.text
+
+
+class _Match:
+    """One `table FOR ...` reference: source span + parsed pieces."""
+
+    __slots__ = ("table_tok", "preds", "alias_tok", "start", "end")
+
+    def __init__(self, table_tok, preds, alias_tok, start, end):
+        self.table_tok, self.preds = table_tok, preds
+        self.alias_tok, self.start, self.end = alias_tok, start, end
+
+
+def _parse_literal(toks: list[_Tok], i: int, sql: str) -> tuple[str, int]:
+    """[TIMESTAMP|DATE] '<literal>' → (sql fragment, next index)."""
+    marker = "TIMESTAMP"
+    if i < len(toks) and toks[i].word() in ("TIMESTAMP", "DATE"):
+        marker = toks[i].word()
+        i += 1
+    if i >= len(toks) or toks[i].kind != "str":
+        at = toks[i].start if i < len(toks) else len(sql)
+        raise ValueError(
+            f"temporal dialect: expected a quoted time literal at offset {at} "
+            f"in: {sql[max(0, at - 40):at + 20]!r}"
         )
-    lo, hi = m.group("lo"), m.group("hi")
-    return f"{start_col} < TIMESTAMP '{hi}' AND {end_col} > TIMESTAMP '{lo}'"
+    return f"{marker} {toks[i].text}", i + 1
+
+
+def _parse_clause(toks: list[_Tok], i: int, sql: str) -> tuple[str | None, int]:
+    """After `FOR <axis>`: parse one clause body, return (predicate or
+    None for ALL, next index)."""
+    axis = toks[i - 1].word()
+    start_col, end_col = _AXIS_COLS[axis]
+    w = toks[i].word() if i < len(toks) else ""
+    if w == "ALL":
+        return None, i + 1
+    if w == "AS" and i + 1 < len(toks) and toks[i + 1].word() == "OF":
+        lit, i = _parse_literal(toks, i + 2, sql)
+        return f"{start_col} <= {lit} AND {lit} < {end_col}", i
+    if w == "FROM":
+        lo, i = _parse_literal(toks, i + 1, sql)
+        if i >= len(toks) or toks[i].word() != "TO":
+            raise ValueError(f"temporal dialect: expected TO after FROM {lo}")
+        hi, i = _parse_literal(toks, i + 1, sql)
+        # half-open [lo, hi): overlap test
+        return f"{start_col} < {hi} AND {end_col} > {lo}", i
+    if w == "BETWEEN":
+        lo, i = _parse_literal(toks, i + 1, sql)
+        if i >= len(toks) or toks[i].word() != "AND":
+            raise ValueError(f"temporal dialect: expected AND after BETWEEN {lo}")
+        hi, i = _parse_literal(toks, i + 1, sql)
+        # SQL:2011 BETWEEN is end-inclusive: [lo, hi]
+        return f"{start_col} <= {hi} AND {end_col} > {lo}", i
+    at = toks[i].start if i < len(toks) else len(sql)
+    raise ValueError(
+        f"temporal dialect: expected AS OF / FROM / BETWEEN / ALL after "
+        f"FOR {axis} at offset {at}"
+    )
+
+
+def _find_matches(sql: str) -> list[_Match]:
+    toks = _tokens(sql)
+    matches = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        # table position: a name right after FROM / JOIN / ','
+        in_table_pos = (
+            t.kind in ("word", "qid")
+            and i > 0
+            and (toks[i - 1].word() in ("FROM", "JOIN") or toks[i - 1].text == ",")
+        )
+        if not (
+            in_table_pos
+            and i + 1 < len(toks)
+            and toks[i + 1].word() == "FOR"
+            and i + 2 < len(toks)
+            and toks[i + 2].word() in _AXIS_COLS
+        ):
+            i += 1
+            continue
+        preds: list[str] = []
+        j = i + 1
+        while (
+            j + 1 < len(toks)
+            and toks[j].word() == "FOR"
+            and toks[j + 1].word() in _AXIS_COLS
+        ):
+            pred, j = _parse_clause(toks, j + 2, sql)
+            if pred is not None:
+                preds.append(pred)
+        # optional alias: AS name | name (not a keyword)
+        alias_tok = None
+        if j < len(toks) and toks[j].word() == "AS":
+            alias_tok = toks[j + 1]
+            j += 2
+        elif j < len(toks) and (
+            toks[j].kind == "qid"
+            or (toks[j].kind == "word" and toks[j].text.lower() not in _KEYWORDS)
+        ):
+            alias_tok = toks[j]
+            j += 1
+        end = (alias_tok.end if alias_tok else toks[j - 1].end)
+        matches.append(_Match(t, preds, alias_tok, t.start, end))
+        i = j
+    return matches
+
+
+def find_temporal_tables(sql: str) -> set[str]:
+    """Unquoted names of every table carrying a FOR clause — the engine
+    uses this to decide which history views to register."""
+    return {_unquote(m.table_tok) for m in _find_matches(sql)}
 
 
 def rewrite_temporal_sql(sql: str, table_map: dict[str, str] | None = None) -> str:
@@ -85,28 +215,20 @@ def rewrite_temporal_sql(sql: str, table_map: dict[str, str] | None = None) -> s
     FOR-clause reference must read the history view while bare
     references in the same query keep reading current state."""
     table_map = table_map or {}
-
-    def replace(match: re.Match) -> str:
-        table = match.group("table")
-        alias = match.group("alias")
-        trailing = ""
-        if alias and alias.lower() in _KEYWORDS:
-            trailing = " " + alias  # not an alias — restore the keyword
-            alias = None
-        name = alias or table
-        source = table_map.get(table, table)
-        preds = []
-        for cm in _CLAUSE_RE.finditer(match.group("clauses")):
-            axis = cm.group("axis").upper()
-            p = _axis_predicate(axis, cm)
-            if p:
-                preds.append(p)
-        if not preds:
-            return f"(SELECT * FROM {source}) AS {name}{trailing}"
-        where = " AND ".join(preds)
-        return f"(SELECT * FROM {source} WHERE {where}) AS {name}{trailing}"
-
-    return _FOR_RE.sub(replace, sql)
+    out = []
+    pos = 0
+    for m in _find_matches(sql):
+        out.append(sql[pos : m.start])
+        source = table_map.get(_unquote(m.table_tok), m.table_tok.text)
+        name = m.alias_tok.text if m.alias_tok else m.table_tok.text
+        if m.preds:
+            where = " AND ".join(m.preds)
+            out.append(f"(SELECT * FROM {source} WHERE {where}) AS {name}")
+        else:
+            out.append(f"(SELECT * FROM {source}) AS {name}")
+        pos = m.end
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 def sql_with_temporal(

@@ -34,6 +34,68 @@ def test_rewrite_string_forms():
     assert rewrite_temporal_sql(untouched) == untouched
 
 
+def test_rewriter_is_tokenizer_aware():
+    """The failure shapes of the old regex pre-pass must not rewrite."""
+    from core2_spark.sql_dialect import find_temporal_tables
+
+    # FOR clause text inside a string literal: untouched
+    s = "SELECT 'x FOR SYSTEM_TIME AS OF TIMESTAMP ''2024-01-01''' AS c FROM t"
+    assert rewrite_temporal_sql(s) == s
+    assert find_temporal_tables(s) == set()
+
+    # name NOT in table position: untouched
+    s2 = "SELECT a FOR FROM t"  # nonsense, but 'a' isn't after FROM/JOIN
+    assert rewrite_temporal_sql(s2) == s2
+
+    # quoted identifier table names rewrite and keep their quoting
+    q = rewrite_temporal_sql(
+        'SELECT * FROM "my table" FOR SYSTEM_TIME ALL'
+    )
+    assert q == 'SELECT * FROM (SELECT * FROM "my table") AS "my table"'
+
+    # keyword-like table name in table position still rewrites
+    k = rewrite_temporal_sql("SELECT * FROM order FOR SYSTEM_TIME ALL")
+    assert k == "SELECT * FROM (SELECT * FROM order) AS order"
+
+    # subqueried FOR clause rewrites (scan sees inside parens)
+    sub = rewrite_temporal_sql(
+        "SELECT * FROM (SELECT id FROM t FOR SYSTEM_TIME ALL) s"
+    )
+    assert "(SELECT * FROM t) AS t" in sub
+
+    # table_map redirects the subquery source but not the alias
+    mapped = rewrite_temporal_sql(
+        "SELECT * FROM t FOR SYSTEM_TIME ALL", {"t": "t__sys_history"}
+    )
+    assert mapped == "SELECT * FROM (SELECT * FROM t__sys_history) AS t"
+
+    # BETWEEN form: end-inclusive on the start column
+    btw = rewrite_temporal_sql(
+        "SELECT * FROM t FOR SYSTEM_TIME BETWEEN TIMESTAMP '2024-01-01 00:00:00' "
+        "AND TIMESTAMP '2024-02-01 00:00:00'"
+    )
+    assert "system_time_start <= TIMESTAMP '2024-02-01 00:00:00'" in btw
+    assert "system_time_end > TIMESTAMP '2024-01-01 00:00:00'" in btw
+
+    # bare literal without the TIMESTAMP marker
+    bare = rewrite_temporal_sql(
+        "SELECT * FROM t FOR SYSTEM_TIME AS OF '2024-01-01 00:00:00'"
+    )
+    assert "system_time_start <= TIMESTAMP '2024-01-01 00:00:00'" in bare
+
+    # malformed clause fails loudly, not silently
+    import pytest
+
+    with pytest.raises(ValueError, match="temporal dialect"):
+        rewrite_temporal_sql("SELECT * FROM t FOR SYSTEM_TIME AS OF banana")
+
+    # alias keyword exclusion: JOIN after the clause is not an alias
+    j = rewrite_temporal_sql(
+        "SELECT * FROM a FOR SYSTEM_TIME ALL JOIN b ON a.id = b.id"
+    )
+    assert "(SELECT * FROM a) AS a JOIN b" in j
+
+
 def test_sql_with_temporal_end_to_end(spark):
     v1 = spark.createDataFrame(
         [(1, "old", 10.0), (2, "keep", 20.0)], "id long, tag string, px double"
