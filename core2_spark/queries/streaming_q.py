@@ -135,6 +135,27 @@ def structured_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tumbling_batch(spark, sf_dir)
 
 
+@query("stream_kafka_log_transport")  # rows-only: wire-schema transport path
+def stream_kafka_log_transport_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-shaped log ingestion end-to-end: wire records (auto
+    transport — Kafka when a broker+connector exist, the wire-identical
+    file twin here) decoded like a Kafka consumer, then aggregated per
+    (topic, partition) with max offset — the consumer-group bookkeeping
+    view.  Rows-only: the transport layer isn't SQL-expressible."""
+    from core2_spark.streaming.events import run_stream_to_memory
+    from core2_spark.streaming.log_transport import parse_log_records, read_log_stream
+
+    wire = read_log_stream(spark, "auto", sf_dir=sf_dir)
+    parsed = parse_log_records(wire)
+    agg = parsed.groupBy("topic", "partition").agg(
+        F.count("*").alias("n_records"),
+        F.max("offset").alias("max_offset"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+    )
+    sink = run_stream_to_memory(agg, mode="complete")
+    return spark.table(sink)
+
+
 @query(
     "stream_interval_join_batch_twin",
     oracle="""

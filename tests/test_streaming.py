@@ -240,3 +240,40 @@ def test_stream_stream_join_matches_batch(spark):
         ).select("p_id", "e_id").collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_kafka_transport_raises_with_guidance(spark):
+    """The real Kafka source needs the connector jar (absent here) —
+    the error must say so and name the file twin."""
+    import pytest
+
+    from core2_spark.streaming.log_transport import kafka_log_stream
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_log_stream(spark, "t", "localhost:9092")
+
+
+def test_file_log_transport_wire_schema_and_decode(spark):
+    """The file twin must present Kafka's exact wire schema, and the
+    consumer-style decode must recover every event."""
+    from core2_spark.streaming.log_transport import (
+        WIRE_SCHEMA,
+        parse_log_records,
+        read_log_stream,
+    )
+
+    wire = read_log_stream(spark, "auto", sf_dir=SF)  # auto → file fallback
+    assert wire.isStreaming
+    got = {(f.name, f.dataType.simpleString()) for f in wire.schema.fields}
+    want = {(f.name, f.dataType.simpleString()) for f in WIRE_SCHEMA.fields}
+    assert got == want
+
+    parsed = parse_log_records(wire)
+    sink = run_stream_to_memory(parsed, mode="append")
+    decoded = spark.table(sink)
+    batch = load_table(spark, SF, "events")
+    assert decoded.count() == batch.count()
+    # offsets are the event ids; decode round-trips the payload
+    row = decoded.orderBy("offset").first()
+    assert row["offset"] == row["event_id"]
+    assert row["event_type"] is not None and row["partition"] in (0, 1, 2, 3)
