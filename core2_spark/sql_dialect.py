@@ -21,6 +21,7 @@ per axis)::
     t FOR SYSTEM_TIME FROM TIMESTAMP '...' TO TIMESTAMP '...'
     t FOR SYSTEM_TIME BETWEEN TIMESTAMP '...' AND TIMESTAMP '...'
     t FOR SYSTEM_TIME ALL
+    t FOR ALL SYSTEM_TIME               (equivalent spelling)
     t FOR APPLICATION_TIME ...          (same forms)
 
 `TIMESTAMP`/`DATE` markers are optional before each literal.  The
@@ -156,29 +157,37 @@ def _find_matches(sql: str) -> list[_Match]:
     i = 0
     while i < len(toks):
         t = toks[i]
+        def _clause_head(j: int) -> int | None:
+            """Index of the axis-body start if toks[j] begins a FOR
+            clause (`FOR <axis> ...` or `FOR ALL <axis>`), else None."""
+            if j >= len(toks) or toks[j].word() != "FOR":
+                return None
+            if j + 1 < len(toks) and toks[j + 1].word() in _AXIS_COLS:
+                return j + 2
+            if (
+                j + 2 < len(toks)
+                and toks[j + 1].word() == "ALL"
+                and toks[j + 2].word() in _AXIS_COLS
+            ):
+                return -(j + 3)  # negative marks the FOR ALL <axis> form
+            return None
+
         # table position: a name right after FROM / JOIN / ','
         in_table_pos = (
             t.kind in ("word", "qid")
             and i > 0
             and (toks[i - 1].word() in ("FROM", "JOIN") or toks[i - 1].text == ",")
         )
-        if not (
-            in_table_pos
-            and i + 1 < len(toks)
-            and toks[i + 1].word() == "FOR"
-            and i + 2 < len(toks)
-            and toks[i + 2].word() in _AXIS_COLS
-        ):
+        if not (in_table_pos and _clause_head(i + 1) is not None):
             i += 1
             continue
         preds: list[str] = []
         j = i + 1
-        while (
-            j + 1 < len(toks)
-            and toks[j].word() == "FOR"
-            and toks[j + 1].word() in _AXIS_COLS
-        ):
-            pred, j = _parse_clause(toks, j + 2, sql)
+        while (head := _clause_head(j)) is not None:
+            if head < 0:  # FOR ALL <axis>: no filter on that axis
+                j = -head
+                continue
+            pred, j = _parse_clause(toks, head, sql)
             if pred is not None:
                 preds.append(pred)
         # optional alias: AS name | name (not a keyword)

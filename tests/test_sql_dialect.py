@@ -95,6 +95,17 @@ def test_rewriter_is_tokenizer_aware():
     )
     assert "(SELECT * FROM a) AS a JOIN b" in j
 
+    # the XTDB spelling FOR ALL SYSTEM_TIME is equivalent to ... ALL
+    x = rewrite_temporal_sql("SELECT * FROM t FOR ALL SYSTEM_TIME")
+    assert x == "SELECT * FROM (SELECT * FROM t) AS t"
+    assert find_temporal_tables("SELECT * FROM t FOR ALL SYSTEM_TIME") == {"t"}
+    mixed = rewrite_temporal_sql(
+        "SELECT * FROM t FOR ALL SYSTEM_TIME "
+        "FOR APPLICATION_TIME AS OF TIMESTAMP '2024-06-01 00:00:00'"
+    )
+    assert "app_time_start <= TIMESTAMP '2024-06-01 00:00:00'" in mixed
+    assert "system_time_start" not in mixed
+
 
 def test_sql_with_temporal_end_to_end(spark):
     v1 = spark.createDataFrame(
