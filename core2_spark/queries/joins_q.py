@@ -323,3 +323,49 @@ def subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.coalesce(F.col("has_null"), F.lit(0)) == 0)
         .select("p_partkey")
     )
+
+
+@query(
+    "join_interval_overlap_binned",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS p_id, user_id, ts AS p_start,
+               ts + INTERVAL 10 MINUTE AS p_end
+        FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+        SELECT event_id AS e_id, user_id AS e_user, ts AS e_start,
+               ts + INTERVAL 10 MINUTE AS e_end
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT p.p_id, e.e_id, p.user_id
+    FROM p JOIN e
+      ON p.user_id = e.e_user
+     AND p.p_start < e.e_end AND e.e_start < p.p_end
+    """,
+)
+def join_interval_overlap_binned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join via binning (operators/interval_join.py):
+    purchase windows × error windows per user — the range-theta join
+    expressed as a bin equi-join so it shuffles instead of
+    nested-looping; the oracle is the naive overlap join."""
+    from core2_spark.operators.interval_join import interval_overlap_join
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ten_min = F.expr("INTERVAL 10 MINUTES")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + ten_min).alias("p_end"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        "user_id",
+        F.col("ts").alias("e_start"),
+        (F.col("ts") + ten_min).alias("e_end"),
+    )
+    return interval_overlap_join(
+        p, e, "p_start", "p_end", "e_start", "e_end",
+        keys=("user_id",), bin_seconds=600,
+    ).select("p_id", "e_id", "user_id")

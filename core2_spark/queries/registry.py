@@ -86,6 +86,7 @@ _PRIORITY: list[str] = [
     "join_cross",
     "join_theta_nonequi",
     "join_nullsafe_equal",
+    "join_interval_overlap_binned",
     # Bitemporal visibility (SURVEY §2.2/§2.8) — the reference's core.
     "temporal_asof_system",
     "temporal_asof_bitemporal",

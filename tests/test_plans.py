@@ -13,6 +13,7 @@ from contextlib import redirect_stdout
 
 import pytest
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from core2_spark.queries.registry import all_queries
 from tests.conftest import SF_DIR
@@ -107,6 +108,34 @@ def test_window_topk_partitions_by_group(spark):
 def test_llm_pipelines_no_cartesian(spark, name):
     plan = plan_of(QUERIES[name](spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_is_equi_not_nested_loop(spark):
+    """The binned interval join must plan as a hash/sort-merge equi-join
+    on (bin, key) — never the nested-loop a raw range predicate gets."""
+    plan = plan_of(QUERIES["join_interval_overlap_binned"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_guard(spark):
+    """Intervals spanning more than max_bins_per_interval bins refuse."""
+    import pytest as _pytest
+
+    from core2_spark.operators.interval_join import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-12-31 00:00:00")],
+        "id int, s string, e string",
+    ).select("id", F.col("s").cast("timestamp").alias("s"), F.col("e").cast("timestamp").alias("e"))
+    right = left.select(
+        F.col("id").alias("rid"), F.col("s").alias("rs"), F.col("e").alias("re")
+    )
+    j = interval_overlap_join(
+        left, right, "s", "e", "rs", "re", bin_seconds=60, max_bins_per_interval=100
+    )
+    with _pytest.raises(Exception, match="bins"):
+        j.count()
 
 
 def test_q8_snowflake_all_dims_broadcast(spark):
