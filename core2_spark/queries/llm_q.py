@@ -746,3 +746,131 @@ def dedup_ngram_jaccard_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=("lang", "source"),
         items_fn=lambda c: dedup.ngram_set(c, 3),
     ).withColumnRenamed("jaccard_sim", "trigram_jaccard")
+
+
+# -- training-data pipeline: splits, mixtures, packing -----------------
+#
+# Deterministic bucket in [0, 100): Knuth multiplicative hash in plain
+# BIGINT arithmetic — bit-identical in Spark and DuckDB (no engine hash
+# involved), so splits are reproducible across engines and runs.
+_BUCKET_SQL = "((doc_id * 2654435761) % 4294967296) % 100"
+
+
+def _bucket_col() -> F.Column:
+    return F.pmod(
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296), F.lit(100)
+    )
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+    WITH b AS (
+        SELECT lang, {_BUCKET_SQL} AS bucket, n_chars FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY 1, 2 ORDER BY split, lang
+    """,
+)
+def split_train_val_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: assignment is a
+    pure function of doc_id (multiplicative hash bucket), so re-runs,
+    engines, and partitionings all agree — the reproducibility property
+    a training pipeline needs from its split, with no shuffle beyond
+    the final aggregate."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    split = (
+        F.when(_bucket_col() < 80, "train")
+        .when(_bucket_col() < 90, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split", "lang")
+    )
+
+
+@query(
+    "corpus_weighted_mixture",
+    oracle=f"""
+    WITH b AS (
+        SELECT source, lang, n_chars, {_BUCKET_SQL} AS bucket
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b
+    WHERE bucket < CASE WHEN source IN ('src0', 'src1') THEN 100
+                        WHEN lang = 'en' THEN 50
+                        ELSE 25 END
+    GROUP BY source ORDER BY source
+    """,
+)
+def corpus_weighted_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixture: per-(source, lang) keep-rates applied
+    via the same deterministic bucket — the up/down-sampling step of a
+    training-data recipe (e.g. keep all curated sources, half of
+    English web, a quarter of the rest), as one pushed-down filter."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    rate = (
+        F.when(F.col("source").isin("src0", "src1"), 100)
+        .when(F.col("lang") == "en", 50)
+        .otherwise(25)
+    )
+    return (
+        d.filter(_bucket_col() < rate)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("source")
+    )
+
+
+@query(
+    "pack_sequences_boundaries",
+    oracle="""
+    WITH c AS (
+        SELECT lang, doc_id, n_chars,
+               SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+    )
+    SELECT lang,
+           CAST(FLOOR((cum - n_chars) / 4096) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS pack_chars
+    FROM c GROUP BY 1, 2 ORDER BY lang, pack_id
+    """,
+)
+def pack_sequences_boundaries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan: concatenate documents per language in
+    doc_id order and assign each to the 4096-char pack where it starts
+    (running-sum window → floor-divide).  This is the shuffle-once
+    distributed form of greedy context packing: one window per
+    partition key, no driver loop, deterministic pack boundaries."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("lang", "doc_id", "n_chars", F.sum("n_chars").over(w).alias("cum"))
+        .select(
+            "lang",
+            F.floor((F.col("cum") - F.col("n_chars")) / 4096)
+            .cast("long")
+            .alias("pack_id"),
+            "n_chars",
+        )
+        .groupBy("lang", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("pack_chars"))
+        .orderBy("lang", "pack_id")
+    )

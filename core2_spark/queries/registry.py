@@ -104,6 +104,9 @@ _PRIORITY: list[str] = [
     "dedup_ngram_jaccard_lsh",
     "knn_brute_force_cosine",
     "corpus_curation_pipeline",
+    "split_train_val_test",
+    "corpus_weighted_mixture",
+    "pack_sequences_boundaries",
     # One representative per remaining family.
     "window_topk_per_group",
     "window_distribution",
