@@ -277,3 +277,52 @@ def test_file_log_transport_wire_schema_and_decode(spark):
     row = decoded.orderBy("offset").first()
     assert row["offset"] == row["event_id"]
     assert row["event_type"] is not None and row["partition"] in (0, 1, 2, 3)
+
+
+def test_stream_into_engine_batches_become_transactions(spark, tmp_path):
+    """foreachBatch ingest: each micro-batch commits as one engine
+    transaction; time-travel sees batch boundaries as system-time
+    versions (the reference's log-consumer/indexer loop)."""
+    import os
+
+    from core2_spark.engine import Engine
+    from core2_spark.streaming.ingest import stream_into_engine
+
+    ev = load_table(spark, SF, "events").select(
+        F.col("event_id").alias("id"), "user_id", "event_type", "value"
+    )
+    first = ev.filter(F.col("id") % 2 == 0)
+    second = ev.filter(F.col("id") % 2 == 1)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # two files → two micro-batches at maxFilesPerTrigger=1
+    first.coalesce(1).write.parquet(src + "/b0")
+    second.coalesce(1).write.parquet(src + "/b1")
+
+    root = str(tmp_path / "db")
+    eng = Engine(spark, root)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = stream_into_engine(stream, eng, "events_bt")
+    q.processAllAvailable()
+    q.stop()
+
+    total = ev.count()
+    db = eng.db()
+    assert db.table("events_bt").count() == total
+    # batch boundaries are system-time versions
+    n_versions = (
+        db.history("events_bt").select("system_time_start").distinct().count()
+    )
+    assert n_versions == 2
+    # time-travel to the first batch's clock sees only that batch
+    at_b0 = db.sql(
+        "SELECT COUNT(*) AS n FROM events_bt FOR SYSTEM_TIME AS OF "
+        "TIMESTAMP '2024-06-01 00:00:01'"
+    ).collect()[0]["n"]
+    assert at_b0 in (first.count(), second.count())
+    assert at_b0 < total
