@@ -123,6 +123,37 @@ def _centroids_from_seed_rows(
     return [[float(x) for x in r[1]] for r in rows]
 
 
+def kmeans_refine_centroids(
+    df: DataFrame,
+    centroids: list[list[float]],
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd iterations over seed centroids: assign every
+    row to its nearest (max-dot) centroid, recompute each centroid as
+    the element-wise mean of its members — one groupBy per iteration,
+    all math JVM-side; only the k×d centroid matrix (metadata-sized)
+    returns to the driver.  Empty cells keep their previous centroid
+    so the cell count never silently shrinks."""
+    dim = len(centroids[0])
+    v = as_double(F.col(vec_col))
+    for _ in range(iters):
+        cent_cols = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        dists = F.array(*[dot(v, c) for c in cent_cols])
+        cell = (F.array_position(dists, F.array_max(dists)) - 1).cast("int")
+        means = (
+            df.select(cell.alias("cell"), v.alias("v"))
+            .groupBy("cell")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        new = list(centroids)
+        for r in means:
+            new[r["cell"]] = [float(r[f"m{i}"]) for i in range(dim)]
+        centroids = new
+    return centroids
+
+
 def ivf_knn(
     df: DataFrame,
     query: list[float],
@@ -132,6 +163,7 @@ def ivf_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_rows: int | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate kNN: assign every row to its nearest
     centroid cell (one linear scan, centroids inlined as literals),
@@ -153,6 +185,8 @@ def ivf_knn(
         n_clusters = max(4, min(65536, int(math.isqrt(max(n, 1)))))
 
     cents = _centroids_from_seed_rows(df, n_clusters, id_col, vec_col)
+    if refine_iters:
+        cents = kmeans_refine_centroids(df, cents, refine_iters, vec_col)
     cent_cols = [F.array(*[F.lit(float(x)) for x in c]) for c in cents]
     v = as_double(F.col(vec_col))
     dists = F.array(*[dot(v, c) for c in cent_cols])

@@ -132,3 +132,46 @@ def test_ivf_knn_recall(spark):
     ]
     assert ivf[0] == 0
     assert len(set(brute) & set(ivf)) >= 4
+
+
+def test_ivf_kmeans_refinement_improves_cells(spark):
+    """Lloyd refinement on a clustered fixture: refined centroids must
+    recover the planted cluster structure (each refined centroid lands
+    near one planted center) and keep kNN recall."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    dim, per = 8, 60
+    centers = rng.standard_normal((4, dim)) * 3
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per):
+            v = c + rng.standard_normal(dim) * 0.3
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    seeds = similarity._centroids_from_seed_rows(df, 4, "vec_id", "embedding")
+    refined = similarity.kmeans_refine_centroids(df, seeds, iters=3)
+    # every planted center should have a refined centroid within 1.0
+    # (cluster radius ~0.3*sqrt(8)≈0.85; seeds all came from cluster 0)
+    import math
+
+    def d2(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    matched = sum(1 for c in centers if min(d2(c, r) for r in refined) < 1.0)
+    seed_matched = sum(1 for c in centers if min(d2(c, s) for s in seeds) < 1.0)
+    assert matched > seed_matched or matched == 4
+
+    qv = similarity.query_vector(df, "vec_id", "embedding", 100)
+    brute = [r["vec_id"] for r in similarity.brute_force_knn(
+        df, qv, k=5, id_col="vec_id").collect()]
+    ivf = [
+        r["vec_id"]
+        for r in similarity.ivf_knn(
+            df, qv, k=5, n_clusters=4, nprobe=1, refine_iters=3
+        ).collect()
+    ]
+    assert len(set(brute) & set(ivf)) >= 4
