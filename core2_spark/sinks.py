@@ -71,6 +71,58 @@ def write_sorted_layout(
     )
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Z-order (Morton) key over ``cols``: each column is rank-mapped
+    to a ``bits``-bit integer (percent_rank × 2^bits — rank, not raw
+    value, so skewed distributions still spread evenly), then the bit
+    planes are interleaved.  Rows close in Z-key are close in EVERY
+    dimension, so a range-partitioned-by-Z layout gives multi-column
+    file pruning from plain parquet min/max footer stats — the
+    multi-dimensional upgrade of ``write_sorted_layout`` and the
+    distributed stand-in for core2's kd-tree block pruning
+    [upstream: core2 `temporal/kd_tree.clj`].
+
+    Pure column algebra: percent_rank is one window per column (sorted
+    shuffle each — a write-time cost, amortized over every read);
+    interleave is a fixed ``bits``-term bit expression."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out = df
+    scale = (1 << bits) - 1
+    for i, c in enumerate(cols):
+        rank = F.percent_rank().over(Window.orderBy(F.col(c)))
+        out = out.withColumn(f"_r{i}", F.round(rank * scale).cast("long"))
+    z = F.lit(0)
+    for bit in range(bits):
+        for i in range(len(cols)):
+            plane = (F.col(f"_r{i}").bitwiseAND(F.lit(1 << bit))) != 0
+            z = z + F.when(plane, F.lit(1 << (bit * len(cols) + i))).otherwise(0)
+    return out.withColumn("_z", z).drop(*[f"_r{i}" for i in range(len(cols))])
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet layout: range-partition + sort by the
+    Morton key so each file covers a small hyper-rectangle of ``cols``
+    — predicates on ANY of the clustered columns prune files via
+    footer stats, not just the first sort column."""
+    keyed = zorder_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

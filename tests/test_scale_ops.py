@@ -184,3 +184,45 @@ def test_quadratic_pair_join_block_guard(spark):
         dedup.assert_bounded_blocks(
             docs, ("lang",), max_block_rows=5, lsh_twin="dedup_ngram_jaccard_lsh"
         )
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark):
+    """Z-order clustering must shrink per-file min/max spans on BOTH
+    clustered columns, so footer stats prune files for predicates on
+    either — the multi-column upgrade over single-column range sort."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from core2_spark.sinks import write_zordered
+
+    orders = load_tables(spark, SF_DIR, ("orders",))["orders"]
+    path = "/root/repo/_data/zorder_test"
+    write_zordered(orders, path, ["o_totalprice", "o_custkey"], n_files=8)
+
+    spans = {"o_totalprice": [], "o_custkey": []}
+    glob_min = {c: float("inf") for c in spans}
+    glob_max = {c: float("-inf") for c in spans}
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for col in spans:
+            lo, hi = float("inf"), float("-inf")
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                stats = next(
+                    g.column(i).statistics
+                    for i in range(g.num_columns)
+                    if g.column(i).path_in_schema == col
+                )
+                lo, hi = min(lo, stats.min), max(hi, stats.max)
+            spans[col].append((lo, hi))
+            glob_min[col] = min(glob_min[col], lo)
+            glob_max[col] = max(glob_max[col], hi)
+
+    for col, file_spans in spans.items():
+        assert len(file_spans) >= 4
+        total = glob_max[col] - glob_min[col]
+        avg_span = sum(hi - lo for lo, hi in file_spans) / len(file_spans)
+        # unclustered files would each span ~100% of the range;
+        # z-ordered files must average well under it on BOTH columns
+        assert avg_span < 0.65 * total, f"{col}: avg span {avg_span} vs {total}"
