@@ -25,6 +25,8 @@ per axis)::
     t FOR APPLICATION_TIME ...          (same forms)
 
 `TIMESTAMP`/`DATE` markers are optional before each literal.  The
+pre-pass also expands SQL:2011 ``(s1, e1) OVERLAPS (s2, e2)`` — absent
+from Spark SQL — into the half-open overlap predicate.  The FOR
 rewrite targets *version tables* (those carrying the four temporal
 columns).  `FOR ... ALL` disables the axis filter.  A bare table
 reference is never rewritten — the engine maps bare names to the
@@ -207,6 +209,88 @@ def _find_matches(sql: str) -> list[_Match]:
     return matches
 
 
+def _rewrite_overlaps(sql: str) -> str:
+    """Expand SQL:2011 ``(s1, e1) OVERLAPS (s2, e2)`` (which Spark SQL
+    lacks) into the half-open predicate ``(s1 < e2 AND s2 < e1)`` —
+    the same algebra as ``functions.periods.overlaps``.  Operates on
+    the token stream, so OVERLAPS inside strings/identifiers is left
+    alone; operands are arbitrary balanced expressions."""
+    toks = _tokens(sql)
+
+    def group_before(idx: int) -> tuple[int, list[list[_Tok]]] | None:
+        """Parse the balanced paren group ENDING at toks[idx]; return
+        (start index, top-level comma-split operand token lists)."""
+        if toks[idx].text != ")":
+            return None
+        depth, i = 0, idx
+        while i >= 0:
+            if toks[i].text == ")":
+                depth += 1
+            elif toks[i].text == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        if i < 0:
+            return None
+        return i, _split_group(toks[i + 1 : idx])
+
+    def group_after(idx: int) -> tuple[int, list[list[_Tok]]] | None:
+        if idx >= len(toks) or toks[idx].text != "(":
+            return None
+        depth, i = 0, idx
+        while i < len(toks):
+            if toks[i].text == "(":
+                depth += 1
+            elif toks[i].text == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if i >= len(toks):
+            return None
+        return i, _split_group(toks[idx + 1 : i])
+
+    def _split_group(inner: list[_Tok]) -> list[list[_Tok]]:
+        parts, cur, depth = [], [], 0
+        for t in inner:
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+            if t.text == "," and depth == 0:
+                parts.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        parts.append(cur)
+        return parts
+
+    out, pos = [], 0
+    for k, t in enumerate(toks):
+        if t.word() != "OVERLAPS" or k == 0:
+            continue
+        left = group_before(k - 1)
+        right = group_after(k + 1)
+        if not left or not right or len(left[1]) != 2 or len(right[1]) != 2:
+            continue
+        lstart, rend_idx = left[0], right[0]
+        if toks[lstart].start < pos:  # overlapping earlier rewrite
+            continue
+
+        def text_of(part: list[_Tok]) -> str:
+            return sql[part[0].start : part[-1].end]
+
+        (s1, e1), (s2, e2) = left[1], right[1]
+        out.append(sql[pos : toks[lstart].start])
+        out.append(
+            f"({text_of(s1)} < {text_of(e2)} AND {text_of(s2)} < {text_of(e1)})"
+        )
+        pos = toks[rend_idx].end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def find_temporal_tables(sql: str) -> set[str]:
     """Unquoted names of every table carrying a FOR clause — the engine
     uses this to decide which history views to register."""
@@ -223,6 +307,7 @@ def rewrite_temporal_sql(sql: str, table_map: dict[str, str] | None = None) -> s
     and the full version history under an internal view name, so a
     FOR-clause reference must read the history view while bare
     references in the same query keep reading current state."""
+    sql = _rewrite_overlaps(sql)
     table_map = table_map or {}
     out = []
     pos = 0

@@ -153,3 +153,42 @@ def test_sql_with_temporal_end_to_end(spark):
         (1, "new", "alpha"),
         (2, "keep", "beta"),
     ]
+
+def test_overlaps_rewrite():
+    out = rewrite_temporal_sql(
+        "SELECT * FROM t WHERE (a_start, a_end) OVERLAPS (b_start, b_end)"
+    )
+    assert "(a_start < b_end AND b_start < a_end)" in out
+    # nested expressions as operands
+    nested = rewrite_temporal_sql(
+        "SELECT * FROM t WHERE (f(x, 1), y + INTERVAL 1 DAY) "
+        "OVERLAPS (TIMESTAMP '2024-01-01 00:00:00', z)"
+    )
+    assert (
+        "(f(x, 1) < z AND TIMESTAMP '2024-01-01 00:00:00' < y + INTERVAL 1 DAY)"
+        in nested
+    )
+    # inside a string literal: untouched
+    s = "SELECT '(a,b) OVERLAPS (c,d)' AS lit FROM t"
+    assert rewrite_temporal_sql(s) == s
+    # non-period parens (wrong arity): untouched
+    s2 = "SELECT * FROM t WHERE (a) OVERLAPS (b)"
+    assert rewrite_temporal_sql(s2) == s2
+
+
+def test_overlaps_executes(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", "2024-01-10", "2024-01-05", "2024-01-20"),
+         (2, "2024-01-01", "2024-01-02", "2024-01-05", "2024-01-20")],
+        "id int, s1 string, e1 string, s2 string, e2 string",
+    ).selectExpr(
+        "id",
+        "CAST(s1 AS TIMESTAMP) s1", "CAST(e1 AS TIMESTAMP) e1",
+        "CAST(s2 AS TIMESTAMP) s2", "CAST(e2 AS TIMESTAMP) e2",
+    )
+    df.createOrReplaceTempView("periods_t")
+    rows = sql_with_temporal(
+        spark,
+        "SELECT id FROM periods_t WHERE (s1, e1) OVERLAPS (s2, e2)",
+    ).collect()
+    assert [r["id"] for r in rows] == [1]
