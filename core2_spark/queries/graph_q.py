@@ -151,3 +151,43 @@ def graph_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), F.col("part_a"), F.col("part_b"))
         .limit(25)
     )
+
+
+@query(
+    "graph_connected_components",
+    oracle="""
+    WITH RECURSIVE und AS (
+        SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+        WHERE doc_id % 5 < 4
+          AND doc_id + 1 IN (SELECT doc_id FROM documents)
+        UNION ALL
+        SELECT doc_id + 1, doc_id FROM documents
+        WHERE doc_id % 5 < 4
+          AND doc_id + 1 IN (SELECT doc_id FROM documents)
+    ),
+    reach AS (
+        SELECT DISTINCT a AS node, a AS label FROM und
+        UNION
+        SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node
+    )
+    SELECT node, MIN(label) AS component
+    FROM reach GROUP BY node ORDER BY node
+    """,
+)
+def graph_connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by min-label propagation
+    (operators/components.py) over a deterministic chain graph
+    (doc_id → doc_id+1 within groups of five — multi-hop, so
+    convergence genuinely iterates).  This is the dedup-cluster
+    canonicalization step: near-dup PAIRS become one component label
+    per document.  Oracle: WITH RECURSIVE reachability + MIN."""
+    from core2_spark.operators.components import connected_components
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = d.select("doc_id")
+    edges = (
+        d.filter(F.col("doc_id") % 5 < 4)
+        .select(F.col("doc_id").alias("a_id"), (F.col("doc_id") + 1).alias("b_id"))
+        .join(ids.select(F.col("doc_id").alias("b_id")), "b_id", "left_semi")
+    )
+    return connected_components(edges).orderBy("node")

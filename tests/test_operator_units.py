@@ -140,3 +140,22 @@ def test_fixpoint_literal(spark):
     assert rows(closure, "src", "dst") == [
         (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
     ]
+
+
+def test_connected_components_labels(spark):
+    from core2_spark.operators.components import connected_components
+
+    # two chains and an isolated pair: {0-1-2-3}, {10-11}, {20-21-22}
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (21, 20), (21, 22)],
+        "a_id long, b_id long",
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (0, 0), (1, 0), (2, 0), (3, 0),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
