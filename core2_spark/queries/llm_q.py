@@ -874,3 +874,46 @@ def pack_sequences_boundaries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("pack_chars"))
         .orderBy("lang", "pack_id")
     )
+
+
+@query(
+    "text_unigram_logprob_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    total AS (SELECT SUM(cnt) AS n FROM freq)
+    SELECT t.doc_id,
+           COUNT(*) AS n_toks,
+           ROUND(AVG(LN(f.cnt / total.n)) + 0.000000001, 4) AS avg_logprob
+    FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN total
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_unigram_logprob_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical quality score: per-document mean unigram
+    log-probability under the corpus's own unigram model — the
+    cheapest perplexity proxy a curation pipeline runs (rare-token-
+    heavy docs score low).  Two shuffles total (token counts, per-doc
+    mean); the vocabulary aggregate broadcasts."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("n"))) + 1e-9, 4).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
