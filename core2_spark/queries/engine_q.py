@@ -128,3 +128,64 @@ def engine_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.db().sql(
         "SELECT id, name, regionkey FROM nations ORDER BY id"
     )
+
+
+@query(
+    "engine_sql_period_overlaps",
+    oracle="""
+    WITH v1 AS (
+        SELECT n_nationkey AS id, n_name AS name,
+               TIMESTAMP '2024-01-01 00:00:00' AS app_start
+        FROM nation
+    ),
+    v2 AS (
+        SELECT n_nationkey AS id, n_name AS name,
+               TIMESTAMP '2024-05-01 00:00:00' AS app_start
+        FROM nation WHERE n_nationkey % 2 = 0
+    )
+    SELECT id, name, app_start
+    FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    ORDER BY id, app_start
+    """,
+)
+def engine_sql_period_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOR ALL SYSTEM_TIME + SQL:2011 OVERLAPS through Snapshot.sql:
+    versions whose application period overlaps [Jun 1, Aug 1) — the
+    first put covers [Jan, Jul) (all 25 ids), the retroactive second
+    put [May, ∞) (even ids), so both versions qualify for even ids and
+    one for odd.  Gates the FOR ALL spelling and the OVERLAPS expansion
+    end-to-end."""
+    from core2_spark.engine import Engine, Put
+
+    nation = _nation_rows(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="engine_q_ovl_"))
+    eng.submit_tx(
+        [
+            Put(
+                "nations",
+                nation,
+                app_start="2024-01-01 00:00:00",
+                app_end="2024-07-01 00:00:00",
+            )
+        ],
+        tx_time="2024-01-01 00:00:01",
+    )
+    eng.submit_tx(
+        [
+            Put(
+                "nations",
+                nation.filter(F.col("id") % 2 == 0),
+                app_start="2024-05-01 00:00:00",
+            )
+        ],
+        tx_time="2024-01-01 00:00:02",
+    )
+    return eng.db().sql(
+        """
+        SELECT id, name, app_time_start AS app_start
+        FROM nations FOR ALL SYSTEM_TIME h
+        WHERE (app_time_start, app_time_end) OVERLAPS
+              (TIMESTAMP '2024-06-01 00:00:00', TIMESTAMP '2024-08-01 00:00:00')
+        ORDER BY id, app_start
+        """
+    )

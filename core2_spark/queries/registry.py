@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     # Engine path: ingest → bitemporal storage → Snapshot.sql (§3.1/§3.3).
     "engine_sql_time_travel",
     "engine_dml_roundtrip",
+    "engine_sql_period_overlaps",
     # LLM-pipeline flagships.
     "dedup_exact_survivors",
     "dedup_minhash_lsh",
