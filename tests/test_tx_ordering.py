@@ -134,3 +134,25 @@ def test_random_tx_sequences_match_naive_replay(spark, txs):
                 model.pop(rid, None)
     got = {(r["id"], r["v"]) for r in eng.db().table("t").collect()}
     assert got == {(rid, val) for rid, val in model.items()}
+
+
+def test_multi_table_tx_shares_one_clock(spark, engine):
+    """Ops on different tables in one submit_tx share a tx_time: both
+    visible at the returned basis, neither at an earlier basis."""
+    a = spark.createDataFrame([(1, "a")], "id long, v string")
+    b = spark.createDataFrame([(2, "b")], "id long, v string")
+    basis0 = engine.db().basis
+    basis1 = engine.submit_tx([Put("ta", a), Put("tb", b)])
+
+    db1 = engine.db(basis1)
+    assert _state(db1, "ta") == {(1, "a")}
+    assert _state(db1, "tb") == {(2, "b")}
+    times = {
+        r["system_time_start"]
+        for t in ("ta", "tb")
+        for r in db1.history(t).select("system_time_start").collect()
+    }
+    assert len(times) == 1  # one clock for the whole transaction
+
+    # the pre-tx basis has no manifests for the new tables at its clock
+    assert "ta" not in basis0.manifests and "tb" not in basis0.manifests
