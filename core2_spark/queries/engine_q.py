@@ -189,3 +189,45 @@ def engine_sql_period_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY id, app_start
         """
     )
+
+
+@query(
+    "engine_dml_portion_of_app_time",
+    oracle="""
+    SELECT 'apr' AS probe, n_nationkey AS id,
+           CASE WHEN n_regionkey = 2 THEN n_name || '_mar' ELSE n_name END AS name
+    FROM nation
+    UNION ALL
+    SELECT 'jul', n_nationkey, n_name FROM nation
+    ORDER BY probe, id
+    """,
+)
+def engine_dml_portion_of_app_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... FOR PORTION OF APPLICATION_TIME through the engine:
+    the correction covers only [Mar, Jun), so an April read sees the
+    updated names (for regionkey 2) while a July read falls back to the
+    original version — the rectangle-correct resolution (a partial
+    retroactive correction never shadows periods it doesn't cover),
+    driver-gated."""
+    from core2_spark.engine import Engine, Put
+
+    nation = _nation_rows(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="engine_q_por_"))
+    eng.submit_tx(
+        [Put("nations", nation, app_start="2024-01-01 00:00:00")],
+        tx_time="2024-01-01 00:00:01",
+    )
+    eng.sql_dml(
+        "UPDATE nations FOR PORTION OF APPLICATION_TIME "
+        "FROM '2024-03-01 00:00:00' TO '2024-06-01 00:00:00' "
+        "SET name = concat(name, '_mar') WHERE regionkey = 2",
+        tx_time="2024-01-01 00:00:02",
+    )
+    db = eng.db()
+    apr = db.sql(
+        "SELECT id, name FROM nations", app_time="2024-04-01 00:00:00"
+    ).withColumn("probe", F.lit("apr"))
+    jul = db.sql(
+        "SELECT id, name FROM nations", app_time="2024-07-01 00:00:00"
+    ).withColumn("probe", F.lit("jul"))
+    return apr.unionByName(jul).select("probe", "id", "name").orderBy("probe", "id")

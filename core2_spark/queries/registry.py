@@ -99,6 +99,7 @@ _PRIORITY: list[str] = [
     "engine_sql_time_travel",
     "engine_dml_roundtrip",
     "engine_sql_period_overlaps",
+    "engine_dml_portion_of_app_time",
     # LLM-pipeline flagships.
     "dedup_exact_survivors",
     "dedup_minhash_lsh",
