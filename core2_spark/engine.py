@@ -210,8 +210,44 @@ class Engine:
         return {
             name: self._table_path(name)
             for name in os.listdir(self.root)
-            if os.path.isdir(self._table_path(name))
+            if os.path.isdir(self._table_path(name)) and not name.startswith("_")
         }
+
+    # -- §4 materialized current state --------------------------------
+    def compact(self, table: str) -> str:
+        """Materialize the current-state view of ``table`` at the
+        engine's clock (SURVEY.md §4's optional optimization): the
+        latest-version window dedup runs ONCE here, so subsequent
+        current-state reads are plain pushed-down parquet scans — no
+        window, no shuffle.  Reads fall back to the live resolution
+        automatically once newer transactions make the compact stale;
+        history/as-of queries never use it.  Returns the compact path."""
+        import json
+
+        snap = self.db()
+        path = os.path.join(self.root, "_current", table)
+        # explicit times bypass any existing compact: never read the
+        # path being overwritten
+        current = snap.table(
+            table, system_time=self._last_tx_time, app_time=self._last_tx_time
+        ).localCheckpoint(eager=True)
+        current.write.mode("overwrite").parquet(path)
+        with open(os.path.join(self.root, "_current", f"{table}.json"), "w") as f:
+            json.dump({"tx_time": self._last_tx_time.isoformat()}, f)
+        return path
+
+    def _fresh_compact_path(self, table: str, basis_time) -> str | None:
+        """Compact path if one exists AND matches the basis clock."""
+        import json
+
+        meta = os.path.join(self.root, "_current", f"{table}.json")
+        if not os.path.exists(meta):
+            return None
+        with open(meta) as f:
+            tx = datetime.fromisoformat(json.load(f)["tx_time"])
+        if tx != basis_time:
+            return None
+        return os.path.join(self.root, "_current", table)
 
     def db(self, basis: Basis | None = None) -> "Snapshot":
         """Latest snapshot: basis clock = the last committed tx_time
@@ -248,6 +284,15 @@ class Snapshot:
         version covering the app instant wins, tombstones hide ids —
         partial retroactive corrections never shadow periods they
         don't cover."""
+        if system_time is None and app_time is None:
+            # default read at the basis clock: a fresh compact (if the
+            # engine materialized one at exactly this clock) is a plain
+            # scan — no window, no shuffle
+            compact = self.engine._fresh_compact_path(
+                table, self.basis.current_time
+            )
+            if compact is not None:
+                return self.engine.spark.read.parquet(compact)
         versions = self.basis.read(self.engine.spark, table)
         s = system_time if system_time is not None else self.basis.current_time
         t = app_time if app_time is not None else self.basis.current_time

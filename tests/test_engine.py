@@ -171,3 +171,52 @@ def test_retroactive_correction_app_time(spark, engine):
     # the open-ended original carries forward
     as_of_march = db.table("marks", system_time="2024-03-01", app_time="2024-03-01")
     assert [(r["id"], r["px"]) for r in as_of_march.collect()] == [(1, 100.0)]
+
+
+def test_compact_current_state_routing(spark, engine):
+    """compact() materializes current state; default reads at the
+    compacted clock become plain scans (no window), stale compacts are
+    bypassed, explicit as-of reads never use the compact."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    v1 = spark.createDataFrame(
+        [(1, "AAPL", 100.0), (2, "MSFT", 200.0)], "id long, sym string, px double"
+    )
+    engine.submit_tx([Put("trades", v1)], tx_time="2024-01-01 00:00:01")
+    fix = spark.createDataFrame([(1, "AAPL", 111.0)], "id long, sym string, px double")
+    engine.submit_tx([Put("trades", fix)], tx_time="2024-01-01 00:00:02")
+    engine.compact("trades")
+
+    fresh = engine.db().table("trades")
+    assert {(r["id"], r["px"]) for r in fresh.collect()} == {(1, 111.0), (2, 200.0)}
+    assert "row_number" not in plan_of(fresh)  # plain scan, no window
+
+    # explicit as-of: always the live resolution (window present)
+    asof = engine.db().table("trades", system_time="2024-01-01 00:00:01")
+    assert "row_number" in plan_of(asof)
+    assert {(r["id"], r["px"]) for r in asof.collect()} == {(1, 100.0), (2, 200.0)}
+
+    # a newer tx makes the compact stale → fallback to live resolution
+    fix2 = spark.createDataFrame([(2, "MSFT", 222.0)], "id long, sym string, px double")
+    engine.submit_tx([Put("trades", fix2)], tx_time="2024-01-01 00:00:03")
+    stale = engine.db().table("trades")
+    assert "row_number" in plan_of(stale)
+    assert {(r["id"], r["px"]) for r in stale.collect()} == {(1, 111.0), (2, 222.0)}
+
+    # re-compact at the new clock (overwrites the old compact safely)
+    engine.compact("trades")
+    again = engine.db().table("trades")
+    assert "row_number" not in plan_of(again)
+    assert {(r["id"], r["px"]) for r in again.collect()} == {(1, 111.0), (2, 222.0)}
+
+    # compaction dir must not be listed as a table
+    assert "_current" not in engine._all_tables()
