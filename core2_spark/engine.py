@@ -202,9 +202,25 @@ class Engine:
         core2 runs SQL DML deterministically at index time) as a
         transaction; returns the basis at which it is visible.  See
         sql_dml.py for the supported dialect."""
+        return self.sql_dml_many([statement], tx_time, id_col)
+
+    def sql_dml_many(
+        self,
+        statements: list[str],
+        tx_time: str | datetime | None = None,
+        id_col: str = "id",
+    ) -> Basis:
+        """Execute several DML statements as ONE transaction (core2's
+        submit-tx takes a vector of ops): all statements compile
+        against the same pre-transaction snapshot, share one tx_time,
+        and later statements win on id conflicts via the within-tx
+        sequence — atomic multi-statement DML."""
         from core2_spark.sql_dml import dml_to_ops
 
-        return self.submit_tx(dml_to_ops(self, statement, id_col), tx_time)
+        ops = []
+        for stmt in statements:
+            ops.extend(dml_to_ops(self, stmt, id_col))
+        return self.submit_tx(ops, tx_time)
 
     def _all_tables(self) -> dict[str, str]:
         return {

@@ -101,3 +101,34 @@ def test_update_for_portion_of_application_time(eng):
 def test_unsupported_statement_raises(eng):
     with pytest.raises(ValueError, match="unsupported DML"):
         eng.sql_dml("MERGE INTO accounts USING x ON TRUE")
+
+
+def test_sql_dml_many_single_transaction(spark, eng):
+    """Several DML statements in one submit_tx: one shared tx clock,
+    all statements compiled against the pre-transaction snapshot."""
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "id long, tag string, x double",
+    )
+    from core2_spark.engine import Put
+
+    eng.submit_tx([Put("t", base)], tx_time="2024-06-01 00:00:01")
+    eng.sql_dml_many(
+        [
+            "INSERT INTO t (id, tag, x) VALUES "
+            "(CAST(4 AS BIGINT), 'd', CAST(4.0 AS DOUBLE))",
+            "UPDATE t SET x = x * 10 WHERE id = 1",
+            "DELETE FROM t WHERE id = 2",
+        ],
+        tx_time="2024-06-01 00:00:02",
+    )
+    db = eng.db()
+    got = {(r["id"], r["x"]) for r in db.table("t").collect()}
+    assert got == {(1, 10.0), (3, 3.0), (4, 4.0)}
+    # every op landed at the same transaction clock
+    times = {
+        r["system_time_start"]
+        for r in db.history("t").collect()
+        if r["system_time_start"].isoformat() == "2024-06-01T00:00:02"
+    }
+    assert len(times) == 1
