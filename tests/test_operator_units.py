@@ -159,3 +159,86 @@ def test_connected_components_labels(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_interval_join_matches_naive_on_random_intervals(spark):
+    """Property: binned interval join ≡ cross-join + overlap filter on
+    seeded random intervals (varied widths, shared keys, bin-boundary
+    alignment included)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from core2_spark.operators.interval_join import interval_overlap_join
+
+    rng = random.Random(9)
+    base = datetime(2024, 1, 1)
+
+    def mk(n, prefix):
+        rows = []
+        for i in range(n):
+            start = base + timedelta(seconds=rng.randrange(0, 7200, 60))
+            width = rng.choice([60, 300, 600, 1800])  # includes bin-exact
+            rows.append((i, rng.randrange(3), start, start + timedelta(seconds=width)))
+        return spark.createDataFrame(
+            rows, f"{prefix}_id long, key long, {prefix}_s timestamp, {prefix}_e timestamp"
+        )
+
+    left, right = mk(40, "l"), mk(40, "r")
+    binned = {
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            left, right, "l_s", "l_e", "r_s", "r_e", keys=("key",), bin_seconds=600
+        ).collect()
+    }
+    naive = {
+        (r["l_id"], r["r_id"])
+        for r in left.join(right.withColumnRenamed("key", "rkey"))
+        .filter(
+            (F.col("key") == F.col("rkey"))
+            & (F.col("l_s") < F.col("r_e"))
+            & (F.col("r_s") < F.col("l_e"))
+        )
+        .collect()
+    }
+    assert binned == naive and len(naive) > 0
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Property: distributed label propagation ≡ driver-side union-find
+    on seeded random graphs."""
+    import random
+
+    from core2_spark.operators.components import connected_components
+
+    rng = random.Random(17)
+    n_nodes, n_edges = 60, 45
+    edges = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    in_graph = {a for e in edges for a in e}
+    expected = {n: find(n) for n in in_graph}
+    # canonical label = min node id in the component
+    comp_min: dict[int, int] = {}
+    for n, root in expected.items():
+        comp_min[root] = min(comp_min.get(root, n), n)
+    expected = {n: comp_min[find(n)] for n in in_graph}
+
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expected
