@@ -45,10 +45,13 @@ def df_to_arrow(df: DataFrame, max_result_rows: int | None = None) -> pa.Table:
 
 
 class SqlFlightServer(_flight.FlightServerBase if _flight else object):
-    """Serve ``executor(sql) -> DataFrame`` results over Arrow Flight.
+    """Serve ``executor(sql) -> DataFrame`` results over Arrow Flight;
+    optionally accept Arrow uploads as engine transactions via do_put.
 
     ``executor`` is typically ``Snapshot.sql`` (basis-pinned, temporal
-    dialect enabled) or a closure over ``Engine.db()``.
+    dialect enabled) or a closure over ``Engine.db()``; ``engine``
+    (optional) enables the write side — each do_put stream commits as
+    one ``submit_tx`` Put.
     """
 
     def __init__(
@@ -56,12 +59,14 @@ class SqlFlightServer(_flight.FlightServerBase if _flight else object):
         executor: Callable[[str], DataFrame],
         location: str = "grpc://127.0.0.1:0",
         max_result_rows: int = 1_000_000,
+        engine=None,
     ):
         if _flight is None:  # pragma: no cover
             raise RuntimeError("pyarrow was built without flight support")
         super().__init__(location)
         self._executor = executor
         self._max_result_rows = max_result_rows
+        self._engine = engine
 
     def _run(self, sql: str) -> pa.Table:
         return df_to_arrow(self._executor(sql), self._max_result_rows)
@@ -81,6 +86,26 @@ class SqlFlightServer(_flight.FlightServerBase if _flight else object):
     def do_get(self, context, ticket):
         return _flight.RecordBatchStream(self._run(ticket.ticket.decode()))
 
+    def do_put(self, context, descriptor, reader, writer):
+        """Ingest an Arrow stream as ONE engine transaction.  The
+        descriptor command is JSON ``{"table": ..., "tx_time": ...?}``;
+        the whole upload commits atomically (one tx_time), matching
+        submit_tx semantics over the wire."""
+        import json
+
+        if self._engine is None:
+            raise _flight.FlightServerError(
+                "this server is read-only (no engine attached)"
+            )
+        from core2_spark.engine import Put
+
+        spec = json.loads(descriptor.command.decode())
+        table = reader.read_all()
+        rows = self._engine.spark.createDataFrame(table.to_pandas())
+        self._engine.submit_tx(
+            [Put(spec["table"], rows)], tx_time=spec.get("tx_time")
+        )
+
 
 def fetch_sql(location: str, sql: str) -> pa.Table:
     """Client helper: run SQL against a SqlFlightServer and return the
@@ -91,5 +116,23 @@ def fetch_sql(location: str, sql: str) -> pa.Table:
             _flight.FlightDescriptor.for_command(sql.encode())
         )
         return client.do_get(info.endpoints[0].ticket).read_all()
+    finally:
+        client.close()
+
+
+def put_table(
+    location: str, table_name: str, table: pa.Table, tx_time: str | None = None
+) -> None:
+    """Client helper: upload an Arrow table as one engine transaction."""
+    import json
+
+    client = _flight.connect(location)
+    try:
+        desc = _flight.FlightDescriptor.for_command(
+            json.dumps({"table": table_name, "tx_time": tx_time}).encode()
+        )
+        writer, _ = client.do_put(desc, table.schema)
+        writer.write_table(table)
+        writer.close()
     finally:
         client.close()

@@ -133,6 +133,21 @@ def dml_to_ops(engine, statement: str, id_col: str = "id") -> list:
         rows = spark.sql(
             f"SELECT * FROM (VALUES {p.detail['values']}) AS _ins({cols})"
         )
+        # align literal types with the existing table schema: a bare
+        # `4` is INT and `4.0` DECIMAL(2,1), which would fork the
+        # parquet schema of a BIGINT/DOUBLE version table (merge error
+        # on the next read) — cast by column name like UPDATE does
+        if p.table in snap.basis.manifests:
+            types = {
+                f.name: f.dataType.simpleString()
+                for f in snap.table(p.table).schema.fields
+            }
+            rows = rows.select(
+                *[
+                    rows[c].cast(types[c]).alias(c) if c in types else rows[c]
+                    for c in rows.columns
+                ]
+            )
         return [Put(p.table, rows)]
 
     if p.verb == "insert_select":

@@ -115,8 +115,9 @@ def test_sql_dml_many_single_transaction(spark, eng):
     eng.submit_tx([Put("t", base)], tx_time="2024-06-01 00:00:01")
     eng.sql_dml_many(
         [
-            "INSERT INTO t (id, tag, x) VALUES "
-            "(CAST(4 AS BIGINT), 'd', CAST(4.0 AS DOUBLE))",
+            # bare literals: INT/DECIMAL auto-align to the table's
+            # BIGINT/DOUBLE schema (no casts needed)
+            "INSERT INTO t (id, tag, x) VALUES (4, 'd', 4.0)",
             "UPDATE t SET x = x * 10 WHERE id = 1",
             "DELETE FROM t WHERE id = 2",
         ],
