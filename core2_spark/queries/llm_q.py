@@ -917,3 +917,48 @@ def text_unigram_logprob_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE vpairs AS (
+        {_minhash_oracle()}
+    ),
+    und AS (
+        SELECT a_id AS a, b_id AS b FROM vpairs
+        UNION ALL
+        SELECT b_id, a_id FROM vpairs
+    ),
+    reach AS (
+        SELECT DISTINCT a AS node, a AS label FROM und
+        UNION
+        SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+    SELECT component, COUNT(*) AS n_members, MAX(node) AS max_member
+    FROM comp GROUP BY component ORDER BY component
+    """,
+)
+def dedup_cluster_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline: MinHash-LSH verified near-dup PAIRS →
+    connected components → one canonical cluster row (component = min
+    doc_id = the survivor a curation pipeline keeps).  Oracle runs the
+    same pipeline in SQL: the banded-MinHash CTE feeding a WITH
+    RECURSIVE reachability closure."""
+    from core2_spark.operators.components import connected_components
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dedup.minhash_near_duplicates(
+        _augmented_docs(d),
+        k=8,
+        rows_per_band=2,
+        threshold=0.5,
+        block_cols=("lang", "source"),
+    ).localCheckpoint(eager=True)  # pairs feed an iterative fixpoint
+    comp = connected_components(pairs, "a_id", "b_id")
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("n_members"), F.max("node").alias("max_member"))
+        .orderBy("component")
+    )

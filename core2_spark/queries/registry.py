@@ -104,6 +104,7 @@ _PRIORITY: list[str] = [
     "dedup_exact_survivors",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard_lsh",
+    "dedup_cluster_canonical",
     "knn_brute_force_cosine",
     "corpus_curation_pipeline",
     "split_train_val_test",
