@@ -962,3 +962,53 @@ def dedup_cluster_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_members"), F.max("node").alias("max_member"))
         .orderBy("component")
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+                   AS q_scale,
+               embedding::DOUBLE[] AS v
+        FROM embeddings
+    ),
+    qq AS (
+        SELECT vec_id, q_scale,
+               list_transform(v, x -> CAST(round(x / q_scale + 0.000000001) AS INT))
+                   AS q_vec,
+               v
+        FROM q
+    )
+    SELECT COUNT(*) AS n_vectors,
+           CAST(SUM(list_sum(list_transform(q_vec, x -> CAST(x AS BIGINT))))
+                AS BIGINT) AS q_checksum,
+           ROUND(MAX(list_max(list_transform(
+               list_zip(v, q_vec),
+               p -> abs(p[1] - p[2] * q_scale)))) + 0.000000001, 6) AS max_abs_err
+    FROM qq
+    """,
+)
+def embedding_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization summary: vector count, checksum of
+    all quantized components (pins the exact quantized values), and the
+    corpus-wide max reconstruction error — the storage-compression step
+    of a 100 TB similarity pipeline, verified value-exact against the
+    oracle."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = similarity.quantize_int8(e)
+    err = F.array_max(
+        F.zip_with(
+            vec.as_double(F.col("embedding")),
+            F.col("q_vec"),
+            lambda x, qv: F.abs(x - qv.cast("double") * F.col("q_scale")),
+        )
+    )
+    return q.agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.aggregate("q_vec", F.lit(0).cast("bigint"), lambda a, x: a + x))
+        .cast("bigint")
+        .alias("q_checksum"),
+        F.round(F.max(err) + 1e-9, 6).alias("max_abs_err"),
+    )

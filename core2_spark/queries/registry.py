@@ -107,6 +107,7 @@ _PRIORITY: list[str] = [
     "dedup_cluster_canonical",
     "knn_brute_force_cosine",
     "corpus_curation_pipeline",
+    "embedding_quantize_int8",
     "split_train_val_test",
     "corpus_weighted_mixture",
     "pack_sequences_boundaries",

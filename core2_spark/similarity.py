@@ -276,3 +276,24 @@ def embedding_cosine_near_duplicates(
         .filter(F.col("cosine_sim") >= threshold)
         .distinct()
     )
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding"):
+    """Symmetric per-vector int8 scalar quantization: scale =
+    max(|x|)/127, q_i = round(x_i/scale) — 4× smaller embedding
+    storage with ~0.4% max error, the standard first compression step
+    before ANN at 100 TB.  Pure column algebra (transform/zip_with),
+    no UDFs; dequantize is q_i × scale.
+
+    The +1e-9 nudge before round keeps Spark's HALF_UP and an
+    oracle's banker's rounding on the same side for boundary values
+    (same discipline as queries/util.pround)."""
+    v = as_double(F.col(vec_col))
+    scale = (F.array_max(F.transform(v, lambda x: F.abs(x))) / 127.0).alias("q_scale")
+    return df.withColumn("q_scale", scale).withColumn(
+        "q_vec",
+        F.transform(
+            as_double(F.col(vec_col)),
+            lambda x: F.round(x / F.col("q_scale") + 1e-9).cast("int"),
+        ),
+    )
