@@ -1012,3 +1012,39 @@ def embedding_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q_checksum"),
         F.round(F.max(err) + 1e-9, 6).alias("max_abs_err"),
     )
+
+
+@query(
+    "text_chunk_windows_udtf",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(s.i AS INT) AS chunk_idx,
+           substr(d.text, CAST(s.i * 150 + 1 AS INT), 200) AS chunk,
+           length(substr(d.text, CAST(s.i * 150 + 1 AS INT), 200)) AS n_chars
+    FROM documents d,
+         LATERAL (
+            SELECT unnest(generate_series(
+                0, CAST(floor((length(d.text) - 1) / 150.0) AS BIGINT))) AS i
+         ) s
+    WHERE d.doc_id < 50
+    ORDER BY d.doc_id, chunk_idx
+    """,
+)
+def text_chunk_windows_udtf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context chunking via a Python UDTF (LATERAL table function):
+    200-char windows every 150 chars (50 overlap) — the row-expanding
+    chunking step of a RAG/training pipeline, exercising Spark's UDTF
+    surface; the oracle derives the same windows with sequence
+    arithmetic."""
+    from core2_spark.functions.chunking import make_chunk_udtf
+
+    spark.udtf.register("chunk_text", make_chunk_udtf(200, 150))
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d.filter(F.col("doc_id") < 50).createOrReplaceTempView("_chunk_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_chars
+        FROM _chunk_docs d, LATERAL chunk_text(d.text) AS c
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )
