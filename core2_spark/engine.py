@@ -342,6 +342,35 @@ class Snapshot:
                 table_map[name] = hist_name
         return self.engine.spark.sql(rewrite_temporal_sql(query, table_map))
 
+    def changes(
+        self,
+        table: str,
+        since: str | datetime,
+        until: str | datetime | None = None,
+    ) -> DataFrame:
+        """Change feed (CDC view of the transaction log): every version
+        committed in ``(since, until]`` at this basis, with a
+        ``_change`` column ('put' or 'delete').  This is what a
+        downstream log consumer reads to stay in sync — the engine's
+        analogue of tailing the reference's tx log from an offset;
+        ordering columns (system_time_start, _tx_seq) are included so
+        consumers can apply changes in log order."""
+        raw = self.basis.read(self.engine.spark, table)
+        s = bt._ts(since)
+        hi = bt._ts(until) if until is not None else F.lit(None)
+        out = raw.filter(
+            (F.col(bt.SYS_START) > s)
+            & (F.col(bt.SYS_START) <= F.coalesce(hi, F.col(bt.SYS_START)))
+        )
+        tomb = (
+            F.coalesce(F.col(bt.TOMBSTONE), F.lit(False))
+            if bt.TOMBSTONE in raw.columns
+            else F.lit(False)
+        )
+        return out.withColumn(
+            "_change", F.when(tomb, F.lit("delete")).otherwise(F.lit("put"))
+        ).drop(*[c for c in (bt.TOMBSTONE,) if c in raw.columns])
+
     # -- §3.2 Datalog --------------------------------------------------
     def q(self, query: dict, args: list | None = None, **asof) -> DataFrame:
         """Datalog over the same basis-pinned views."""

@@ -220,3 +220,26 @@ def test_compact_current_state_routing(spark, engine):
 
     # compaction dir must not be listed as a table
     assert "_current" not in engine._all_tables()
+
+
+def test_changes_feed(spark, engine):
+    """Snapshot.changes: versions committed in (since, until], tagged
+    put/delete in log order — the downstream-consumer CDC view."""
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    engine.submit_tx([Put("t", v1)], tx_time="2024-01-01 00:00:01")
+    v2 = spark.createDataFrame([(1, "a2")], "id long, v string")
+    engine.submit_tx([Put("t", v2)], tx_time="2024-01-01 00:00:02")
+    ids = spark.createDataFrame([(2,)], "id long")
+    engine.submit_tx([Delete("t", ids)], tx_time="2024-01-01 00:00:03")
+
+    db = engine.db()
+    # everything after tx1
+    feed = db.changes("t", since="2024-01-01 00:00:01")
+    got = {(r["id"], r["_change"]) for r in feed.collect()}
+    assert got == {(1, "put"), (2, "delete")}
+    # bounded window: only tx2
+    feed2 = db.changes("t", since="2024-01-01 00:00:01", until="2024-01-01 00:00:02")
+    assert {(r["id"], r["_change"]) for r in feed2.collect()} == {(1, "put")}
+    # a consumer replaying the full feed from epoch sees log order
+    full = db.changes("t", since="2000-01-01 00:00:00")
+    assert full.count() == 4
