@@ -175,3 +175,22 @@ def test_ivf_kmeans_refinement_improves_cells(spark):
         ).collect()
     ]
     assert len(set(brute) & set(ivf)) >= 4
+
+
+def test_quantized_vectors_preserve_knn(spark):
+    """Int8-quantized embeddings must preserve the exact top-k almost
+    perfectly (quantization error ~0.4% of max component)."""
+    from pyspark.sql import functions as F
+
+    e = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    qv = similarity.query_vector(e, "vec_id", "embedding", 0)
+    exact = [r["vec_id"] for r in similarity.brute_force_knn(e, qv, k=10).collect()]
+
+    deq = similarity.quantize_int8(e).select(
+        "vec_id",
+        F.transform(
+            "q_vec", lambda x: x.cast("double") * F.col("q_scale")
+        ).alias("embedding"),
+    )
+    quant = [r["vec_id"] for r in similarity.brute_force_knn(deq, qv, k=10).collect()]
+    assert len(set(exact) & set(quant)) >= 8
