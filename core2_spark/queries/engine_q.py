@@ -231,3 +231,48 @@ def engine_dml_portion_of_app_time(spark: SparkSession, sf_dir: str) -> DataFram
         "SELECT id, name FROM nations", app_time="2024-07-01 00:00:00"
     ).withColumn("probe", F.lit("jul"))
     return apr.unionByName(jul).select("probe", "id", "name").orderBy("probe", "id")
+
+
+@query(
+    "engine_changes_feed",
+    oracle="""
+    SELECT n_nationkey AS id, n_name || '_v2' AS name, 'put' AS _change
+    FROM nation WHERE n_nationkey % 3 = 0
+    UNION ALL
+    SELECT n_nationkey, NULL, 'delete'
+    FROM nation WHERE n_nationkey % 5 = 0
+    ORDER BY id, _change
+    """,
+)
+def engine_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC view through the driver gate: after an initial load, an
+    update (ids %3) and a delete (ids %5), the change feed since the
+    load must contain exactly the updated versions as 'put' and the
+    tombstones as 'delete' (name NULL — tombstones carry no data
+    columns)."""
+    from core2_spark.engine import Delete, Engine, Put
+
+    nation = _nation_rows(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="engine_q_cdc_"))
+    eng.submit_tx([Put("nations", nation)], tx_time="2024-01-01 00:00:01")
+    eng.submit_tx(
+        [
+            Put(
+                "nations",
+                nation.filter(F.col("id") % 3 == 0).withColumn(
+                    "name", F.concat(F.col("name"), F.lit("_v2"))
+                ),
+            )
+        ],
+        tx_time="2024-01-01 00:00:02",
+    )
+    eng.submit_tx(
+        [Delete("nations", nation.filter(F.col("id") % 5 == 0).select("id"))],
+        tx_time="2024-01-01 00:00:03",
+    )
+    return (
+        eng.db()
+        .changes("nations", since="2024-01-01 00:00:01")
+        .select("id", "name", "_change")
+        .orderBy("id", "_change")
+    )

@@ -100,6 +100,7 @@ _PRIORITY: list[str] = [
     "engine_dml_roundtrip",
     "engine_sql_period_overlaps",
     "engine_dml_portion_of_app_time",
+    "engine_changes_feed",
     # LLM-pipeline flagships.
     "dedup_exact_survivors",
     "dedup_minhash_lsh",
