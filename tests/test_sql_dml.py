@@ -133,3 +133,39 @@ def test_sql_dml_many_single_transaction(spark, eng):
         if r["system_time_start"].isoformat() == "2024-06-01T00:00:02"
     }
     assert len(times) == 1
+
+
+def test_random_dml_sequences_match_model(spark, tmp_path):
+    """Property: random INSERT/UPDATE/DELETE statement sequences through
+    the SQL DML frontend agree with a naive dict replay."""
+    import random
+
+    from core2_spark.engine import Engine
+
+    rng = random.Random(23)
+    for trial in range(3):
+        eng2 = Engine(spark, str(tmp_path / f"rnd{trial}"))
+        eng2.sql_dml(
+            "INSERT INTO t (id, v) VALUES "
+            "(CAST(1 AS BIGINT), CAST(10 AS BIGINT)), "
+            "(CAST(2 AS BIGINT), CAST(20 AS BIGINT))"
+        )
+        model = {1: 10, 2: 20}
+        for _ in range(4):
+            verb = rng.choice(["insert", "update", "delete"])
+            rid = rng.randrange(1, 5)
+            val = rng.randrange(100)
+            if verb == "insert":
+                eng2.sql_dml(f"INSERT INTO t (id, v) VALUES ({rid}, {val})")
+                model[rid] = val
+            elif verb == "update":
+                eng2.sql_dml(f"UPDATE t SET v = {val} WHERE id = {rid}")
+                if rid in model:
+                    model[rid] = val
+            else:
+                eng2.sql_dml(f"DELETE FROM t WHERE id = {rid}")
+                model.pop(rid, None)
+        got = {
+            (r["id"], r["v"]) for r in eng2.db().table("t").collect()
+        }
+        assert got == set(model.items()), f"trial {trial}"
