@@ -164,3 +164,22 @@ def test_q13_left_join_preserves_zero_order_customers(spark):
     plan = plan_of(QUERIES["tpch_q13_customer_distribution"](spark, SF_DIR))
     assert "LeftOuter" in plan or "BuildRight" in plan
     assert plan.count("HashAggregate") >= 3
+
+
+def test_plan_audit_helpers(spark):
+    """core2_spark.plans: audit() passes clean plans, names offenders,
+    and pushed_filters() surfaces the scan-level predicate."""
+    from core2_spark import plans
+
+    q3 = QUERIES["tpch_q3_shipping_priority"](spark, SF_DIR)
+    text = plans.audit(q3, require=("TakeOrderedAndProject",))
+    assert "BroadcastHashJoin" in text
+
+    scan = QUERIES["tpch_q6_forecast_revenue"](spark, SF_DIR)
+    assert "l_shipdate" in plans.pushed_filters(scan) or "PushedFilters" in plans.plan_text(scan)
+
+    # a deliberate cross join must be named by the audit
+    a = spark.range(3)
+    b = spark.range(3).withColumnRenamed("id", "id2")
+    with pytest.raises(AssertionError, match="forbidden"):
+        plans.audit(a.crossJoin(b))
