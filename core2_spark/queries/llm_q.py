@@ -1048,3 +1048,20 @@ def text_chunk_windows_udtf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, c.chunk_idx
         """
     )
+
+
+@query("knn_quantized_lsh")  # rows-only: approximate result set is engine-specific
+def knn_quantized_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN stack end-to-end: int8-quantize the corpus
+    (4× storage), bucket by size-scaled sign-projection LSH, search the
+    dequantized vectors in the probed buckets only — compression and
+    candidate pruning composed, the shape a 100 TB deployment runs."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    deq = similarity.quantize_int8(e).select(
+        "vec_id",
+        F.transform(
+            "q_vec", lambda x: x.cast("double") * F.col("q_scale")
+        ).alias("embedding"),
+    )
+    qv = similarity.query_vector(e, "vec_id", "embedding", 0)
+    return similarity.lsh_bucketed_knn(deq, qv, k=10, multiprobe_bits=2)
