@@ -108,9 +108,40 @@ def random_query(draw):
                 "union_all",
                 "case_bucket",
                 "distinct_count",
+                "rollup",
+                "window_count",
+                "scalar_subquery",
             ]
         )
     )
+    if shape == "rollup":
+        return f"""
+        SELECT {group_col} AS g,
+               CAST(GROUPING({group_col}) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               CAST(MAX({int_col}) AS BIGINT) AS mx
+        FROM {table}
+        WHERE {pred}
+        GROUP BY ROLLUP ({group_col})
+        """
+    if shape == "window_count":
+        return f"""
+        SELECT {int_col} AS k,
+               COUNT(*) OVER (PARTITION BY {group_col}) AS grp_n,
+               CAST(MIN({int_col}) OVER (PARTITION BY {group_col}) AS BIGINT)
+                   AS grp_min
+        FROM {table}
+        WHERE {pred}
+        """
+    if shape == "scalar_subquery":
+        pred2 = draw(predicates(table))
+        return f"""
+        SELECT {group_col} AS g, COUNT(*) AS n
+        FROM {table}
+        WHERE {pred}
+          AND {int_col} > (SELECT MIN({int_col}) FROM {table} WHERE {pred2})
+        GROUP BY {group_col}
+        """
     if shape == "agg":
         return f"""
         SELECT {group_col} AS g,
