@@ -229,6 +229,35 @@ class Engine:
             if os.path.isdir(self._table_path(name)) and not name.startswith("_")
         }
 
+    def optimize(self, table: str, target_files: int | None = None) -> int:
+        """Compact the version table's small files (every transaction
+        appends at least one file; after thousands of transactions the
+        read path pays per-file open cost — the classic streaming-table
+        small-file problem).  Rewrites ALL version rows — history,
+        tombstones, ``_tx_seq`` included — into ``target_files`` files
+        (default: ~128 MB each), changing nothing semantically.
+
+        Like ``Erase`` (the other rewrite), this invalidates previously
+        acquired Basis manifests for the table — the reference's
+        analogue is sealing/compacting chunks at maintenance points.
+        Returns the new file count."""
+        path = self._table_path(table)
+        if target_files is None:
+            size = sum(
+                os.path.getsize(os.path.join(r, n))
+                for r, _d, ns in os.walk(path)
+                for n in ns
+                if n.endswith(".parquet")
+            )
+            target_files = max(1, size // (128 * 1024 * 1024) + 1)
+        rows = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(path)
+            .localCheckpoint(eager=True)
+        )
+        rows.repartition(target_files).write.mode("overwrite").parquet(path)
+        return target_files
+
     # -- §4 materialized current state --------------------------------
     def compact(self, table: str) -> str:
         """Materialize the current-state view of ``table`` at the

@@ -243,3 +243,36 @@ def test_changes_feed(spark, engine):
     # a consumer replaying the full feed from epoch sees log order
     full = db.changes("t", since="2000-01-01 00:00:00")
     assert full.count() == 4
+
+
+def test_optimize_compacts_files_preserving_history(spark, engine):
+    """optimize() must shrink the file count without changing any
+    query answer — current state, history, and as-of all identical."""
+    import glob
+
+    for i in range(5):
+        df = spark.createDataFrame([(i, f"v{i}")], "id long, v string")
+        engine.submit_tx([Put("t", df)], tx_time=f"2024-01-01 00:00:0{i + 1}")
+    ids = spark.createDataFrame([(0,)], "id long")
+    engine.submit_tx([Delete("t", ids)], tx_time="2024-01-01 00:00:06")
+
+    before_files = len(glob.glob("/root/repo/_data/engine_test/t/*.parquet"))
+    db = engine.db()
+    cur_before = {(r["id"], r["v"]) for r in db.table("t").collect()}
+    hist_before = db.history("t").count()
+    asof_before = {
+        (r["id"], r["v"])
+        for r in db.table("t", system_time="2024-01-01 00:00:03").collect()
+    }
+
+    engine.optimize("t", target_files=1)
+    after_files = len(glob.glob("/root/repo/_data/engine_test/t/*.parquet"))
+    assert after_files < before_files and after_files == 1
+
+    db2 = engine.db()
+    assert {(r["id"], r["v"]) for r in db2.table("t").collect()} == cur_before
+    assert db2.history("t").count() == hist_before
+    assert {
+        (r["id"], r["v"])
+        for r in db2.table("t", system_time="2024-01-01 00:00:03").collect()
+    } == asof_before
