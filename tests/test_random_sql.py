@@ -115,6 +115,11 @@ def random_query(draw):
         )
     )
     if shape == "rollup":
+        # Found divergence: on EMPTY input, DuckDB emits ROLLUP's
+        # grand-total row (SQL-standard: the () grouping set aggregates
+        # the empty relation to one row) while Spark emits nothing.
+        # HAVING n > 0 normalizes both engines to the non-empty rows;
+        # group rows always have n >= 1 so nothing real is dropped.
         return f"""
         SELECT {group_col} AS g,
                CAST(GROUPING({group_col}) AS BIGINT) AS gid,
@@ -123,6 +128,7 @@ def random_query(draw):
         FROM {table}
         WHERE {pred}
         GROUP BY ROLLUP ({group_col})
+        HAVING COUNT(*) > 0
         """
     if shape == "window_count":
         return f"""
