@@ -77,20 +77,34 @@ def load_table(
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is Parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects outright; read nanos as raw int64 (legacy conf) and floor
-    to microsecond timestamps — same truncation DuckDB applies when it
-    casts ns→µs, so oracle comparisons line up.
+    """Load events, tolerating either physical encoding of ``ts``.
 
-    The division MUST be integral (`DIV`): epoch-nanos ≈ 1.7e18
+    Fixture generations differ: some write ``ts`` as Parquet
+    TIMESTAMP(NANOS) — which Spark's reader rejects outright unless the
+    legacy conf maps it to raw int64 nanos — others as ordinary
+    TIMESTAMP(MICROS).  Setting ``nanosAsLong`` is a no-op for µs
+    files, so always set it, read, and convert only when ``ts``
+    actually arrived as int64.
+
+    The ns→µs division MUST be integral (`DIV`): epoch-nanos ≈ 1.7e18
     exceeds double's 53-bit mantissa, so `/ 1000` in double arithmetic
     perturbs the low microseconds and individual timestamps drift ±1µs
-    from the oracle's."""
+    from the oracle's (DuckDB truncates the same way on its ns→µs
+    cast)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        # µs-NTZ fixture: watermarks/windows need an instant
+        # (TimestampType).  The session pins UTC (session.py), so the
+        # cast is value-preserving and matches DuckDB's naive read.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(

@@ -30,11 +30,14 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixture is a single parquet *file* while the stream source
     needs a *directory*, so a session-temp dir with a symlink stands in
     — at scale the table is a directory of appended files anyway.
-    The ns-precision ts arrives as int64 (see catalog._load_events) and
-    is floored to a microsecond timestamp here too.
+    A ns-precision ts arrives as int64 (see catalog._load_events) and
+    is floored to a microsecond timestamp here too; a µs fixture
+    streams through unchanged.
     """
     import os
     import tempfile
+
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
@@ -50,9 +53,15 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
-    # Integral DIV, not `/ 1000`: epoch-nanos overflow double precision
-    # (see catalog._load_events).
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # Integral DIV, not `/ 1000`: epoch-nanos overflow double
+        # precision (see catalog._load_events).
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        # Watermarks need an instant; UTC session makes this exact.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
