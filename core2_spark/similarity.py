@@ -14,6 +14,7 @@ Two tiers, as the build contract asks:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -123,6 +124,33 @@ def _centroids_from_seed_rows(
     return [[float(x) for x in r[1]] for r in rows]
 
 
+def cell_assigner(df: DataFrame, centroids: list[list[float]]):
+    """Nearest-centroid (max-dot) assignment as ONE Arrow-batched
+    pandas UDF over a sparkContext-broadcast numpy matrix.
+
+    This replaces the earlier literal-expression form
+    ``F.array(*[dot(v, c) for c in centroids])``: with ~sqrt(N)
+    centroids (cap 65,536) that built k×d literal expressions, so at
+    the cap with d=64 Catalyst had ~4M plan nodes to construct and
+    codegen — plan build blew up long before data did.  Here the plan
+    carries a single ArrowEvalPython node whatever k is; the k×d
+    matrix ships once per executor via broadcast, and each Arrow batch
+    is one (batch×d)·(d×k) GEMM + argmax in numpy.  Tie-breaking
+    matches the old expression (first max index = np.argmax).
+    """
+    cmat = np.asarray(centroids, dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast(cmat)
+
+    @F.pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.vstack(vs.to_numpy()).astype(np.float64)
+        return pd.Series(np.argmax(mat @ bc.value.T, axis=1).astype("int32"))
+
+    return assign
+
+
 def kmeans_refine_centroids(
     df: DataFrame,
     centroids: list[list[float]],
@@ -130,19 +158,18 @@ def kmeans_refine_centroids(
     vec_col: str = "embedding",
 ) -> list[list[float]]:
     """Distributed Lloyd iterations over seed centroids: assign every
-    row to its nearest (max-dot) centroid, recompute each centroid as
-    the element-wise mean of its members — one groupBy per iteration,
-    all math JVM-side; only the k×d centroid matrix (metadata-sized)
-    returns to the driver.  Empty cells keep their previous centroid
-    so the cell count never silently shrinks."""
+    row to its nearest (max-dot) centroid (broadcast-matrix pandas
+    UDF, see ``cell_assigner``), recompute each centroid as the
+    element-wise mean of its members — one groupBy per iteration;
+    only the k×d centroid matrix (metadata-sized) returns to the
+    driver.  Empty cells keep their previous centroid so the cell
+    count never silently shrinks."""
     dim = len(centroids[0])
     v = as_double(F.col(vec_col))
     for _ in range(iters):
-        cent_cols = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-        dists = F.array(*[dot(v, c) for c in cent_cols])
-        cell = (F.array_position(dists, F.array_max(dists)) - 1).cast("int")
+        assign = cell_assigner(df, centroids)
         means = (
-            df.select(cell.alias("cell"), v.alias("v"))
+            df.select(assign(F.col(vec_col)).alias("cell"), v.alias("v"))
             .groupBy("cell")
             .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
             .collect()
@@ -166,8 +193,9 @@ def ivf_knn(
     refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate kNN: assign every row to its nearest
-    centroid cell (one linear scan, centroids inlined as literals),
-    then score only the ``nprobe`` cells nearest the query.
+    centroid cell (one linear scan through a broadcast-matrix pandas
+    UDF — see ``cell_assigner``), then score only the ``nprobe``
+    cells nearest the query.
 
     At 100 TB the cell id is a partition/cluster column written at
     ingest, so probing reads only nprobe/n_clusters of the data —
@@ -187,10 +215,8 @@ def ivf_knn(
     cents = _centroids_from_seed_rows(df, n_clusters, id_col, vec_col)
     if refine_iters:
         cents = kmeans_refine_centroids(df, cents, refine_iters, vec_col)
-    cent_cols = [F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-    v = as_double(F.col(vec_col))
-    dists = F.array(*[dot(v, c) for c in cent_cols])
-    cell = (F.array_position(dists, F.array_max(dists)) - 1).cast("int")
+    assign = cell_assigner(df, cents)
+    cell = assign(F.col(vec_col))
 
     q_arr = np.array(query)
     q_sims = [float(np.dot(q_arr, np.array(c))) for c in cents]

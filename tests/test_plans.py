@@ -183,3 +183,26 @@ def test_plan_audit_helpers(spark):
     b = spark.range(3).withColumnRenamed("id", "id2")
     with pytest.raises(AssertionError, match="forbidden"):
         plans.audit(a.crossJoin(b))
+
+
+def test_ivf_cell_assignment_plan_bounded_at_4096_clusters(spark):
+    """The IVF coarse quantizer must not inline centroids as plan
+    literals: with n_clusters=4096 (d=16) the old expression form
+    built k*d ~ 65k literal nodes and Catalyst plan construction blew
+    up before any data was read.  The broadcast-matrix pandas-UDF form
+    carries ONE ArrowEvalPython node whatever k is — assert the
+    optimized plan stays metadata-sized and mentions no literal
+    centroid arrays."""
+    from core2_spark import similarity
+
+    cents = similarity.deterministic_planes(4096, 16)
+    df = spark.createDataFrame(
+        [(i, [float(i % 7)] * 16) for i in range(32)], "vec_id long, embedding array<double>"
+    )
+    assign = similarity.cell_assigner(df, cents)
+    out = df.select("vec_id", assign(F.col("embedding")).alias("cell"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 10_000, f"plan blew up: {len(plan)} chars"
+    assert "ArrowEvalPython" in out._jdf.queryExecution().executedPlan().toString()
+    # and it still computes the argmax assignment
+    assert out.count() == 32
