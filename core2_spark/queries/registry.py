@@ -54,12 +54,103 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order for the tail.  Any prefix of the returned dict is then a
 # maximally-informative correctness sample.
 _PRIORITY: list[str] = [
-    # TPC-H 22-query suite (SURVEY §5.4) — the headline relational surface.
+    # Head: the engine rows the r3 verdict wants re-verified every
+    # round, plus one flagship per major family.
+    "engine_sql_time_travel",
+    "engine_dml_roundtrip",
+    "engine_sql_period_overlaps",
+    "engine_dml_portion_of_app_time",
+    "engine_changes_feed",
     "tpch_q1_pricing_summary",
+    "tpch_q5_region_revenue",
+    "temporal_asof_bitemporal",
+    "dedup_minhash_lsh",
+    "knn_brute_force_cosine",
+    # Rotation (round 4): the driver truncates CORRECTNESS at ~50
+    # entries and r1-r3 all verified the same prefix, so ~40 of the
+    # slots now go to queries that have NEVER had a driver row
+    # (oracle-paired first, rows-only after).  Once CORRECTNESS_r04
+    # lands, rotate again to the remaining tail.
+    "split_train_val_test",
+    "corpus_weighted_mixture",
+    "pack_sequences_boundaries",
+    "orderby_multi_key_limit",
+    "unwind_explode",
+    "array_higher_order",
+    "json_dynamic_access",
+    "subquery_not_in_3vl",
+    "null_three_valued_logic",
+    "cast_functions",
+    "interval_arithmetic",
+    "ts_last_point_per_device",
+    "text_quality_stats",
+    "ts_hourly_rollup_daily_peak",
+    "agg_grouping_sets",
+    "graph_copurchase_pairs",
+    "graph_connected_components",
+    "subquery_scalar",
+    "subquery_in",
+    "exists_flag_projection",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "text_language_id",
+    "text_fingerprint",
+    "knn_top3_per_label",
+    "embedding_norm_stats",
+    "embedding_label_near_dup",
+    "text_doc_frequency_idf",
+    "text_tfidf_distinctive_term_per_doc",
+    "text_unigram_logprob_score",
+    "text_chunk_windows_udtf",
+    "unwind_with_ordinality",
+    "unwind_outer_empty",
+    "array_functions",
+    "json_from_json_struct",
+    "struct_construct_access",
+    "set_semantics_arrays",
+    "tagged_identifier_types",
+    "map_construct_access",
+    "project_compute",
+    "select_compound_predicate",
+    "rename_columns",
+    "distinct_rows",
+    "case_when",
+    "conditional_functions",
+    "string_functions",
+    "math_functions",
+    "orderby_nulls_first",
+    "limit_offset",
+    "set_intersect_all",
+    "set_intersect_distinct",
+    "set_except_distinct",
+    "set_union_by_name_missing",
+    "set_union_distinct",
+    "stream_sliding_window",
+    "stream_interval_join_batch_twin",
+    "datetime_extract",
+    "date_trunc_monthly_revenue",
+    "ts_gap_fill_locf",
+    "ts_device_delta_stats",
+    "window_rank_dense",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_statistics",
+    "window_range_frame",
+    "window_moving_avg",
+    "dedup_simhash",
+    "knn_lsh_bucketed",
+    "knn_ivf_probe",
+    "multimodal_feature_extract",
+    "multimodal_image_resize",
+    "multimodal_frame_sampling",
+    "embedding_cosine_near_dup",
+    "knn_quantized_lsh",
+    "stream_structured_tumbling",
+    "stream_kafka_log_transport",
+    # Previously driver-verified queries (r1-r3 green) follow.
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
-    "tpch_q5_region_revenue",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
@@ -77,7 +168,6 @@ _PRIORITY: list[str] = [
     "tpch_q20_potential_promotion",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
-    # Join family (SURVEY §2.3) — all eight physical/logical shapes.
     "join_inner_equi",
     "join_left_outer",
     "join_full_outer",
@@ -87,32 +177,17 @@ _PRIORITY: list[str] = [
     "join_theta_nonequi",
     "join_nullsafe_equal",
     "join_interval_overlap_binned",
-    # Bitemporal visibility (SURVEY §2.2/§2.8) — the reference's core.
     "temporal_asof_system",
-    "temporal_asof_bitemporal",
     "temporal_system_from_to",
     "temporal_app_from_to",
     "temporal_latest_versions",
     "temporal_rectangle_resolution",
     "period_predicates",
-    # Engine path: ingest → bitemporal storage → Snapshot.sql (§3.1/§3.3).
-    "engine_sql_time_travel",
-    "engine_dml_roundtrip",
-    "engine_sql_period_overlaps",
-    "engine_dml_portion_of_app_time",
-    "engine_changes_feed",
-    # LLM-pipeline flagships.
     "dedup_exact_survivors",
-    "dedup_minhash_lsh",
     "dedup_ngram_jaccard_lsh",
     "dedup_cluster_canonical",
-    "knn_brute_force_cosine",
     "corpus_curation_pipeline",
     "embedding_quantize_int8",
-    "split_train_val_test",
-    "corpus_weighted_mixture",
-    "pack_sequences_boundaries",
-    # One representative per remaining family.
     "window_topk_per_group",
     "window_distribution",
     "stream_tumbling_window",
@@ -121,11 +196,6 @@ _PRIORITY: list[str] = [
     "agg_rollup",
     "set_union_all",
     "set_except_all",
-    "orderby_multi_key_limit",
-    "unwind_explode",
-    "array_higher_order",
-    "json_dynamic_access",
-    "subquery_not_in_3vl",
     "apply_correlated_scalar",
     "recursion_fixpoint_ancestors",
     "datalog_rules_recursive",
@@ -133,18 +203,46 @@ _PRIORITY: list[str] = [
     "skew_salted_hot_key_agg",
     "grouped_map_pandas",
     "dynamic_variant_union_legs",
-    "null_three_valued_logic",
-    "cast_functions",
     "string_regex_functions",
     "datetime_construction",
-    "interval_arithmetic",
     "pivot_sum_values",
     "external_csv_source",
     "table_literal_values",
     "graph_linear_path_4hop",
-    "ts_last_point_per_device",
-    "text_quality_stats",
-    "ts_hourly_rollup_daily_peak",
+    "agg_distinct",
+    "agg_stats",
+    "agg_bool",
+    "agg_array_agg",
+    "agg_count_if_filtered",
+    "agg_having",
+    "agg_cube",
+    "agg_percentile_exact",
+    "agg_min_by_max_by",
+    "agg_approx_sketches",
+    "apply_correlated_exists",
+    "multi_column_in_subquery",
+    "pivot_status_by_priority",
+    "unpivot_stack",
+    "external_json_source",
+    "datalog_join_filter",
+    "datalog_aggregate",
+    "datalog_not_exists",
+    "datalog_two_hop_graph",
+    "datalog_in_bindings",
+    "datalog_rules_union",
+    "external_arrow_source",
+    "asof_join_forward_tolerance",
+    "string_functions_extended",
+    "decimal_exact_arithmetic",
+    "bitwise_operations",
+    "hash_functions",
+    "arithmetic_safe",
+    "datetime_extract_extended",
+    "like_variants",
+    "time_of_day_encoding",
+    "with_cte_reuse",
+    "grouping_sets_sql",
+    "graph_star_supplier_profile",
 ]
 
 

@@ -18,10 +18,15 @@ def test_registry_shape():
     assert all(isinstance(sql, str) and "SELECT" in sql.upper() for sql in os_.values())
 
 
-def test_priority_prefix_covers_flagships():
-    """The driver's correctness gate truncated at ~50 entries in r1;
-    the registry now emits a priority prefix so any prefix certifies
-    the flagship surface.  Pin that contract."""
+def test_priority_prefix_rotates_to_unchecked_tail():
+    """The driver's correctness gate truncates at ~50 entries; r1-r3
+    all verified the same prefix, so round 4 rotates the gate: a small
+    engine+flagship head, then ONLY queries that have never had a
+    driver CORRECTNESS row.  Pin that contract."""
+    import glob
+    import json
+    import os
+
     from core2_spark.queries.registry import _PRIORITY, all_queries
 
     names = list(all_queries())
@@ -30,21 +35,25 @@ def test_priority_prefix_covers_flagships():
     assert not missing, missing
     # and the priority list is exactly the head of the ordering
     assert names[: len(_PRIORITY)] == _PRIORITY
-    first50 = set(names[:50])
-    for n in [f"tpch_q{i}" for i in range(1, 23)]:
-        assert any(q.startswith(n + "_") for q in first50), n
+    first50 = names[:50]
+    # engine rows re-verify every round (the r2 regression class)
     for n in [
-        "join_inner_equi",
-        "join_full_outer",
-        "join_anti",
-        "join_theta_nonequi",
+        "engine_sql_time_travel",
+        "engine_dml_roundtrip",
+        "engine_changes_feed",
         "temporal_asof_bitemporal",
-        "temporal_rectangle_resolution",
-        "dedup_exact_survivors",
         "dedup_minhash_lsh",
         "knn_brute_force_cosine",
     ]:
         assert n in first50, n
+    # the bulk of the gate goes to never-driver-checked names
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r0[123].json")):
+        checked |= set(json.load(open(f)))
+    if checked:  # driver artifacts present
+        fresh = [n for n in first50 if n not in checked]
+        assert len(fresh) >= 35, f"only {len(fresh)} never-checked names in gate"
 
 
 def test_entry_smoke(spark):
