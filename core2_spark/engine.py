@@ -29,9 +29,11 @@ Semantics carried from the reference:
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 from dataclasses import dataclass
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -86,28 +88,111 @@ class Engine:
         # counter alone would let db() predate an explicitly-timed
         # transaction and silently see an empty current state.
         self._last_tx_time: datetime | None = None
+        # Version tables must carry parquet min/max statistics on the
+        # temporal columns (clock recovery and as-of file pruning read
+        # them).  Spark's INT96 legacy timestamp encoding writes NO
+        # column statistics; TIMESTAMP_MICROS is the non-deprecated
+        # encoding and gets full stats.  Set once at engine open —
+        # the engine owns every write under its root.
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         os.makedirs(root, exist_ok=True)
         self._recover_clock()
 
     def _recover_clock(self) -> None:
         """A re-opened Engine over an existing root must not reset the
         transaction clock to the epoch — db() would silently read an
-        empty current state.  The committed data itself is the log:
-        recover max(system_time_start) across all tables."""
+        empty current state.
+
+        Opening a database must be metadata-sized, never a data scan:
+        on a 100 TB version table the old ``max(system_time_start)``
+        Spark job was a full column scan before the first query.  The
+        clock is now persisted per transaction in ``_log.json``
+        (atomic tmp+rename write), so the normal path is one tiny JSON
+        read and ZERO Spark jobs.  Legacy roots without the manifest
+        recover from parquet FOOTER max-statistics via pyarrow —
+        still metadata-only, still no Spark job."""
+        log = os.path.join(self.root, "_log.json")
+        if os.path.exists(log):
+            with open(log) as f:
+                meta = json.load(f)
+            self._last_tx_time = datetime.fromisoformat(meta["last_tx_time"])
+            self._tx_counter = int(meta.get("tx_counter", 0))
+            return
+        import pyarrow.compute as pa_compute
+        import pyarrow.parquet as pq
+
         for name, path in self._all_tables().items():
-            try:
-                row = (
-                    self.spark.read.option("mergeSchema", "true")
-                    .parquet(path)
-                    .agg(F.max(bt.SYS_START).alias("t"))
-                    .first()
-                )
-            except Exception:
-                continue
-            if row and row["t"] is not None:
-                t = row["t"]
-                if self._last_tx_time is None or t > self._last_tx_time:
-                    self._last_tx_time = t
+            for root_dir, _dirs, names in os.walk(path):
+                for n in names:
+                    if not n.endswith(".parquet"):
+                        continue
+                    try:
+                        md = pq.ParquetFile(os.path.join(root_dir, n)).metadata
+                    except Exception:
+                        continue
+                    cols = {
+                        md.schema.column(i).name: i for i in range(md.num_columns)
+                    }
+                    if bt.SYS_START not in cols:
+                        continue
+                    f_max = None
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(cols[bt.SYS_START]).statistics
+                        if st is not None and st.has_min_max:
+                            if f_max is None or st.max > f_max:
+                                f_max = st.max
+                    if f_max is None:
+                        # INT96-era file: no stats exist at all — read
+                        # the ONE column via pyarrow (column-pruned
+                        # driver read; legacy roots only, a root the
+                        # engine has written even once has _log.json)
+                        tbl = pq.read_table(
+                            os.path.join(root_dir, n), columns=[bt.SYS_START]
+                        )
+                        mx = pa_compute.max(tbl.column(0)).as_py()
+                        f_max = mx
+                    t = f_max
+                    if isinstance(t, datetime) and t.tzinfo is not None:
+                        t = t.astimezone(timezone.utc).replace(tzinfo=None)
+                    if t is not None and (
+                        self._last_tx_time is None or t > self._last_tx_time
+                    ):
+                        self._last_tx_time = t
+
+    def _persist_clock(self) -> None:
+        """Write the tx clock manifest atomically (tmp + rename): a
+        crashed writer leaves either the old or the new manifest,
+        never a torn one."""
+        tmp = os.path.join(self.root, "_log.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "last_tx_time": self._last_tx_time.isoformat(),
+                    "tx_counter": self._tx_counter,
+                },
+                f,
+            )
+        os.replace(tmp, os.path.join(self.root, "_log.json"))
+
+    def _rewrite_atomic(self, path: str, df: DataFrame) -> None:
+        """Rewrite a table directory by writing ``df`` to a sibling
+        temp dir and swapping directories — the plan streams from the
+        intact old files while the temp dir fills (no
+        ``localCheckpoint`` materialization of the whole table into
+        executor-local storage), and readers see either the old or the
+        new directory, never a half-written one."""
+        parent, name = os.path.split(path.rstrip("/"))
+        tmp = os.path.join(parent, f"_tmp_{name}")
+        old = os.path.join(parent, f"_old_{name}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        df.write.parquet(tmp)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def _table_path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -187,9 +272,10 @@ class Engine:
                     self.spark.read.option("mergeSchema", "true").parquet(path),
                     op.ids,
                     op.id_col,
-                ).localCheckpoint(eager=True)
-                remaining.write.mode("overwrite").parquet(path)
+                )
+                self._rewrite_atomic(path, remaining)
             touched.add(op.table)
+        self._persist_clock()
         return acquire_basis(self._all_tables(), t)
 
     def sql_dml(
@@ -250,12 +336,8 @@ class Engine:
                 if n.endswith(".parquet")
             )
             target_files = max(1, size // (128 * 1024 * 1024) + 1)
-        rows = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(path)
-            .localCheckpoint(eager=True)
-        )
-        rows.repartition(target_files).write.mode("overwrite").parquet(path)
+        rows = self.spark.read.option("mergeSchema", "true").parquet(path)
+        self._rewrite_atomic(path, rows.repartition(target_files))
         return target_files
 
     # -- §4 materialized current state --------------------------------
@@ -271,12 +353,13 @@ class Engine:
 
         snap = self.db()
         path = os.path.join(self.root, "_current", table)
-        # explicit times bypass any existing compact: never read the
-        # path being overwritten
+        # explicit times bypass any existing compact, so the plan reads
+        # only version files — the atomic swap is belt-and-braces for
+        # concurrent readers of the previous compact
         current = snap.table(
             table, system_time=self._last_tx_time, app_time=self._last_tx_time
-        ).localCheckpoint(eager=True)
-        current.write.mode("overwrite").parquet(path)
+        )
+        self._rewrite_atomic(path, current)
         with open(os.path.join(self.root, "_current", f"{table}.json"), "w") as f:
             json.dump({"tx_time": self._last_tx_time.isoformat()}, f)
         return path

@@ -276,3 +276,54 @@ def test_optimize_compacts_files_preserving_history(spark, engine):
         (r["id"], r["v"])
         for r in db2.table("t", system_time="2024-01-01 00:00:03").collect()
     } == asof_before
+
+
+class _NoScanSpark:
+    """Proxy that fails the test the moment anything touches
+    ``spark.read`` — opening a database must be metadata-only (a
+    100 TB version table cannot afford a max(system_time_start)
+    column scan before the first query)."""
+
+    def __init__(self, real):
+        self._real = real
+
+    def __getattr__(self, name):
+        if name == "read":
+            raise AssertionError("Engine open ran a Spark read — open must be metadata-only")
+        return getattr(self._real, name)
+
+
+def test_reopen_is_metadata_only_and_recovers_clock(spark, engine):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    engine.submit_tx([Put("t1", df)])
+    engine.submit_tx([Put("t2", df)], tx_time="2024-06-01T00:00:00")
+    expected = engine._last_tx_time
+
+    # normal path: _log.json manifest — zero Spark activity on open
+    eng2 = Engine(_NoScanSpark(spark), ROOT)
+    assert eng2._last_tx_time == expected
+    assert eng2._tx_counter == engine._tx_counter
+
+    # legacy root (no manifest): parquet FOOTER statistics via pyarrow
+    # — still no Spark read, same recovered clock
+    import os
+
+    os.remove(os.path.join(ROOT, "_log.json"))
+    eng3 = Engine(_NoScanSpark(spark), ROOT)
+    assert eng3._last_tx_time == expected
+
+
+def test_erase_and_optimize_leave_no_temp_dirs(spark, engine):
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(10)], "id long, v string"
+    )
+    engine.submit_tx([Put("t", df)])
+    ids = spark.createDataFrame([(1,), (2,)], "id long")
+    engine.submit_tx([Erase("t", ids)])
+    engine.optimize("t", target_files=2)
+    db = engine.db()
+    assert db.table("t").count() == 8
+    import os
+
+    leftovers = [n for n in os.listdir(ROOT) if n.startswith(("_tmp_", "_old_"))]
+    assert not leftovers, leftovers
