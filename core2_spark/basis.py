@@ -30,12 +30,24 @@ class Basis:
 
     current_time: datetime
     manifests: dict[str, tuple[str, ...]] = field(default_factory=dict)
+    # table → directory root; needed to resolve Hive-style partition
+    # values (e.g. `_sys_day=2024-06-01/`) when reading explicit leaf
+    # files from a partitioned version table.
+    roots: dict[str, str] = field(default_factory=dict)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         files = self.manifests[table]
         # mergeSchema: version files may differ (e.g. tombstone rows
         # carry no data columns) — union by name, absent fields NULL.
-        return spark.read.option("mergeSchema", "true").parquet(*files)
+        from core2_spark.temporal import SYS_DAY
+
+        reader = spark.read.option("mergeSchema", "true")
+        root = self.roots.get(table)
+        if root is not None and any(f"{os.sep}{SYS_DAY}=" in f for f in files):
+            # partitioned layout: basePath recovers the partition
+            # column from each leaf file's directory name
+            reader = reader.option("basePath", root)
+        return reader.parquet(*files)
 
 
 def _list_parquet_files(path: str) -> tuple[str, ...]:
@@ -63,4 +75,5 @@ def acquire_basis(
     return Basis(
         current_time=current_time,
         manifests={t: _list_parquet_files(p) for t, p in table_paths.items()},
+        roots=dict(table_paths),
     )

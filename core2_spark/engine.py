@@ -188,7 +188,11 @@ class Engine:
         old = os.path.join(parent, f"_old_{name}")
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
-        df.write.parquet(tmp)
+        writer = df.write
+        if bt.SYS_DAY in df.columns:
+            # preserve the day-partitioned layout across rewrites
+            writer = writer.partitionBy(bt.SYS_DAY)
+        writer.parquet(tmp)
         if os.path.exists(path):
             os.rename(path, old)
         os.rename(tmp, path)
@@ -250,18 +254,26 @@ class Engine:
             path = self._table_path(op.table)
             # All ops share one tx_time; the op's position in the
             # transaction is the within-tx order (later write wins).
+            # Appends are partitioned by the system-time day so as-of
+            # reads prune whole files (PartitionFilters, see
+            # temporal.sys_day_predicate) — the 100 TB requirement that
+            # a current-state read not scan years of history.
             if isinstance(op, Put):
                 bt.put(
                     op.rows, tx_time=t, app_start=op.app_start, app_end=op.app_end
                 ).withColumn(bt.TOMBSTONE, F.lit(False)).withColumn(
                     bt.TX_SEQ, F.lit(seq)
-                ).write.option(
+                ).withColumn(
+                    bt.SYS_DAY, F.to_date(F.col(bt.SYS_START))
+                ).write.partitionBy(bt.SYS_DAY).option(
                     "mergeSchema", "true"
                 ).mode("append").parquet(path)
             elif isinstance(op, Delete):
                 bt.delete_tombstone(op.ids, op.id_col, t).withColumn(
                     bt.TX_SEQ, F.lit(seq)
-                ).write.option(
+                ).withColumn(
+                    bt.SYS_DAY, F.to_date(F.col(bt.SYS_START))
+                ).write.partitionBy(bt.SYS_DAY).option(
                     "mergeSchema", "true"
                 ).mode("append").parquet(path)
             elif isinstance(op, Erase):
@@ -337,7 +349,14 @@ class Engine:
             )
             target_files = max(1, size // (128 * 1024 * 1024) + 1)
         rows = self.spark.read.option("mergeSchema", "true").parquet(path)
-        self._rewrite_atomic(path, rows.repartition(target_files))
+        if bt.SYS_DAY in rows.columns:
+            # hash by partition day so each output task writes into few
+            # partition directories (plain round-robin × partitionBy
+            # would emit target_files × n_days small files)
+            rows = rows.repartition(target_files, F.col(bt.SYS_DAY))
+        else:
+            rows = rows.repartition(target_files)
+        self._rewrite_atomic(path, rows)
         return target_files
 
     # -- §4 materialized current state --------------------------------
@@ -398,6 +417,8 @@ class Snapshot:
     def history(self, table: str) -> DataFrame:
         """FOR ALL SYSTEM_TIME — every version visible at the basis."""
         raw = self.basis.read(self.engine.spark, table)
+        if bt.SYS_DAY in raw.columns:  # physical-layout detail
+            raw = raw.drop(bt.SYS_DAY)
         return bt.close_system_versions(raw, "id")
 
     def table(
@@ -425,7 +446,7 @@ class Snapshot:
         s = system_time if system_time is not None else self.basis.current_time
         t = app_time if app_time is not None else self.basis.current_time
         visible = bt.resolve_as_of(versions, s, t, "id")
-        drop = [*bt.TEMPORAL_COLS, bt.TOMBSTONE, bt.TX_SEQ]
+        drop = [*bt.TEMPORAL_COLS, bt.TOMBSTONE, bt.TX_SEQ, bt.SYS_DAY]
         return visible.drop(*[c for c in drop if c in visible.columns])
 
     # -- §3.1 SQL ------------------------------------------------------
@@ -470,10 +491,16 @@ class Snapshot:
         raw = self.basis.read(self.engine.spark, table)
         s = bt._ts(since)
         hi = bt._ts(until) if until is not None else F.lit(None)
-        out = raw.filter(
-            (F.col(bt.SYS_START) > s)
-            & (F.col(bt.SYS_START) <= F.coalesce(hi, F.col(bt.SYS_START)))
+        pred = (F.col(bt.SYS_START) > s) & (
+            F.col(bt.SYS_START) <= F.coalesce(hi, F.col(bt.SYS_START))
         )
+        if bt.SYS_DAY in raw.columns:
+            # partition-pruning twin of the row-level lower bound: a
+            # consumer tailing from a recent offset skips all history files
+            pred = pred & (F.col(bt.SYS_DAY) >= F.to_date(s))
+        out = raw.filter(pred)
+        if bt.SYS_DAY in raw.columns:
+            out = out.drop(bt.SYS_DAY)
         tomb = (
             F.coalesce(F.col(bt.TOMBSTONE), F.lit(False))
             if bt.TOMBSTONE in raw.columns

@@ -48,6 +48,23 @@ TEMPORAL_COLS = (SYS_START, SYS_END, APP_START, APP_END)
 # tiebreaker wherever versions are ordered.
 TX_SEQ = "_tx_seq"
 
+# Partition column for engine version tables: the calendar day of
+# system_time_start.  Writers partition appends by it so as-of reads
+# prune whole files (see `sys_day_predicate`); it is a physical-layout
+# detail readers drop from query outputs.
+SYS_DAY = "_sys_day"
+
+
+def sys_day_predicate(versions: DataFrame, s: Column) -> Column:
+    """Redundant partition-pruning predicate for `SYS_START <= s`:
+    Spark cannot derive `_sys_day <= date(s)` from the row-level
+    timestamp bound on its own, so visibility filters add it
+    explicitly when the layout column exists — the filter lands in
+    PartitionFilters and the scan skips every file of later days."""
+    if SYS_DAY not in versions.columns:
+        return F.lit(True)
+    return F.col(SYS_DAY) <= F.to_date(s)
+
 
 def _ts(value: str | datetime | Column) -> Column:
     if isinstance(value, Column):
@@ -186,7 +203,10 @@ def resolve_as_of(
     """
     s, t = _ts(system_time), _ts(app_time)
     known = versions.filter(
-        (F.col(SYS_START) <= s) & (F.col(APP_START) <= t) & (t < F.col(APP_END))
+        (F.col(SYS_START) <= s)
+        & (F.col(APP_START) <= t)
+        & (t < F.col(APP_END))
+        & sys_day_predicate(versions, s)
     )
     latest = latest_versions(known, id_col, tiebreak_cols)
     if TOMBSTONE in versions.columns:

@@ -31,3 +31,33 @@ def test_asof_scan_prunes_time_partitions(spark):
     # correctness: identical rows to the unpartitioned as-of scan
     expected = bt.scan_as_of(versions.drop("sys_year"), system_time="1996-06-01").count()
     assert asof.count() == expected
+
+
+def test_engine_version_table_prunes_partitions_on_asof(spark, tmp_path):
+    """Engine appends are day-partitioned on system_time_start; an
+    as-of read must show the redundant `_sys_day` bound in the scan's
+    PartitionFilters so files from later days are never opened."""
+    from core2_spark.engine import Engine, Put
+
+    root = str(tmp_path / "eng")
+    eng = Engine(spark, root)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    eng.submit_tx([Put("t", df)], tx_time="2024-03-01T00:00:00")
+    eng.submit_tx([Put("t", df)], tx_time="2024-06-01T00:00:00")
+    eng.submit_tx([Put("t", df)], tx_time="2024-09-01T00:00:00")
+
+    import os
+
+    days = [n for n in os.listdir(os.path.join(root, "t")) if n.startswith("_sys_day=")]
+    assert len(days) == 3, days
+
+    snap = eng.db()
+    asof = snap.table("t", system_time="2024-04-01T00:00:00",
+                      app_time="2024-04-01T00:00:00")
+    plan = asof._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_sys_day" in plan, plan[:2000]
+    # pruning must not change answers: only the March versions visible
+    assert {(r["id"], r["v"]) for r in asof.collect()} == {(1, "a"), (2, "b")}
+    # and the layout column never leaks into query outputs
+    assert "_sys_day" not in asof.columns
+    assert "_sys_day" not in snap.history("t").columns
