@@ -1,15 +1,20 @@
 """Arrow Flight result server (reference README.adoc:14 — "preliminary
 Arrow Flight SQL driver support"; SURVEY.md §3 client boundary).
 
-A minimal SQL-over-Arrow-Flight surface: clients submit a SQL string
-(the temporal dialect included, since execution goes through
-``Snapshot.sql``) as the flight descriptor/ticket and stream the result
-back as Arrow record batches — the same transport Flight SQL rides on.
-This is deliberately the *preliminary* tier the reference claims: the
-full FlightSQL protobuf command vocabulary (prepared statements,
-catalog introspection messages) is not implemented; `do_get` with a
-SQL ticket covers the run-query-fetch-result loop BI tools script
-against first.
+Two envelopes over one server:
+
+- the REAL FlightSQL protocol envelope: Any-wrapped protobuf commands
+  (``CommandStatementQuery`` → FlightInfo with an Any-wrapped
+  ``TicketStatementQuery`` → DoGet; plus the catalog introspection
+  commands GetCatalogs/GetDbSchemas/GetTables/GetTableTypes a BI tool
+  runs on connect) — wire codec in ``flightsql_proto``, no generated
+  protobuf classes needed;
+- a legacy raw-SQL envelope (descriptor/ticket = SQL text) kept for
+  scripting clients.
+
+Prepared statements and the DoPut FlightSQL commands are not
+implemented — the "preliminary driver support" tier the reference
+claims stops at connect → introspect → query → stream.
 
 Scale posture: Flight is a RESULT boundary, not a data-movement path —
 queries should reduce (aggregates, top-k) before crossing it.  The
@@ -71,20 +76,101 @@ class SqlFlightServer(_flight.FlightServerBase if _flight else object):
     def _run(self, sql: str) -> pa.Table:
         return df_to_arrow(self._executor(sql), self._max_result_rows)
 
+    # -- FlightSQL catalog metadata -----------------------------------
+    CATALOG = "core2"
+    DB_SCHEMA = "default"
+
+    def _table_names(self) -> list[str]:
+        if self._engine is None:
+            return []
+        return sorted(self._engine._all_tables())
+
+    def _metadata_table(self, name: str, payload: bytes) -> pa.Table:
+        """Result sets for the FlightSQL catalog commands, with the
+        column names/nullability the public spec fixes."""
+        from core2_spark import flightsql_proto as fsql
+
+        if name == "CommandGetCatalogs":
+            return pa.table(
+                {"catalog_name": pa.array([self.CATALOG], pa.utf8())}
+            )
+        if name == "CommandGetDbSchemas":
+            return pa.table(
+                {
+                    "catalog_name": pa.array([self.CATALOG], pa.utf8()),
+                    "db_schema_name": pa.array([self.DB_SCHEMA], pa.utf8()),
+                }
+            )
+        if name == "CommandGetTableTypes":
+            return pa.table({"table_type": pa.array(["TABLE"], pa.utf8())})
+        if name == "CommandGetTables":
+            spec = fsql.parse_get_tables(payload)
+            names = self._table_names()
+            pat = spec["table_name_pattern"]
+            if pat:  # SQL LIKE pattern (%/_) per the spec
+                import re
+
+                rx = re.compile(
+                    "^" + re.escape(pat).replace("%", ".*").replace("_", ".") + "$"
+                )
+                names = [n for n in names if rx.match(n)]
+            return pa.table(
+                {
+                    "catalog_name": pa.array([self.CATALOG] * len(names), pa.utf8()),
+                    "db_schema_name": pa.array(
+                        [self.DB_SCHEMA] * len(names), pa.utf8()
+                    ),
+                    "table_name": pa.array(names, pa.utf8()),
+                    "table_type": pa.array(["TABLE"] * len(names), pa.utf8()),
+                }
+            )
+        raise _flight.FlightServerError(f"unsupported FlightSQL command {name}")
+
     # -- Flight protocol ----------------------------------------------
     def get_flight_info(self, context, descriptor):
-        sql = descriptor.command.decode()
-        table = self._run(sql)
+        """GetFlightInfo: FlightSQL Any-wrapped commands get the
+        protocol-correct envelope (statement queries answer with an
+        Any-wrapped TicketStatementQuery whose handle is the query
+        text — the server is stateless; catalog commands answer with
+        the command itself as the ticket, as the spec prescribes).
+        Anything else is the legacy envelope: raw SQL bytes."""
+        from core2_spark import flightsql_proto as fsql
+
+        cmd = descriptor.command
+        parsed = fsql.unpack_any(cmd)
+        if parsed is None:  # legacy raw-SQL envelope
+            sql = cmd.decode()
+            table = self._run(sql)
+            ticket = sql.encode()
+        else:
+            name, payload = parsed
+            if name == "CommandStatementQuery":
+                sql = fsql.parse_statement_query(payload)
+                table = self._run(sql)
+                ticket = fsql.ticket_statement_query(sql.encode())
+            else:
+                table = self._metadata_table(name, payload)
+                ticket = cmd
         return _flight.FlightInfo(
             table.schema,
             descriptor,
-            [_flight.FlightEndpoint(_flight.Ticket(sql.encode()), [])],
+            [_flight.FlightEndpoint(_flight.Ticket(ticket), [])],
             table.num_rows,
             table.nbytes,
         )
 
     def do_get(self, context, ticket):
-        return _flight.RecordBatchStream(self._run(ticket.ticket.decode()))
+        from core2_spark import flightsql_proto as fsql
+
+        raw = ticket.ticket
+        parsed = fsql.unpack_any(raw)
+        if parsed is None:  # legacy envelope
+            return _flight.RecordBatchStream(self._run(raw.decode()))
+        name, payload = parsed
+        if name == "TicketStatementQuery":
+            sql = fsql.parse_statement_ticket(payload).decode()
+            return _flight.RecordBatchStream(self._run(sql))
+        return _flight.RecordBatchStream(self._metadata_table(name, payload))
 
     def do_put(self, context, descriptor, reader, writer):
         """Ingest an Arrow stream as ONE engine transaction.  The
@@ -114,6 +200,21 @@ def fetch_sql(location: str, sql: str) -> pa.Table:
     try:
         info = client.get_flight_info(
             _flight.FlightDescriptor.for_command(sql.encode())
+        )
+        return client.do_get(info.endpoints[0].ticket).read_all()
+    finally:
+        client.close()
+
+
+def fetch_flightsql(location: str, command: bytes) -> pa.Table:
+    """Client helper speaking the REAL FlightSQL envelope: ``command``
+    is an Any-wrapped FlightSQL message (see ``flightsql_proto``), the
+    GetFlightInfo → endpoint ticket → DoGet handshake is exactly what
+    a stock ADBC/JDBC FlightSQL driver performs."""
+    client = _flight.connect(location)
+    try:
+        info = client.get_flight_info(
+            _flight.FlightDescriptor.for_command(command)
         )
         return client.do_get(info.endpoints[0].ticket).read_all()
     finally:

@@ -101,3 +101,78 @@ def test_flight_do_put_readonly_server_refuses(spark, engine):
             put_table(loc, "trades", pa.table({"id": [1]}))
     finally:
         server.shutdown()
+
+
+def test_flightsql_protocol_envelope(spark, engine):
+    """The real FlightSQL handshake: an Any-wrapped
+    CommandStatementQuery in the descriptor must yield a FlightInfo
+    whose endpoint ticket is an Any-wrapped TicketStatementQuery, and
+    DoGet on that ticket streams the result — byte-level protocol, no
+    generated protobuf classes involved."""
+    import pyarrow.flight as fl
+
+    from core2_spark import flightsql_proto as fsql
+    from core2_spark.flight_server import SqlFlightServer, fetch_flightsql
+
+    v1 = spark.createDataFrame(
+        [(1, "AAPL", 100.0), (2, "MSFT", 200.0)], "id long, sym string, px double"
+    )
+    engine.submit_tx([Put("trades", v1)], tx_time="2024-01-01 00:00:01")
+    fix = spark.createDataFrame([(1, "AAPL", 111.0)], "id long, sym string, px double")
+    engine.submit_tx([Put("trades", fix)], tx_time="2024-02-01 00:00:00")
+
+    server = SqlFlightServer(lambda sql: engine.db().sql(sql), engine=engine)
+    try:
+        loc = f"grpc://127.0.0.1:{server.port}"
+
+        # protocol-correct ticket envelope
+        client = fl.connect(loc)
+        info = client.get_flight_info(
+            fl.FlightDescriptor.for_command(
+                fsql.command_statement_query(
+                    "SELECT id, px FROM trades ORDER BY id"
+                )
+            )
+        )
+        name, payload = fsql.unpack_any(info.endpoints[0].ticket.ticket)
+        assert name == "TicketStatementQuery"
+        assert b"SELECT" in fsql.parse_statement_ticket(payload)
+        got = client.do_get(info.endpoints[0].ticket).read_all()
+        client.close()
+        assert got.to_pydict()["px"] == [111.0, 200.0]
+
+        # the temporal dialect flows through the FlightSQL envelope too
+        jan = fetch_flightsql(
+            loc,
+            fsql.command_statement_query(
+                "SELECT id, px FROM trades FOR SYSTEM_TIME AS OF "
+                "TIMESTAMP '2024-01-15 00:00:00' ORDER BY id"
+            ),
+        )
+        assert jan.to_pydict()["px"] == [100.0, 200.0]
+
+        # catalog introspection: what a BI tool runs on connect
+        cats = fetch_flightsql(loc, fsql.command_get_catalogs())
+        assert cats.to_pydict()["catalog_name"] == ["core2"]
+        schemas = fetch_flightsql(loc, fsql.command_get_db_schemas())
+        assert schemas.to_pydict()["db_schema_name"] == ["default"]
+        types = fetch_flightsql(loc, fsql.command_get_table_types())
+        assert types.to_pydict()["table_type"] == ["TABLE"]
+        tables = fetch_flightsql(loc, fsql.command_get_tables())
+        assert "trades" in tables.to_pydict()["table_name"]
+        filtered = fetch_flightsql(
+            loc, fsql.command_get_tables(table_name_pattern="tr%")
+        )
+        assert filtered.to_pydict()["table_name"] == ["trades"]
+        none = fetch_flightsql(
+            loc, fsql.command_get_tables(table_name_pattern="zz%")
+        )
+        assert none.num_rows == 0
+
+        # and the legacy raw-SQL envelope still works side by side
+        from core2_spark.flight_server import fetch_sql
+
+        legacy = fetch_sql(loc, "SELECT COUNT(*) AS n FROM trades")
+        assert legacy.to_pydict()["n"] == [2]
+    finally:
+        server.shutdown()
