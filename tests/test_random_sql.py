@@ -243,3 +243,108 @@ def test_same_sql_same_answer(spark, duck, sql):
     spark_pdf = spark.sql(sql).toPandas()
     duck_pdf = duck.execute(sql).df()
     assert_frames_match(spark_pdf, duck_pdf, sql.strip().splitlines()[0])
+
+
+@st.composite
+def random_query_round4(draw):
+    """Round-4 grammar extensions (the fuzzer already caught a real
+    engine divergence — empty-input ROLLUP — so widen the surface):
+    correlated subqueries (EXISTS / NOT EXISTS / correlated scalar
+    aggregates), explicit window frames (ROWS/RANGE), and set
+    operations over GROUP BY results."""
+    shape = draw(
+        st.sampled_from(
+            [
+                "exists",
+                "not_exists",
+                "correlated_scalar",
+                "rows_frame",
+                "range_frame",
+                "setop_groupby",
+            ]
+        )
+    )
+    if shape in ("exists", "not_exists"):
+        word = "EXISTS" if shape == "exists" else "NOT EXISTS"
+        opred = draw(predicates("orders"))
+        lpred = draw(predicates("lineitem"))
+        return f"""
+        SELECT o_orderstatus AS g, COUNT(*) AS n
+        FROM orders o
+        WHERE {opred.replace('o_', 'o.o_')}
+          AND {word} (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND {lpred.replace('l_', 'l.l_')})
+        GROUP BY o_orderstatus
+        """
+    if shape == "correlated_scalar":
+        lpred = draw(predicates("lineitem"))
+        k = draw(st.integers(1, 5))
+        return f"""
+        SELECT o_orderpriority AS g, COUNT(*) AS n
+        FROM orders o
+        WHERE (SELECT COUNT(*) FROM lineitem l
+               WHERE l.l_orderkey = o.o_orderkey
+                 AND {lpred.replace('l_', 'l.l_')}) >= {k}
+        GROUP BY o_orderpriority
+        """
+    if shape == "rows_frame":
+        opred = draw(predicates("orders"))
+        n_prec = draw(st.integers(1, 4))
+        # exact integer cents so the frame SUM is engine-stable
+        return f"""
+        SELECT o_orderkey AS k,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                   OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                         ROWS BETWEEN {n_prec} PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS run_cents,
+               COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 FOLLOWING) AS n_seen
+        FROM orders
+        WHERE {opred}
+        """
+    if shape == "range_frame":
+        opred = draw(predicates("orders"))
+        return f"""
+        SELECT o_orderkey AS k,
+               CAST(MAX(o_custkey) OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_orderkey
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS mx_cust,
+               CAST(MIN(o_custkey) OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_orderkey
+                    RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS BIGINT) AS mn_cust_ahead
+        FROM orders
+        WHERE {opred}
+        """
+    # setop_groupby
+    table = draw(st.sampled_from(sorted(TABLES)))
+    cols = TABLES[table]
+    group_col = draw(st.sampled_from([c for c, k in cols if k == "str"]))
+    p1 = draw(predicates(table))
+    p2 = draw(predicates(table))
+    op = draw(st.sampled_from(["INTERSECT", "EXCEPT", "UNION"]))
+    return f"""
+    SELECT g, n FROM (
+        (SELECT {group_col} AS g, COUNT(*) AS n FROM {table}
+         WHERE {p1} GROUP BY {group_col})
+        {op}
+        (SELECT {group_col} AS g, COUNT(*) AS n FROM {table}
+         WHERE {p2} GROUP BY {group_col})
+    ) s
+    """
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(sql=random_query_round4())
+def test_same_sql_same_answer_round4_shapes(spark, duck, sql):
+    register_views(spark, SF_DIR, ("orders", "customer", "lineitem"))
+    spark_pdf = spark.sql(sql).toPandas()
+    duck_pdf = duck.execute(sql).df()
+    assert_frames_match(spark_pdf, duck_pdf, sql.strip().splitlines()[0])
