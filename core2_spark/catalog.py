@@ -91,20 +91,38 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     perturbs the low microseconds and individual timestamps drift ±1µs
     from the oracle's (DuckDB truncates the same way on its ns→µs
     cast)."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, TimestampNTZType
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    ts_type = df.schema["ts"].dataType
+    return normalize_event_ts(df, df.schema["ts"].dataType)
+
+
+def normalize_event_ts(df: DataFrame, ts_type) -> DataFrame:
+    """Normalize the ``ts`` column to TimestampType whatever the
+    fixture generation wrote — shared by the batch loader above and
+    the streaming source (streaming/events.py) so the two paths can't
+    drift.  An UNEXPECTED encoding fails fast here at load time
+    instead of flowing silently into every downstream events query
+    (or surfacing as an opaque watermark analysis error)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
     if isinstance(ts_type, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    elif isinstance(ts_type, TimestampNTZType):
+        # ns fixture read via nanosAsLong: integral DIV, not `/ 1000`
+        # — epoch-nanos exceed double's 53-bit mantissa (see module
+        # docstring), so float division perturbs the microseconds.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(ts_type, TimestampNTZType):
         # µs-NTZ fixture: watermarks/windows need an instant
         # (TimestampType).  The session pins UTC (session.py), so the
         # cast is value-preserving and matches DuckDB's naive read.
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if isinstance(ts_type, TimestampType):
+        return df
+    raise TypeError(
+        f"events.ts arrived as {ts_type}; expected int64 (legacy ns), "
+        "timestamp_ntz (µs), or timestamp — a fixture regression would "
+        "otherwise corrupt every events query undetected"
+    )
 
 
 def load_tables(

@@ -1,0 +1,141 @@
+"""Minimal HTTP query boundary (reference README.adoc:14 context —
+upstream core2 ships an HTTP server module alongside pgwire/Flight;
+SURVEY.md §3 client boundary).
+
+One read surface, two encodings:
+
+- ``POST /query`` with JSON body ``{"sql": "..."}`` →
+  - ``Accept: application/vnd.apache.arrow.stream`` → Arrow IPC
+    stream bytes (the zero-copy path a data client wants),
+  - anything else → JSON ``{"columns": [...], "rows": [[...], ...]}``
+    (the curl/browser path);
+- ``GET /tables`` → the table catalog (requires an attached engine).
+
+Like the Flight server, HTTP is a RESULT boundary: the
+``max_result_rows`` guard refuses to materialize unreduced scans on
+the driver.  The temporal dialect flows through unchanged since
+execution goes through the supplied executor (typically
+``Snapshot.sql``).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from collections.abc import Callable
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from core2_spark.flight_server import df_to_arrow
+
+ARROW_MIME = "application/vnd.apache.arrow.stream"
+
+
+def _table_to_ipc(table: pa.Table) -> bytes:
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as writer:
+        writer.write_table(table)
+    return sink.getvalue().to_pybytes()
+
+
+def _table_to_json(table: pa.Table) -> bytes:
+    cols = table.column_names
+    rows = [
+        [None if v is None else (v if isinstance(v, (int, float, str, bool)) else str(v)) for v in rec]
+        for rec in zip(*[table.column(c).to_pylist() for c in cols])
+    ]
+    return json.dumps({"columns": cols, "rows": rows}).encode()
+
+
+class SqlHttpServer:
+    """Serve ``executor(sql) -> DataFrame`` over HTTP on a background
+    thread.  ``port=0`` picks a free port (exposed as ``.port``)."""
+
+    def __init__(
+        self,
+        executor: Callable[[str], DataFrame],
+        port: int = 0,
+        max_result_rows: int = 1_000_000,
+        engine=None,
+    ):
+        self._executor = executor
+        self._max_result_rows = max_result_rows
+        self._engine = engine
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet test output
+                pass
+
+            def _send(self, code: int, body: bytes, ctype: str) -> None:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _error(self, code: int, message: str) -> None:
+                self._send(code, json.dumps({"error": message}).encode(), "application/json")
+
+            def do_GET(self):
+                if self.path != "/tables":
+                    return self._error(404, f"no route {self.path}")
+                if outer._engine is None:
+                    return self._error(400, "no engine attached")
+                body = json.dumps(
+                    {"tables": sorted(outer._engine._all_tables())}
+                ).encode()
+                self._send(200, body, "application/json")
+
+            def do_POST(self):
+                if self.path != "/query":
+                    return self._error(404, f"no route {self.path}")
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    spec = json.loads(self.rfile.read(n).decode())
+                    sql = spec["sql"]
+                except (ValueError, KeyError) as exc:
+                    return self._error(400, f"bad request body: {exc!r}")
+                try:
+                    table = df_to_arrow(
+                        outer._executor(sql), outer._max_result_rows
+                    )
+                except Exception as exc:  # surface executor errors as 400s
+                    return self._error(400, repr(exc))
+                if ARROW_MIME in self.headers.get("Accept", ""):
+                    self._send(200, _table_to_ipc(table), ARROW_MIME)
+                else:
+                    self._send(200, _table_to_json(table), "application/json")
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
+def http_query(port: int, sql: str, arrow: bool = False):
+    """Client helper: POST a query; returns a pyarrow Table (arrow=True)
+    or the decoded JSON payload."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/query",
+        data=json.dumps({"sql": sql}).encode(),
+        headers={
+            "Content-Type": "application/json",
+            "Accept": ARROW_MIME if arrow else "application/json",
+        },
+    )
+    with urllib.request.urlopen(req) as resp:
+        body = resp.read()
+    if arrow:
+        return pa.ipc.open_stream(body).read_all()
+    return json.loads(body)

@@ -8,9 +8,11 @@ the DuckDB oracle can verify them; `core2_spark.streaming.events`
 wraps the same aggregations as true Structured Streaming queries
 (readStream + withWatermark), checked by unit tests instead.
 
-Timestamp discipline: the events fixture is nanosecond-precision;
-Spark truncates to microseconds on read, so every derived time column
-passes through date_trunc('second') on both sides before comparison.
+Timestamp discipline: the events fixture's ``ts`` may be ns (legacy
+generations, truncated to µs on read) or µs-NTZ (current); both are
+normalized to TimestampType by ``catalog.normalize_event_ts``.  Every
+derived time column passes through date_trunc('second') on both sides
+before comparison.
 """
 
 from __future__ import annotations

@@ -37,7 +37,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from pyspark.sql.types import LongType, TimestampNTZType
+    from core2_spark.catalog import normalize_event_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
@@ -53,15 +53,9 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
-    ts_type = schema["ts"].dataType
-    if isinstance(ts_type, LongType):
-        # Integral DIV, not `/ 1000`: epoch-nanos overflow double
-        # precision (see catalog._load_events).
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    elif isinstance(ts_type, TimestampNTZType):
-        # Watermarks need an instant; UTC session makes this exact.
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    # one shared normalization with the batch loader — unexpected
+    # encodings fail fast instead of dying later as watermark errors
+    return normalize_event_ts(raw, schema["ts"].dataType)
 
 
 def tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -1,0 +1,83 @@
+"""HTTP query boundary: engine ingest → POST /query round-trip in
+both encodings, temporal dialect included."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import urllib.request
+
+import pytest
+
+from core2_spark.engine import Engine, Put
+
+ROOT = "/root/repo/_data/http_test"
+
+
+@pytest.fixture
+def engine(spark):
+    shutil.rmtree(ROOT, ignore_errors=True)
+    return Engine(spark, ROOT)
+
+
+def test_http_query_roundtrip(spark, engine):
+    from core2_spark.http_server import SqlHttpServer, http_query
+
+    v1 = spark.createDataFrame(
+        [(1, "AAPL", 100.0), (2, "MSFT", 200.0)], "id long, sym string, px double"
+    )
+    engine.submit_tx([Put("trades", v1)], tx_time="2024-01-01 00:00:01")
+    fix = spark.createDataFrame([(1, "AAPL", 111.0)], "id long, sym string, px double")
+    engine.submit_tx([Put("trades", fix)], tx_time="2024-02-01 00:00:00")
+
+    server = SqlHttpServer(lambda sql: engine.db().sql(sql), engine=engine)
+    try:
+        # JSON encoding
+        got = http_query(server.port, "SELECT id, px FROM trades ORDER BY id")
+        assert got["columns"] == ["id", "px"]
+        assert got["rows"] == [[1, 111.0], [2, 200.0]]
+
+        # Arrow IPC encoding
+        tbl = http_query(
+            server.port, "SELECT id, px FROM trades ORDER BY id", arrow=True
+        )
+        assert tbl.to_pydict()["px"] == [111.0, 200.0]
+
+        # the temporal dialect crosses HTTP too
+        jan = http_query(
+            server.port,
+            "SELECT id, px FROM trades FOR SYSTEM_TIME AS OF "
+            "TIMESTAMP '2024-01-15 00:00:00' ORDER BY id",
+            arrow=True,
+        )
+        assert jan.to_pydict()["px"] == [100.0, 200.0]
+
+        # catalog listing
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/tables"
+        ) as resp:
+            assert json.loads(resp.read())["tables"] == ["trades"]
+
+        # SQL errors surface as 400s, not hung sockets
+        with pytest.raises(urllib.error.HTTPError) as err:
+            http_query(server.port, "SELECT * FROM nope")
+        assert err.value.code == 400
+    finally:
+        server.shutdown()
+
+
+def test_http_result_size_guard(spark, engine):
+    from core2_spark.http_server import SqlHttpServer, http_query
+
+    rows = spark.range(0, 50).selectExpr("id", "CAST(id AS STRING) AS sym")
+    engine.submit_tx([Put("trades", rows)], tx_time="2024-01-01 00:00:01")
+
+    server = SqlHttpServer(lambda sql: engine.db().sql(sql), max_result_rows=10)
+    try:
+        with pytest.raises(urllib.error.HTTPError) as err:
+            http_query(server.port, "SELECT * FROM trades")
+        assert err.value.code == 400
+        ok = http_query(server.port, "SELECT COUNT(*) AS n FROM trades")
+        assert ok["rows"] == [[50]]
+    finally:
+        server.shutdown()
