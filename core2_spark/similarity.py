@@ -233,6 +233,56 @@ def ivf_knn(
     )
 
 
+def write_ivf_partitioned(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """The 100 TB IVF layout: assign cells ONCE at ingest and write
+    Hive-partitioned by ``cell``, so a probe query reads only
+    nprobe/n_clusters of the files (PartitionFilters) instead of
+    scanning and re-assigning the whole corpus per query.  One
+    linear pass at write time amortized over every future query."""
+    assign = cell_assigner(df, centroids)
+    (
+        df.withColumn("cell", assign(F.col(vec_col)))
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_knn_partitioned(
+    spark,
+    path: str,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a `write_ivf_partitioned` layout: pick the ``nprobe``
+    cells nearest the query (k×d driver math), scan ONLY those
+    partitions (the `.isin` lands in PartitionFilters — file-level
+    pruning, no assignment UDF on the read path), exact-cosine
+    re-rank, top-k."""
+    q_arr = np.array(query)
+    q_sims = [float(np.dot(q_arr, np.array(c))) for c in centroids]
+    probe_cells = sorted(range(len(centroids)), key=lambda i: -q_sims[i])[:nprobe]
+
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = cosine(as_double(F.col(vec_col)), q)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_cosine_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

@@ -194,3 +194,33 @@ def test_quantized_vectors_preserve_knn(spark):
     )
     quant = [r["vec_id"] for r in similarity.brute_force_knn(deq, qv, k=10).collect()]
     assert len(set(exact) & set(quant)) >= 8
+
+
+def test_ivf_partitioned_layout_prunes_and_matches_inline(spark, tmp_path):
+    """write_ivf_partitioned + ivf_knn_partitioned: the probe scan must
+    show the cell predicate in PartitionFilters (file pruning — the
+    whole point of the at-ingest layout) and return exactly what the
+    inline ivf_knn computes with the same centroids/probe set."""
+    from core2_spark.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = similarity._centroids_from_seed_rows(e, 8, "vec_id", "embedding")
+    qv = similarity.query_vector(e, "vec_id", "embedding", 0)
+
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_partitioned(e, path, cents)
+
+    import os
+
+    cells = [n for n in os.listdir(path) if n.startswith("cell=")]
+    assert len(cells) >= 3, cells
+
+    probed = similarity.ivf_knn_partitioned(
+        spark, path, qv, cents, k=10, nprobe=4
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    inline = similarity.ivf_knn(e, qv, k=10, n_clusters=8, nprobe=4)
+    assert [tuple(r) for r in probed.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
