@@ -1,0 +1,202 @@
+"""Minimal PostgreSQL wire-protocol (v3) query server (reference
+README.adoc:14 context — upstream core2 ships a `pgwire.clj` module;
+SURVEY.md §3 client boundary).
+
+The simple-query subset of the public protocol, enough for a psql-/
+driver-shaped client to connect and run queries:
+
+- SSLRequest → refused with 'N' (plaintext only, in-container use);
+- StartupMessage (protocol 3.0) → AuthenticationOk, ParameterStatus
+  (server_version / client_encoding), ReadyForQuery;
+- Query ('Q') → RowDescription / DataRow* / CommandComplete /
+  ReadyForQuery, all values in text format with proper type OIDs for
+  the common Spark types;
+- errors → ErrorResponse + ReadyForQuery (the session survives);
+- Terminate ('X') → close.
+
+Extended query protocol (Parse/Bind/Execute), COPY, and auth methods
+beyond trust are not implemented — the same "preliminary driver
+support" tier as the Flight SQL boundary.  Like Flight/HTTP, pgwire
+is a RESULT boundary with the ``max_result_rows`` guard.
+"""
+
+from __future__ import annotations
+
+import socketserver
+import struct
+import threading
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+from core2_spark.flight_server import df_to_arrow
+
+# PostgreSQL type OIDs for the text-format encoding of Spark types.
+_OID = {
+    "boolean": 16,
+    "bigint": 20,
+    "smallint": 21,
+    "int": 23,
+    "integer": 23,
+    "double": 701,
+    "float": 700,
+    "date": 1082,
+    "timestamp": 1114,
+    "timestamp_ntz": 1114,
+    "string": 25,
+}
+_TEXT_OID = 25
+
+
+def _spark_type_oid(simple: str) -> int:
+    base = simple.split("(")[0]
+    return _OID.get(base, _TEXT_OID)
+
+
+def _msg(tag: bytes, payload: bytes) -> bytes:
+    return tag + struct.pack("!I", len(payload) + 4) + payload
+
+
+def _cstr(s: str) -> bytes:
+    return s.encode() + b"\x00"
+
+
+class PgWireServer:
+    """Serve ``executor(sql) -> DataFrame`` over the pg simple-query
+    protocol on a background thread; ``port=0`` picks a free port."""
+
+    def __init__(
+        self,
+        executor: Callable[[str], DataFrame],
+        port: int = 0,
+        max_result_rows: int = 1_000_000,
+    ):
+        outer_executor = executor
+        outer_max = max_result_rows
+
+        class Handler(socketserver.BaseRequestHandler):
+            def _send(self, data: bytes) -> None:
+                self.request.sendall(data)
+
+            def _recv_exact(self, n: int) -> bytes:
+                buf = b""
+                while len(buf) < n:
+                    chunk = self.request.recv(n - len(buf))
+                    if not chunk:
+                        raise ConnectionError("client closed")
+                    buf += chunk
+                return buf
+
+            def _ready(self) -> None:
+                self._send(_msg(b"Z", b"I"))
+
+            def _error(self, message: str) -> None:
+                payload = (
+                    b"S" + _cstr("ERROR")
+                    + b"C" + _cstr("XX000")
+                    + b"M" + _cstr(message)
+                    + b"\x00"
+                )
+                self._send(_msg(b"E", payload))
+
+            def _startup(self) -> bool:
+                while True:
+                    (length,) = struct.unpack("!I", self._recv_exact(4))
+                    body = self._recv_exact(length - 4)
+                    (code,) = struct.unpack("!I", body[:4])
+                    if code == 80877103:  # SSLRequest
+                        self._send(b"N")
+                        continue
+                    if code == 80877102:  # CancelRequest — ignore
+                        return False
+                    if code >> 16 == 3:  # protocol 3.x startup
+                        self._send(_msg(b"R", struct.pack("!I", 0)))  # AuthOk
+                        for k, v in (
+                            ("server_version", "16.0 (core2-spark)"),
+                            ("client_encoding", "UTF8"),
+                            ("DateStyle", "ISO"),
+                        ):
+                            self._send(_msg(b"S", _cstr(k) + _cstr(v)))
+                        self._ready()
+                        return True
+                    self._error(f"unsupported protocol code {code}")
+                    return False
+
+            def _run_query(self, sql: str) -> None:
+                sql = sql.strip().rstrip(";")
+                if not sql:
+                    self._send(_msg(b"I", b""))  # EmptyQueryResponse
+                    return
+                table = df_to_arrow(outer_executor(sql), outer_max)
+                fields = b"".join(
+                    _cstr(name)
+                    + struct.pack(
+                        "!IhIhih",
+                        0,  # table oid
+                        0,  # attnum
+                        _spark_type_oid(str(table.schema.field(name).type)),
+                        -1,  # typlen (varlena)
+                        -1,  # typmod
+                        0,  # text format
+                    )
+                    for name in table.column_names
+                )
+                self._send(
+                    _msg(b"T", struct.pack("!h", table.num_columns) + fields)
+                )
+                cols = [table.column(c).to_pylist() for c in table.column_names]
+                for rec in zip(*cols) if cols else []:
+                    row = struct.pack("!h", len(rec))
+                    for v in rec:
+                        if v is None:
+                            row += struct.pack("!i", -1)
+                        else:
+                            if isinstance(v, bool):
+                                b = b"t" if v else b"f"
+                            else:
+                                b = str(v).encode()
+                            row += struct.pack("!i", len(b)) + b
+                    self._send(_msg(b"D", row))
+                self._send(_msg(b"C", _cstr(f"SELECT {table.num_rows}")))
+
+            def handle(self):
+                try:
+                    if not self._startup():
+                        return
+                    while True:
+                        tag = self._recv_exact(1)
+                        (length,) = struct.unpack("!I", self._recv_exact(4))
+                        body = self._recv_exact(length - 4)
+                        if tag == b"X":  # Terminate
+                            return
+                        if tag != b"Q":
+                            self._error(
+                                f"unsupported message {tag!r} (simple query only)"
+                            )
+                            self._ready()
+                            continue
+                        sql = body.rstrip(b"\x00").decode()
+                        try:
+                            self._run_query(sql)
+                        except Exception as exc:
+                            # str() carries the analyzer message;
+                            # pyspark exception reprs are often empty
+                            self._error(str(exc) or repr(exc))
+                        self._ready()
+                except (ConnectionError, OSError):
+                    return
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server(("127.0.0.1", port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def shutdown(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()

@@ -1,0 +1,138 @@
+"""pgwire boundary: a hand-built protocol-v3 client (no postgres
+driver in the container) connects, introspects the handshake, runs
+queries — temporal dialect included — and survives errors."""
+
+from __future__ import annotations
+
+import shutil
+import socket
+import struct
+
+import pytest
+
+from core2_spark.engine import Engine, Put
+
+ROOT = "/root/repo/_data/pgwire_test"
+
+
+@pytest.fixture
+def engine(spark):
+    shutil.rmtree(ROOT, ignore_errors=True)
+    return Engine(spark, ROOT)
+
+
+class MiniPgClient:
+    """Just enough of the public PostgreSQL v3 wire protocol to act as
+    a driver: SSLRequest probe, startup, simple Query, message
+    parsing."""
+
+    def __init__(self, port: int):
+        self.sock = socket.create_connection(("127.0.0.1", port))
+        # SSL probe first, like libpq does by default
+        self.sock.sendall(struct.pack("!II", 8, 80877103))
+        assert self.sock.recv(1) == b"N"  # server: plaintext only
+        params = b"user\x00test\x00database\x00core2\x00\x00"
+        body = struct.pack("!I", 196608) + params
+        self.sock.sendall(struct.pack("!I", len(body) + 4) + body)
+        self.params = {}
+        for tag, payload in self._messages_until(b"Z"):
+            if tag == b"R":
+                assert struct.unpack("!I", payload)[0] == 0  # AuthOk
+            elif tag == b"S":
+                k, v = payload.split(b"\x00")[:2]
+                self.params[k.decode()] = v.decode()
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            assert chunk, "server closed"
+            buf += chunk
+        return buf
+
+    def _messages_until(self, stop_tag: bytes):
+        while True:
+            tag = self._recv_exact(1)
+            (length,) = struct.unpack("!I", self._recv_exact(4))
+            payload = self._recv_exact(length - 4)
+            yield tag, payload
+            if tag == stop_tag:
+                return
+
+    def query(self, sql: str):
+        """Returns (columns, rows, error_or_None)."""
+        body = sql.encode() + b"\x00"
+        self.sock.sendall(b"Q" + struct.pack("!I", len(body) + 4) + body)
+        columns, rows, error = [], [], None
+        for tag, payload in self._messages_until(b"Z"):
+            if tag == b"T":
+                (n,) = struct.unpack("!h", payload[:2])
+                i = 2
+                for _ in range(n):
+                    end = payload.index(b"\x00", i)
+                    columns.append(payload[i:end].decode())
+                    i = end + 1 + 18  # fixed-width field descriptor
+            elif tag == b"D":
+                (n,) = struct.unpack("!h", payload[:2])
+                i = 2
+                rec = []
+                for _ in range(n):
+                    (ln,) = struct.unpack("!i", payload[i : i + 4])
+                    i += 4
+                    if ln == -1:
+                        rec.append(None)
+                    else:
+                        rec.append(payload[i : i + ln].decode())
+                        i += ln
+                rows.append(rec)
+            elif tag == b"E":
+                fields = dict(
+                    (chunk[:1], chunk[1:].decode())
+                    for chunk in payload.split(b"\x00")
+                    if chunk
+                )
+                error = fields.get(b"M", "unknown error")
+        return columns, rows, error
+
+    def close(self):
+        self.sock.sendall(b"X" + struct.pack("!I", 4))
+        self.sock.close()
+
+
+def test_pgwire_query_roundtrip(spark, engine):
+    from core2_spark.pgwire_server import PgWireServer
+
+    v1 = spark.createDataFrame(
+        [(1, "AAPL", 100.0), (2, "MSFT", 200.0)], "id long, sym string, px double"
+    )
+    engine.submit_tx([Put("trades", v1)], tx_time="2024-01-01 00:00:01")
+    fix = spark.createDataFrame([(1, "AAPL", 111.0)], "id long, sym string, px double")
+    engine.submit_tx([Put("trades", fix)], tx_time="2024-02-01 00:00:00")
+
+    server = PgWireServer(lambda sql: engine.db().sql(sql))
+    try:
+        client = MiniPgClient(server.port)
+        assert client.params.get("client_encoding") == "UTF8"
+
+        cols, rows, err = client.query("SELECT id, sym, px FROM trades ORDER BY id")
+        assert err is None
+        assert cols == ["id", "sym", "px"]
+        assert rows == [["1", "AAPL", "111.0"], ["2", "MSFT", "200.0"]]
+
+        # temporal dialect over pgwire
+        cols, rows, err = client.query(
+            "SELECT id, px FROM trades FOR SYSTEM_TIME AS OF "
+            "TIMESTAMP '2024-01-15 00:00:00' ORDER BY id"
+        )
+        assert err is None
+        assert [r[1] for r in rows] == ["100.0", "200.0"]
+
+        # an error leaves the session usable (ErrorResponse then Ready)
+        _, _, err = client.query("SELECT * FROM nope")
+        assert err is not None and "nope" in err
+        cols, rows, err = client.query("SELECT COUNT(*) AS n FROM trades")
+        assert err is None and rows == [["2"]]
+
+        client.close()
+    finally:
+        server.shutdown()
