@@ -173,17 +173,35 @@ class SqlFlightServer(_flight.FlightServerBase if _flight else object):
         return _flight.RecordBatchStream(self._metadata_table(name, payload))
 
     def do_put(self, context, descriptor, reader, writer):
-        """Ingest an Arrow stream as ONE engine transaction.  The
-        descriptor command is JSON ``{"table": ..., "tx_time": ...?}``;
-        the whole upload commits atomically (one tx_time), matching
-        submit_tx semantics over the wire."""
+        """Write path, two envelopes:
+
+        - FlightSQL ``CommandStatementUpdate``: the SQL DML dialect
+          (INSERT/UPDATE/DELETE/ERASE) runs as one engine transaction;
+          the app-metadata response is a ``DoPutUpdateResult`` (-1 =
+          count unknown — DML compiles against the pre-tx snapshot,
+          counting would double-execute it);
+        - legacy JSON ``{"table": ..., "tx_time": ...?}``: the Arrow
+          stream commits atomically as one submit_tx Put."""
         import json
 
         if self._engine is None:
             raise _flight.FlightServerError(
                 "this server is read-only (no engine attached)"
             )
+        from core2_spark import flightsql_proto as fsql
         from core2_spark.engine import Put
+
+        parsed = fsql.unpack_any(descriptor.command)
+        if parsed is not None:
+            name, payload = parsed
+            if name != "CommandStatementUpdate":
+                raise _flight.FlightServerError(
+                    f"unsupported FlightSQL DoPut command {name}"
+                )
+            reader.read_all()  # drain the (empty) bound-params stream
+            self._engine.sql_dml(fsql.parse_statement_update(payload))
+            writer.write(pa.py_buffer(fsql.do_put_update_result(-1)))
+            return
 
         spec = json.loads(descriptor.command.decode())
         table = reader.read_all()

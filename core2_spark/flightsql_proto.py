@@ -177,3 +177,28 @@ def parse_get_tables(payload: bytes) -> dict:
 
 def command_get_table_types() -> bytes:
     return pack_any("CommandGetTableTypes", b"")
+
+
+def command_statement_update(query: str) -> bytes:
+    """FlightSQL DML envelope (DoPut): field 1 = the SQL statement."""
+    return pack_any("CommandStatementUpdate", _ld(1, query.encode()))
+
+
+def parse_statement_update(payload: bytes) -> str:
+    for field, wire, v in fields(payload):
+        if field == 1 and wire == 2:
+            return v.decode()
+    return ""
+
+
+def do_put_update_result(record_count: int) -> bytes:
+    """DoPutUpdateResult (field 1: record_count int64, varint; -1 =
+    unknown, encoded two's-complement like protobuf int64)."""
+    return _vi(1, record_count & 0xFFFFFFFFFFFFFFFF)
+
+
+def parse_do_put_update_result(buf: bytes) -> int:
+    for field, wire, v in fields(buf):
+        if field == 1 and wire == 0:
+            return v - (1 << 64) if v >= (1 << 63) else v
+    return 0

@@ -176,3 +176,46 @@ def test_flightsql_protocol_envelope(spark, engine):
         assert legacy.to_pydict()["n"] == [2]
     finally:
         server.shutdown()
+
+
+def test_flightsql_statement_update_dml(spark, engine):
+    """FlightSQL DML over DoPut: CommandStatementUpdate carries the
+    engine's SQL DML dialect, the response metadata is a
+    DoPutUpdateResult, and the write is visible to a subsequent
+    FlightSQL query on the same server."""
+    import pyarrow as pa
+    import pyarrow.flight as fl
+
+    from core2_spark import flightsql_proto as fsql
+    from core2_spark.flight_server import SqlFlightServer, fetch_flightsql
+
+    v1 = spark.createDataFrame(
+        [(1, "AAPL", 100.0), (2, "MSFT", 200.0)], "id long, sym string, px double"
+    )
+    engine.submit_tx([Put("trades", v1)], tx_time="2024-01-01 00:00:01")
+
+    server = SqlFlightServer(lambda sql: engine.db().sql(sql), engine=engine)
+    try:
+        loc = f"grpc://127.0.0.1:{server.port}"
+        client = fl.connect(loc)
+        desc = fl.FlightDescriptor.for_command(
+            fsql.command_statement_update(
+                "UPDATE trades SET px = 123.0 WHERE id = 1"
+            )
+        )
+        writer, meta_reader = client.do_put(desc, pa.schema([]))
+        writer.done_writing()
+        buf = meta_reader.read()
+        assert fsql.parse_do_put_update_result(buf.to_pybytes()) == -1
+        writer.close()
+        client.close()
+
+        got = fetch_flightsql(
+            loc,
+            fsql.command_statement_query(
+                "SELECT id, px FROM trades ORDER BY id"
+            ),
+        )
+        assert got.to_pydict()["px"] == [123.0, 200.0]
+    finally:
+        server.shutdown()
