@@ -91,9 +91,27 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     perturbs the low microseconds and individual timestamps drift ±1µs
     from the oracle's (DuckDB truncates the same way on its ns→µs
     cast)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_nanos_conf(spark)
     df = spark.read.parquet(table_path(sf_dir, "events"))
     return normalize_event_ts(df, df.schema["ts"].dataType)
+
+
+_NANOS_CONF_SESSIONS: "weakref.WeakSet" = None  # type: ignore[assignment]
+
+
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """Set ``nanosAsLong`` once per session.  The value is constant so
+    repeated sets were harmless, but mutating session-global conf on
+    every table load is a race-shaped pattern under the concurrent
+    bench — guard it to exactly one RPC per session."""
+    global _NANOS_CONF_SESSIONS
+    import weakref
+
+    if _NANOS_CONF_SESSIONS is None:
+        _NANOS_CONF_SESSIONS = weakref.WeakSet()
+    if spark not in _NANOS_CONF_SESSIONS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _NANOS_CONF_SESSIONS.add(spark)
 
 
 def normalize_event_ts(df: DataFrame, ts_type) -> DataFrame:

@@ -327,7 +327,12 @@ class Engine:
             if os.path.isdir(self._table_path(name)) and not name.startswith("_")
         }
 
-    def optimize(self, table: str, target_files: int | None = None) -> int:
+    def optimize(
+        self,
+        table: str,
+        target_files: int | None = None,
+        zorder_by: tuple[str, ...] | None = None,
+    ) -> int:
         """Compact the version table's small files (every transaction
         appends at least one file; after thousands of transactions the
         read path pays per-file open cost — the classic streaming-table
@@ -356,6 +361,18 @@ class Engine:
             rows = rows.repartition(target_files, F.col(bt.SYS_DAY))
         else:
             rows = rows.repartition(target_files)
+        if zorder_by:
+            # cluster rows within each rewritten file by the Morton
+            # key so id-point / multi-column reads also prune via
+            # footer min-max stats (the kd-tree-pruning analogue), on
+            # top of the day-partition pruning
+            from core2_spark.sinks import zorder_key
+
+            rows = (
+                zorder_key(rows, list(zorder_by))
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
         self._rewrite_atomic(path, rows)
         return target_files
 

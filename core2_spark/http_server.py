@@ -9,6 +9,10 @@ One read surface, two encodings:
     stream bytes (the zero-copy path a data client wants),
   - anything else → JSON ``{"columns": [...], "rows": [[...], ...]}``
     (the curl/browser path);
+- ``POST /tx`` with ``{"statements": ["...", ...], "tx_time": ...?}``
+  → the statements run as ONE engine transaction via
+  ``Engine.sql_dml_many`` (requires an attached engine); response
+  carries the committed transaction time;
 - ``GET /tables`` → the table catalog (requires an attached engine).
 
 Like the Flight server, HTTP is a RESULT boundary: the
@@ -90,6 +94,8 @@ class SqlHttpServer:
                 self._send(200, body, "application/json")
 
             def do_POST(self):
+                if self.path == "/tx":
+                    return self._do_tx()
                 if self.path != "/query":
                     return self._error(404, f"no route {self.path}")
                 try:
@@ -108,6 +114,27 @@ class SqlHttpServer:
                     self._send(200, _table_to_ipc(table), ARROW_MIME)
                 else:
                     self._send(200, _table_to_json(table), "application/json")
+
+            def _do_tx(self):
+                if outer._engine is None:
+                    return self._error(400, "no engine attached")
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    spec = json.loads(self.rfile.read(n).decode())
+                    statements = spec["statements"]
+                    assert isinstance(statements, list) and statements
+                except (ValueError, KeyError, AssertionError) as exc:
+                    return self._error(400, f"bad request body: {exc!r}")
+                try:
+                    basis = outer._engine.sql_dml_many(
+                        statements, tx_time=spec.get("tx_time")
+                    )
+                except Exception as exc:
+                    return self._error(400, str(exc) or repr(exc))
+                body = json.dumps(
+                    {"tx_time": basis.current_time.isoformat()}
+                ).encode()
+                self._send(200, body, "application/json")
 
         self._httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
         self.port = self._httpd.server_address[1]

@@ -37,9 +37,9 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from core2_spark.catalog import normalize_event_ts
+    from core2_spark.catalog import ensure_nanos_conf, normalize_event_ts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_nanos_conf(spark)
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream_dir = os.path.join(
         tempfile.gettempdir(), "core2_spark_stream", sf_dir.strip("/").replace("/", "_")

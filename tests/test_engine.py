@@ -327,3 +327,17 @@ def test_erase_and_optimize_leave_no_temp_dirs(spark, engine):
 
     leftovers = [n for n in os.listdir(ROOT) if n.startswith(("_tmp_", "_old_"))]
     assert not leftovers, leftovers
+
+
+def test_optimize_zorder_clusters_and_preserves_answers(spark, engine):
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(40)], "id long, v string"
+    )
+    engine.submit_tx([Put("t", df)])
+    db = engine.db()
+    before = {(r["id"], r["v"]) for r in db.table("t").collect()}
+    engine.optimize("t", target_files=2, zorder_by=("id",))
+    db2 = engine.db()
+    assert {(r["id"], r["v"]) for r in db2.table("t").collect()} == before
+    # the clustering key never leaks into the stored schema
+    assert "_z" not in db2.history("t").columns

@@ -81,3 +81,49 @@ def test_http_result_size_guard(spark, engine):
         assert ok["rows"] == [[50]]
     finally:
         server.shutdown()
+
+
+def test_http_tx_dml_endpoint(spark, engine):
+    """POST /tx runs multiple DML statements as ONE transaction and
+    returns the committed tx_time; the write is visible to /query."""
+    import urllib.error
+
+    from core2_spark.http_server import SqlHttpServer, http_query
+
+    v1 = spark.createDataFrame(
+        [(1, "AAPL", 100.0), (2, "MSFT", 200.0)], "id long, sym string, px double"
+    )
+    engine.submit_tx([Put("trades", v1)], tx_time="2024-01-01 00:00:01")
+
+    server = SqlHttpServer(lambda sql: engine.db().sql(sql), engine=engine)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/tx",
+            data=json.dumps(
+                {
+                    "statements": [
+                        "UPDATE trades SET px = 150.0 WHERE id = 1",
+                        "DELETE FROM trades WHERE id = 2",
+                    ],
+                    "tx_time": "2024-02-01 00:00:00",
+                }
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert json.loads(resp.read())["tx_time"] == "2024-02-01T00:00:00"
+
+        got = http_query(server.port, "SELECT id, px FROM trades ORDER BY id")
+        assert got["rows"] == [[1, 150.0]]
+
+        # bad bodies are 400s
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/tx",
+            data=json.dumps({"statements": []}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(bad)
+        assert err.value.code == 400
+    finally:
+        server.shutdown()
