@@ -88,6 +88,9 @@ class Engine:
         # counter alone would let db() predate an explicitly-timed
         # transaction and silently see an empty current state.
         self._last_tx_time: datetime | None = None
+        # The _log.json content this engine last read or wrote — the
+        # optimistic single-writer token (see _persist_clock).
+        self._persisted_clock: str | None = None
         # Version tables must carry parquet min/max statistics on the
         # temporal columns (clock recovery and as-of file pruning read
         # them).  Spark's INT96 legacy timestamp encoding writes NO
@@ -116,9 +119,11 @@ class Engine:
         log = os.path.join(self.root, "_log.json")
         if os.path.exists(log):
             with open(log) as f:
-                meta = json.load(f)
+                raw = f.read()
+            meta = json.loads(raw)
             self._last_tx_time = datetime.fromisoformat(meta["last_tx_time"])
             self._tx_counter = int(meta.get("tx_counter", 0))
+            self._persisted_clock = raw
             return
         import pyarrow.compute as pa_compute
         import pyarrow.parquet as pq
@@ -164,17 +169,44 @@ class Engine:
     def _persist_clock(self) -> None:
         """Write the tx clock manifest atomically (tmp + rename): a
         crashed writer leaves either the old or the new manifest,
-        never a torn one."""
+        never a torn one.
+
+        Single-writer enforcement (the reference's log has exactly one
+        totally-ordered writer): before persisting, verify the
+        on-disk manifest is the one THIS engine last wrote — if
+        another Engine committed in between, the local clock no longer
+        reflects the log head and blindly overwriting would silently
+        drop that writer's position.  Optimistic check, no lock file:
+        the loser gets a loud error instead of a corrupted log."""
+        log = os.path.join(self.root, "_log.json")
+        self._check_sole_writer()
+        payload = json.dumps(
+            {
+                "last_tx_time": self._last_tx_time.isoformat(),
+                "tx_counter": self._tx_counter,
+            }
+        )
         tmp = os.path.join(self.root, "_log.json.tmp")
         with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "last_tx_time": self._last_tx_time.isoformat(),
-                    "tx_counter": self._tx_counter,
-                },
-                f,
-            )
-        os.replace(tmp, os.path.join(self.root, "_log.json"))
+            f.write(payload)
+        os.replace(tmp, log)
+        self._persisted_clock = payload
+
+    def _check_sole_writer(self) -> None:
+        """Optimistic single-writer token check: the on-disk manifest
+        must be the one THIS engine last read or wrote.  Called BEFORE
+        a transaction writes anything (so a detected interloper aborts
+        with zero rows appended) and again at persist time."""
+        log = os.path.join(self.root, "_log.json")
+        if self._persisted_clock is not None and os.path.exists(log):
+            with open(log) as f:
+                on_disk = f.read()
+            if on_disk != self._persisted_clock:
+                raise RuntimeError(
+                    f"concurrent writer detected on {self.root}: the tx log "
+                    "advanced outside this Engine (the log is single-writer; "
+                    "open a fresh Engine to continue from the new head)"
+                )
 
     def _rewrite_atomic(self, path: str, df: DataFrame) -> None:
         """Rewrite a table directory by writing ``df`` to a sibling
@@ -236,6 +268,7 @@ class Engine:
         reference's single totally-ordered log) and return the basis
         at which the transaction is visible.  Call ops expand against
         the pre-transaction snapshot before anything is written."""
+        self._check_sole_writer()  # abort BEFORE any rows are written
         t = self._next_tx_time(tx_time)
         expanded: list[Put | Delete | Erase] = []
         pre_snapshot = None

@@ -341,3 +341,22 @@ def test_optimize_zorder_clusters_and_preserves_answers(spark, engine):
     assert {(r["id"], r["v"]) for r in db2.table("t").collect()} == before
     # the clustering key never leaks into the stored schema
     assert "_z" not in db2.history("t").columns
+
+
+def test_concurrent_writer_detected(spark, engine):
+    """The tx log is single-writer: a second Engine committing to the
+    same root makes the first engine's next commit fail loudly instead
+    of silently overwriting the log head."""
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    engine.submit_tx([Put("t", df)])
+
+    interloper = Engine(spark, ROOT)
+    interloper.submit_tx([Put("t", df)])
+
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        engine.submit_tx([Put("t", df)])
+
+    # a fresh engine over the same root continues from the new head
+    resumed = Engine(spark, ROOT)
+    basis = resumed.submit_tx([Put("t", df)])
+    assert resumed.db(basis).history("t").count() == 3
