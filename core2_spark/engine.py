@@ -510,20 +510,48 @@ class Snapshot:
         out — a FOR query never returns the tombstone row itself).
         Bare references ALWAYS see the current-state view, even when
         the same table also appears with a FOR clause elsewhere in the
-        query (the history lives under an internal view name)."""
-        from core2_spark.sql_dialect import find_temporal_tables, rewrite_temporal_sql
+        query (the history lives under an internal view name).
 
+        Views are SCOPED PER CALL (unique suffix, dropped once the
+        query is analyzed): two snapshots at different bases running
+        concurrently in one SparkSession never clobber each other's
+        view registrations."""
+        import uuid
+
+        from core2_spark.sql_dialect import (
+            find_temporal_tables,
+            rename_bare_tables,
+            rewrite_temporal_sql,
+        )
+
+        uid = uuid.uuid4().hex[:8]
         temporal_tables = find_temporal_tables(query)
         table_map: dict[str, str] = {}
-        for name in self.basis.manifests:
-            self.table(name, **asof).createOrReplaceTempView(name)
-            if name in temporal_tables:
-                hist_name = f"{name}__sys_history"
-                bt.without_tombstones(self.history(name)).drop(
-                    bt.TX_SEQ, bt.TOMBSTONE
-                ).createOrReplaceTempView(hist_name)
-                table_map[name] = hist_name
-        return self.engine.spark.sql(rewrite_temporal_sql(query, table_map))
+        bare_map: dict[str, str] = {}
+        registered: list[str] = []
+        spark = self.engine.spark
+        try:
+            for name in self.basis.manifests:
+                cur_name = f"{name}__snap_{uid}"
+                self.table(name, **asof).createOrReplaceTempView(cur_name)
+                registered.append(cur_name)
+                bare_map[name] = cur_name
+                if name in temporal_tables:
+                    hist_name = f"{name}__sys_history_{uid}"
+                    bt.without_tombstones(self.history(name)).drop(
+                        bt.TX_SEQ, bt.TOMBSTONE
+                    ).createOrReplaceTempView(hist_name)
+                    registered.append(hist_name)
+                    table_map[name] = hist_name
+            rewritten = rename_bare_tables(
+                rewrite_temporal_sql(query, table_map), bare_map
+            )
+            # spark.sql analyzes eagerly, so the views are resolvable
+            # garbage once this returns
+            return spark.sql(rewritten)
+        finally:
+            for v in registered:
+                spark.catalog.dropTempView(v)
 
     def changes(
         self,

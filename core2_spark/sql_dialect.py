@@ -325,6 +325,79 @@ def rewrite_temporal_sql(sql: str, table_map: dict[str, str] | None = None) -> s
     return "".join(out)
 
 
+def rename_bare_tables(sql: str, name_map: dict[str, str]) -> str:
+    """Rename bare table references at table positions (after FROM /
+    JOIN, or after ',' inside a FROM list) to scoped view names,
+    preserving qualified-column resolution by aliasing back to the
+    original name when the reference carries no alias of its own.
+
+    Why: ``Snapshot.sql`` registers per-call temp views; renaming the
+    references (instead of registering under the bare name) makes two
+    concurrent snapshots of the same table collision-free in one
+    SparkSession.  CTE names shadow tables per the standard, so any
+    ``name AS (`` definition suppresses renaming of that name."""
+    toks = _tokens(sql)
+
+    # CTE definitions: `name AS (` — those names shadow real tables.
+    shadowed = {
+        _unquote(toks[i])
+        for i in range(len(toks) - 2)
+        if toks[i].kind in ("word", "qid")
+        and toks[i + 1].word() == "AS"
+        and toks[i + 2].text == "("
+    }
+
+    edits: list[tuple[int, int, str]] = []
+    in_from = False
+    from_depth = 0
+    depth = 0
+    _CLAUSE_ENDERS = {
+        "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "UNION",
+        "INTERSECT", "EXCEPT", "WINDOW", "QUALIFY", "SELECT",
+    }
+    for i, t in enumerate(toks):
+        if t.text == "(":
+            depth += 1
+            continue
+        if t.text == ")":
+            depth -= 1
+            if in_from and depth < from_depth:
+                in_from = False
+            continue
+        w = t.word()
+        if w == "FROM":
+            in_from, from_depth = True, depth
+            continue
+        if in_from and depth == from_depth and w in _CLAUSE_ENDERS:
+            in_from = False
+            continue
+        prev = toks[i - 1] if i > 0 else None
+        at_table_pos = prev is not None and (
+            prev.word() in ("FROM", "JOIN")
+            or (prev.text == "," and in_from and depth == from_depth)
+        )
+        if not at_table_pos or t.kind not in ("word", "qid"):
+            continue
+        name = _unquote(t)
+        if name not in name_map or name in shadowed:
+            continue
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        has_alias = nxt is not None and (
+            nxt.word() == "AS"
+            or nxt.kind == "qid"
+            or (nxt.kind == "word" and nxt.text.lower() not in _KEYWORDS)
+        )
+        repl = (
+            name_map[name]
+            if has_alias
+            else f"{name_map[name]} AS {t.text}"
+        )
+        edits.append((t.start, t.end, repl))
+    for s, e, r in reversed(edits):
+        sql = sql[:s] + r + sql[e:]
+    return sql
+
+
 def sql_with_temporal(
     spark: SparkSession,
     sql: str,

@@ -192,3 +192,73 @@ def test_overlaps_executes(spark):
         "SELECT id FROM periods_t WHERE (s1, e1) OVERLAPS (s2, e2)",
     ).collect()
     assert [r["id"] for r in rows] == [1]
+
+
+def test_rename_bare_tables_shapes():
+    from core2_spark.sql_dialect import rename_bare_tables
+
+    m = {"trades": "trades__snap_x", "quotes": "quotes__snap_x"}
+    # no alias: re-alias back so qualified refs keep resolving
+    assert (
+        rename_bare_tables("SELECT trades.px FROM trades", m)
+        == "SELECT trades.px FROM trades__snap_x AS trades"
+    )
+    # existing alias: plain substitution
+    assert (
+        rename_bare_tables("SELECT t.px FROM trades t", m)
+        == "SELECT t.px FROM trades__snap_x t"
+    )
+    # comma join inside the FROM list
+    assert (
+        rename_bare_tables("SELECT 1 FROM trades a, quotes b WHERE a.id=b.id", m)
+        == "SELECT 1 FROM trades__snap_x a, quotes__snap_x b WHERE a.id=b.id"
+    )
+    # a SELECT-list column sharing a table's name is untouched
+    assert (
+        rename_bare_tables("SELECT x, trades FROM quotes", m)
+        == "SELECT x, trades FROM quotes__snap_x AS quotes"
+    )
+    # JOIN position
+    assert (
+        rename_bare_tables("SELECT 1 FROM trades JOIN quotes ON 1=1", m)
+        == "SELECT 1 FROM trades__snap_x AS trades JOIN quotes__snap_x AS quotes ON 1=1"
+    )
+    # CTE shadowing suppresses the rename
+    sql = "WITH trades AS (SELECT 1 AS x) SELECT * FROM trades"
+    assert rename_bare_tables(sql, m) == sql
+    # subquery FROM lists rename independently
+    assert (
+        rename_bare_tables(
+            "SELECT * FROM (SELECT id FROM trades) s WHERE id IN (SELECT id FROM quotes)",
+            m,
+        )
+        == "SELECT * FROM (SELECT id FROM trades__snap_x AS trades) s "
+        "WHERE id IN (SELECT id FROM quotes__snap_x AS quotes)"
+    )
+    # strings and quoted identifiers are never touched
+    assert (
+        rename_bare_tables("SELECT 'FROM trades' FROM quotes", m)
+        == "SELECT 'FROM trades' FROM quotes__snap_x AS quotes"
+    )
+
+
+def test_snapshot_sql_views_are_scoped_per_call(spark, tmp_path):
+    """Two snapshots at different bases in one session must not see
+    each other's data through shared view names, and no temp views
+    may leak after the call."""
+    from core2_spark.engine import Engine, Put
+
+    eng = Engine(spark, str(tmp_path / "scoped"))
+    v1 = spark.createDataFrame([(1, 10.0)], "id long, px double")
+    b1 = eng.submit_tx([Put("m", v1)], tx_time="2024-01-01")
+    v2 = spark.createDataFrame([(1, 20.0)], "id long, px double")
+    b2 = eng.submit_tx([Put("m", v2)], tx_time="2024-02-01")
+
+    before = {v.name for v in spark.catalog.listTables()}
+    df1 = eng.db(b1).sql("SELECT m.px FROM m")
+    df2 = eng.db(b2).sql("SELECT px FROM m FOR SYSTEM_TIME AS OF TIMESTAMP '2024-02-15 00:00:00'")
+    # both plans stay correct even though the second call re-registered
+    assert [r["px"] for r in df1.collect()] == [10.0]
+    assert [r["px"] for r in df2.collect()] == [20.0]
+    after = {v.name for v in spark.catalog.listTables()}
+    assert after == before, after - before
