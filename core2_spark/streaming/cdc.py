@@ -1,0 +1,69 @@
+"""Streaming CDC: tail an engine version table as a structured stream
+(SURVEY.md §3.3 — the reference's consumers tail the tx log from an
+offset; upstream core2's log is its integration surface).
+
+``Snapshot.changes`` is the batch view of the change feed; this is its
+streaming twin: every file a transaction commits under the table
+directory becomes a micro-batch of change records (``_change`` =
+put/delete, ordered per id by ``system_time_start, _tx_seq``).  The
+file-source offsets are checkpointed by the sink, so the stream
+position IS the log position — resuming a consumer replays exactly the
+unseen suffix, the same contract as a Kafka-offset tail.
+
+Scale posture: the source lists only NEW files per trigger (no
+re-scan of consumed history), and the day-partitioned layout keeps
+per-day directories bounded; a `since` lower bound prunes old
+partitions at the first load.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from core2_spark import temporal as bt
+
+
+def changes_stream(
+    spark: SparkSession,
+    engine_root: str,
+    table: str,
+    since: str | datetime | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over ``<engine_root>/<table>``: change records with
+    a ``_change`` column ('put'/'delete') plus the ordering columns
+    (``system_time_start``, ``_tx_seq``) consumers need to apply
+    changes in log order.  ``since`` drops rows at or before that
+    system time (and prunes whole day partitions)."""
+    path = os.path.join(engine_root, table)
+    # batch-infer the schema once (file streams require an explicit
+    # schema); includes the _sys_day partition column via discovery
+    schema = spark.read.option("mergeSchema", "true").parquet(path).schema
+    reader = spark.readStream.schema(schema).option("basePath", path)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # the /* glob makes NEW day-partition directories visible to the
+    # file source as they appear
+    raw = reader.parquet(path + "/*")
+
+    if since is not None:
+        s = bt._ts(since)
+        pred = F.col(bt.SYS_START) > s
+        if bt.SYS_DAY in schema.fieldNames():
+            pred = pred & (F.col(bt.SYS_DAY) >= F.to_date(s))
+        raw = raw.filter(pred)
+
+    tomb = (
+        F.coalesce(F.col(bt.TOMBSTONE), F.lit(False))
+        if bt.TOMBSTONE in schema.fieldNames()
+        else F.lit(False)
+    )
+    out = raw.withColumn(
+        "_change", F.when(tomb, F.lit("delete")).otherwise(F.lit("put"))
+    )
+    drop = [c for c in (bt.TOMBSTONE, bt.SYS_DAY) if c in schema.fieldNames()]
+    return out.drop(*drop)

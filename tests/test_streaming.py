@@ -377,3 +377,55 @@ def test_kafka_connector_contract_or_skip(spark):
     assert {(f.name, f.dataType.simpleString()) for f in src.schema.fields} == {
         (f.name, f.dataType.simpleString()) for f in WIRE_SCHEMA.fields
     }
+
+
+def test_cdc_changes_stream_matches_batch_and_resumes(spark, tmp_path):
+    """changes_stream is the streaming twin of Snapshot.changes: a full
+    availableNow pass sees every change record with correct put/delete
+    tags, a `since` bound replays only the unseen suffix, and a fresh
+    stream started after a new transaction picks it up."""
+    from core2_spark.engine import Delete, Engine, Put
+    from core2_spark.streaming.cdc import changes_stream
+
+    root = str(tmp_path / "cdc")
+    eng = Engine(spark, root)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    eng.submit_tx([Put("t", df)], tx_time="2024-03-01T00:00:00")
+    ids = spark.createDataFrame([(2,)], "id long")
+    eng.submit_tx([Delete("t", ids)], tx_time="2024-04-01T00:00:00")
+
+    def drain(stream, name):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(
+            f"SELECT id, _change FROM {name} ORDER BY system_time_start, id"
+        ).collect()
+
+    got = drain(changes_stream(spark, root, "t"), "cdc_all")
+    assert [(r["id"], r["_change"]) for r in got] == [
+        (1, "put"), (2, "put"), (2, "delete"),
+    ]
+    # matches the batch feed over the same span
+    batch = eng.db().changes("t", since="2024-01-01")
+    assert batch.count() == 3
+
+    # a `since` bound tails only the unseen suffix
+    tail = drain(
+        changes_stream(spark, root, "t", since="2024-03-15"), "cdc_tail"
+    )
+    assert [(r["id"], r["_change"]) for r in tail] == [(2, "delete")]
+
+    # new transaction → a fresh tail sees it
+    eng2 = Engine(spark, root)
+    eng2.submit_tx(
+        [Put("t", spark.createDataFrame([(3, "c")], "id long, v string"))],
+        tx_time="2024-06-01T00:00:00",
+    )
+    again = drain(changes_stream(spark, root, "t", since="2024-05-01"), "cdc_new")
+    assert [(r["id"], r["_change"]) for r in again] == [(3, "put")]
