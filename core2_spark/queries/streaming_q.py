@@ -191,3 +191,45 @@ def stream_interval_join_batch_twin_q(spark: SparkSession, sf_dir: str) -> DataF
         & (F.col("e_ts") <= F.col("p_ts"))
         & (F.col("e_ts") > F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
     ).select("p_id", "e_id")
+
+
+@query("stream_cdc_log_tail")  # rows-only: true streaming execution
+def stream_cdc_log_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail an engine version table as a structured stream
+    (streaming/cdc.py — the streaming twin of Snapshot.changes):
+    ingest nation rows in two transactions plus a delete, drain the
+    CDC stream availableNow, and summarize the change records per
+    (_change) tag with the max log position.  Rows-only: streaming
+    execution isn't SQL-expressible; the batch changes feed
+    (engine_changes_feed) is the oracle-checked value twin."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from core2_spark.catalog import load_table
+    from core2_spark.engine import Delete, Engine, Put
+    from core2_spark.streaming.cdc import changes_stream
+    from core2_spark.streaming.events import run_stream_to_memory
+
+    root = os.path.join(
+        tempfile.gettempdir(), "core2_spark_cdc_q", uuid.uuid4().hex[:8]
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    eng = Engine(spark, root)
+    nation = load_table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "id"
+    )
+    eng.submit_tx([Put("nation", nation)], tx_time="2024-03-01T00:00:00")
+    eng.submit_tx(
+        [Delete("nation", nation.select("id").limit(5))],
+        tx_time="2024-04-01T00:00:00",
+    )
+
+    stream = changes_stream(spark, root, "nation")
+    summary = stream.groupBy("_change").agg(
+        F.count("*").alias("n_changes"),
+        F.max(F.col("system_time_start")).alias("max_log_position"),
+    )
+    sink = run_stream_to_memory(summary, mode="complete")
+    return spark.table(sink)
