@@ -1065,3 +1065,61 @@ def knn_quantized_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qv = similarity.query_vector(e, "vec_id", "embedding", 0)
     return similarity.lsh_bucketed_knn(deq, qv, k=10, multiprobe_bits=2)
+
+
+@query(
+    "curation_decontaminate_ngram",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 4, 0)),
+                   i -> array_to_string(w[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
+               ))) AS g
+        FROM toks
+    ),
+    eval_grams   AS (SELECT doc_id AS eval_id,   g FROM grams WHERE doc_id % 7 = 0),
+    corpus_grams AS (SELECT doc_id AS corpus_id, g FROM grams WHERE doc_id % 7 <> 0)
+    SELECT corpus_id, eval_id, COUNT(*) AS n_shared_grams
+    FROM corpus_grams JOIN eval_grams USING (g)
+    GROUP BY corpus_id, eval_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def curation_decontaminate_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-data curation step that
+    finds corpus documents sharing verbatim word 5-grams with a held-out
+    eval set (here: every 7th doc_id stands in for the benchmark).
+
+    Scale shape: explode DISTINCT grams on both sides and EQUI-JOIN on
+    the gram string (hash join; eval grams are tiny and broadcast), then
+    count collisions per (corpus, eval) pair — never an all-pairs
+    document comparison.  At 100 TB the eval-gram side stays a
+    broadcast-sized benchmark corpus while the corpus side streams
+    through one shuffle-free map + broadcast probe."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    n = F.size(toks)
+    idx = F.when(n >= 5, F.sequence(F.lit(1), n - 4)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams5 = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(5))))
+    )
+    g = d.select("doc_id", F.explode(grams5).alias("g"))
+    eval_g = g.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eval_id"), "g"
+    )
+    corpus_g = g.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("corpus_id"), "g"
+    )
+    return (
+        corpus_g.join(F.broadcast(eval_g), "g")
+        .groupBy("corpus_id", "eval_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= 3)
+    )
