@@ -66,6 +66,7 @@ _PRIORITY: list[str] = [
     "temporal_asof_bitemporal",
     "dedup_minhash_lsh",
     "knn_brute_force_cosine",
+    "curation_decontaminate_ngram",
     # Rotation (round 4): the driver truncates CORRECTNESS at ~50
     # entries and r1-r3 all verified the same prefix, so ~40 of the
     # slots now go to queries that have NEVER had a driver row
