@@ -103,7 +103,13 @@ def test_window_topk_partitions_by_group(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["dedup_ngram_jaccard", "embedding_cosine_near_dup", "knn_lsh_bucketed"],
+    [
+        "dedup_ngram_jaccard",
+        "embedding_cosine_near_dup",
+        "knn_lsh_bucketed",
+        "curation_decontaminate_ngram",
+        "stream_cdc_log_tail",
+    ],
 )
 def test_llm_pipelines_no_cartesian(spark, name):
     plan = plan_of(QUERIES[name](spark, SF_DIR))
