@@ -103,3 +103,52 @@ def test_random_temporal_clauses_match_duckdb(spark, versions):
             f"trial {trial}: {' '.join(clauses)} → "
             f"{len(spark_rows)} vs {len(duck_rows)} rows"
         )
+
+
+def test_random_temporal_two_refs_one_query(spark, versions):
+    """Two independently-clamped references to the SAME history in one
+    query (self-join with different FOR clauses) — exercises the
+    rewriter's per-reference matching and alias handling, checked
+    against hand-expanded DuckDB predicates."""
+    import random as _random
+
+    vers_df, path = versions
+    duck = duckdb.connect()
+    duck.execute(
+        f"CREATE VIEW hist AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    rng = _random.Random(1234)
+    axes = {
+        "SYSTEM_TIME": (bt.SYS_START, bt.SYS_END),
+        "APPLICATION_TIME": (bt.APP_START, bt.APP_END),
+    }
+    forms = ["all", "asof", "fromto", "between"]
+
+    def draw_side():
+        axis = rng.choice(sorted(axes))
+        form = rng.choice(forms)
+        lo, hi = sorted(rng.sample(GRID, 2))
+        clause = _clause_sql(axis, form, (lo, hi))
+        pred = _axis_pred(axes[axis], form, (lo, hi))
+        return clause, (pred or "1=1")
+
+    for trial in range(25):
+        c1, p1 = draw_side()
+        c2, p2 = draw_side()
+        spark_sql = (
+            f"SELECT a.id AS id, a.tag AS a_tag, b.tag AS b_tag "
+            f"FROM hist {c1} AS a JOIN hist {c2} AS b ON a.id = b.id"
+        )
+        duck_sql = (
+            f"SELECT a.id AS id, a.tag AS a_tag, b.tag AS b_tag "
+            f"FROM (SELECT * FROM hist WHERE {p1}) a "
+            f"JOIN (SELECT * FROM hist WHERE {p2}) b ON a.id = b.id"
+        )
+        got = sorted(
+            (r["id"], r["a_tag"], r["b_tag"])
+            for r in sql_with_temporal(
+                spark, spark_sql, version_views={"hist": vers_df}
+            ).collect()
+        )
+        want = sorted(tuple(r) for r in duck.execute(duck_sql).fetchall())
+        assert got == want, f"trial {trial}: {spark_sql}"
