@@ -1123,3 +1123,27 @@ def curation_decontaminate_ngram_q(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("*").alias("n_shared_grams"))
         .filter(F.col("n_shared_grams") >= 3)
     )
+
+
+@query("knn_ivf_partitioned_layout")  # rows-only: physical-layout path
+def knn_ivf_partitioned_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-ingest IVF layout end-to-end: assign centroid cells once,
+    write the corpus Hive-partitioned by cell, probe only the nprobe
+    nearest cells (PartitionFilters file pruning — see
+    tests/test_dedup_semantics.py for the plan audit and the
+    equality-with-inline-IVF check).  Rows-only: the probed result is
+    layout-dependent and not SQL-expressible."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cents = similarity._centroids_from_seed_rows(e, 8, "vec_id", "embedding")
+    qv = similarity.query_vector(e, "vec_id", "embedding", 0)
+    path = os.path.join(
+        tempfile.gettempdir(), "core2_spark_ivf_q", uuid.uuid4().hex[:8]
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.write_ivf_partitioned(e, path, cents)
+    return similarity.ivf_knn_partitioned(spark, path, qv, cents, k=10, nprobe=4)
