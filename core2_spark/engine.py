@@ -56,6 +56,10 @@ class Delete:
     table: str
     ids: DataFrame
     id_col: str = "id"
+    # SQL:2011 DELETE FOR PORTION OF APPLICATION_TIME: bound the
+    # deleted app period (default [tx, ∞) — delete "from now on")
+    app_start: str | None = None
+    app_end: str | None = None
 
 
 @dataclass(frozen=True)
@@ -302,7 +306,9 @@ class Engine:
                     "mergeSchema", "true"
                 ).mode("append").parquet(path)
             elif isinstance(op, Delete):
-                bt.delete_tombstone(op.ids, op.id_col, t).withColumn(
+                bt.delete_tombstone(
+                    op.ids, op.id_col, t, op.app_start, op.app_end
+                ).withColumn(
                     bt.TX_SEQ, F.lit(seq)
                 ).withColumn(
                     bt.SYS_DAY, F.to_date(F.col(bt.SYS_START))

@@ -276,3 +276,43 @@ def engine_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "name", "_change")
         .orderBy("id", "_change")
     )
+
+
+@query(
+    "engine_dml_delete_portion",
+    oracle="""
+    SELECT 'apr' AS probe, n_nationkey AS id, n_name AS name
+    FROM nation WHERE n_regionkey <> 2
+    UNION ALL
+    SELECT 'jul', n_nationkey, n_name FROM nation
+    ORDER BY probe, id
+    """,
+)
+def engine_dml_delete_portion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE ... FOR PORTION OF APPLICATION_TIME through the engine:
+    the deletion covers only [Mar, Jun), so an April read hides the
+    deleted rows (regionkey 2) while a July read sees every original
+    row again — the bounded tombstone only shadows the periods it
+    covers (SQL:2011 portion delete), driver-gated."""
+    from core2_spark.engine import Engine, Put
+
+    nation = _nation_rows(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="engine_q_delpor_"))
+    eng.submit_tx(
+        [Put("nations", nation, app_start="2024-01-01 00:00:00")],
+        tx_time="2024-01-01 00:00:01",
+    )
+    eng.sql_dml(
+        "DELETE FROM nations FOR PORTION OF APPLICATION_TIME "
+        "FROM '2024-03-01 00:00:00' TO '2024-06-01 00:00:00' "
+        "WHERE regionkey = 2",
+        tx_time="2024-01-01 00:00:02",
+    )
+    db = eng.db()
+    apr = db.sql(
+        "SELECT id, name FROM nations", app_time="2024-04-01 00:00:00"
+    ).withColumn("probe", F.lit("apr"))
+    jul = db.sql(
+        "SELECT id, name FROM nations", app_time="2024-07-01 00:00:00"
+    ).withColumn("probe", F.lit("jul"))
+    return apr.unionByName(jul).select("probe", "id", "name").orderBy("probe", "id")

@@ -60,6 +60,7 @@ _PRIORITY: list[str] = [
     "engine_dml_roundtrip",
     "engine_sql_period_overlaps",
     "engine_dml_portion_of_app_time",
+    "engine_dml_delete_portion",
     "engine_changes_feed",
     "tpch_q1_pricing_summary",
     "tpch_q5_region_revenue",

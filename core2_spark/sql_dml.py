@@ -20,7 +20,8 @@ Supported statements::
     INSERT INTO t SELECT ...                      -- over snapshot views
     UPDATE t [FOR PORTION OF APPLICATION_TIME FROM 'a' TO 'b']
         SET c = expr, ... [WHERE pred]
-    DELETE FROM t [WHERE pred]
+    DELETE FROM t [FOR PORTION OF APPLICATION_TIME FROM 'a' TO 'b']
+        [WHERE pred]
     ERASE FROM t [WHERE pred]
 
 UPDATE appends new versions of the matched current rows (the old
@@ -52,6 +53,8 @@ _UPDATE = re.compile(
 )
 _DELETE = re.compile(
     r"^\s*(?P<verb>DELETE|ERASE)\s+FROM\s+(?P<table>\w+)"
+    r"(?:\s+FOR\s+PORTION\s+OF\s+APPLICATION_TIME\s+FROM\s+"
+    r"'(?P<app_from>[^']+)'\s+TO\s+'(?P<app_to>[^']+)')?"
     r"(?:\s+WHERE\s+(?P<where>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -114,7 +117,20 @@ def parse_dml(statement: str) -> _ParsedDml:
         )
     m = _DELETE.match(statement)
     if m:
-        return _ParsedDml(m["verb"].lower(), m["table"], {"where": m["where"]})
+        if m["verb"].upper() == "ERASE" and m["app_from"]:
+            raise ValueError(
+                "ERASE removes whole ids (the only destructive op); "
+                "FOR PORTION OF applies to DELETE only"
+            )
+        return _ParsedDml(
+            m["verb"].lower(),
+            m["table"],
+            {
+                "where": m["where"],
+                "app_from": m["app_from"],
+                "app_to": m["app_to"],
+            },
+        )
     raise ValueError(f"unsupported DML statement: {statement[:120]}")
 
 
@@ -191,5 +207,13 @@ def dml_to_ops(engine, statement: str, id_col: str = "id") -> list:
 
     ids = matched.select(id_col).localCheckpoint(eager=True)
     if p.verb == "delete":
-        return [Delete(p.table, ids, id_col)]
+        return [
+            Delete(
+                p.table,
+                ids,
+                id_col,
+                app_start=p.detail.get("app_from"),
+                app_end=p.detail.get("app_to"),
+            )
+        ]
     return [Erase(p.table, ids, id_col)]

@@ -215,17 +215,24 @@ def resolve_as_of(
 
 
 def delete_tombstone(
-    ids: DataFrame, id_col: str, tx_time: str | datetime
+    ids: DataFrame,
+    id_col: str,
+    tx_time: str | datetime,
+    app_start: str | datetime | None = None,
+    app_end: str | datetime | None = None,
 ) -> DataFrame:
     """Tombstone rows for `resolve_as_of` semantics: a version covering
-    app [tx, ∞) flagged deleted — queries at T >= tx resolve to it and
-    hide the id; history before tx is untouched."""
+    app [app_start, app_end) (default [tx, ∞)) flagged deleted —
+    queries at a covered T resolve to it and hide the id; queries
+    OUTSIDE the portion (and all history before tx) still see the
+    older versions.  Bounded app periods are SQL:2011's
+    DELETE ... FOR PORTION OF APPLICATION_TIME."""
     return (
         ids.select(id_col)
         .withColumn(SYS_START, _ts(tx_time))
         .withColumn(SYS_END, _ts(END_OF_TIME))
-        .withColumn(APP_START, _ts(tx_time))
-        .withColumn(APP_END, _ts(END_OF_TIME))
+        .withColumn(APP_START, _ts(app_start if app_start is not None else tx_time))
+        .withColumn(APP_END, _ts(app_end if app_end is not None else END_OF_TIME))
         .withColumn(TOMBSTONE, F.lit(True))
     )
 

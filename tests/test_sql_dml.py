@@ -169,3 +169,48 @@ def test_random_dml_sequences_match_model(spark, tmp_path):
             (r["id"], r["v"]) for r in eng2.db().table("t").collect()
         }
         assert got == set(model.items()), f"trial {trial}"
+
+
+def test_delete_for_portion_of_app_time(spark, tmp_path):
+    from core2_spark.engine import Put
+
+    engine = Engine(spark, str(tmp_path / "delpor"))
+    df = spark.createDataFrame(
+        [(1, "keep"), (2, "part")], "id long, v string"
+    )
+    engine.submit_tx(
+        [Put("t", df)], tx_time="2024-01-01 00:00:01"
+    )
+    engine.sql_dml(
+        "DELETE FROM t FOR PORTION OF APPLICATION_TIME "
+        "FROM '2024-03-01 00:00:00' TO '2024-06-01 00:00:00' WHERE id = 2",
+        tx_time="2024-02-01 00:00:00",
+    )
+    db = engine.db()
+    # inside the portion: id 2 hidden
+    apr = {r["id"] for r in db.table("t", app_time="2024-04-01").collect()}
+    assert apr == {1}
+    # outside the portion: both visible again
+    jul = {r["id"] for r in db.table("t", app_time="2024-07-01").collect()}
+    assert jul == {1, 2}
+    # before the deletion was known: both visible
+    early = {
+        r["id"]
+        for r in db.table(
+            "t", system_time="2024-01-15", app_time="2024-04-01"
+        ).collect()
+    }
+    assert early == {1, 2}
+
+
+def test_erase_rejects_portion_clause(spark, tmp_path):
+    from core2_spark.engine import Put
+
+    engine = Engine(spark, str(tmp_path / "erapor"))
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    engine.submit_tx([Put("t", df)])
+    with pytest.raises(ValueError, match="PORTION"):
+        engine.sql_dml(
+            "ERASE FROM t FOR PORTION OF APPLICATION_TIME "
+            "FROM '2024-01-01' TO '2024-02-01' WHERE id = 1"
+        )
