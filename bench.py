@@ -89,12 +89,20 @@ def main() -> None:
     # (observed 5.7 s -> 28 s with a busy neighbor while per-query times
     # were flat), so run the sweep SWEEP_REPEATS times and report the
     # MINIMUM wall — the contention-free number attributable to the code.
+    def jvm_gc() -> None:
+        # Drain garbage between timed sections so a sweep never eats a
+        # stop-the-world collection of the previous section's garbage.
+        # _jvm is a py4j-only surface; a Connect-style session just
+        # skips the hint.
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+
     walls = []
     per_query: dict[str, float] = {}
     for _ in range(SWEEP_REPEATS):
-        # Drain garbage between sweeps so a timed sweep never eats a
-        # stop-the-world collection of the previous sweep's garbage.
-        spark._jvm.System.gc()
+        jvm_gc()
         t_sweep = time.perf_counter()
         with ThreadPoolExecutor(CONCURRENCY) as ex:
             sweep = {name: round(dt, 3) for name, dt in ex.map(run, HEADLINE)}
@@ -110,7 +118,7 @@ def main() -> None:
     # contaminated by scheduler contention; only their wall is the
     # headline).
     queries_sequential = {}
-    spark._jvm.System.gc()
+    jvm_gc()
     for name in HEADLINE:
         _, dt = run(name)
         queries_sequential[name] = round(dt, 3)
