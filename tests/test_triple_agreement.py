@@ -41,7 +41,7 @@ PORTABLE = [
     # engine path
     "engine_sql_time_travel", "engine_dml_roundtrip",
     "engine_sql_period_overlaps", "engine_dml_portion_of_app_time",
-    "engine_changes_feed",
+    "engine_dml_delete_portion", "engine_changes_feed",
     # aggregates / sets / sort
     "agg_basic", "agg_distinct", "agg_stats", "agg_bool",
     "agg_count_if_filtered", "agg_having", "agg_rollup", "agg_cube",
