@@ -221,3 +221,88 @@ def test_asof_join_forward_and_tolerance_match_pandas(spark, left, right, tol):
         for r in merged.itertuples(index=False)
     }
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["put", "delete", "delete_portion"]),
+            st.integers(min_value=1, max_value=3),   # id
+            st.integers(min_value=0, max_value=90),  # app_start day offset
+            st.integers(min_value=5, max_value=60),  # app period length
+        ),
+        min_size=2,
+        max_size=5,
+    ),
+    probes=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 150)),  # (tx index, app day)
+        min_size=2,
+        max_size=4,
+    ),
+)
+def test_engine_portion_deletes_match_interval_model(spark, ops, probes):
+    """Random put / delete / portion-delete transactions through the
+    REAL engine write path; point queries at random (system, app)
+    clocks must match a brute-force interval model of the rectangle
+    semantics (latest known version covering the app instant wins,
+    tombstones hide, bounded tombstones only within their portion)."""
+    import tempfile
+
+    from core2_spark.engine import Delete, Engine, Put
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="tprop_"))
+    model = []  # (seq, sys_time, id, app_start, app_end, tombstone, val)
+    for seq, (kind, rid, app_off, app_len) in enumerate(ops):
+        tx = T0 + timedelta(days=365 + seq)  # strictly increasing
+        a0 = T0 + timedelta(days=app_off)
+        a1 = T0 + timedelta(days=app_off + app_len)
+        if kind == "put":
+            df = spark.createDataFrame([(rid, float(seq))], "id long, val double")
+            eng.submit_tx(
+                [Put("t", df, app_start=a0.isoformat(), app_end=a1.isoformat())],
+                tx_time=tx,
+            )
+            model.append((seq, tx, rid, a0, a1, False, float(seq)))
+        else:
+            ids = spark.createDataFrame([(rid,)], "id long")
+            if kind == "delete":
+                eng.submit_tx([Delete("t", ids)], tx_time=tx)
+                model.append((seq, tx, rid, tx, END, True, None))
+            else:
+                eng.submit_tx(
+                    [
+                        Delete(
+                            "t", ids,
+                            app_start=a0.isoformat(), app_end=a1.isoformat(),
+                        )
+                    ],
+                    tx_time=tx,
+                )
+                model.append((seq, tx, rid, a0, a1, True, None))
+
+    db = eng.db()
+    for tx_idx, app_day in probes:
+        S = T0 + timedelta(days=365 + min(tx_idx, len(ops) - 1))
+        T = T0 + timedelta(days=app_day)
+        got = {
+            (r["id"], r["val"])
+            for r in db.table("t", system_time=S, app_time=T).collect()
+        }
+        want = set()
+        for rid in {m[2] for m in model}:
+            cands = [
+                m
+                for m in model
+                if m[2] == rid and m[1] <= S and m[3] <= T < m[4]
+            ]
+            if not cands:
+                continue
+            best = max(cands, key=lambda m: (m[1], m[0]))
+            if not best[5]:
+                want.add((rid, best[6]))
+        assert got == want, f"S={S} T={T}"
