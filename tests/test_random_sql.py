@@ -264,6 +264,12 @@ def random_query_round4(draw):
             ]
         )
     )
+    # Found limitation (this fuzzer, round 4): Spark cannot decorrelate
+    # an EXISTS whose correlation couples into a DISJUNCTION —
+    # `corr AND p1 OR p2` parses as `(corr AND p1) OR p2` and Catalyst
+    # throws during optimization (DuckDB executes it).  The generator
+    # intends a conjunctive correlation, so the drawn predicate is
+    # parenthesized; the engine-capability gap is documented here.
     if shape in ("exists", "not_exists"):
         word = "EXISTS" if shape == "exists" else "NOT EXISTS"
         opred = draw(predicates("orders"))
@@ -271,10 +277,10 @@ def random_query_round4(draw):
         return f"""
         SELECT o_orderstatus AS g, COUNT(*) AS n
         FROM orders o
-        WHERE {opred.replace('o_', 'o.o_')}
+        WHERE ({opred.replace('o_', 'o.o_')})
           AND {word} (SELECT 1 FROM lineitem l
                       WHERE l.l_orderkey = o.o_orderkey
-                        AND {lpred.replace('l_', 'l.l_')})
+                        AND ({lpred.replace('l_', 'l.l_')}))
         GROUP BY o_orderstatus
         """
     if shape == "correlated_scalar":
@@ -285,7 +291,7 @@ def random_query_round4(draw):
         FROM orders o
         WHERE (SELECT COUNT(*) FROM lineitem l
                WHERE l.l_orderkey = o.o_orderkey
-                 AND {lpred.replace('l_', 'l.l_')}) >= {k}
+                 AND ({lpred.replace('l_', 'l.l_')})) >= {k}
         GROUP BY o_orderpriority
         """
     if shape == "rows_frame":
