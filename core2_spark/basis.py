@@ -39,15 +39,33 @@ class Basis:
         files = self.manifests[table]
         # mergeSchema: version files may differ (e.g. tombstone rows
         # carry no data columns) — union by name, absent fields NULL.
-        from core2_spark.temporal import SYS_DAY
+        from pyspark.sql import functions as F
+
+        from core2_spark.temporal import SYS_DAY, SYS_START
 
         reader = spark.read.option("mergeSchema", "true")
         root = self.roots.get(table)
-        if root is not None and any(f"{os.sep}{SYS_DAY}=" in f for f in files):
-            # partitioned layout: basePath recovers the partition
-            # column from each leaf file's directory name
-            reader = reader.option("basePath", root)
-        return reader.parquet(*files)
+        part = tuple(f for f in files if f"{os.sep}{SYS_DAY}=" in f)
+        if root is None or not part:
+            return reader.parquet(*files)
+        flat = tuple(f for f in files if f"{os.sep}{SYS_DAY}=" not in f)
+        # basePath recovers the partition column from each leaf file's
+        # directory name — but it silently DROPS any leaf that is not
+        # under a partition directory, so a mixed-depth manifest (a
+        # legacy flat-file root that later gained day-partitioned
+        # appends) must be read as two scans and unioned, with the
+        # flat files' `_sys_day` derived from their system-time column
+        # (flat files predate the layout, so date(SYS_START) is exactly
+        # what the partitioned writer would have stamped).
+        df = reader.option("basePath", root).parquet(*part)
+        if flat:
+            legacy = spark.read.option("mergeSchema", "true").parquet(*flat)
+            if SYS_DAY not in legacy.columns and SYS_START in legacy.columns:
+                legacy = legacy.withColumn(
+                    SYS_DAY, F.to_date(F.col(SYS_START))
+                )
+            df = df.unionByName(legacy, allowMissingColumns=True)
+        return df
 
 
 def _list_parquet_files(path: str) -> tuple[str, ...]:
