@@ -43,6 +43,31 @@ from core2_spark.basis import Basis, acquire_basis
 from core2_spark import datalog as dl
 
 
+def _walk_all_files(path: str) -> list[str]:
+    """Every file under ``path`` (not just parquet: _SUCCESS markers
+    and partition metadata count for rollback diffs)."""
+    out: list[str] = []
+    for root_dir, _dirs, names in os.walk(path):
+        for n in names:
+            out.append(os.path.join(root_dir, n))
+    return out
+
+
+def _prune_empty_dirs(path: str) -> None:
+    """Remove now-empty subdirectories (e.g. `_sys_day=` partition
+    dirs whose only files a rollback just deleted), bottom-up, keeping
+    ``path`` itself."""
+    for root_dir, _dirs, _names in os.walk(path, topdown=False):
+        # re-list at visit time: a child pruned earlier in this walk
+        # leaves the parent empty even though the walk's precomputed
+        # entries say otherwise
+        if root_dir != path and not os.listdir(root_dir):
+            try:
+                os.rmdir(root_dir)
+            except OSError:
+                pass
+
+
 @dataclass(frozen=True)
 class Put:
     table: str
@@ -82,7 +107,13 @@ class Call:
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, root: str, epoch: str = "2024-01-01"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        epoch: str = "2024-01-01",
+        auto_compact_files: int | None = None,
+    ):
         self.spark = spark
         self.root = root
         self._epoch = datetime.fromisoformat(epoch)
@@ -95,16 +126,76 @@ class Engine:
         # The _log.json content this engine last read or wrote — the
         # optimistic single-writer token (see _persist_clock).
         self._persisted_clock: str | None = None
-        # Version tables must carry parquet min/max statistics on the
-        # temporal columns (clock recovery and as-of file pruning read
-        # them).  Spark's INT96 legacy timestamp encoding writes NO
-        # column statistics; TIMESTAMP_MICROS is the non-deprecated
-        # encoding and gets full stats.  Set once at engine open —
-        # the engine owns every write under its root.
-        spark.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
+        # Auto-compaction: after a commit, any touched table holding
+        # more than this many parquet files is compacted in place
+        # (None = never compact automatically, only warn — compaction,
+        # like Erase, invalidates previously acquired Basis manifests
+        # for the table, so it is opt-in).
+        self._auto_compact_files = auto_compact_files
+        self._compact_warned: set[str] = set()
         os.makedirs(root, exist_ok=True)
+        self._recover_rewrites()
+        self._recover_clock()
+
+    def _micros_timestamps(self):
+        """Scoped writer conf: version tables must carry parquet
+        min/max statistics on the temporal columns (clock recovery and
+        as-of file pruning read them).  Spark's INT96 legacy timestamp
+        encoding writes NO column statistics; TIMESTAMP_MICROS is the
+        non-deprecated encoding and gets full stats.  Scoped to engine
+        writes (save/restore around each write) so opening an Engine
+        does not silently change parquet encoding for unrelated writes
+        elsewhere in the shared SparkSession."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def scope():
+            key = "spark.sql.parquet.outputTimestampType"
+            prev = self.spark.conf.get(key)
+            self.spark.conf.set(key, "TIMESTAMP_MICROS")
+            try:
+                yield
+            finally:
+                self.spark.conf.set(key, prev)
+
+        return scope()
+
+    def _recover_rewrites(self) -> None:
+        """Repair interrupted ``_rewrite_atomic`` swaps at open.  The
+        swap has a window between ``rename(path, old)`` and
+        ``rename(tmp, path)`` where the table directory does not
+        exist; a crash there strands the data in ``_old_<name>``.
+        Recovery: an ``_old_`` dir whose final dir is missing is the
+        surviving pre-rewrite table — rename it back; one whose final
+        dir exists means the swap completed — drop the leftover.
+        ``_tmp_`` dirs are always incomplete writes — drop them."""
+        for base in (self.root, os.path.join(self.root, "_current")):
+            if not os.path.isdir(base):
+                continue
+            for entry in sorted(os.listdir(base)):
+                full = os.path.join(base, entry)
+                if not os.path.isdir(full):
+                    continue
+                if entry.startswith("_tmp_"):
+                    shutil.rmtree(full, ignore_errors=True)
+                elif entry.startswith("_old_"):
+                    final = os.path.join(base, entry[len("_old_"):])
+                    if os.path.exists(final):
+                        shutil.rmtree(full, ignore_errors=True)
+                    else:
+                        os.rename(full, final)
+
+    def refresh(self) -> None:
+        """Reopen this Engine from the current log head.  The
+        single-writer token errors permanently once another writer
+        commits (by design: the local clock no longer reflects the
+        head); ``refresh()`` re-reads ``_log.json`` so this writer
+        resumes AFTER the other writer's transactions instead of
+        needing a brand-new Engine object."""
+        self._persisted_clock = None
+        self._last_tx_time = None
+        self._tx_counter = 0
+        self._recover_rewrites()
         self._recover_clock()
 
     def _recover_clock(self) -> None:
@@ -212,27 +303,45 @@ class Engine:
                     "open a fresh Engine to continue from the new head)"
                 )
 
-    def _rewrite_atomic(self, path: str, df: DataFrame) -> None:
+    def _rewrite_atomic(
+        self, path: str, df: DataFrame, defer_cleanup: bool = False
+    ) -> str | None:
         """Rewrite a table directory by writing ``df`` to a sibling
         temp dir and swapping directories — the plan streams from the
         intact old files while the temp dir fills (no
         ``localCheckpoint`` materialization of the whole table into
-        executor-local storage), and readers see either the old or the
-        new directory, never a half-written one."""
+        executor-local storage).  The swap itself has a short window
+        (between the two renames) where the directory is absent; a
+        crash there is repaired by ``_recover_rewrites`` at the next
+        open (and by the self-heal below within a session), so the
+        pre-rewrite data is never lost.
+
+        ``defer_cleanup=True`` keeps the ``_old_<name>`` directory and
+        returns its path: the caller (a transaction) can roll the
+        rewrite back by renaming it over ``path``, and must delete it
+        once the transaction commits."""
         parent, name = os.path.split(path.rstrip("/"))
         tmp = os.path.join(parent, f"_tmp_{name}")
         old = os.path.join(parent, f"_old_{name}")
+        if os.path.exists(old) and not os.path.exists(path):
+            # a previous swap crashed mid-rename: the _old_ dir is the
+            # only copy — restore it before touching anything
+            os.rename(old, path)
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
         writer = df.write
         if bt.SYS_DAY in df.columns:
             # preserve the day-partitioned layout across rewrites
             writer = writer.partitionBy(bt.SYS_DAY)
-        writer.parquet(tmp)
+        with self._micros_timestamps():
+            writer.parquet(tmp)
         if os.path.exists(path):
             os.rename(path, old)
         os.rename(tmp, path)
+        if defer_cleanup:
+            return old if os.path.exists(old) else None
         shutil.rmtree(old, ignore_errors=True)
+        return None
 
     def _table_path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -273,6 +382,7 @@ class Engine:
         at which the transaction is visible.  Call ops expand against
         the pre-transaction snapshot before anything is written."""
         self._check_sole_writer()  # abort BEFORE any rows are written
+        prev_counter, prev_time = self._tx_counter, self._last_tx_time
         t = self._next_tx_time(tx_time)
         expanded: list[Put | Delete | Erase] = []
         pre_snapshot = None
@@ -286,48 +396,137 @@ class Engine:
             else:
                 expanded.append(op)
         ops = expanded
+        # Rollback bookkeeping: pre-write file sets per touched path,
+        # tables that existed before, and deferred Erase rewrites.  A
+        # failure ANYWHERE below — including the persist-time
+        # concurrent-writer check — undoes every file this transaction
+        # wrote, so a failed transaction leaves zero visible rows (the
+        # same guarantee the pre-write check gives) instead of a
+        # phantom partially-committed transaction.
+        pre_tables = set(self._all_tables())
+        pre_files: dict[str, set[str]] = {}
+        deferred_old: list[tuple[str, str]] = []
         touched: set[str] = set()
-        for seq, op in enumerate(ops):
-            path = self._table_path(op.table)
-            # All ops share one tx_time; the op's position in the
-            # transaction is the within-tx order (later write wins).
-            # Appends are partitioned by the system-time day so as-of
-            # reads prune whole files (PartitionFilters, see
-            # temporal.sys_day_predicate) — the 100 TB requirement that
-            # a current-state read not scan years of history.
-            if isinstance(op, Put):
-                bt.put(
-                    op.rows, tx_time=t, app_start=op.app_start, app_end=op.app_end
-                ).withColumn(bt.TOMBSTONE, F.lit(False)).withColumn(
-                    bt.TX_SEQ, F.lit(seq)
-                ).withColumn(
-                    bt.SYS_DAY, F.to_date(F.col(bt.SYS_START))
-                ).write.partitionBy(bt.SYS_DAY).option(
-                    "mergeSchema", "true"
-                ).mode("append").parquet(path)
-            elif isinstance(op, Delete):
-                bt.delete_tombstone(
-                    op.ids, op.id_col, t, op.app_start, op.app_end
-                ).withColumn(
-                    bt.TX_SEQ, F.lit(seq)
-                ).withColumn(
-                    bt.SYS_DAY, F.to_date(F.col(bt.SYS_START))
-                ).write.partitionBy(bt.SYS_DAY).option(
-                    "mergeSchema", "true"
-                ).mode("append").parquet(path)
-            elif isinstance(op, Erase):
-                # mergeSchema: tombstone files carry a narrow schema;
-                # a plain read could silently drop data columns that
-                # only appear in a subset of files before the rewrite.
-                remaining = bt.erase(
-                    self.spark.read.option("mergeSchema", "true").parquet(path),
-                    op.ids,
-                    op.id_col,
-                )
-                self._rewrite_atomic(path, remaining)
-            touched.add(op.table)
-        self._persist_clock()
+        try:
+            for seq, op in enumerate(ops):
+                path = self._table_path(op.table)
+                if path not in pre_files:
+                    pre_files[path] = set(_walk_all_files(path))
+                # All ops share one tx_time; the op's position in the
+                # transaction is the within-tx order (later write wins).
+                # Appends are partitioned by the system-time day so as-of
+                # reads prune whole files (PartitionFilters, see
+                # temporal.sys_day_predicate) — the 100 TB requirement that
+                # a current-state read not scan years of history.
+                if isinstance(op, Put):
+                    with self._micros_timestamps():
+                        bt.put(
+                            op.rows, tx_time=t, app_start=op.app_start, app_end=op.app_end
+                        ).withColumn(bt.TOMBSTONE, F.lit(False)).withColumn(
+                            bt.TX_SEQ, F.lit(seq)
+                        ).withColumn(
+                            bt.SYS_DAY, F.to_date(F.col(bt.SYS_START))
+                        ).write.partitionBy(bt.SYS_DAY).option(
+                            "mergeSchema", "true"
+                        ).mode("append").parquet(path)
+                elif isinstance(op, Delete):
+                    with self._micros_timestamps():
+                        bt.delete_tombstone(
+                            op.ids, op.id_col, t, op.app_start, op.app_end
+                        ).withColumn(
+                            bt.TX_SEQ, F.lit(seq)
+                        ).withColumn(
+                            bt.SYS_DAY, F.to_date(F.col(bt.SYS_START))
+                        ).write.partitionBy(bt.SYS_DAY).option(
+                            "mergeSchema", "true"
+                        ).mode("append").parquet(path)
+                elif isinstance(op, Erase):
+                    # mergeSchema: tombstone files carry a narrow schema;
+                    # a plain read could silently drop data columns that
+                    # only appear in a subset of files before the rewrite.
+                    remaining = bt.erase(
+                        self.spark.read.option("mergeSchema", "true").parquet(path),
+                        op.ids,
+                        op.id_col,
+                    )
+                    old = self._rewrite_atomic(path, remaining, defer_cleanup=True)
+                    if old is not None:
+                        deferred_old.append((path, old))
+                touched.add(op.table)
+            self._persist_clock()
+        except BaseException:
+            self._rollback(pre_tables, pre_files, deferred_old)
+            self._tx_counter, self._last_tx_time = prev_counter, prev_time
+            raise
+        for _path, old in deferred_old:
+            shutil.rmtree(old, ignore_errors=True)
+        self._maybe_auto_compact(touched)
         return acquire_basis(self._all_tables(), t)
+
+    def _rollback(
+        self,
+        pre_tables: set[str],
+        pre_files: dict[str, set[str]],
+        deferred_old: list[tuple[str, str]],
+    ) -> None:
+        """Undo every file a failed transaction wrote.  Erase rewrites
+        roll back first (newest-first: rename the kept ``_old_`` dir
+        back over the rewritten one — it contains the pre-erase state,
+        including this transaction's earlier appends), then appended
+        files (present now, absent from the pre-write snapshot) are
+        deleted and emptied partition dirs pruned, then tables this
+        transaction created are removed entirely."""
+        for path, old in reversed(deferred_old):
+            shutil.rmtree(path, ignore_errors=True)
+            if os.path.exists(old):
+                os.rename(old, path)
+        for path, before in pre_files.items():
+            if not os.path.exists(path):
+                continue
+            for f in _walk_all_files(path):
+                if f not in before:
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
+            _prune_empty_dirs(path)
+        for name in self._all_tables():
+            if name not in pre_tables:
+                shutil.rmtree(self._table_path(name), ignore_errors=True)
+
+    def _maybe_auto_compact(self, touched: set[str]) -> None:
+        """Post-commit small-file policy: every transaction appends at
+        least one file per touched table, so after thousands of
+        transactions reads pay per-file open cost.  With
+        ``auto_compact_files=N`` set, a touched table holding more
+        than N parquet files is compacted (semantics unchanged; like
+        Erase, previously acquired Basis manifests for it become
+        stale).  Unset, the engine only warns — once per table — past
+        an advisory threshold, because silently invalidating old bases
+        is not a default anyone should inherit."""
+        advise_at = 1024
+        for table in touched:
+            path = self._table_path(table)
+            n = sum(
+                1
+                for _r, _d, names in os.walk(path)
+                for f in names
+                if f.endswith(".parquet")
+            )
+            if self._auto_compact_files is not None:
+                if n > self._auto_compact_files:
+                    self.optimize(table)
+            elif n > advise_at and table not in self._compact_warned:
+                import warnings
+
+                warnings.warn(
+                    f"engine table {table!r} holds {n} parquet files; "
+                    "reads pay per-file open cost — run "
+                    f"Engine.optimize({table!r}) or open the Engine with "
+                    "auto_compact_files=N",
+                    stacklevel=3,
+                )
+                self._compact_warned.add(table)
 
     def sql_dml(
         self,

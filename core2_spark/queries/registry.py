@@ -54,25 +54,69 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order for the tail.  Any prefix of the returned dict is then a
 # maximally-informative correctness sample.
 _PRIORITY: list[str] = [
-    # Head: the engine rows the r3 verdict wants re-verified every
-    # round, plus one flagship per major family.
+    # Head: the engine rows re-verified every round (the full DML/
+    # time-travel/CDC surface goes through the real write path), plus
+    # the bitemporal and TPC-H flagships.  Trimmed from 12 to 8 this
+    # round so the whole never-checked tail fits inside the driver's
+    # ~50-entry truncation window.
     "engine_sql_time_travel",
     "engine_dml_roundtrip",
     "engine_sql_period_overlaps",
     "engine_dml_portion_of_app_time",
     "engine_dml_delete_portion",
     "engine_changes_feed",
-    "tpch_q1_pricing_summary",
-    "tpch_q5_region_revenue",
     "temporal_asof_bitemporal",
+    "tpch_q1_pricing_summary",
+    # Rotation (round 5): the final 40 names that have NEVER had a
+    # driver CORRECTNESS row (cross-checked against
+    # CORRECTNESS_r01..r04).  Oracle-paired first (strong hash check),
+    # the 12 rows-only declarations after.  8 + 40 = 48 ≤ 50, so this
+    # round's gate completes the independent ledger at 185/185.
+    "map_construct_access",
+    "project_compute",
+    "select_compound_predicate",
+    "rename_columns",
+    "distinct_rows",
+    "case_when",
+    "conditional_functions",
+    "string_functions",
+    "math_functions",
+    "orderby_nulls_first",
+    "limit_offset",
+    "set_intersect_all",
+    "set_intersect_distinct",
+    "set_except_distinct",
+    "set_union_by_name_missing",
+    "set_union_distinct",
+    "stream_sliding_window",
+    "stream_interval_join_batch_twin",
+    "datetime_extract",
+    "date_trunc_monthly_revenue",
+    "ts_gap_fill_locf",
+    "ts_device_delta_stats",
+    "window_rank_dense",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_statistics",
+    "window_range_frame",
+    "window_moving_avg",
+    "dedup_simhash",
+    "knn_lsh_bucketed",
+    "knn_ivf_probe",
+    "knn_ivf_partitioned_layout",
+    "multimodal_feature_extract",
+    "multimodal_image_resize",
+    "multimodal_frame_sampling",
+    "embedding_cosine_near_dup",
+    "knn_quantized_lsh",
+    "stream_structured_tumbling",
+    "stream_kafka_log_transport",
+    "stream_cdc_log_tail",
+    # Previously driver-verified queries (r1-r4 green) follow.
+    "tpch_q5_region_revenue",
     "dedup_minhash_lsh",
     "knn_brute_force_cosine",
     "curation_decontaminate_ngram",
-    # Rotation (round 4): the driver truncates CORRECTNESS at ~50
-    # entries and r1-r3 all verified the same prefix, so ~40 of the
-    # slots now go to queries that have NEVER had a driver row
-    # (oracle-paired first, rows-only after).  Once CORRECTNESS_r04
-    # lands, rotate again to the remaining tail.
     "split_train_val_test",
     "corpus_weighted_mixture",
     "pack_sequences_boundaries",
@@ -111,45 +155,6 @@ _PRIORITY: list[str] = [
     "struct_construct_access",
     "set_semantics_arrays",
     "tagged_identifier_types",
-    "map_construct_access",
-    "project_compute",
-    "select_compound_predicate",
-    "rename_columns",
-    "distinct_rows",
-    "case_when",
-    "conditional_functions",
-    "string_functions",
-    "math_functions",
-    "orderby_nulls_first",
-    "limit_offset",
-    "set_intersect_all",
-    "set_intersect_distinct",
-    "set_except_distinct",
-    "set_union_by_name_missing",
-    "set_union_distinct",
-    "stream_sliding_window",
-    "stream_interval_join_batch_twin",
-    "datetime_extract",
-    "date_trunc_monthly_revenue",
-    "ts_gap_fill_locf",
-    "ts_device_delta_stats",
-    "window_rank_dense",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_statistics",
-    "window_range_frame",
-    "window_moving_avg",
-    "dedup_simhash",
-    "knn_lsh_bucketed",
-    "knn_ivf_probe",
-    "multimodal_feature_extract",
-    "multimodal_image_resize",
-    "multimodal_frame_sampling",
-    "embedding_cosine_near_dup",
-    "knn_quantized_lsh",
-    "stream_structured_tumbling",
-    "stream_kafka_log_transport",
-    # Previously driver-verified queries (r1-r3 green) follow.
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",

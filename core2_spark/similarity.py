@@ -138,6 +138,14 @@ def cell_assigner(df: DataFrame, centroids: list[list[float]]):
     is one (batch×d)·(d×k) GEMM + argmax in numpy.  Tie-breaking
     matches the old expression (first max index = np.argmax).
     """
+    return _cell_assigner_bc(df, centroids)[0]
+
+
+def _cell_assigner_bc(df: DataFrame, centroids: list[list[float]]):
+    """``cell_assigner`` plus the underlying broadcast handle, for
+    callers that complete their action eagerly and can release the
+    executor copies (``bc.unpersist()``) instead of leaking one
+    broadcast per call for the session lifetime."""
     cmat = np.asarray(centroids, dtype=np.float64)
     bc = df.sparkSession.sparkContext.broadcast(cmat)
 
@@ -148,7 +156,7 @@ def cell_assigner(df: DataFrame, centroids: list[list[float]]):
         mat = np.vstack(vs.to_numpy()).astype(np.float64)
         return pd.Series(np.argmax(mat @ bc.value.T, axis=1).astype("int32"))
 
-    return assign
+    return assign, bc
 
 
 def kmeans_refine_centroids(
@@ -167,13 +175,21 @@ def kmeans_refine_centroids(
     dim = len(centroids[0])
     v = as_double(F.col(vec_col))
     for _ in range(iters):
-        assign = cell_assigner(df, centroids)
-        means = (
-            df.select(assign(F.col(vec_col)).alias("cell"), v.alias("v"))
-            .groupBy("cell")
-            .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
-            .collect()
-        )
+        # each iteration assigns against THIS iteration's centroids, so
+        # the broadcast matrix is per-iteration — but the collect()
+        # completes the assignment stage eagerly, so the executor
+        # copies are released right after instead of leaking one
+        # broadcast per Lloyd iteration for the session lifetime
+        assign, bc = _cell_assigner_bc(df, centroids)
+        try:
+            means = (
+                df.select(assign(F.col(vec_col)).alias("cell"), v.alias("v"))
+                .groupBy("cell")
+                .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
+                .collect()
+            )
+        finally:
+            bc.unpersist()
         new = list(centroids)
         for r in means:
             new[r["cell"]] = [float(r[f"m{i}"]) for i in range(dim)]

@@ -360,3 +360,140 @@ def test_concurrent_writer_detected(spark, engine):
     resumed = Engine(spark, ROOT)
     basis = resumed.submit_tx([Put("t", df)])
     assert resumed.db(basis).history("t").count() == 3
+
+
+def test_conflict_rollback_leaves_no_phantom_rows(spark, engine):
+    """ADVICE r4 (medium): a transaction that loses the persist-time
+    single-writer race must leave ZERO visible rows — the pre-write
+    check's guarantee — not a phantom partially-committed transaction.
+    The Call op commits an interloper transaction between this
+    engine's pre-write check and its persist, landing exactly in the
+    window the advisory identified."""
+    from core2_spark.engine import Call
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    engine.submit_tx([Put("t", df)])
+
+    interloper = Engine(spark, ROOT)
+
+    def sabotage(_snap):
+        interloper.submit_tx(
+            [Put("t", spark.createDataFrame([(3, "c")], "id long, v string"))]
+        )
+        return [
+            Erase("t", spark.createDataFrame([(1,)], "id long")),
+            Put("t", spark.createDataFrame([(9, "phantom")], "id long, v string")),
+        ]
+
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        engine.submit_tx([Call(sabotage)])
+
+    # The losing transaction left nothing: no phantom put, and the
+    # erase it performed was rolled back (id=1's history restored).
+    fresh = Engine(spark, ROOT)
+    hist = fresh.db().history("t")
+    ids = {r["id"] for r in hist.select("id").collect()}
+    assert ids == {1, 2, 3}, f"phantom or lost rows after failed tx: {ids}"
+    vals = {r["v"] for r in fresh.db().table("t").collect()}
+    assert vals == {"a", "b", "c"}
+
+
+def test_failed_tx_restores_clock_for_next_commit(spark, engine):
+    """A non-conflict failure mid-transaction rolls the logical clock
+    back too, so the writer keeps committing as if the failed tx never
+    happened."""
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    engine.submit_tx([Put("t", df)])
+
+    class Boom(Exception):
+        pass
+
+    from core2_spark.engine import Call
+
+    def explode(_snap):
+        raise Boom()
+
+    with pytest.raises(Boom):
+        engine.submit_tx([Call(explode)])
+
+    basis = engine.submit_tx(
+        [Put("t", spark.createDataFrame([(2, "b")], "id long, v string"))]
+    )
+    assert engine.db(basis).history("t").count() == 2
+
+
+def test_crash_mid_rewrite_recovered_on_open(spark, engine):
+    """ADVICE r4 (medium): between _rewrite_atomic's two renames the
+    table dir is absent and the data lives only in _old_<name>; a
+    crash there must be repaired at the next open, not rmtree'd."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    engine.submit_tx([Put("t", df)])
+
+    # Simulate the crash window: table renamed away, swap never done.
+    import os
+
+    path = os.path.join(ROOT, "t")
+    os.rename(path, os.path.join(ROOT, "_old_t"))
+    assert not os.path.exists(path)
+
+    recovered = Engine(spark, ROOT)
+    assert os.path.exists(path)
+    assert not os.path.exists(os.path.join(ROOT, "_old_t"))
+    assert {r["id"] for r in recovered.db().table("t").collect()} == {1, 2}
+
+
+def test_refresh_resumes_after_other_writer(spark, engine):
+    """Engine.refresh() re-reads the log head so a writer tripped by
+    the single-writer token resumes after the other writer instead of
+    erroring permanently."""
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    engine.submit_tx([Put("t", df)])
+
+    other = Engine(spark, ROOT)
+    other.submit_tx([Put("t", spark.createDataFrame([(2, "b")], "id long, v string"))])
+
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        engine.submit_tx([Put("t", df)])
+
+    engine.refresh()
+    basis = engine.submit_tx(
+        [Put("t", spark.createDataFrame([(3, "c")], "id long, v string"))]
+    )
+    assert engine.db(basis).history("t").count() == 3
+    # and the resumed writer's clock is after the other writer's
+    assert {r["id"] for r in engine.db(basis).table("t").collect()} == {1, 2, 3}
+
+
+def test_auto_compaction_bounds_file_count(spark):
+    """N small appends with auto_compact_files=N keep the table's
+    parquet file count bounded while answers stay identical."""
+    import os
+
+    root = ROOT + "_autocompact"
+    shutil.rmtree(root, ignore_errors=True)
+    eng = Engine(spark, root, auto_compact_files=6)
+    for i in range(10):
+        eng.submit_tx(
+            [Put("t", spark.createDataFrame([(i, f"v{i}")], "id long, v string"))]
+        )
+
+    n_files = sum(
+        1
+        for _r, _d, names in os.walk(os.path.join(root, "t"))
+        for f in names
+        if f.endswith(".parquet")
+    )
+    assert n_files <= 6, f"auto-compaction did not bound files: {n_files}"
+    rows = {(r["id"], r["v"]) for r in eng.db().table("t").collect()}
+    assert rows == {(i, f"v{i}") for i in range(10)}
+
+
+def test_engine_open_leaves_session_parquet_conf_alone(spark, engine):
+    """ADVICE r4 (low): opening an Engine must not change parquet
+    timestamp encoding for unrelated writes in the shared session —
+    the TIMESTAMP_MICROS requirement is scoped to engine writes."""
+    key = "spark.sql.parquet.outputTimestampType"
+    before = spark.conf.get(key)
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    engine.submit_tx([Put("t", df)])
+    assert spark.conf.get(key) == before
