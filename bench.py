@@ -99,6 +99,22 @@ def main() -> None:
         except Exception:
             pass
 
+    # Sequential companion sweep FIRST (straight after the warm pass,
+    # before the concurrent sweeps dirty the heap): per-query numbers
+    # measured WITHOUT co-running queries are the round-over-round
+    # regression signal, so they get the clean JVM.  Best-of-2 per
+    # query with a GC between passes — the r4 driver's sequential
+    # numbers came out 2-3x a clean run purely from post-sweep
+    # JVM/heap state; two passes + min makes them reproducible.
+    queries_sequential: dict[str, float] = {}
+    for _ in range(2):
+        jvm_gc()
+        for name in HEADLINE:
+            _, dt = run(name)
+            prev = queries_sequential.get(name)
+            if prev is None or dt < prev:
+                queries_sequential[name] = round(dt, 3)
+
     walls = []
     per_query: dict[str, float] = {}
     for _ in range(SWEEP_REPEATS):
@@ -111,17 +127,6 @@ def main() -> None:
             per_query = sweep
         walls.append(round(w, 3))
     wall = min(walls)
-
-    # Sequential companion sweep: per-query numbers measured WITHOUT
-    # co-running queries, so round-over-round per-query deltas are
-    # attributable to code changes (the concurrent numbers above are
-    # contaminated by scheduler contention; only their wall is the
-    # headline).
-    queries_sequential = {}
-    jvm_gc()
-    for name in HEADLINE:
-        _, dt = run(name)
-        queries_sequential[name] = round(dt, 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
