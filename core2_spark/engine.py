@@ -753,7 +753,20 @@ class Snapshot:
             )
             # spark.sql analyzes eagerly, so the views are resolvable
             # garbage once this returns
-            return spark.sql(rewritten)
+            try:
+                return spark.sql(rewritten)
+            except Exception:
+                # Catalyst cannot decorrelate EXISTS with correlation
+                # inside a disjunction; distributing EXISTS over the
+                # OR (an exact identity) makes each branch
+                # conjunctive.  Retry-only so decorrelatable queries
+                # keep their single semi-join plan.
+                from core2_spark.sql_dialect import split_exists_disjunctions
+
+                split = split_exists_disjunctions(rewritten)
+                if split == rewritten:
+                    raise
+                return spark.sql(split)
         finally:
             for v in registered:
                 spark.catalog.dropTempView(v)

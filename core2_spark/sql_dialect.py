@@ -398,6 +398,130 @@ def rename_bare_tables(sql: str, name_map: dict[str, str]) -> str:
     return sql
 
 
+_PRED_ENDERS = {
+    "GROUP", "ORDER", "HAVING", "LIMIT", "WINDOW", "QUALIFY",
+    "UNION", "INTERSECT", "EXCEPT",
+}
+
+
+def split_exists_disjunctions(sql: str) -> str:
+    """Distribute ``[NOT] EXISTS`` over top-level ``OR`` in the
+    subquery's WHERE clause::
+
+        EXISTS (S WHERE a OR b)      →  (EXISTS (S WHERE (a))
+                                         OR EXISTS (S WHERE (b)))
+        NOT EXISTS (S WHERE a OR b)  →  (NOT EXISTS (S WHERE (a))
+                                         AND NOT EXISTS (S WHERE (b)))
+
+    Both identities are exact under 3VL (EXISTS tests row-set
+    non-emptiness, and rows(a OR b) is nonempty iff rows(a) or rows(b)
+    is).  Why: Catalyst cannot decorrelate an EXISTS whose outer-column
+    reference couples into a disjunction (`corr AND p1 OR p2` throws
+    during optimization; DuckDB executes it — found by the round-4
+    fuzzer, tests/test_random_sql.py).  After the split each disjunct's
+    correlation is conjunctive at the top level, which Spark
+    decorrelates into ordinary semi/anti joins.  Correlation inside a
+    NESTED disjunction under a top-level AND (`(corr OR p) AND q`)
+    still throws — full DNF expansion is deliberately out of scope.
+
+    The engine applies this as a RETRY after Catalyst rejects the
+    original query (see ``Snapshot.sql``), so decorrelatable queries
+    keep their single semi-join plan."""
+    for _ in range(8):  # fixpoint: splits can expose nested EXISTS
+        rewritten = _split_exists_once(sql)
+        if rewritten == sql:
+            return sql
+        sql = rewritten
+    return sql
+
+
+def _split_exists_once(sql: str) -> str:
+    toks = _tokens(sql)
+    out: list[str] = []
+    pos = 0
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.word() != "EXISTS" or i + 1 >= len(toks) or toks[i + 1].text != "(":
+            i += 1
+            continue
+        negated = i > 0 and toks[i - 1].word() == "NOT"
+        # balanced subquery group
+        depth, j = 0, i + 1
+        while j < len(toks):
+            if toks[j].text == "(":
+                depth += 1
+            elif toks[j].text == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if j >= len(toks):
+            break
+        open_idx, close_idx = i + 1, j
+        # top-level WHERE inside the group (depth 1 relative to sql)
+        where_idx = None
+        d = 0
+        for k in range(open_idx, close_idx + 1):
+            if toks[k].text == "(":
+                d += 1
+            elif toks[k].text == ")":
+                d -= 1
+            elif d == 1 and toks[k].word() == "WHERE":
+                where_idx = k
+                break
+        if where_idx is None:
+            i = close_idx + 1
+            continue
+        # predicate extent: WHERE+1 .. first top-level clause ender
+        pred_lo = where_idx + 1
+        pred_hi = close_idx  # exclusive
+        d = 0
+        for k in range(pred_lo, close_idx):
+            if toks[k].text == "(":
+                d += 1
+            elif toks[k].text == ")":
+                d -= 1
+            elif d == 0 and toks[k].word() in _PRED_ENDERS:
+                pred_hi = k
+                break
+        # split the predicate on top-level OR
+        parts: list[tuple[int, int]] = []
+        d = 0
+        part_lo = pred_lo
+        for k in range(pred_lo, pred_hi):
+            if toks[k].text == "(":
+                d += 1
+            elif toks[k].text == ")":
+                d -= 1
+            elif d == 0 and toks[k].word() == "OR":
+                parts.append((part_lo, k))
+                part_lo = k + 1
+        parts.append((part_lo, pred_hi))
+        if len(parts) < 2:
+            i = close_idx + 1
+            continue
+        pre = sql[toks[open_idx].end : toks[where_idx].end]  # "SELECT.. WHERE"
+        post = (
+            sql[toks[pred_hi].start : toks[close_idx].start]
+            if pred_hi < close_idx
+            else ""
+        )
+        branches = []
+        for lo, hi in parts:
+            d_txt = sql[toks[lo].start : toks[hi - 1].end]
+            word = "NOT EXISTS" if negated else "EXISTS"
+            branches.append(f"{word} ({pre} ({d_txt}) {post})")
+        joiner = " AND " if negated else " OR "
+        start = toks[i - 1].start if negated else t.start
+        out.append(sql[pos:start])
+        out.append("(" + joiner.join(branches) + ")")
+        pos = toks[close_idx].end
+        i = close_idx + 1
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def sql_with_temporal(
     spark: SparkSession,
     sql: str,

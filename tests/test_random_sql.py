@@ -354,3 +354,45 @@ def test_same_sql_same_answer_round4_shapes(spark, duck, sql):
     spark_pdf = spark.sql(sql).toPandas()
     duck_pdf = duck.execute(sql).df()
     assert_frames_match(spark_pdf, duck_pdf, sql.strip().splitlines()[0])
+
+
+@st.composite
+def random_exists_disjunction(draw):
+    """Round-5: the shape Catalyst rejects raw (correlation coupled
+    into a disjunction — the round-4 documented gap).  The engine path
+    closes it by distributing EXISTS over the top-level OR
+    (sql_dialect.split_exists_disjunctions), so the fuzzer now drops
+    the conjunctive-only restriction for that path: random disjunctive
+    predicates through the split must match DuckDB running the
+    ORIGINAL un-split SQL."""
+    word = draw(st.sampled_from(["EXISTS", "NOT EXISTS"]))
+    opred = draw(predicates("orders"))
+    lp1 = draw(predicates("lineitem"))
+    lp2 = draw(predicates("lineitem"))
+    return f"""
+    SELECT o_orderstatus AS g, COUNT(*) AS n
+    FROM orders o
+    WHERE ({opred.replace('o_', 'o.o_')})
+      AND {word} (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                        AND ({lp1.replace('l_', 'l.l_')})
+                     OR ({lp2.replace('l_', 'l.l_')}))
+    GROUP BY o_orderstatus
+    """
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(sql=random_exists_disjunction())
+def test_exists_disjunction_split_matches_duckdb(spark, duck, sql):
+    from core2_spark.sql_dialect import split_exists_disjunctions
+
+    register_views(spark, SF_DIR, ("orders", "lineitem"))
+    split = split_exists_disjunctions(sql)
+    assert split != sql  # the shape always has a top-level OR
+    spark_pdf = spark.sql(split).toPandas()
+    duck_pdf = duck.execute(sql).df()
+    assert_frames_match(spark_pdf, duck_pdf, "exists_disjunction_split")

@@ -262,3 +262,87 @@ def test_snapshot_sql_views_are_scoped_per_call(spark, tmp_path):
     assert [r["px"] for r in df2.collect()] == [20.0]
     after = {v.name for v in spark.catalog.listTables()}
     assert after == before, after - before
+
+
+# -- EXISTS-over-OR distribution (round-5: closes the fuzzer's
+# -- documented Catalyst decorrelation gap at the dialect layer) ------
+
+def test_split_exists_disjunction_string_forms():
+    from core2_spark.sql_dialect import split_exists_disjunctions
+
+    sql = (
+        "SELECT g FROM o WHERE EXISTS "
+        "(SELECT 1 FROM l WHERE l.k = o.k AND l.q > 5 OR l.s = 3)"
+    )
+    out = split_exists_disjunctions(sql)
+    assert out.count("EXISTS") == 2
+    assert " OR EXISTS" in out
+    assert "(l.k = o.k AND l.q > 5)" in out and "(l.s = 3)" in out
+
+    neg = split_exists_disjunctions(
+        "SELECT g FROM o WHERE NOT EXISTS "
+        "(SELECT 1 FROM l WHERE l.k = o.k OR l.s = 3)"
+    )
+    assert neg.count("NOT EXISTS") == 2
+    assert " AND NOT EXISTS" in neg
+
+    # no top-level OR → untouched (nested OR under parens stays put)
+    keep = "SELECT g FROM o WHERE EXISTS (SELECT 1 FROM l WHERE l.k = o.k AND (l.q > 5 OR l.s = 3))"
+    assert split_exists_disjunctions(keep) == keep
+
+    # trailing clauses after the predicate survive in every branch
+    tail = split_exists_disjunctions(
+        "SELECT g FROM o WHERE EXISTS "
+        "(SELECT l.k FROM l WHERE l.q > 5 OR l.s = 3 GROUP BY l.k)"
+    )
+    assert tail.count("GROUP BY l.k") == 2
+
+    # OR inside a string literal is not a split point
+    lit = "SELECT g FROM o WHERE EXISTS (SELECT 1 FROM l WHERE l.name = 'a OR b')"
+    assert split_exists_disjunctions(lit) == lit
+
+
+def test_exists_disjunction_through_engine_sql_matches_duckdb(spark, tmp_path):
+    """The round-4 fuzzer shape Catalyst rejects — correlation coupled
+    into a disjunction — now executes through Snapshot.sql via the
+    EXISTS-over-OR retry and matches DuckDB on the same data."""
+    import duckdb
+
+    from core2_spark.engine import Engine, Put
+    from tests.parity import assert_frames_match
+
+    eng = Engine(spark, str(tmp_path / "exists_dnf"))
+    o = spark.createDataFrame(
+        [(i, i % 5, float(i * 10), "O" if i % 2 else "F") for i in range(60)],
+        "id long, custkey long, total double, status string",
+    )
+    l = spark.createDataFrame(
+        [(i, i % 60, i % 7, float(i % 23)) for i in range(240)],
+        "id long, orderkey long, suppkey long, qty double",
+    )
+    eng.submit_tx([Put("o", o), Put("l", l)])
+
+    sql = (
+        "SELECT status, COUNT(*) AS n FROM o "
+        "WHERE EXISTS (SELECT 1 FROM l "
+        "              WHERE l.orderkey = o.id AND l.qty > 20 OR l.suppkey = o.custkey) "
+        "GROUP BY status"
+    )
+    spark_pdf = eng.db().sql(sql).toPandas()
+
+    con = duckdb.connect()
+    con.register("o", o.toPandas())
+    con.register("l", l.toPandas())
+    duck_pdf = con.execute(sql).df()
+    con.close()
+    assert_frames_match(spark_pdf, duck_pdf, "exists_disjunction_engine")
+
+    # NOT EXISTS variant distributes into a conjunction of negations
+    neg_sql = sql.replace("WHERE EXISTS", "WHERE NOT EXISTS")
+    spark_neg = eng.db().sql(neg_sql).toPandas()
+    con = duckdb.connect()
+    con.register("o", o.toPandas())
+    con.register("l", l.toPandas())
+    duck_neg = con.execute(neg_sql).df()
+    con.close()
+    assert_frames_match(spark_neg, duck_neg, "not_exists_disjunction_engine")
