@@ -12,9 +12,14 @@ Two envelopes over one server:
 - a legacy raw-SQL envelope (descriptor/ticket = SQL text) kept for
   scripting clients.
 
-Prepared statements and the DoPut FlightSQL commands are not
-implemented — the "preliminary driver support" tier the reference
-claims stops at connect → introspect → query → stream.
+Prepared statements (round-5): ``ActionCreatePreparedStatement`` /
+``ClosePreparedStatement`` actions plus ``CommandPreparedStatementQuery``
+and ``CommandPreparedStatementUpdate`` — the prepare-then-execute flow
+a stock ADBC/JDBC client defaults to.  The server stays stateless:
+the prepared-statement handle IS the statement text (the statements
+are parameterless, so nothing needs server-side state), and the
+create result carries the IPC-serialized dataset schema so clients
+can bind result metadata before executing.
 
 Scale posture: Flight is a RESULT boundary, not a data-movement path —
 queries should reduce (aggregates, top-k) before crossing it.  The
@@ -148,6 +153,11 @@ class SqlFlightServer(_flight.FlightServerBase if _flight else object):
                 sql = fsql.parse_statement_query(payload)
                 table = self._run(sql)
                 ticket = fsql.ticket_statement_query(sql.encode())
+            elif name == "CommandPreparedStatementQuery":
+                # stateless prepared statements: the handle is the SQL
+                sql = fsql.parse_prepared_statement_handle(payload).decode()
+                table = self._run(sql)
+                ticket = cmd
             else:
                 table = self._metadata_table(name, payload)
                 ticket = cmd
@@ -170,7 +180,58 @@ class SqlFlightServer(_flight.FlightServerBase if _flight else object):
         if name == "TicketStatementQuery":
             sql = fsql.parse_statement_ticket(payload).decode()
             return _flight.RecordBatchStream(self._run(sql))
+        if name == "CommandPreparedStatementQuery":
+            sql = fsql.parse_prepared_statement_handle(payload).decode()
+            return _flight.RecordBatchStream(self._run(sql))
         return _flight.RecordBatchStream(self._metadata_table(name, payload))
+
+    # -- FlightSQL prepared statements (actions) ------------------------
+    def list_actions(self, context):
+        return [
+            ("CreatePreparedStatement", "Prepare a SQL statement"),
+            ("ClosePreparedStatement", "Release a prepared statement"),
+        ]
+
+    def do_action(self, context, action):
+        """CreatePreparedStatement: handle = the statement text (the
+        server is stateless; statements are parameterless), dataset
+        schema resolved by analyzing the query — no execution.  The
+        result is Any-wrapped, as the arrow implementations emit it.
+        ClosePreparedStatement: nothing to release."""
+        from core2_spark import flightsql_proto as fsql
+
+        body = bytes(action.body.to_pybytes()) if action.body else b""
+        if action.type == "CreatePreparedStatement":
+            parsed = fsql.unpack_any(body)
+            if parsed is None or parsed[0] != "ActionCreatePreparedStatementRequest":
+                raise _flight.FlightServerError(
+                    "CreatePreparedStatement expects an Any-wrapped "
+                    "ActionCreatePreparedStatementRequest"
+                )
+            sql = fsql.parse_action_create_prepared_statement_request(parsed[1])
+            schema_bytes = b""
+            try:
+                # analysis-only: Spark schema → Arrow schema, serialized
+                # as an IPC-encapsulated message per the spec
+                from pyspark.sql.pandas.types import to_arrow_schema
+
+                df = self._executor(sql)
+                schema_bytes = to_arrow_schema(df.schema).serialize().to_pybytes()
+            except Exception:
+                pass  # schema optional; execute still works
+            yield _flight.Result(
+                pa.py_buffer(
+                    fsql.action_create_prepared_statement_result(
+                        sql.encode(), schema_bytes
+                    )
+                )
+            )
+        elif action.type == "ClosePreparedStatement":
+            return
+        else:
+            raise _flight.FlightServerError(
+                f"unsupported action {action.type!r}"
+            )
 
     def do_put(self, context, descriptor, reader, writer):
         """Write path, two envelopes:
@@ -194,12 +255,16 @@ class SqlFlightServer(_flight.FlightServerBase if _flight else object):
         parsed = fsql.unpack_any(descriptor.command)
         if parsed is not None:
             name, payload = parsed
-            if name != "CommandStatementUpdate":
+            if name == "CommandStatementUpdate":
+                sql = fsql.parse_statement_update(payload)
+            elif name == "CommandPreparedStatementUpdate":
+                sql = fsql.parse_prepared_statement_handle(payload).decode()
+            else:
                 raise _flight.FlightServerError(
                     f"unsupported FlightSQL DoPut command {name}"
                 )
             reader.read_all()  # drain the (empty) bound-params stream
-            self._engine.sql_dml(fsql.parse_statement_update(payload))
+            self._engine.sql_dml(sql)
             writer.write(pa.py_buffer(fsql.do_put_update_result(-1)))
             return
 
@@ -235,6 +300,52 @@ def fetch_flightsql(location: str, command: bytes) -> pa.Table:
             _flight.FlightDescriptor.for_command(command)
         )
         return client.do_get(info.endpoints[0].ticket).read_all()
+    finally:
+        client.close()
+
+
+def prepare_and_fetch(location: str, sql: str) -> tuple[pa.Table, pa.Schema | None]:
+    """Client helper for the prepare-then-execute flow a stock ADBC
+    driver performs: CreatePreparedStatement action → read the
+    Any-wrapped result (handle + dataset schema) →
+    CommandPreparedStatementQuery with the handle → GetFlightInfo →
+    DoGet → ClosePreparedStatement.  Returns (result table, dataset
+    schema advertised at prepare time — None if the server omitted it)."""
+    from core2_spark import flightsql_proto as fsql
+
+    client = _flight.connect(location)
+    try:
+        results = list(
+            client.do_action(
+                _flight.Action(
+                    "CreatePreparedStatement",
+                    fsql.action_create_prepared_statement_request(sql),
+                )
+            )
+        )
+        parsed = fsql.unpack_any(bytes(results[0].body.to_pybytes()))
+        assert parsed is not None and parsed[0] == "ActionCreatePreparedStatementResult"
+        res = fsql.parse_action_create_prepared_statement_result(parsed[1])
+        schema = (
+            pa.ipc.read_schema(pa.py_buffer(res["dataset_schema"]))
+            if res["dataset_schema"]
+            else None
+        )
+        info = client.get_flight_info(
+            _flight.FlightDescriptor.for_command(
+                fsql.command_prepared_statement_query(res["handle"])
+            )
+        )
+        table = client.do_get(info.endpoints[0].ticket).read_all()
+        list(
+            client.do_action(
+                _flight.Action(
+                    "ClosePreparedStatement",
+                    fsql.action_close_prepared_statement_request(res["handle"]),
+                )
+            )
+        )
+        return table, schema
     finally:
         client.close()
 

@@ -179,6 +179,77 @@ def command_get_table_types() -> bytes:
     return pack_any("CommandGetTableTypes", b"")
 
 
+# -- prepared statements (round-5: the ActionCreatePreparedStatement /
+# -- CommandPreparedStatementQuery tier a stock ADBC client defaults
+# -- to, per the public FlightSql.proto field numbers) -----------------
+
+
+def action_create_prepared_statement_request(query: str) -> bytes:
+    """ActionCreatePreparedStatementRequest (field 1: query)."""
+    return pack_any(
+        "ActionCreatePreparedStatementRequest", _ld(1, query.encode())
+    )
+
+
+def parse_action_create_prepared_statement_request(payload: bytes) -> str:
+    for field, wire, v in fields(payload):
+        if field == 1 and wire == 2:
+            return v.decode()
+    return ""
+
+
+def action_create_prepared_statement_result(
+    handle: bytes, dataset_schema: bytes = b"", parameter_schema: bytes = b""
+) -> bytes:
+    """ActionCreatePreparedStatementResult (1: prepared_statement_handle,
+    2: dataset_schema as an IPC-encapsulated Arrow schema message,
+    3: parameter_schema — empty here, the served statements are
+    parameterless)."""
+    payload = _ld(1, handle)
+    if dataset_schema:
+        payload += _ld(2, dataset_schema)
+    if parameter_schema:
+        payload += _ld(3, parameter_schema)
+    return pack_any("ActionCreatePreparedStatementResult", payload)
+
+
+def parse_action_create_prepared_statement_result(payload: bytes) -> dict:
+    out = {"handle": b"", "dataset_schema": b"", "parameter_schema": b""}
+    for field, wire, v in fields(payload):
+        if field == 1 and wire == 2:
+            out["handle"] = v
+        elif field == 2 and wire == 2:
+            out["dataset_schema"] = v
+        elif field == 3 and wire == 2:
+            out["parameter_schema"] = v
+    return out
+
+
+def action_close_prepared_statement_request(handle: bytes) -> bytes:
+    """ActionClosePreparedStatementRequest (1: prepared_statement_handle)."""
+    return pack_any("ActionClosePreparedStatementRequest", _ld(1, handle))
+
+
+def parse_prepared_statement_handle(payload: bytes) -> bytes:
+    """Field 1 (prepared_statement_handle) of any of the prepared-
+    statement messages — Close request, CommandPreparedStatementQuery
+    and CommandPreparedStatementUpdate all carry it as field 1."""
+    for field, wire, v in fields(payload):
+        if field == 1 and wire == 2:
+            return v
+    return b""
+
+
+def command_prepared_statement_query(handle: bytes) -> bytes:
+    """CommandPreparedStatementQuery (1: prepared_statement_handle)."""
+    return pack_any("CommandPreparedStatementQuery", _ld(1, handle))
+
+
+def command_prepared_statement_update(handle: bytes) -> bytes:
+    """CommandPreparedStatementUpdate (1: prepared_statement_handle)."""
+    return pack_any("CommandPreparedStatementUpdate", _ld(1, handle))
+
+
 def command_statement_update(query: str) -> bytes:
     """FlightSQL DML envelope (DoPut): field 1 = the SQL statement."""
     return pack_any("CommandStatementUpdate", _ld(1, query.encode()))

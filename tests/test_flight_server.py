@@ -219,3 +219,81 @@ def test_flightsql_statement_update_dml(spark, engine):
         assert got.to_pydict()["px"] == [123.0, 200.0]
     finally:
         server.shutdown()
+
+
+def test_prepared_statement_flow_over_live_socket(spark, engine):
+    """Round-5: the prepare-then-execute flow a stock ADBC client
+    defaults to — CreatePreparedStatement action (Any-wrapped request
+    and result, byte-level codec), CommandPreparedStatementQuery with
+    the returned handle, DoGet, ClosePreparedStatement — over a live
+    grpc socket, with the advertised dataset schema matching the
+    fetched result's."""
+    from core2_spark.flight_server import SqlFlightServer, prepare_and_fetch
+
+    v1 = spark.createDataFrame(
+        [(1, "AAPL", 100.0), (2, "MSFT", 200.0)], "id long, sym string, px double"
+    )
+    engine.submit_tx([Put("trades", v1)], tx_time="2024-01-01 00:00:01")
+
+    server = SqlFlightServer(lambda sql: engine.db().sql(sql), engine=engine)
+    try:
+        loc = f"grpc://127.0.0.1:{server.port}"
+        table, schema = prepare_and_fetch(
+            loc, "SELECT sym, px FROM trades ORDER BY px DESC"
+        )
+        assert table.to_pydict() == {"sym": ["MSFT", "AAPL"], "px": [200.0, 100.0]}
+        assert schema is not None and schema.names == ["sym", "px"]
+        assert table.schema.names == schema.names
+
+        # prepared DML via DoPut CommandPreparedStatementUpdate
+        import pyarrow.flight as fl
+
+        from core2_spark import flightsql_proto as fsql
+
+        client = fl.connect(loc)
+        try:
+            desc = fl.FlightDescriptor.for_command(
+                fsql.command_prepared_statement_update(
+                    b"INSERT INTO trades (id, sym, px) VALUES (3, 'GOOG', 300.0)"
+                )
+            )
+            writer, reader = client.do_put(
+                desc, __import__("pyarrow").schema([])
+            )
+            writer.done_writing()
+            ack = reader.read()
+            assert fsql.parse_do_put_update_result(bytes(ack.to_pybytes())) == -1
+            writer.close()
+        finally:
+            client.close()
+        after, _ = prepare_and_fetch(loc, "SELECT COUNT(*) AS n FROM trades")
+        assert after.to_pydict()["n"] == [3]
+    finally:
+        server.shutdown()
+
+
+def test_prepared_statement_proto_roundtrip():
+    """Byte-level codec properties for the prepared-statement messages."""
+    from core2_spark import flightsql_proto as fsql
+
+    req = fsql.action_create_prepared_statement_request("SELECT 1 AS x")
+    name, payload = fsql.unpack_any(req)
+    assert name == "ActionCreatePreparedStatementRequest"
+    assert fsql.parse_action_create_prepared_statement_request(payload) == "SELECT 1 AS x"
+
+    res = fsql.action_create_prepared_statement_result(b"h\x00ndle", b"\x01\x02")
+    name, payload = fsql.unpack_any(res)
+    assert name == "ActionCreatePreparedStatementResult"
+    parsed = fsql.parse_action_create_prepared_statement_result(payload)
+    assert parsed["handle"] == b"h\x00ndle"
+    assert parsed["dataset_schema"] == b"\x01\x02"
+
+    q = fsql.command_prepared_statement_query(b"SELECT 2")
+    name, payload = fsql.unpack_any(q)
+    assert name == "CommandPreparedStatementQuery"
+    assert fsql.parse_prepared_statement_handle(payload) == b"SELECT 2"
+
+    close = fsql.action_close_prepared_statement_request(b"abc")
+    name, payload = fsql.unpack_any(close)
+    assert name == "ActionClosePreparedStatementRequest"
+    assert fsql.parse_prepared_statement_handle(payload) == b"abc"
