@@ -14,10 +14,21 @@ driver-shaped client to connect and run queries:
 - errors → ErrorResponse + ReadyForQuery (the session survives);
 - Terminate ('X') → close.
 
-Extended query protocol (Parse/Bind/Execute), COPY, and auth methods
-beyond trust are not implemented — the same "preliminary driver
-support" tier as the Flight SQL boundary.  Like Flight/HTTP, pgwire
-is a RESULT boundary with the ``max_result_rows`` guard.
+Extended query protocol (round-5): Parse ('P') / Bind ('B') /
+Describe ('D') / Execute ('E') / Close ('C') / Flush ('H') / Sync
+('S') — the flow real drivers (psycopg, JDBC) send even for plain
+SELECTs.  Named and unnamed statements/portals, text-format results,
+text-format parameters substituted as SQL literals at Bind time
+(``$1``..``$n``), NoData/EmptyQueryResponse where the spec requires.
+After an error in extended mode the session skips messages until Sync
+(per the spec), so a failed statement never desynchronizes the
+stream.  Execute's max-row count is not honored (all rows stream, no
+PortalSuspended) — stock drivers send 0 (= no limit).
+
+COPY and auth methods beyond trust are not implemented — the same
+"preliminary driver support" tier as the Flight SQL boundary.  Like
+Flight/HTTP, pgwire is a RESULT boundary with the ``max_result_rows``
+guard.
 """
 
 from __future__ import annotations
@@ -122,12 +133,7 @@ class PgWireServer:
                     self._error(f"unsupported protocol code {code}")
                     return False
 
-            def _run_query(self, sql: str) -> None:
-                sql = sql.strip().rstrip(";")
-                if not sql:
-                    self._send(_msg(b"I", b""))  # EmptyQueryResponse
-                    return
-                table = df_to_arrow(outer_executor(sql), outer_max)
+            def _row_description(self, table) -> bytes:
                 fields = b"".join(
                     _cstr(name)
                     + struct.pack(
@@ -141,9 +147,11 @@ class PgWireServer:
                     )
                     for name in table.column_names
                 )
-                self._send(
-                    _msg(b"T", struct.pack("!h", table.num_columns) + fields)
+                return _msg(
+                    b"T", struct.pack("!h", table.num_columns) + fields
                 )
+
+            def _send_data_rows(self, table) -> None:
                 cols = [table.column(c).to_pylist() for c in table.column_names]
                 for rec in zip(*cols) if cols else []:
                     row = struct.pack("!h", len(rec))
@@ -157,9 +165,126 @@ class PgWireServer:
                                 b = str(v).encode()
                             row += struct.pack("!i", len(b)) + b
                     self._send(_msg(b"D", row))
+
+            def _run_query(self, sql: str) -> None:
+                sql = sql.strip().rstrip(";")
+                if not sql:
+                    self._send(_msg(b"I", b""))  # EmptyQueryResponse
+                    return
+                table = df_to_arrow(outer_executor(sql), outer_max)
+                self._send(self._row_description(table))
+                self._send_data_rows(table)
                 self._send(_msg(b"C", _cstr(f"SELECT {table.num_rows}")))
 
+            # -- extended query protocol --------------------------------
+            @staticmethod
+            def _read_cstr(body: bytes, i: int) -> tuple[str, int]:
+                j = body.index(b"\x00", i)
+                return body[i:j].decode(), j + 1
+
+            @staticmethod
+            def _pg_literal(raw: bytes | None) -> str:
+                if raw is None:
+                    return "NULL"
+                return "'" + raw.decode().replace("'", "''") + "'"
+
+            def _portal_table(self, portal: dict):
+                """Execute the portal's query once, lazily: Describe
+                and Execute share the result (drivers Describe right
+                before Execute; running twice would double-execute)."""
+                if "table" not in portal:
+                    sql = portal["sql"]
+                    portal["table"] = (
+                        None
+                        if not sql
+                        else df_to_arrow(outer_executor(sql), outer_max)
+                    )
+                return portal["table"]
+
+            def _handle_extended(self, tag: bytes, body: bytes) -> None:
+                if tag == b"P":  # Parse
+                    name, i = self._read_cstr(body, 0)
+                    sql, i = self._read_cstr(body, i)
+                    # declared parameter-type OIDs are accepted and
+                    # ignored (text-format substitution at Bind)
+                    self._stmts[name] = sql.strip().rstrip(";")
+                    self._send(_msg(b"1", b""))  # ParseComplete
+                    return
+                if tag == b"B":  # Bind
+                    portal, i = self._read_cstr(body, 0)
+                    stmt, i = self._read_cstr(body, i)
+                    if stmt not in self._stmts:
+                        raise ValueError(f"unknown prepared statement {stmt!r}")
+                    (nfmt,) = struct.unpack_from("!h", body, i)
+                    i += 2 + 2 * nfmt  # param format codes (text assumed)
+                    (nparams,) = struct.unpack_from("!h", body, i)
+                    i += 2
+                    params: list[bytes | None] = []
+                    for _ in range(nparams):
+                        (ln,) = struct.unpack_from("!i", body, i)
+                        i += 4
+                        if ln == -1:
+                            params.append(None)
+                        else:
+                            params.append(body[i : i + ln])
+                            i += ln
+                    sql = self._stmts[stmt]
+                    # substitute $n with SQL literals, highest first so
+                    # $12 never matches inside $1
+                    for n in range(len(params), 0, -1):
+                        sql = sql.replace(f"${n}", self._pg_literal(params[n - 1]))
+                    self._portals[portal] = {"sql": sql}
+                    self._send(_msg(b"2", b""))  # BindComplete
+                    return
+                if tag == b"D":  # Describe
+                    kind, body_rest = body[:1], body[1:]
+                    name, _ = self._read_cstr(body_rest, 0)
+                    if kind == b"S":
+                        if name not in self._stmts:
+                            raise ValueError(f"unknown prepared statement {name!r}")
+                        # parameterless after Bind-time substitution
+                        self._send(_msg(b"t", struct.pack("!h", 0)))
+                        sql = self._stmts[name]
+                        if not sql:
+                            self._send(_msg(b"n", b""))  # NoData
+                        else:
+                            table = df_to_arrow(outer_executor(sql), outer_max)
+                            self._send(self._row_description(table))
+                        return
+                    portal = self._portals.get(name)
+                    if portal is None:
+                        raise ValueError(f"unknown portal {name!r}")
+                    table = self._portal_table(portal)
+                    if table is None:
+                        self._send(_msg(b"n", b""))  # NoData
+                    else:
+                        self._send(self._row_description(table))
+                    return
+                if tag == b"E":  # Execute (max-rows count ignored)
+                    name, _ = self._read_cstr(body, 0)
+                    portal = self._portals.get(name)
+                    if portal is None:
+                        raise ValueError(f"unknown portal {name!r}")
+                    table = self._portal_table(portal)
+                    if table is None:
+                        self._send(_msg(b"I", b""))  # EmptyQueryResponse
+                        return
+                    self._send_data_rows(table)
+                    self._send(_msg(b"C", _cstr(f"SELECT {table.num_rows}")))
+                    return
+                if tag == b"C":  # Close statement/portal
+                    kind, body_rest = body[:1], body[1:]
+                    name, _ = self._read_cstr(body_rest, 0)
+                    (self._stmts if kind == b"S" else self._portals).pop(name, None)
+                    self._send(_msg(b"3", b""))  # CloseComplete
+                    return
+                raise ValueError(f"unsupported extended message {tag!r}")
+
             def handle(self):
+                self._stmts: dict[str, str] = {}
+                self._portals: dict[str, dict] = {}
+                # after an extended-protocol error, skip until Sync
+                skip_to_sync = False
                 try:
                     if not self._startup():
                         return
@@ -169,19 +294,32 @@ class PgWireServer:
                         body = self._recv_exact(length - 4)
                         if tag == b"X":  # Terminate
                             return
-                        if tag != b"Q":
-                            self._error(
-                                f"unsupported message {tag!r} (simple query only)"
-                            )
+                        if tag == b"S":  # Sync
+                            skip_to_sync = False
                             self._ready()
                             continue
-                        sql = body.rstrip(b"\x00").decode()
-                        try:
-                            self._run_query(sql)
-                        except Exception as exc:
-                            # str() carries the analyzer message;
-                            # pyspark exception reprs are often empty
-                            self._error(str(exc) or repr(exc))
+                        if skip_to_sync:
+                            continue
+                        if tag == b"H":  # Flush — sendall is unbuffered
+                            continue
+                        if tag == b"Q":
+                            sql = body.rstrip(b"\x00").decode()
+                            try:
+                                self._run_query(sql)
+                            except Exception as exc:
+                                # str() carries the analyzer message;
+                                # pyspark exception reprs are often empty
+                                self._error(str(exc) or repr(exc))
+                            self._ready()
+                            continue
+                        if tag in (b"P", b"B", b"D", b"E", b"C"):
+                            try:
+                                self._handle_extended(tag, body)
+                            except Exception as exc:
+                                self._error(str(exc) or repr(exc))
+                                skip_to_sync = True
+                            continue
+                        self._error(f"unsupported message {tag!r}")
                         self._ready()
                 except (ConnectionError, OSError):
                     return

@@ -136,3 +136,131 @@ def test_pgwire_query_roundtrip(spark, engine):
         client.close()
     finally:
         server.shutdown()
+
+
+class ExtendedPgClient(MiniPgClient):
+    """Adds the extended-query flow a real driver sends even for plain
+    SELECTs: Parse → Bind → Describe(portal) → Execute → Sync."""
+
+    def _send_msg(self, tag: bytes, payload: bytes) -> None:
+        self.sock.sendall(tag + struct.pack("!I", len(payload) + 4) + payload)
+
+    @staticmethod
+    def _cstr(s: str) -> bytes:
+        return s.encode() + b"\x00"
+
+    def parse(self, stmt: str, sql: str) -> None:
+        self._send_msg(
+            b"P", self._cstr(stmt) + self._cstr(sql) + struct.pack("!h", 0)
+        )
+
+    def bind(self, portal: str, stmt: str, params: list[str | None] = ()) -> None:
+        body = self._cstr(portal) + self._cstr(stmt)
+        body += struct.pack("!h", 0)  # param format codes: default text
+        body += struct.pack("!h", len(params))
+        for p in params:
+            if p is None:
+                body += struct.pack("!i", -1)
+            else:
+                body += struct.pack("!i", len(p.encode())) + p.encode()
+        body += struct.pack("!h", 0)  # result format codes: default text
+        self._send_msg(b"B", body)
+
+    def describe_portal(self, portal: str) -> None:
+        self._send_msg(b"D", b"P" + self._cstr(portal))
+
+    def execute(self, portal: str, max_rows: int = 0) -> None:
+        self._send_msg(b"E", self._cstr(portal) + struct.pack("!i", max_rows))
+
+    def sync_and_collect(self):
+        """Send Sync, then collect everything through ReadyForQuery.
+        Returns (tags, columns, rows, error)."""
+        self._send_msg(b"S", b"")
+        tags, columns, rows, error = [], [], [], None
+        for tag, payload in self._messages_until(b"Z"):
+            tags.append(tag)
+            if tag == b"T":
+                (n,) = struct.unpack("!h", payload[:2])
+                i = 2
+                for _ in range(n):
+                    end = payload.index(b"\x00", i)
+                    columns.append(payload[i:end].decode())
+                    i = end + 1 + 18
+            elif tag == b"D":
+                (n,) = struct.unpack("!h", payload[:2])
+                i = 2
+                rec = []
+                for _ in range(n):
+                    (ln,) = struct.unpack("!i", payload[i : i + 4])
+                    i += 4
+                    if ln == -1:
+                        rec.append(None)
+                    else:
+                        rec.append(payload[i : i + ln].decode())
+                        i += ln
+                rows.append(rec)
+            elif tag == b"E":
+                fields = dict(
+                    (chunk[:1], chunk[1:].decode())
+                    for chunk in payload.split(b"\x00")
+                    if chunk
+                )
+                error = fields.get(b"M", "unknown error")
+        return tags, columns, rows, error
+
+
+def test_pgwire_extended_query_protocol(spark, engine):
+    """Round-5: parse → bind → describe → execute → sync (what psycopg
+    and JDBC send for every statement), named statements with text
+    parameters, unnamed portals, NoData-free row description, and
+    skip-until-Sync error recovery."""
+    from core2_spark.pgwire_server import PgWireServer
+
+    v1 = spark.createDataFrame(
+        [(1, "AAPL", 100.0), (2, "MSFT", 200.0), (3, "GOOG", 300.0)],
+        "id long, sym string, px double",
+    )
+    engine.submit_tx([Put("trades", v1)], tx_time="2024-01-01 00:00:01")
+
+    server = PgWireServer(lambda sql: engine.db().sql(sql))
+    try:
+        client = ExtendedPgClient(server.port)
+
+        # unnamed statement + unnamed portal, no params
+        client.parse("", "SELECT sym, px FROM trades ORDER BY px DESC")
+        client.bind("", "")
+        client.describe_portal("")
+        client.execute("")
+        tags, cols, rows, err = client.sync_and_collect()
+        assert err is None
+        assert tags[:2] == [b"1", b"2"]  # ParseComplete, BindComplete
+        assert cols == ["sym", "px"]
+        assert rows == [["GOOG", "300.0"], ["MSFT", "200.0"], ["AAPL", "100.0"]]
+
+        # named statement, text parameter bound as a literal, reused
+        client.parse("by_sym", "SELECT px FROM trades WHERE sym = $1")
+        client.bind("p1", "by_sym", ["MSFT"])
+        client.describe_portal("p1")
+        client.execute("p1")
+        tags, cols, rows, err = client.sync_and_collect()
+        assert err is None and rows == [["200.0"]]
+        client.bind("p2", "by_sym", ["GOOG"])
+        client.execute("p2")
+        _, _, rows, err = client.sync_and_collect()
+        assert err is None and rows == [["300.0"]]
+
+        # error recovery: bind to an unknown statement errors, further
+        # messages are skipped until Sync, then the session works
+        client.bind("", "never_parsed")
+        client.execute("")  # must be skipped, not crash the session
+        tags, _, _, err = client.sync_and_collect()
+        assert err is not None and "never_parsed" in err
+        client.parse("", "SELECT COUNT(*) AS n FROM trades")
+        client.bind("", "")
+        client.execute("")
+        _, _, rows, err = client.sync_and_collect()
+        assert err is None and rows == [["3"]]
+
+        client.close()
+    finally:
+        server.shutdown()
