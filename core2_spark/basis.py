@@ -35,8 +35,35 @@ class Basis:
     # files from a partitioned version table.
     roots: dict[str, str] = field(default_factory=dict)
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        table: str,
+        day_lo=None,
+        day_hi=None,
+    ) -> DataFrame:
+        """Read the pinned file set, optionally MANIFEST-PRUNED by the
+        ``_sys_day`` partition component of each path: files whose day
+        falls outside ``[day_lo, day_hi]`` are dropped on the driver
+        before Spark ever builds its file index.  PartitionFilters
+        prune *row groups scanned*, but the file listing, schema merge
+        and footer reads are still O(total files) — at deep history
+        that planning cost grows linearly even for a one-day read.
+        Manifest pruning (exactly what a Delta/Iceberg snapshot does
+        with its manifest statistics) makes an as-of or changes-tail
+        read O(files in range).  Flat legacy files carry no day in
+        their path and are always kept — the row-level temporal
+        predicates remain the source of truth."""
         files = self.manifests[table]
+        if day_lo is not None or day_hi is not None:
+            pruned = tuple(
+                f
+                for f in files
+                if _file_day_in_range(f, day_lo, day_hi)
+            )
+            # never prune to zero: keep one file so the schema (and an
+            # empty result via the row-level predicates) still resolves
+            files = pruned if pruned else files[:1]
         # mergeSchema: version files may differ (e.g. tombstone rows
         # carry no data columns) — union by name, absent fields NULL.
         from pyspark.sql import functions as F
@@ -66,6 +93,30 @@ class Basis:
                 )
             df = df.unionByName(legacy, allowMissingColumns=True)
         return df
+
+
+def _file_day_in_range(path: str, day_lo, day_hi) -> bool:
+    """True if the file's ``_sys_day=`` path component (if any) falls
+    in the closed [day_lo, day_hi] range; files without the component
+    (flat legacy layout) are never pruned."""
+    from core2_spark.temporal import SYS_DAY
+
+    marker = f"{os.sep}{SYS_DAY}="
+    i = path.find(marker)
+    if i < 0:
+        return True
+    raw = path[i + len(marker) :].split(os.sep, 1)[0]
+    try:
+        from datetime import date
+
+        day = date.fromisoformat(raw)
+    except ValueError:
+        return True  # unparseable partition value: keep, rows decide
+    if day_lo is not None and day < day_lo:
+        return False
+    if day_hi is not None and day > day_hi:
+        return False
+    return True
 
 
 def _list_parquet_files(path: str) -> tuple[str, ...]:

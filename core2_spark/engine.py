@@ -43,6 +43,11 @@ from core2_spark.basis import Basis, acquire_basis
 from core2_spark import datalog as dl
 
 
+def _to_datetime(value) -> datetime:
+    """str | datetime → datetime (for manifest-pruning day bounds)."""
+    return datetime.fromisoformat(value) if isinstance(value, str) else value
+
+
 def _walk_all_files(path: str) -> list[str]:
     """Every file under ``path`` (not just parquet: _SUCCESS markers
     and partition metadata count for rollback diffs)."""
@@ -697,9 +702,15 @@ class Snapshot:
             )
             if compact is not None:
                 return self.engine.spark.read.parquet(compact)
-        versions = self.basis.read(self.engine.spark, table)
         s = system_time if system_time is not None else self.basis.current_time
         t = app_time if app_time is not None else self.basis.current_time
+        # manifest pruning: versions with system day AFTER date(s) can
+        # never be visible at s — drop their files on the driver, so a
+        # deep-history as-of read plans over O(files in range), not
+        # O(all history) (see Basis.read)
+        versions = self.basis.read(
+            self.engine.spark, table, day_hi=_to_datetime(s).date()
+        )
         visible = bt.resolve_as_of(versions, s, t, "id")
         drop = [*bt.TEMPORAL_COLS, bt.TOMBSTONE, bt.TX_SEQ, bt.SYS_DAY]
         return visible.drop(*[c for c in drop if c in visible.columns])
@@ -784,7 +795,14 @@ class Snapshot:
         analogue of tailing the reference's tx log from an offset;
         ordering columns (system_time_start, _tx_seq) are included so
         consumers can apply changes in log order."""
-        raw = self.basis.read(self.engine.spark, table)
+        # manifest pruning on both bounds: a consumer tailing from a
+        # recent offset plans over the tail files only (see Basis.read)
+        raw = self.basis.read(
+            self.engine.spark,
+            table,
+            day_lo=_to_datetime(since).date(),
+            day_hi=_to_datetime(until).date() if until is not None else None,
+        )
         s = bt._ts(since)
         hi = bt._ts(until) if until is not None else F.lit(None)
         pred = (F.col(bt.SYS_START) > s) & (

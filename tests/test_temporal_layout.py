@@ -61,3 +61,49 @@ def test_engine_version_table_prunes_partitions_on_asof(spark, tmp_path):
     # and the layout column never leaks into query outputs
     assert "_sys_day" not in asof.columns
     assert "_sys_day" not in snap.history("t").columns
+
+
+def test_manifest_pruning_drops_out_of_range_files(spark, tmp_path):
+    """Round-5: driver-side manifest pruning — an as-of read's plan
+    must list ONLY the files whose `_sys_day` is in range (the file
+    index, schema merge and footer reads are O(listed files), so
+    PartitionFilters alone still pays O(all history) at plan time;
+    measured flat at 10x history depth in
+    scripts/probe_history_depth.py).  changes() prunes on both
+    bounds.  Answers are unchanged."""
+    from datetime import datetime
+
+    from core2_spark.engine import Engine, Put
+
+    root = str(tmp_path / "eng")
+    eng = Engine(spark, root)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    eng.submit_tx([Put("t", df)], tx_time="2024-03-01T00:00:00")
+    eng.submit_tx([Put("t", df)], tx_time="2024-06-01T00:00:00")
+    eng.submit_tx([Put("t", df)], tx_time="2024-09-01T00:00:00")
+    snap = eng.db()
+
+    asof = snap.table(
+        "t", system_time="2024-04-01T00:00:00", app_time="2024-04-01T00:00:00"
+    )
+    files = asof.inputFiles()
+    assert files and all("_sys_day=2024-03-01" in f for f in files), files
+
+    tail = snap.changes("t", since="2024-08-01T00:00:00")
+    tail_files = tail.inputFiles()
+    assert tail_files and all(
+        "_sys_day=2024-09-01" in f for f in tail_files
+    ), tail_files
+    assert tail.count() == 2
+
+    mid = snap.changes(
+        "t", since="2024-05-01T00:00:00", until="2024-07-01T00:00:00"
+    )
+    assert {f.split("_sys_day=")[1][:10] for f in mid.inputFiles()} == {"2024-06-01"}
+
+    # pruned-to-zero still resolves (schema survives, zero rows)
+    nothing = snap.table(
+        "t", system_time="2024-01-01T00:00:00", app_time="2024-01-01T00:00:00"
+    )
+    assert nothing.count() == 0
+    assert set(nothing.columns) == {"id", "v"}
