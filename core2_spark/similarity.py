@@ -336,9 +336,14 @@ def embedding_cosine_near_duplicates(
         )
         for b in range(bands)
     ]
+    # Bucketing carries ONLY (id, band, key) through the ×bands
+    # explode — shipping the vectors with it multiplied shuffle bytes
+    # by bands (r4 verdict nit).  Vectors re-join by id at verify
+    # time, and candidate pairs are deduplicated BEFORE the cosine so
+    # a pair colliding in several bands is verified once.
+    vecs = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     bucketed = (
-        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
-        .select(
+        vecs.select(
             id_col,
             "v",
             F.explode(
@@ -350,23 +355,28 @@ def embedding_cosine_near_duplicates(
                 )
             ).alias("bk"),
         )
-        .select(id_col, "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
-    a = bucketed.select(
-        F.col(id_col).alias("a_id"), F.col("v").alias("a_v"), "band", "key"
-    )
-    b = bucketed.select(
-        F.col(id_col).alias("b_id"), F.col("v").alias("b_v"), "band", "key"
+    a = bucketed.select(F.col(id_col).alias("a_id"), "band", "key")
+    b = bucketed.select(F.col(id_col).alias("b_id"), "band", "key")
+    candidates = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
     )
     sim = dot(F.col("a_v"), F.col("b_v")) / (
         l2_norm(F.col("a_v")) * l2_norm(F.col("b_v"))
     )
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("a_id") < F.col("b_id"))
+        candidates.join(
+            vecs.select(F.col(id_col).alias("a_id"), F.col("v").alias("a_v")), "a_id"
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("b_id"), F.col("v").alias("b_v")), "b_id"
+        )
         .select("a_id", "b_id", F.round(sim, 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
-        .distinct()
     )
 
 
