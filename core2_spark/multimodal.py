@@ -2,14 +2,16 @@
 
 Images / audio / video ride as opaque ``binary`` columns plus a typed
 metadata struct.  The container has no image/audio libraries, so the
-codecs here are PURE-PYTHON decoders for three self-describing formats
-— binary PPM (P6), uncompressed 24-bit BMP, and PCM-16 WAV/RIFF — plus
-deterministic generators for the same formats, so decode →
-feature-extract → resize → frame-sample pipelines run end-to-end on
-real bytes.  Compressed formats (PNG/JPEG/MP3/...) raise
-NotImplementedError at decode time (clearly-marked gap: a production
-deployment swaps the decode closures for Pillow/soundfile calls —
-the Spark-side schema, partitioning and batch shapes don't change).
+codecs here are PURE-PYTHON decoders for four self-describing formats
+— binary PPM (P6), uncompressed 24-bit BMP, PNG (8-bit grey/RGB/RGBA,
+non-interlaced, all five filter types; stdlib zlib only), and PCM-16
+WAV/RIFF — plus deterministic generators for the same formats, so
+decode → feature-extract → resize → frame-sample pipelines run
+end-to-end on real (including really-compressed) bytes.  Remaining
+formats (JPEG/MP3/video) raise NotImplementedError at decode time
+(clearly-marked gap: a production deployment swaps the decode
+closures for Pillow/soundfile calls — the Spark-side schema,
+partitioning and batch shapes don't change).
 
 Pickling discipline: every function that runs executor-side is created
 inside the `_codec_fns` factory, so cloudpickle serializes it BY VALUE
@@ -55,6 +57,7 @@ FEATURE_SCHEMA = "media_id long, mime string, n_bytes long, feature array<double
 MIME_PPM = "image/x-portable-pixmap"
 MIME_BMP = "image/bmp"
 MIME_WAV = "audio/wav"
+MIME_PNG = "image/png"
 
 
 def _codec_fns():
@@ -115,6 +118,104 @@ def _codec_fns():
         if bottom_up:
             rows = rows[::-1]
         return w, h, rows[:, :, ::-1].copy()  # BGR → RGB
+
+    def decode_png(payload: bytes):
+        """PNG (round-5: a REAL compressed codec, stdlib zlib only):
+        8-bit greyscale / RGB / RGBA, non-interlaced, all five filter
+        types (None/Sub/Up/Average/Paeth) per the public PNG spec.
+        Greyscale replicates to RGB; alpha is dropped (features and
+        resize operate on RGB).  Returns (width, height, HxWx3)."""
+        import zlib
+
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG")
+        i, n = 8, len(payload)
+        w = h = bit_depth = color_type = interlace = None
+        idat = bytearray()
+        while i + 8 <= n:
+            (length,) = struct.unpack_from(">I", payload, i)
+            ctype = payload[i + 4 : i + 8]
+            body = payload[i + 8 : i + 8 + length]
+            if ctype == b"IHDR":
+                w, h, bit_depth, color_type, _comp, _filt, interlace = (
+                    struct.unpack(">IIBBBBB", body)
+                )
+            elif ctype == b"IDAT":
+                idat += body
+            elif ctype == b"IEND":
+                break
+            i += 12 + length  # length + type + data + crc
+        if w is None:
+            raise ValueError("PNG missing IHDR")
+        if bit_depth != 8 or color_type not in (0, 2, 6) or interlace != 0:
+            raise ValueError(
+                f"unsupported PNG (bit_depth={bit_depth}, "
+                f"color_type={color_type}, interlace={interlace}); supported: "
+                "8-bit greyscale/RGB/RGBA, non-interlaced"
+            )
+        channels = {0: 1, 2: 3, 6: 4}[color_type]
+        raw = zlib.decompress(bytes(idat))
+        stride = w * channels
+        if len(raw) < h * (stride + 1):
+            raise ValueError("PNG IDAT truncated")
+        out = np.zeros((h, stride), dtype=np.uint8)
+        bpp = channels  # bytes per pixel at 8-bit depth
+        for y in range(h):
+            row_start = y * (stride + 1)
+            ftype = raw[row_start]
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=row_start + 1
+            ).astype(np.int32)
+            prior = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+            if ftype == 0:  # None
+                rec = line
+            elif ftype == 2:  # Up
+                rec = (line + prior) & 0xFF
+            else:  # Sub/Average/Paeth recur on the left pixel
+                rec = np.zeros(stride, dtype=np.int32)
+                for x in range(stride):
+                    a = rec[x - bpp] if x >= bpp else 0
+                    b = prior[x]
+                    if ftype == 1:  # Sub
+                        rec[x] = (line[x] + a) & 0xFF
+                    elif ftype == 3:  # Average
+                        rec[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                    elif ftype == 4:  # Paeth
+                        c = prior[x - bpp] if x >= bpp else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        rec[x] = (line[x] + pred) & 0xFF
+                    else:
+                        raise ValueError(f"bad PNG filter type {ftype}")
+            out[y] = rec.astype(np.uint8)
+        px = out.reshape(h, w, channels)
+        if channels == 1:
+            px = np.repeat(px, 3, axis=2)
+        elif channels == 4:
+            px = px[:, :, :3]
+        return w, h, px.copy()
+
+    def encode_png(px):
+        """8-bit RGB non-interlaced PNG, filter type 0 rows, one zlib
+        IDAT — stdlib only, round-trips through decode_png."""
+        import zlib
+
+        h, w = px.shape[0], px.shape[1]
+
+        def chunk(ctype: bytes, body: bytes) -> bytes:
+            crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+            return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        rows = px.astype(np.uint8).reshape(h, w * 3)
+        raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b"")
+        )
 
     def decode_wav(payload: bytes):
         """PCM-16 WAV: walks RIFF chunks to `fmt ` and `data`.
@@ -192,11 +293,13 @@ def _codec_fns():
             return image_features(*decode_ppm(payload))
         if mime == MIME_BMP:
             return image_features(*decode_bmp(payload))
+        if mime == MIME_PNG:
+            return image_features(*decode_png(payload))
         if mime == MIME_WAV:
             return audio_features(*decode_wav(payload))
         raise NotImplementedError(
-            f"no pure-Python decoder for {mime!r}; compressed codecs are not "
-            "present in this container — plug Pillow/soundfile here in a "
+            f"no pure-Python decoder for {mime!r}; JPEG/MP3/video codecs are "
+            "not present in this container — plug Pillow/soundfile here in a "
             "real deployment, or pass fake=True for the histogram stub"
         )
 
@@ -217,6 +320,8 @@ def _codec_fns():
             return decode_ppm(payload)
         if mime == MIME_BMP:
             return decode_bmp(payload)
+        if mime == MIME_PNG:
+            return decode_png(payload)
         raise NotImplementedError(f"no pure-Python image decoder for {mime!r}")
 
     # -- deterministic generators (fixtures) ---------------------------
@@ -248,6 +353,11 @@ def _codec_fns():
         )
         return header + pixel_bytes
 
+    def make_png(width, height, seed):
+        """Same pixel pattern as make_ppm, zlib-compressed as PNG."""
+        _, _, px = decode_ppm(make_ppm(width, height, seed))
+        return encode_png(px)
+
     def make_wav(n_frames, sample_rate, freq_hz, seed):
         """Seeded sine wave (freq shifted by seed) as PCM-16 mono WAV."""
         t = np.arange(n_frames, dtype=np.float64) / sample_rate
@@ -269,14 +379,17 @@ def _codec_fns():
     return {
         "decode_ppm": decode_ppm,
         "decode_bmp": decode_bmp,
+        "decode_png": decode_png,
         "decode_wav": decode_wav,
         "decode_image": decode_image,
         "features": features,
         "fake_features": fake_features,
         "encode_ppm": encode_ppm,
+        "encode_png": encode_png,
         "resize_nearest": resize_nearest,
         "make_ppm": make_ppm,
         "make_bmp": make_bmp,
+        "make_png": make_png,
         "make_wav": make_wav,
     }
 
@@ -350,6 +463,7 @@ def generate_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     value with the task, like every codec here."""
     fns = _codec_fns()
     make_ppm, make_bmp, make_wav = fns["make_ppm"], fns["make_bmp"], fns["make_wav"]
+    make_png = fns["make_png"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -357,11 +471,14 @@ def generate_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
             for mid in pdf[id_col]:
                 mid = int(mid)
                 w, h = 16 + mid % 17, 12 + mid % 13
-                if mid % 3 == 0:
+                if mid % 4 == 0:
                     payload, mime = make_ppm(w, h, mid), MIME_PPM
                     meta = {"width": w, "height": h, "duration_ms": None}
-                elif mid % 3 == 1:
+                elif mid % 4 == 1:
                     payload, mime = make_bmp(w, h, mid), MIME_BMP
+                    meta = {"width": w, "height": h, "duration_ms": None}
+                elif mid % 4 == 2:
+                    payload, mime = make_png(w, h, mid), MIME_PNG
                     meta = {"width": w, "height": h, "duration_ms": None}
                 else:
                     n = 800 + (mid % 7) * 160
