@@ -255,15 +255,33 @@ class SqlFlightServer(_flight.FlightServerBase if _flight else object):
         parsed = fsql.unpack_any(descriptor.command)
         if parsed is not None:
             name, payload = parsed
+            if name == "CommandPreparedStatementQuery":
+                # parameter binding (the ADBC flow for `... WHERE x = ?`):
+                # the stream carries one record batch of parameter
+                # values; the server is stateless, so the reply's app
+                # metadata returns an UPDATED handle — the statement
+                # text with the values substituted as SQL literals.
+                handle = fsql.parse_prepared_statement_handle(payload)
+                params = reader.read_all()
+                bound = _bind_parameters(handle.decode(), params)
+                writer.write(
+                    pa.py_buffer(
+                        fsql.do_put_prepared_statement_result(bound.encode())
+                    )
+                )
+                return
             if name == "CommandStatementUpdate":
                 sql = fsql.parse_statement_update(payload)
+                reader.read_all()  # drain the (empty) bound-params stream
             elif name == "CommandPreparedStatementUpdate":
-                sql = fsql.parse_prepared_statement_handle(payload).decode()
+                params = reader.read_all()
+                sql = _bind_parameters(
+                    fsql.parse_prepared_statement_handle(payload).decode(), params
+                )
             else:
                 raise _flight.FlightServerError(
                     f"unsupported FlightSQL DoPut command {name}"
                 )
-            reader.read_all()  # drain the (empty) bound-params stream
             self._engine.sql_dml(sql)
             writer.write(pa.py_buffer(fsql.do_put_update_result(-1)))
             return
@@ -274,6 +292,52 @@ class SqlFlightServer(_flight.FlightServerBase if _flight else object):
         self._engine.submit_tx(
             [Put(spec["table"], rows)], tx_time=spec.get("tx_time")
         )
+
+
+def _bind_parameters(sql: str, params: pa.Table) -> str:
+    """Substitute ``?`` placeholders (in order, outside string
+    literals) with the first row of ``params`` rendered as SQL
+    literals.  FlightSQL binds parameters as an Arrow record batch;
+    with a stateless handle the bound statement IS the new handle."""
+    if params is None or params.num_rows == 0 or params.num_columns == 0:
+        return sql
+    row = [col[0].as_py() for col in params.columns]
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, (bytes, bytearray)):
+            return "X'" + bytes(v).hex() + "'"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    out: list[str] = []
+    i, n, p = 0, len(sql), 0
+    while i < n:
+        c = sql[i]
+        if c == "'":  # skip string literals ('' escapes)
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if c == "?" and p < len(row):
+            out.append(lit(row[p]))
+            p += 1
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def fetch_sql(location: str, sql: str) -> pa.Table:
@@ -346,6 +410,59 @@ def prepare_and_fetch(location: str, sql: str) -> tuple[pa.Table, pa.Schema | No
             )
         )
         return table, schema
+    finally:
+        client.close()
+
+
+def prepare_bind_fetch(location: str, sql: str, params: list) -> pa.Table:
+    """Client helper for the PARAMETERIZED prepare flow: prepare a
+    statement with ``?`` placeholders, DoPut one record batch of
+    parameter values against the handle, read the updated handle from
+    the app metadata, then execute it — byte-for-byte the stock ADBC
+    sequence for ``SELECT ... WHERE x = ?``."""
+    from core2_spark import flightsql_proto as fsql
+
+    client = _flight.connect(location)
+    try:
+        results = list(
+            client.do_action(
+                _flight.Action(
+                    "CreatePreparedStatement",
+                    fsql.action_create_prepared_statement_request(sql),
+                )
+            )
+        )
+        parsed = fsql.unpack_any(bytes(results[0].body.to_pybytes()))
+        res = fsql.parse_action_create_prepared_statement_result(parsed[1])
+
+        batch = pa.table({f"p{i}": [v] for i, v in enumerate(params)})
+        desc = _flight.FlightDescriptor.for_command(
+            fsql.command_prepared_statement_query(res["handle"])
+        )
+        writer, meta_reader = client.do_put(desc, batch.schema)
+        writer.write_table(batch)
+        writer.done_writing()
+        ack = meta_reader.read()
+        bound_handle = fsql.parse_do_put_prepared_statement_result(
+            bytes(ack.to_pybytes())
+        )
+        writer.close()
+
+        info = client.get_flight_info(
+            _flight.FlightDescriptor.for_command(
+                fsql.command_prepared_statement_query(bound_handle)
+            )
+        )
+        table = client.do_get(info.endpoints[0].ticket).read_all()
+        list(
+            client.do_action(
+                _flight.Action(
+                    "ClosePreparedStatement",
+                    fsql.action_close_prepared_statement_request(bound_handle),
+                )
+            )
+        )
+        return table
     finally:
         client.close()
 

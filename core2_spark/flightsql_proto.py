@@ -250,6 +250,21 @@ def command_prepared_statement_update(handle: bytes) -> bytes:
     return pack_any("CommandPreparedStatementUpdate", _ld(1, handle))
 
 
+def do_put_prepared_statement_result(handle: bytes) -> bytes:
+    """DoPutPreparedStatementResult (1: prepared_statement_handle) —
+    the app-metadata reply to binding parameters into a prepared
+    statement; a stateless server returns an UPDATED handle that
+    captures the bound values."""
+    return _ld(1, handle)
+
+
+def parse_do_put_prepared_statement_result(buf: bytes) -> bytes:
+    for field, wire, v in fields(buf):
+        if field == 1 and wire == 2:
+            return v
+    return b""
+
+
 def command_statement_update(query: str) -> bytes:
     """FlightSQL DML envelope (DoPut): field 1 = the SQL statement."""
     return pack_any("CommandStatementUpdate", _ld(1, query.encode()))

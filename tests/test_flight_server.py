@@ -297,3 +297,44 @@ def test_prepared_statement_proto_roundtrip():
     name, payload = fsql.unpack_any(close)
     assert name == "ActionClosePreparedStatementRequest"
     assert fsql.parse_prepared_statement_handle(payload) == b"abc"
+
+
+def test_parameterized_prepared_statement_binding(spark, engine):
+    """Round-5: the parameter-binding tier — DoPut a record batch of
+    values against CommandPreparedStatementQuery, get the bound
+    handle back in app metadata, execute it.  String escaping and
+    NULLs included."""
+    from core2_spark.flight_server import (
+        SqlFlightServer,
+        _bind_parameters,
+        prepare_bind_fetch,
+    )
+
+    # unit: placeholder substitution skips string literals, escapes
+    import pyarrow as pa
+
+    t = pa.table({"a": ["O'Brien"], "b": [42], "c": [None]})
+    bound = _bind_parameters(
+        "SELECT '?' AS lit, ? AS s, ? AS n, ? AS z FROM t", t
+    )
+    assert bound == "SELECT '?' AS lit, 'O''Brien' AS s, 42 AS n, NULL AS z FROM t"
+
+    v1 = spark.createDataFrame(
+        [(1, "AAPL", 100.0), (2, "MSFT", 200.0), (3, "GOOG", 300.0)],
+        "id long, sym string, px double",
+    )
+    engine.submit_tx([Put("trades", v1)], tx_time="2024-01-01 00:00:01")
+
+    server = SqlFlightServer(lambda sql: engine.db().sql(sql), engine=engine)
+    try:
+        loc = f"grpc://127.0.0.1:{server.port}"
+        out = prepare_bind_fetch(
+            loc, "SELECT sym, px FROM trades WHERE px > ? ORDER BY px", [150.0]
+        )
+        assert out.to_pydict() == {"sym": ["MSFT", "GOOG"], "px": [200.0, 300.0]}
+        out2 = prepare_bind_fetch(
+            loc, "SELECT id FROM trades WHERE sym = ?", ["AAPL"]
+        )
+        assert out2.to_pydict() == {"id": [1]}
+    finally:
+        server.shutdown()
