@@ -497,3 +497,31 @@ def test_engine_open_leaves_session_parquet_conf_alone(spark, engine):
     df = spark.createDataFrame([(1, "a")], "id long, v string")
     engine.submit_tx([Put("t", df)])
     assert spark.conf.get(key) == before
+
+
+def test_failed_tx_removes_tables_it_created(spark, engine):
+    """Rollback covers table creation: a failed transaction whose Put
+    targeted a brand-new table must remove the table directory, not
+    leave an empty/partial table visible to _all_tables."""
+    import os
+
+    from core2_spark.engine import Call
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    engine.submit_tx([Put("t", df)])
+
+    interloper = Engine(spark, ROOT)
+
+    def sabotage(_snap):
+        interloper.submit_tx([Put("t", df)])
+        return [
+            Put("brand_new", spark.createDataFrame([(7, "x")], "id long, v string"))
+        ]
+
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        engine.submit_tx([Call(sabotage)])
+
+    assert not os.path.exists(os.path.join(ROOT, "brand_new"))
+    fresh = Engine(spark, ROOT)
+    assert "brand_new" not in fresh._all_tables()
+    assert fresh.db().history("t").count() == 2
