@@ -619,6 +619,44 @@ class Engine:
         self._rewrite_atomic(path, rows)
         return target_files
 
+    def apply_changes(self, table: str, changes: DataFrame) -> None:
+        """Log-consumer ingest (the follower side of §3.3's CDC feed):
+        append the version rows of a ``Snapshot.changes`` feed —
+        produced by ANOTHER engine — into this engine's table,
+        verbatim, and advance the clock to the feed's newest
+        system time.  Because the feed carries the original
+        ``system_time_start``/app-time rectangles and within-tx
+        sequence, a replica that applies slices of the feed in log
+        order converges to the source's exact bitemporal state:
+        ``history()``/``table()``/as-of reads answer identically.
+
+        Idempotence note: re-applying an overlapping slice duplicates
+        version rows (version resolution tolerates exact duplicates
+        for current-state reads but history() would show them) — tail
+        with disjoint ``(since, until]`` windows, which is what
+        ``changes``' half-open interval is for."""
+        rows = (
+            changes.withColumn(
+                bt.TOMBSTONE, F.col("_change") == F.lit("delete")
+            )
+            .drop("_change")
+            .withColumn(bt.SYS_DAY, F.to_date(F.col(bt.SYS_START)))
+        )
+        path = self._table_path(table)
+        self._check_sole_writer()
+        with self._micros_timestamps():
+            rows.write.partitionBy(bt.SYS_DAY).option(
+                "mergeSchema", "true"
+            ).mode("append").parquet(path)
+        newest = rows.agg(F.max(bt.SYS_START)).collect()[0][0]
+        if newest is not None:
+            if newest.tzinfo is not None:
+                newest = newest.astimezone(timezone.utc).replace(tzinfo=None)
+            if self._last_tx_time is None or newest > self._last_tx_time:
+                self._last_tx_time = newest
+        if self._last_tx_time is not None:
+            self._persist_clock()
+
     # -- §4 materialized current state --------------------------------
     def compact(self, table: str) -> str:
         """Materialize the current-state view of ``table`` at the

@@ -525,3 +525,60 @@ def test_failed_tx_removes_tables_it_created(spark, engine):
     fresh = Engine(spark, ROOT)
     assert "brand_new" not in fresh._all_tables()
     assert fresh.db().history("t").count() == 2
+
+
+def test_replica_converges_by_applying_change_feed(spark):
+    """§3.3 log shipping: a replica engine that tails the source's
+    changes() feed in disjoint (since, until] slices converges to the
+    source's exact bitemporal state — current state, history, AND
+    as-of reads answer identically."""
+    src_root, dst_root = ROOT + "_cdc_src", ROOT + "_cdc_dst"
+    shutil.rmtree(src_root, ignore_errors=True)
+    shutil.rmtree(dst_root, ignore_errors=True)
+    src = Engine(spark, src_root)
+    dst = Engine(spark, dst_root)
+
+    src.submit_tx(
+        [Put("t", spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"))],
+        tx_time="2024-01-10 00:00:00",
+    )
+    src.submit_tx(
+        [Put("t", spark.createDataFrame([(1, "a2")], "id long, v string"))],
+        tx_time="2024-02-10 00:00:00",
+    )
+    src.submit_tx(
+        [Delete("t", spark.createDataFrame([(2,)], "id long"))],
+        tx_time="2024-03-10 00:00:00",
+    )
+
+    # two disjoint slices, applied in log order
+    feed = src.db()
+    dst.apply_changes(
+        "t", feed.changes("t", since="2024-01-01", until="2024-02-01")
+    )
+    dst.apply_changes(
+        "t", feed.changes("t", since="2024-02-01", until="2024-12-31")
+    )
+
+    s_db, d_db = src.db(), dst.db()
+    cur = lambda db: {(r["id"], r["v"]) for r in db.table("t").collect()}
+    assert cur(d_db) == cur(s_db) == {(1, "a2")}
+    hist = lambda db: {
+        (r["id"], r["v"], r["system_time_start"])
+        for r in db.history("t").collect()
+    }
+    assert hist(d_db) == hist(s_db)
+    asof = lambda db: {
+        (r["id"], r["v"])
+        for r in db.table(
+            "t", system_time="2024-02-15", app_time="2024-02-15"
+        ).collect()
+    }
+    assert asof(d_db) == asof(s_db) == {(1, "a2"), (2, "b")}
+    # the replica's clock advanced to the feed head: new local writes
+    # land strictly after the replicated history
+    b = dst.submit_tx(
+        [Put("t", spark.createDataFrame([(3, "c")], "id long, v string"))]
+    )
+    assert dst.db(b).table("t").count() == 2  # id 1 + new id 3
