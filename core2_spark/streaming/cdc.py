@@ -67,3 +67,39 @@ def changes_stream(
     )
     drop = [c for c in (bt.TOMBSTONE, bt.SYS_DAY) if c in schema.fieldNames()]
     return out.drop(*drop)
+
+
+def replicate_stream(
+    spark: SparkSession,
+    src_root: str,
+    table: str,
+    dst_engine,
+    checkpoint: str,
+    since: str | datetime | None = None,
+    available_now: bool = True,
+):
+    """Continuous replication: tail the source engine's change feed as
+    a stream and apply each micro-batch into a replica engine
+    (``Engine.apply_changes``) — §3.3's follower node as a
+    foreachBatch loop.  Version rows replicate VERBATIM (original
+    system/app-time rectangles, within-tx sequence), so the replica
+    converges to the source's exact bitemporal state; the stream's
+    checkpointed file offsets make delivery exactly-once across
+    restarts — the same contract as ``streaming.ingest`` but in the
+    opposite direction.  ``available_now=True`` drains the current
+    backlog and stops (the testing/batch-catch-up mode); False runs
+    until stopped."""
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dst_engine.apply_changes(table, batch_df)
+
+    stream = changes_stream(spark, src_root, table, since=since)
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
