@@ -34,6 +34,11 @@ class Basis:
     # values (e.g. `_sys_day=2024-06-01/`) when reading explicit leaf
     # files from a partitioned version table.
     roots: dict[str, str] = field(default_factory=dict)
+    # table → merged schema (StructType json string), maintained by
+    # the engine at write time; lets reads pass an explicit schema and
+    # skip the O(files) mergeSchema footer sweep at plan time.  Absent
+    # entry → mergeSchema fallback.
+    schemas: dict[str, str] = field(default_factory=dict)
 
     def read(
         self,
@@ -64,13 +69,23 @@ class Basis:
             # never prune to zero: keep one file so the schema (and an
             # empty result via the row-level predicates) still resolves
             files = pruned if pruned else files[:1]
-        # mergeSchema: version files may differ (e.g. tombstone rows
-        # carry no data columns) — union by name, absent fields NULL.
+        # Version files may differ (e.g. tombstone rows carry no data
+        # columns).  With the engine-maintained merged schema we read
+        # with an EXPLICIT schema — absent fields come back NULL and
+        # plan time does zero footer reads; without it (legacy roots,
+        # type conflicts) fall back to a mergeSchema footer sweep.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         from core2_spark.temporal import SYS_DAY, SYS_START
 
-        reader = spark.read.option("mergeSchema", "true")
+        cached = self.schemas.get(table)
+        if cached is not None:
+            import json as _json
+
+            reader = spark.read.schema(T.StructType.fromJson(_json.loads(cached)))
+        else:
+            reader = spark.read.option("mergeSchema", "true")
         root = self.roots.get(table)
         part = tuple(f for f in files if f"{os.sep}{SYS_DAY}=" in f)
         if root is None or not part:
@@ -131,13 +146,17 @@ def _list_parquet_files(path: str) -> tuple[str, ...]:
 
 
 def acquire_basis(
-    table_paths: dict[str, str], current_time: datetime | str
+    table_paths: dict[str, str],
+    current_time: datetime | str,
+    schemas: dict[str, str] | None = None,
 ) -> Basis:
     """Snapshot the current file sets of the given tables.
 
     ``current_time`` is the query clock: queries must use it instead of
     the wall clock (core2's determinism rule — LOCALTIMESTAMP is
-    basis-pinned, never `now()`).
+    basis-pinned, never `now()`).  ``schemas`` carries the engine's
+    merged-schema cache (table → StructType json) so basis reads skip
+    the mergeSchema footer sweep.
     """
     if isinstance(current_time, str):
         current_time = datetime.fromisoformat(current_time)
@@ -145,4 +164,5 @@ def acquire_basis(
         current_time=current_time,
         manifests={t: _list_parquet_files(p) for t, p in table_paths.items()},
         roots=dict(table_paths),
+        schemas=dict(schemas or {}),
     )

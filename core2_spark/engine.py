@@ -138,9 +138,57 @@ class Engine:
         # for the table, so it is opt-in).
         self._auto_compact_files = auto_compact_files
         self._compact_warned: set[str] = set()
+        # Merged-schema cache (100 TB planning cost): a mergeSchema
+        # read pays one footer read PER FILE at plan time on every
+        # query.  The engine sees every schema it writes, so it
+        # maintains the merged schema per table in _log.json; reads
+        # then pass an explicit schema and skip the footer sweep.
+        # A same-name/different-type conflict invalidates the table's
+        # cache permanently (value None → mergeSchema fallback), and
+        # legacy roots the engine didn't write start untracked.
+        self._table_schemas: dict[str, str | None] = {}
         os.makedirs(root, exist_ok=True)
         self._recover_rewrites()
         self._recover_clock()
+
+    def _merge_schema_cache(self, table: str, schema) -> None:
+        """Fold a just-written DataFrame schema (minus the partition
+        column) into the table's cached merged schema.  New fields
+        append; a dtype conflict invalidates the cache (None) —
+        conflicts are what mergeSchema exists for.  All cached fields
+        are nullable: older files may lack any of them."""
+        from pyspark.sql import types as T
+
+        cur = self._table_schemas.get(table, "ABSENT")
+        if cur is None:
+            return
+        if cur == "ABSENT":
+            # first sighting: only trust it if the engine is creating
+            # the table now — an existing dir may hold fields this
+            # engine never saw
+            if os.path.isdir(self._table_path(table)) and any(
+                True for _ in _walk_all_files(self._table_path(table))
+            ):
+                self._table_schemas[table] = None
+                return
+            fields: list = []
+        else:
+            fields = list(T.StructType.fromJson(json.loads(cur)).fields)
+        by_name = {f.name: i for i, f in enumerate(fields)}
+        for f in schema.fields:
+            nf = T.StructField(f.name, f.dataType, True)
+            i = by_name.get(f.name)
+            if i is None:
+                fields.append(nf)
+            elif fields[i].dataType != f.dataType:
+                self._table_schemas[table] = None
+                return
+        self._table_schemas[table] = json.dumps(
+            T.StructType(fields).jsonValue()
+        )
+
+    def _basis_schemas(self) -> dict[str, str]:
+        return {t: s for t, s in self._table_schemas.items() if s}
 
     def _micros_timestamps(self):
         """Scoped writer conf: version tables must carry parquet
@@ -223,6 +271,11 @@ class Engine:
             meta = json.loads(raw)
             self._last_tx_time = datetime.fromisoformat(meta["last_tx_time"])
             self._tx_counter = int(meta.get("tx_counter", 0))
+            # merged-schema cache: {table: schema json string | None};
+            # None = permanently invalidated (type conflict), absent =
+            # never tracked (legacy root) — both fall back to a
+            # mergeSchema read
+            self._table_schemas = dict(meta.get("schemas", {}))
             self._persisted_clock = raw
             return
         import pyarrow.compute as pa_compute
@@ -284,6 +337,7 @@ class Engine:
             {
                 "last_tx_time": self._last_tx_time.isoformat(),
                 "tx_counter": self._tx_counter,
+                "schemas": self._table_schemas,
             }
         )
         tmp = os.path.join(self.root, "_log.json.tmp")
@@ -396,7 +450,7 @@ class Engine:
                 if pre_snapshot is None:
                     # basis clock pinned to tx time, never the wall
                     # clock — tx-fns must replay identically
-                    pre_snapshot = Snapshot(self, acquire_basis(self._all_tables(), t))
+                    pre_snapshot = Snapshot(self, acquire_basis(self._all_tables(), t, self._basis_schemas()))
                 expanded.extend(op.fn(pre_snapshot))
             else:
                 expanded.append(op)
@@ -412,6 +466,7 @@ class Engine:
         pre_files: dict[str, set[str]] = {}
         deferred_old: list[tuple[str, str]] = []
         touched: set[str] = set()
+        prev_schemas = dict(self._table_schemas)
         try:
             for seq, op in enumerate(ops):
                 path = self._table_path(op.table)
@@ -424,25 +479,34 @@ class Engine:
                 # temporal.sys_day_predicate) — the 100 TB requirement that
                 # a current-state read not scan years of history.
                 if isinstance(op, Put):
-                    with self._micros_timestamps():
+                    rows = (
                         bt.put(
                             op.rows, tx_time=t, app_start=op.app_start, app_end=op.app_end
-                        ).withColumn(bt.TOMBSTONE, F.lit(False)).withColumn(
-                            bt.TX_SEQ, F.lit(seq)
-                        ).withColumn(
-                            bt.SYS_DAY, F.to_date(F.col(bt.SYS_START))
-                        ).write.partitionBy(bt.SYS_DAY).option(
+                        )
+                        .withColumn(bt.TOMBSTONE, F.lit(False))
+                        .withColumn(bt.TX_SEQ, F.lit(seq))
+                        .withColumn(bt.SYS_DAY, F.to_date(F.col(bt.SYS_START)))
+                    )
+                    self._merge_schema_cache(
+                        op.table, rows.drop(bt.SYS_DAY).schema
+                    )
+                    with self._micros_timestamps():
+                        rows.write.partitionBy(bt.SYS_DAY).option(
                             "mergeSchema", "true"
                         ).mode("append").parquet(path)
                 elif isinstance(op, Delete):
-                    with self._micros_timestamps():
+                    rows = (
                         bt.delete_tombstone(
                             op.ids, op.id_col, t, op.app_start, op.app_end
-                        ).withColumn(
-                            bt.TX_SEQ, F.lit(seq)
-                        ).withColumn(
-                            bt.SYS_DAY, F.to_date(F.col(bt.SYS_START))
-                        ).write.partitionBy(bt.SYS_DAY).option(
+                        )
+                        .withColumn(bt.TX_SEQ, F.lit(seq))
+                        .withColumn(bt.SYS_DAY, F.to_date(F.col(bt.SYS_START)))
+                    )
+                    self._merge_schema_cache(
+                        op.table, rows.drop(bt.SYS_DAY).schema
+                    )
+                    with self._micros_timestamps():
+                        rows.write.partitionBy(bt.SYS_DAY).option(
                             "mergeSchema", "true"
                         ).mode("append").parquet(path)
                 elif isinstance(op, Erase):
@@ -462,11 +526,12 @@ class Engine:
         except BaseException:
             self._rollback(pre_tables, pre_files, deferred_old)
             self._tx_counter, self._last_tx_time = prev_counter, prev_time
+            self._table_schemas = prev_schemas
             raise
         for _path, old in deferred_old:
             shutil.rmtree(old, ignore_errors=True)
         self._maybe_auto_compact(touched)
-        return acquire_basis(self._all_tables(), t)
+        return acquire_basis(self._all_tables(), t, self._basis_schemas())
 
     def _rollback(
         self,
@@ -644,6 +709,7 @@ class Engine:
         )
         path = self._table_path(table)
         self._check_sole_writer()
+        self._merge_schema_cache(table, rows.drop(bt.SYS_DAY).schema)
         with self._micros_timestamps():
             rows.write.partitionBy(bt.SYS_DAY).option(
                 "mergeSchema", "true"
@@ -700,7 +766,9 @@ class Engine:
         explicitly-timed transaction and read an empty state)."""
         if basis is None:
             basis = acquire_basis(
-                self._all_tables(), self._last_tx_time or self._epoch
+                self._all_tables(),
+                self._last_tx_time or self._epoch,
+                self._basis_schemas(),
             )
         return Snapshot(self, basis)
 

@@ -582,3 +582,84 @@ def test_replica_converges_by_applying_change_feed(spark):
         [Put("t", spark.createDataFrame([(3, "c")], "id long, v string"))]
     )
     assert dst.db(b).table("t").count() == 2  # id 1 + new id 3
+
+
+def test_schema_cache_serves_evolved_tables_without_footer_sweep(spark):
+    """Round-5 merged-schema cache: the engine folds every written
+    schema into _log.json, so basis reads pass an explicit schema
+    (absent fields NULL) instead of a per-file mergeSchema footer
+    sweep.  Schema evolution, tombstones (narrow schema), re-open from
+    disk, and rollback of the cache on a failed tx all behave."""
+    import json as _json
+    import os
+
+    root = ROOT + "_schemas"
+    shutil.rmtree(root, ignore_errors=True)
+    eng = Engine(spark, root)
+    eng.submit_tx([Put("t", spark.createDataFrame([(1, "a")], "id long, v string"))])
+    eng.submit_tx(
+        [Put("t", spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, v string, extra double"))]
+    )
+    eng.submit_tx([Delete("t", spark.createDataFrame([(1,)], "id long"))])
+
+    # the cache is populated and persisted
+    with open(os.path.join(root, "_log.json")) as f:
+        meta = _json.load(f)
+    assert "t" in meta["schemas"] and meta["schemas"]["t"] is not None
+    cached_fields = {
+        f["name"] for f in _json.loads(meta["schemas"]["t"])["fields"]
+    }
+    assert {"id", "v", "extra", "app_time_start", "_tombstone"} <= cached_fields
+
+    db = eng.db()
+    assert db.basis.schemas.get("t") is not None
+    hist = {(r["id"], r["v"], r["extra"]) for r in
+            db.history("t").select("id", "v", "extra").collect()}
+    assert (1, "a", None) in hist and (2, "b", 9.5) in hist
+    assert {(r["id"], r["extra"]) for r in db.table("t").collect()} == {(2, 9.5)}
+
+    # a re-opened engine reads the cache back from disk
+    eng2 = Engine(spark, root)
+    assert eng2.db().basis.schemas.get("t") is not None
+    assert eng2.db().table("t").count() == 1
+
+    # failed transactions roll the cache back with everything else
+    from core2_spark.engine import Call
+
+    interloper = Engine(spark, root)
+
+    def sabotage(_snap):
+        interloper.submit_tx(
+            [Put("t", spark.createDataFrame([(3, "c")], "id long, v string"))]
+        )
+        return [
+            Put("t", spark.createDataFrame(
+                [(4, "d", True)], "id long, v string, phantom_col boolean"))
+        ]
+
+    before = dict(eng2._table_schemas)
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        eng2.submit_tx([Call(sabotage)])
+    assert eng2._table_schemas == before
+    assert "phantom_col" not in _json.dumps(eng2._table_schemas)
+
+    # legacy roots the engine didn't create stay untracked → fallback
+    legacy = ROOT + "_schemas_legacy"
+    shutil.rmtree(legacy, ignore_errors=True)
+    os.makedirs(os.path.join(legacy, "old_table"))
+    from core2_spark import temporal as bt2
+    from pyspark.sql import functions as F2
+
+    bt2.put(
+        spark.createDataFrame([(1, "x")], "id long, v string"),
+        tx_time="2024-01-01",
+    ).withColumn(bt2.TOMBSTONE, F2.lit(False)).withColumn(
+        bt2.TX_SEQ, F2.lit(0)
+    ).write.mode("append").parquet(os.path.join(legacy, "old_table"))
+    leg = Engine(spark, legacy)
+    leg.submit_tx(
+        [Put("old_table", spark.createDataFrame([(2, "y")], "id long, v string"))]
+    )
+    assert leg._table_schemas.get("old_table") is None  # invalidated
+    assert leg.db().history("old_table").count() == 2  # mergeSchema path
