@@ -663,3 +663,114 @@ def test_schema_cache_serves_evolved_tables_without_footer_sweep(spark):
     )
     assert leg._table_schemas.get("old_table") is None  # invalidated
     assert leg.db().history("old_table").count() == 2  # mergeSchema path
+
+
+def test_randomized_transaction_sequence_differential(spark):
+    """Hardening for the round-5 write-path machinery (rollback,
+    schema cache, manifest pruning, deferred Erase cleanup): a fixed-
+    seed random sequence of transactions — multi-op Puts (with schema
+    evolution), Deletes, Erases, and injected FAILING transactions —
+    must leave the engine in exactly the state of a clean engine that
+    replays only the successful transactions.  Compared on history,
+    current state, an as-of read, and the persisted schema cache."""
+    import random
+
+    from core2_spark.engine import Call
+
+    rng = random.Random(20240814)
+    root_a = ROOT + "_fuzz_a"
+    root_b = ROOT + "_fuzz_b"
+    shutil.rmtree(root_a, ignore_errors=True)
+    shutil.rmtree(root_b, ignore_errors=True)
+    a = Engine(spark, root_a)
+    b = Engine(spark, root_b)
+
+    def mk_rows(ids, with_extra):
+        if with_extra:
+            return spark.createDataFrame(
+                [(i, f"v{i}", float(i)) for i in ids],
+                "id long, v string, extra double",
+            )
+        return spark.createDataFrame([(i, f"v{i}") for i in ids], "id long, v string")
+
+    committed = []  # (ops-recipe, tx_time) replayed on b afterwards
+    t = 0
+    for step in range(10):
+        t += 1
+        tx_time = f"2024-0{1 + t // 28}-{1 + t % 28:02d} 00:00:00"
+        recipe = []
+        for _ in range(rng.randint(1, 3)):
+            kind = rng.choice(["put", "put", "delete", "erase"])
+            ids = rng.sample(range(8), rng.randint(1, 3))
+            recipe.append((kind, ids, rng.random() < 0.3))
+
+        def build(engine_obj):
+            ops = []
+            for kind, ids, extra in recipe:
+                if kind == "put":
+                    ops.append(Put("t", mk_rows(ids, extra)))
+                elif kind == "delete":
+                    ops.append(
+                        Delete("t", spark.createDataFrame([(i,) for i in ids], "id long"))
+                    )
+                else:
+                    ops.append(
+                        Erase("t", spark.createDataFrame([(i,) for i in ids], "id long"))
+                    )
+            return ops
+
+        fail = step in (3, 6, 8)  # deterministic failure injection
+        if fail:
+            interloper = Engine(spark, root_a)
+
+            def sabotage(_snap, _ops=build(a)):
+                interloper.submit_tx(
+                    [Put("noise", mk_rows([99], False))], tx_time=tx_time
+                )
+                return _ops
+
+            with pytest.raises(RuntimeError, match="concurrent writer"):
+                a.submit_tx([Call(sabotage)])
+            a.refresh()
+            committed.append(("noise_put", tx_time))
+        else:
+            a.submit_tx(build(a), tx_time=tx_time)
+            committed.append((recipe, tx_time))
+
+    # clean replay of only the successful transactions
+    for recipe, tx_time in committed:
+        if recipe == "noise_put":
+            b.submit_tx([Put("noise", mk_rows([99], False))], tx_time=tx_time)
+        else:
+            ops = []
+            for kind, ids, extra in recipe:
+                if kind == "put":
+                    ops.append(Put("t", mk_rows(ids, extra)))
+                elif kind == "delete":
+                    ops.append(
+                        Delete("t", spark.createDataFrame([(i,) for i in ids], "id long"))
+                    )
+                else:
+                    ops.append(
+                        Erase("t", spark.createDataFrame([(i,) for i in ids], "id long"))
+                    )
+            b.submit_tx(ops, tx_time=tx_time)
+
+    da, db_ = a.db(), b.db()
+    key = lambda df: sorted(
+        (r["id"], str(r["v"]), str(r["system_time_start"]), str(r["_tombstone"]))
+        for r in df.collect()
+    )
+    assert key(
+        da.history("t").select("id", "v", "system_time_start", "_tombstone")
+    ) == key(
+        db_.history("t").select("id", "v", "system_time_start", "_tombstone")
+    )
+    cur = lambda db: sorted((r["id"], r["v"]) for r in db.table("t").collect())
+    assert cur(da) == cur(db_)
+    asof = lambda db: sorted(
+        (r["id"], r["v"])
+        for r in db.table("t", system_time="2024-01-06", app_time="2024-01-06").collect()
+    )
+    assert asof(da) == asof(db_)
+    assert a._table_schemas == b._table_schemas
