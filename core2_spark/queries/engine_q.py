@@ -316,3 +316,70 @@ def engine_dml_delete_portion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT id, name FROM nations", app_time="2024-07-01 00:00:00"
     ).withColumn("probe", F.lit("jul"))
     return apr.unionByName(jul).select("probe", "id", "name").orderBy("probe", "id")
+
+
+@query(
+    "engine_replica_cdc_roundtrip",
+    oracle="""
+    SELECT n_nationkey AS id,
+           CASE WHEN n_nationkey % 3 = 0 THEN n_name || '_v2' ELSE n_name END
+               AS name,
+           CAST(CASE WHEN n_nationkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+               AS n_versions
+    FROM nation
+    WHERE n_nationkey % 5 <> 0
+    ORDER BY id
+    """,
+)
+def engine_replica_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 log shipping, driver-gated: a SOURCE engine ingests puts,
+    an update and a delete; a REPLICA engine applies the source's
+    ``changes()`` feed in two disjoint (since, until] slices
+    (``Engine.apply_changes`` — the follower side of the CDC
+    boundary).  The answer is read from the REPLICA: current state
+    joined with per-id version counts from its replicated history, so
+    both the visible state and the full bitemporal log must have
+    shipped faithfully for the oracle to match."""
+    from core2_spark.engine import Delete, Engine, Put
+
+    nation = _nation_rows(spark, sf_dir)
+    src = Engine(spark, tempfile.mkdtemp(prefix="engine_q_cdc_src_"))
+    dst = Engine(spark, tempfile.mkdtemp(prefix="engine_q_cdc_dst_"))
+    src.submit_tx([Put("nations", nation)], tx_time="2024-01-01 00:00:01")
+    src.submit_tx(
+        [
+            Put(
+                "nations",
+                nation.filter(F.col("id") % 3 == 0).withColumn(
+                    "name", F.concat(F.col("name"), F.lit("_v2"))
+                ),
+            )
+        ],
+        tx_time="2024-01-01 00:00:02",
+    )
+    src.submit_tx(
+        [Delete("nations", nation.filter(F.col("id") % 5 == 0).select("id"))],
+        tx_time="2024-01-01 00:00:03",
+    )
+
+    feed = src.db()
+    dst.apply_changes(
+        "nations",
+        feed.changes(
+            "nations", since="2023-12-31", until="2024-01-01 00:00:01"
+        ),
+    )
+    dst.apply_changes(
+        "nations", feed.changes("nations", since="2024-01-01 00:00:01")
+    )
+
+    db = dst.db()
+    versions = (
+        db.history("nations").groupBy("id").agg(F.count("*").alias("n_versions"))
+    )
+    return (
+        db.table("nations")
+        .join(versions, "id")
+        .select("id", "name", "n_versions")
+        .orderBy("id")
+    )

@@ -112,6 +112,9 @@ _PRIORITY: list[str] = [
     "stream_structured_tumbling",
     "stream_kafka_log_transport",
     "stream_cdc_log_tail",
+    # New in round 5 (never driver-checked by definition): the CDC
+    # replica round-trip through apply_changes.
+    "engine_replica_cdc_roundtrip",
     # Previously driver-verified queries (r1-r4 green) follow.
     "tpch_q5_region_revenue",
     "dedup_minhash_lsh",
