@@ -13,7 +13,11 @@ One read surface, two encodings:
   → the statements run as ONE engine transaction via
   ``Engine.sql_dml_many`` (requires an attached engine); response
   carries the committed transaction time;
-- ``GET /tables`` → the table catalog (requires an attached engine).
+- ``GET /tables`` → the table catalog (requires an attached engine);
+- ``GET /changes?table=t&since=...[&until=...]`` → the CDC feed
+  (``Snapshot.changes``) for that window, Arrow IPC or JSON by
+  ``Accept`` — an HTTP consumer can tail the transaction log with
+  nothing but a cursor over its last-seen system time.
 
 Like the Flight server, HTTP is a RESULT boundary: the
 ``max_result_rows`` guard refuses to materialize unreduced scans on
@@ -84,7 +88,12 @@ class SqlHttpServer:
                 self._send(code, json.dumps({"error": message}).encode(), "application/json")
 
             def do_GET(self):
-                if self.path != "/tables":
+                from urllib.parse import parse_qs, urlparse
+
+                parsed = urlparse(self.path)
+                if parsed.path == "/changes":
+                    return self._do_changes(parse_qs(parsed.query))
+                if parsed.path != "/tables":
                     return self._error(404, f"no route {self.path}")
                 if outer._engine is None:
                     return self._error(400, "no engine attached")
@@ -92,6 +101,29 @@ class SqlHttpServer:
                     {"tables": sorted(outer._engine._all_tables())}
                 ).encode()
                 self._send(200, body, "application/json")
+
+            def _do_changes(self, params: dict) -> None:
+                if outer._engine is None:
+                    return self._error(400, "no engine attached")
+                try:
+                    table = params["table"][0]
+                    since = params["since"][0]
+                except (KeyError, IndexError):
+                    return self._error(
+                        400, "required query params: table, since (until optional)"
+                    )
+                until = params.get("until", [None])[0]
+                try:
+                    feed = outer._engine.db().changes(
+                        table, since=since, until=until
+                    )
+                    result = df_to_arrow(feed, outer._max_result_rows)
+                except Exception as exc:
+                    return self._error(400, str(exc) or repr(exc))
+                if ARROW_MIME in self.headers.get("Accept", ""):
+                    self._send(200, _table_to_ipc(result), ARROW_MIME)
+                else:
+                    self._send(200, _table_to_json(result), "application/json")
 
             def do_POST(self):
                 if self.path == "/tx":

@@ -127,3 +127,54 @@ def test_http_tx_dml_endpoint(spark, engine):
         assert err.value.code == 400
     finally:
         server.shutdown()
+
+
+def test_http_changes_feed(spark, engine):
+    """GET /changes tails the CDC feed over HTTP: an Arrow-speaking
+    consumer fetches the (since, until] window with ordering columns,
+    and a JSON client gets the same rows."""
+    import json as _json
+    import urllib.request
+
+    import pyarrow as pa
+
+    from core2_spark.http_server import ARROW_MIME, SqlHttpServer
+
+    engine.submit_tx(
+        [Put("trades", spark.createDataFrame(
+            [(1, "AAPL"), (2, "MSFT")], "id long, sym string"))],
+        tx_time="2024-01-10 00:00:00",
+    )
+    engine.submit_tx(
+        [Put("trades", spark.createDataFrame([(1, "AAPL2")], "id long, sym string"))],
+        tx_time="2024-02-10 00:00:00",
+    )
+
+    server = SqlHttpServer(lambda sql: engine.db().sql(sql), engine=engine)
+    try:
+        url = (
+            f"http://127.0.0.1:{server.port}/changes"
+            "?table=trades&since=2024-02-01T00:00:00"
+        )
+        req = urllib.request.Request(url, headers={"Accept": ARROW_MIME})
+        with urllib.request.urlopen(req) as resp:
+            feed = pa.ipc.open_stream(resp.read()).read_all()
+        assert feed.num_rows == 1
+        row = feed.to_pylist()[0]
+        assert row["sym"] == "AAPL2" and row["_change"] == "put"
+        assert "system_time_start" in feed.column_names
+        assert "_tx_seq" in feed.column_names
+
+        with urllib.request.urlopen(url.replace("2024-02", "2024-01")) as resp:
+            js = _json.loads(resp.read())
+        assert len(js["rows"]) == 3  # both transactions
+
+        # missing params → 400 with a helpful message
+        bad = f"http://127.0.0.1:{server.port}/changes?table=trades"
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
