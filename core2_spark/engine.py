@@ -118,6 +118,7 @@ class Engine:
         root: str,
         epoch: str = "2024-01-01",
         auto_compact_files: int | None = None,
+        bloom_filter_columns: tuple[str, ...] = (),
     ):
         self.spark = spark
         self.root = root
@@ -147,9 +148,26 @@ class Engine:
         # cache permanently (value None → mergeSchema fallback), and
         # legacy roots the engine didn't write start untracked.
         self._table_schemas: dict[str, str | None] = {}
+        # Per-block bloom filters (SURVEY §4: core2 keeps a bloom per
+        # column/block in its metadata files [upstream: bloom.clj];
+        # the Parquet analogue is a writer option, not code).  Opt-in
+        # per column: a bloom costs up to ~1 MB per column chunk —
+        # proportionate on 128 MB scale files where it lets point
+        # lookups (id = X) skip whole row groups, pure overhead on
+        # tiny local files.
+        self._bloom_columns = tuple(bloom_filter_columns)
         os.makedirs(root, exist_ok=True)
         self._recover_rewrites()
         self._recover_clock()
+
+    def _writer(self, df: DataFrame):
+        """Engine parquet writer with the standing options applied
+        (bloom filters for the configured point-lookup columns)."""
+        w = df.write
+        for c in self._bloom_columns:
+            if c in df.columns:
+                w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        return w
 
     def _merge_schema_cache(self, table: str, schema) -> None:
         """Fold a just-written DataFrame schema (minus the partition
@@ -388,7 +406,7 @@ class Engine:
             os.rename(old, path)
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
-        writer = df.write
+        writer = self._writer(df)
         if bt.SYS_DAY in df.columns:
             # preserve the day-partitioned layout across rewrites
             writer = writer.partitionBy(bt.SYS_DAY)
@@ -491,7 +509,7 @@ class Engine:
                         op.table, rows.drop(bt.SYS_DAY).schema
                     )
                     with self._micros_timestamps():
-                        rows.write.partitionBy(bt.SYS_DAY).option(
+                        self._writer(rows).partitionBy(bt.SYS_DAY).option(
                             "mergeSchema", "true"
                         ).mode("append").parquet(path)
                 elif isinstance(op, Delete):
@@ -506,7 +524,7 @@ class Engine:
                         op.table, rows.drop(bt.SYS_DAY).schema
                     )
                     with self._micros_timestamps():
-                        rows.write.partitionBy(bt.SYS_DAY).option(
+                        self._writer(rows).partitionBy(bt.SYS_DAY).option(
                             "mergeSchema", "true"
                         ).mode("append").parquet(path)
                 elif isinstance(op, Erase):
@@ -711,7 +729,7 @@ class Engine:
         self._check_sole_writer()
         self._merge_schema_cache(table, rows.drop(bt.SYS_DAY).schema)
         with self._micros_timestamps():
-            rows.write.partitionBy(bt.SYS_DAY).option(
+            self._writer(rows).partitionBy(bt.SYS_DAY).option(
                 "mergeSchema", "true"
             ).mode("append").parquet(path)
         newest = rows.agg(F.max(bt.SYS_START)).collect()[0][0]

@@ -42,16 +42,26 @@ from pyspark.sql import DataFrame
 
 from core2_spark.flight_server import df_to_arrow
 
-# PostgreSQL type OIDs for the text-format encoding of Spark types.
+# PostgreSQL type OIDs for the text-format encoding of Spark types —
+# keyed by BOTH Spark simpleString names (bigint, double) and Arrow
+# type names (int64, float64, bool), since row descriptions are built
+# from whichever schema is at hand.
 _OID = {
     "boolean": 16,
+    "bool": 16,
     "bigint": 20,
+    "int64": 20,
     "smallint": 21,
+    "int16": 21,
     "int": 23,
     "integer": 23,
+    "int32": 23,
     "double": 701,
+    "float64": 701,
     "float": 700,
+    "float32": 700,
     "date": 1082,
+    "date32": 1082,
     "timestamp": 1114,
     "timestamp_ntz": 1114,
     "string": 25,
@@ -60,7 +70,7 @@ _TEXT_OID = 25
 
 
 def _spark_type_oid(simple: str) -> int:
-    base = simple.split("(")[0]
+    base = simple.split("(")[0].split("[")[0]
     return _OID.get(base, _TEXT_OID)
 
 
@@ -133,22 +143,30 @@ class PgWireServer:
                     self._error(f"unsupported protocol code {code}")
                     return False
 
-            def _row_description(self, table) -> bytes:
+            def _row_description_raw(self, names_types) -> bytes:
                 fields = b"".join(
                     _cstr(name)
                     + struct.pack(
                         "!IhIhih",
                         0,  # table oid
                         0,  # attnum
-                        _spark_type_oid(str(table.schema.field(name).type)),
+                        _spark_type_oid(type_str),
                         -1,  # typlen (varlena)
                         -1,  # typmod
                         0,  # text format
                     )
-                    for name in table.column_names
+                    for name, type_str in names_types
                 )
                 return _msg(
-                    b"T", struct.pack("!h", table.num_columns) + fields
+                    b"T", struct.pack("!h", len(names_types)) + fields
+                )
+
+            def _row_description(self, table) -> bytes:
+                return self._row_description_raw(
+                    [
+                        (name, str(table.schema.field(name).type))
+                        for name in table.column_names
+                    ]
                 )
 
             def _send_data_rows(self, table) -> None:
@@ -248,8 +266,18 @@ class PgWireServer:
                         if not sql:
                             self._send(_msg(b"n", b""))  # NoData
                         else:
-                            table = df_to_arrow(outer_executor(sql), outer_max)
-                            self._send(self._row_description(table))
+                            # ANALYSIS ONLY: Describe must not execute
+                            # the query — Spark's analyzed schema gives
+                            # the row description for free
+                            df = outer_executor(sql)
+                            self._send(
+                                self._row_description_raw(
+                                    [
+                                        (f.name, f.dataType.simpleString())
+                                        for f in df.schema.fields
+                                    ]
+                                )
+                            )
                         return
                     portal = self._portals.get(name)
                     if portal is None:

@@ -169,6 +169,9 @@ class ExtendedPgClient(MiniPgClient):
     def describe_portal(self, portal: str) -> None:
         self._send_msg(b"D", b"P" + self._cstr(portal))
 
+    def describe_statement(self, stmt: str) -> None:
+        self._send_msg(b"D", b"S" + self._cstr(stmt))
+
     def execute(self, portal: str, max_rows: int = 0) -> None:
         self._send_msg(b"E", self._cstr(portal) + struct.pack("!i", max_rows))
 
@@ -236,6 +239,15 @@ def test_pgwire_extended_query_protocol(spark, engine):
         assert tags[:2] == [b"1", b"2"]  # ParseComplete, BindComplete
         assert cols == ["sym", "px"]
         assert rows == [["GOOG", "300.0"], ["MSFT", "200.0"], ["AAPL", "100.0"]]
+
+        # Describe(statement): ParameterDescription + RowDescription
+        # from the ANALYZED schema — no execution
+        client.parse("shape", "SELECT id, sym FROM trades")
+        client.describe_statement("shape")
+        tags, cols, rows, err = client.sync_and_collect()
+        assert err is None and rows == []
+        assert b"t" in tags and b"T" in tags  # ParamDesc + RowDesc
+        assert cols == ["id", "sym"]
 
         # named statement, text parameter bound as a literal, reused
         client.parse("by_sym", "SELECT px FROM trades WHERE sym = $1")
