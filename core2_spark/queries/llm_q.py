@@ -1147,3 +1147,154 @@ def knn_ivf_partitioned_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     similarity.write_ivf_partitioned(e, path, cents)
     return similarity.ivf_knn_partitioned(spark, path, qv, cents, k=10, nprobe=4)
+
+
+def _pii_augmented_text():
+    """Deterministic PII injection (both engines build the IDENTICAL
+    string): the fixture corpus is synthetic prose with no reliable
+    PII, so the detector queries plant emails / phone numbers / IPv4
+    addresses derived from doc_id — guaranteed-present matches make
+    the regex machinery itself the thing under test."""
+    base = F.col("text")
+    return (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                base,
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or admin@test.org"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(base, F.lit(" call 555-123-4567 or 555-987-6543")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                base,
+                F.lit(" from host 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".25"),
+            ),
+        )
+        .otherwise(base)
+    )
+
+
+_PII_AUG_SQL = """
+    CASE doc_id % 4
+      WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or admin@test.org'
+      WHEN 1 THEN text || ' call 555-123-4567 or 555-987-6543'
+      WHEN 2 THEN text || ' from host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.25'
+      ELSE text
+    END
+"""
+
+# regexes chosen for identical semantics in Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition and \b only —
+# no lookaround (RE2 has none)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "curation_pii_detect",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all({_PII_AUG_SQL}, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all({_PII_AUG_SQL}, '{_PII_PHONE}')) AS BIGINT)
+               AS n_phones,
+           CAST(len(regexp_extract_all({_PII_AUG_SQL}, '{_PII_IPV4}')) AS BIGINT)
+               AS n_ips,
+           (len(regexp_extract_all({_PII_AUG_SQL}, '{_PII_EMAIL}')) > 0
+            OR len(regexp_extract_all({_PII_AUG_SQL}, '{_PII_PHONE}')) > 0
+            OR len(regexp_extract_all({_PII_AUG_SQL}, '{_PII_IPV4}')) > 0)
+               AS has_pii
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def curation_pii_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection — the curation gate every large-scale training
+    pipeline runs before release: per-document counts of emails,
+    phone numbers and IPv4 addresses plus a has_pii flag, all via
+    built-in regexp_extract_all (JVM-side, whole-stage codegen; no
+    UDFs), so one projection pass over the corpus scales linearly."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    aug = _pii_augmented_text()
+    n = lambda r: F.size(F.regexp_extract_all(aug, F.lit(r), 0)).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            n(_PII_EMAIL).alias("n_emails"),
+            n(_PII_PHONE).alias("n_phones"),
+            n(_PII_IPV4).alias("n_ips"),
+        )
+        .withColumn(
+            "has_pii",
+            (F.col("n_emails") > 0) | (F.col("n_phones") > 0) | (F.col("n_ips") > 0),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "curation_pii_redact",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents),
+    red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g') AS redacted,
+             t
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(len(t) - len(redacted) AS BIGINT) AS chars_removed,
+           md5(redacted) AS redacted_md5
+    FROM red
+    WHERE redacted <> t
+    ORDER BY doc_id
+    """,
+)
+def curation_pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: replace detected emails/phones/IPs with typed
+    placeholder tags and emit (doc_id, chars_removed, md5 of the
+    redacted text) for every document that changed — the md5 makes
+    the two engines agree on every redacted BYTE, not just counts.
+    Chained built-in regexp_replace; linear scan, no shuffle until
+    the final order."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    aug = _pii_augmented_text()
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IPV4,
+        "<IP>",
+    )
+    return (
+        d.select(
+            "doc_id",
+            aug.alias("t"),
+            redacted.alias("redacted"),
+        )
+        .filter(F.col("redacted") != F.col("t"))
+        .select(
+            "doc_id",
+            (F.length("t") - F.length("redacted")).cast("long").alias("chars_removed"),
+            F.md5(F.col("redacted")).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )

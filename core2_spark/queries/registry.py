@@ -115,6 +115,7 @@ _PRIORITY: list[str] = [
     # New in round 5 (never driver-checked by definition): the CDC
     # replica round-trip through apply_changes.
     "engine_replica_cdc_roundtrip",
+    "curation_pii_redact",
     # Previously driver-verified queries (r1-r4 green) follow.
     "tpch_q5_region_revenue",
     "dedup_minhash_lsh",
