@@ -156,6 +156,12 @@ class Engine:
         # lookups (id = X) skip whole row groups, pure overhead on
         # tiny local files.
         self._bloom_columns = tuple(bloom_filter_columns)
+        # Tables that ever received an app-time-BOUNDED op (explicit
+        # app_start/app_end on Put/Delete, incl. SQL portion ops).
+        # For such tables current state can change WITHOUT new
+        # versions (a bounded period expires as the clock advances),
+        # so the stale-compact merge-on-read fast path must not apply.
+        self._app_bounded: set[str] = set()
         os.makedirs(root, exist_ok=True)
         self._recover_rewrites()
         self._recover_clock()
@@ -294,6 +300,7 @@ class Engine:
             # never tracked (legacy root) — both fall back to a
             # mergeSchema read
             self._table_schemas = dict(meta.get("schemas", {}))
+            self._app_bounded = set(meta.get("app_bounded", []))
             self._persisted_clock = raw
             return
         import pyarrow.compute as pa_compute
@@ -356,6 +363,7 @@ class Engine:
                 "last_tx_time": self._last_tx_time.isoformat(),
                 "tx_counter": self._tx_counter,
                 "schemas": self._table_schemas,
+                "app_bounded": sorted(self._app_bounded),
             }
         )
         tmp = os.path.join(self.root, "_log.json.tmp")
@@ -485,6 +493,7 @@ class Engine:
         deferred_old: list[tuple[str, str]] = []
         touched: set[str] = set()
         prev_schemas = dict(self._table_schemas)
+        prev_app_bounded = set(self._app_bounded)
         try:
             for seq, op in enumerate(ops):
                 path = self._table_path(op.table)
@@ -496,6 +505,10 @@ class Engine:
                 # reads prune whole files (PartitionFilters, see
                 # temporal.sys_day_predicate) — the 100 TB requirement that
                 # a current-state read not scan years of history.
+                if isinstance(op, (Put, Delete)) and (
+                    op.app_start is not None or op.app_end is not None
+                ):
+                    self._app_bounded.add(op.table)
                 if isinstance(op, Put):
                     rows = (
                         bt.put(
@@ -539,12 +552,22 @@ class Engine:
                     old = self._rewrite_atomic(path, remaining, defer_cleanup=True)
                     if old is not None:
                         deferred_old.append((path, old))
+                    # an erase removes history WITHOUT leaving a version
+                    # marker, so a stale compact can no longer be
+                    # delta-merged — invalidate it (conservative under
+                    # rollback: losing a compact only costs a re-compact)
+                    meta = os.path.join(
+                        self.root, "_current", f"{op.table}.json"
+                    )
+                    if os.path.exists(meta):
+                        os.remove(meta)
                 touched.add(op.table)
             self._persist_clock()
         except BaseException:
             self._rollback(pre_tables, pre_files, deferred_old)
             self._tx_counter, self._last_tx_time = prev_counter, prev_time
             self._table_schemas = prev_schemas
+            self._app_bounded = prev_app_bounded
             raise
         for _path, old in deferred_old:
             shutil.rmtree(old, ignore_errors=True)
@@ -727,6 +750,9 @@ class Engine:
         )
         path = self._table_path(table)
         self._check_sole_writer()
+        # a feed may carry app-bounded rectangles the replica cannot
+        # cheaply detect — conservatively disable merge-on-read
+        self._app_bounded.add(table)
         self._merge_schema_cache(table, rows.drop(bt.SYS_DAY).schema)
         with self._micros_timestamps():
             self._writer(rows).partitionBy(bt.SYS_DAY).option(
@@ -764,6 +790,25 @@ class Engine:
         with open(os.path.join(self.root, "_current", f"{table}.json"), "w") as f:
             json.dump({"tx_time": self._last_tx_time.isoformat()}, f)
         return path
+
+    def _stale_compact(self, table: str, basis_time):
+        """(compact path, its clock) when a compact exists that is
+        OLDER than the basis — usable as the base of a merge-on-read
+        — or None.  Never offered for app-bounded tables (a bounded
+        period can expire between the compact's clock and the basis,
+        changing an id's current state with no new version rows)."""
+        import json
+
+        if table in self._app_bounded:
+            return None
+        meta = os.path.join(self.root, "_current", f"{table}.json")
+        if not os.path.exists(meta):
+            return None
+        with open(meta) as f:
+            tx = datetime.fromisoformat(json.load(f)["tx_time"])
+        if tx >= basis_time:
+            return None
+        return os.path.join(self.root, "_current", table), tx
 
     def _fresh_compact_path(self, table: str, basis_time) -> str | None:
         """Compact path if one exists AND matches the basis clock."""
@@ -826,6 +871,15 @@ class Snapshot:
             )
             if compact is not None:
                 return self.engine.spark.read.parquet(compact)
+            # merge-on-read: a STALE compact plus the delta since its
+            # clock — the latest-version window runs only over ids
+            # touched since the compact (manifest-pruned recent files
+            # find them), everything else reads straight from the
+            # compact.  Only offered when app-time expiry cannot
+            # change untouched ids (see Engine._stale_compact).
+            stale = self.engine._stale_compact(table, self.basis.current_time)
+            if stale is not None:
+                return self._merge_on_read(table, *stale)
         s = system_time if system_time is not None else self.basis.current_time
         t = app_time if app_time is not None else self.basis.current_time
         # manifest pruning: versions with system day AFTER date(s) can
@@ -838,6 +892,35 @@ class Snapshot:
         visible = bt.resolve_as_of(versions, s, t, "id")
         drop = [*bt.TEMPORAL_COLS, bt.TOMBSTONE, bt.TX_SEQ, bt.SYS_DAY]
         return visible.drop(*[c for c in drop if c in visible.columns])
+
+    def _merge_on_read(self, table: str, compact_path: str, t0) -> DataFrame:
+        """Current state at the basis = (compact at t0 minus ids with
+        post-t0 versions) ∪ (full resolution of exactly those ids).
+
+        The delta id-set comes from the manifest-pruned recent files
+        (day_lo = t0's day), so finding it costs O(files since t0);
+        the anti/semi joins stay un-shuffled via AQE's runtime
+        broadcast when the delta is small — which is the workload this
+        path exists for (frequent small updates over a hot compacted
+        table).  Exactness relies on the no-app-bounds invariant
+        enforced by ``Engine._stale_compact``; Erase invalidates the
+        compact outright at commit."""
+        spark = self.engine.spark
+        t0_col = bt._ts(t0)
+        recent = self.basis.read(spark, table, day_lo=t0.date()).filter(
+            F.col(bt.SYS_START) > t0_col
+        )
+        recent_ids = recent.select("id").distinct()
+        base = spark.read.parquet(compact_path)
+        untouched = base.join(recent_ids, "id", "left_anti")
+        versions = self.basis.read(spark, table).join(
+            recent_ids, "id", "left_semi"
+        )
+        s = t = self.basis.current_time
+        vis = bt.resolve_as_of(versions, s, t, "id")
+        drop = [*bt.TEMPORAL_COLS, bt.TOMBSTONE, bt.TX_SEQ, bt.SYS_DAY]
+        vis = vis.drop(*[c for c in drop if c in vis.columns])
+        return untouched.unionByName(vis, allowMissingColumns=True)
 
     # -- §3.1 SQL ------------------------------------------------------
     def sql(self, query: str, **asof) -> DataFrame:

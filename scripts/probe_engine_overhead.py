@@ -85,10 +85,24 @@ def main() -> None:
     compacted()
     t_compact = best_of(compacted)
 
+    # merge-on-read: a small post-compact update (1,000 of 600k ids)
+    # makes the compact stale; the default read should price near the
+    # compacted scan, not the full live window
+    delta = rows.limit(1000).withColumn("l_quantity", F.col("l_quantity") + 1)
+    eng.submit_tx([Put("lineitem", delta)], tx_time="2024-01-02 00:00:01")
+    merge = lambda: q1_agg(eng.db().table("lineitem")).collect()
+    merge()
+    t_merge = best_of(merge)
+
     print(f"rows: {n}")
-    print(f"{'path':>10} {'best-of-3':>10} {'vs plain':>9}")
-    for name, t in (("plain", t_plain), ("live", t_live), ("compacted", t_compact)):
-        print(f"{name:>10} {t:>9.2f}s {t / t_plain:>8.2f}x")
+    print(f"{'path':>15} {'best-of-3':>10} {'vs plain':>9}")
+    for name, t in (
+        ("plain", t_plain),
+        ("live", t_live),
+        ("compacted", t_compact),
+        ("merge-on-read", t_merge),
+    ):
+        print(f"{name:>15} {t:>9.2f}s {t / t_plain:>8.2f}x")
 
 
 if __name__ == "__main__":

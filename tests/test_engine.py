@@ -812,3 +812,112 @@ def test_bloom_filter_columns_written_and_answers_unchanged(spark):
     bloomed.optimize("t", target_files=1)
     assert total_size(bloom_root) > 0
     assert bloomed.db().table("t").filter("id = 777").collect()[0]["v"] == 1554
+
+
+def test_merge_on_read_stale_compact(spark):
+    """Round-5 merge-on-read: with a STALE compact, the default read
+    resolves only ids touched since the compact and anti-joins the
+    rest from the compact — answers identical to live resolution, and
+    the plan actually reads the _current directory."""
+    root = ROOT + "_mor"
+    shutil.rmtree(root, ignore_errors=True)
+    eng = Engine(spark, root)
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "id long, v string"
+    )
+    eng.submit_tx([Put("t", base)], tx_time="2024-01-01 00:00:01")
+    eng.compact("t")
+
+    # post-compact delta: update 3 ids, delete 2, insert 1 new
+    eng.submit_tx(
+        [
+            Put("t", spark.createDataFrame(
+                [(1, "upd1"), (2, "upd2"), (3, "upd3"), (100, "new")],
+                "id long, v string")),
+            Delete("t", spark.createDataFrame([(10,), (11,)], "id long")),
+        ],
+        tx_time="2024-01-02 00:00:01",
+    )
+
+    db = eng.db()
+    merged = db.table("t")
+    assert any("_current" in f for f in merged.inputFiles()), "merge path not taken"
+    got = {(r["id"], r["v"]) for r in merged.collect()}
+    expect = {(i, f"v{i}") for i in range(50) if i not in (1, 2, 3, 10, 11)}
+    expect |= {(1, "upd1"), (2, "upd2"), (3, "upd3"), (100, "new")}
+    assert got == expect
+    # live resolution (explicit times bypass every compact) agrees
+    live = {
+        (r["id"], r["v"])
+        for r in db.table(
+            "t", system_time="2024-01-02 00:00:01", app_time="2024-01-02 00:00:01"
+        ).collect()
+    }
+    assert got == live
+    # SQL over the snapshot rides the same fast path
+    assert db.sql("SELECT COUNT(*) AS n FROM t").collect()[0]["n"] == len(expect)
+
+
+def test_merge_on_read_disabled_for_app_bounded_tables(spark):
+    """A bounded app period can expire with NO new version rows, so
+    app-bounded tables must never take the stale-compact path — the
+    retroactive-correction semantics stay exact."""
+    root = ROOT + "_mor_bounded"
+    shutil.rmtree(root, ignore_errors=True)
+    eng = Engine(spark, root)
+    eng.submit_tx(
+        [Put("marks", spark.createDataFrame([(1, 100.0)], "id long, px double"))],
+        tx_time="2024-01-10 00:00:00",
+    )
+    # bounded correction: valid only during January
+    eng.submit_tx(
+        [
+            Put(
+                "marks",
+                spark.createDataFrame([(1, 95.0)], "id long, px double"),
+                app_start="2024-01-01",
+                app_end="2024-02-01",
+            )
+        ],
+        tx_time="2024-01-20 00:00:00",
+    )
+    eng.compact("marks")  # compact at Jan 20: correction visible
+    assert eng.db().table("marks").collect()[0]["px"] == 95.0
+
+    # a later no-op-ish tx advances the clock past the correction's
+    # app window; current state flips back to 100.0 with NO new
+    # version for id=1 — merge-on-read would have answered 95.0
+    eng.submit_tx(
+        [Put("marks", spark.createDataFrame([(2, 7.0)], "id long, px double"))],
+        tx_time="2024-03-05 00:00:00",
+    )
+    db = eng.db()
+    rows = {r["id"]: r["px"] for r in db.table("marks").collect()}
+    assert rows[1] == 100.0, "stale compact leaked an expired correction"
+    assert not any(
+        "_current" in f for f in db.table("marks").inputFiles()
+    ), "app-bounded table took the merge path"
+    # the flag survives reopen
+    assert "marks" in Engine(spark, root)._app_bounded
+
+
+def test_erase_invalidates_compact(spark):
+    """Erase removes history without leaving a version marker — the
+    compact must be invalidated, not delta-merged."""
+    root = ROOT + "_mor_erase"
+    shutil.rmtree(root, ignore_errors=True)
+    eng = Engine(spark, root)
+    eng.submit_tx(
+        [Put("t", spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"))],
+        tx_time="2024-01-01 00:00:01",
+    )
+    eng.compact("t")
+    eng.submit_tx(
+        [Erase("t", spark.createDataFrame([(2,)], "id long"))],
+        tx_time="2024-01-02 00:00:01",
+    )
+    db = eng.db()
+    got = {(r["id"], r["v"]) for r in db.table("t").collect()}
+    assert got == {(1, "a"), (3, "c")}
+    assert not any("_current" in f for f in db.table("t").inputFiles())
