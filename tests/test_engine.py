@@ -719,6 +719,15 @@ def test_randomized_transaction_sequence_differential(spark):
                     )
             return ops
 
+        # interleave compaction on A only: reads after this go through
+        # fresh-compact, merge-on-read, or (post-Erase) invalidation —
+        # B never compacts, so equality proves those paths exact
+        if step in (2, 5, 7):
+            try:
+                a.compact("t")
+            except Exception:
+                pass  # table may not exist yet at step 2
+
         fail = step in (3, 6, 8)  # deterministic failure injection
         if fail:
             interloper = Engine(spark, root_a)
