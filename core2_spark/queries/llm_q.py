@@ -1298,3 +1298,74 @@ def curation_pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS words
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(words)) AS BIGINT) AS n_uniq_words,
+             CASE WHEN len(words) >= 2
+                  THEN list_transform(range(1, len(words)),
+                                      i -> words[i] || ' ' || words[i + 1])
+                  ELSE [] END AS grams
+      FROM w
+    )
+    SELECT doc_id, n_words,
+           ROUND(CAST(n_uniq_words AS DOUBLE) / n_words, 6) AS uniq_word_frac,
+           ROUND(CASE WHEN len(grams) > 0
+                 THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                      / len(grams)
+                 ELSE 0.0 END, 6) AS dup_2gram_frac,
+           (CASE WHEN len(grams) > 0
+                 THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                      / len(grams)
+                 ELSE 0.0 END) > 0.35 AS flag_repetitive
+    FROM g
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition scoring — the Gopher/RefinedWeb
+    curation rule family: documents dominated by repeated n-grams are
+    boilerplate/spam and get filtered before training.  Per doc:
+    unique-word fraction and duplicate word-2-gram fraction, plus the
+    filter flag at the classic ~0.35 threshold.  Pure higher-order
+    column functions (split/transform/element_at/array_distinct) —
+    JVM-side, one projection pass, no explode and no shuffle until the
+    final order."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat(
+                F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_frac = F.when(
+        F.size(grams) > 0,
+        (F.size(grams) - F.size(F.array_distinct(grams))).cast("double")
+        / F.size(grams),
+    ).otherwise(F.lit(0.0))
+    return (
+        d.select(
+            "doc_id",
+            F.size(words).cast("long").alias("n_words"),
+            F.round(
+                F.size(F.array_distinct(words)).cast("double") / F.size(words), 6
+            ).alias("uniq_word_frac"),
+            F.round(dup_frac, 6).alias("dup_2gram_frac"),
+            (dup_frac > 0.35).alias("flag_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
