@@ -306,3 +306,76 @@ def test_engine_portion_deletes_match_interval_model(spark, ops, probes):
             if not best[5]:
                 want.add((rid, best[6]))
         assert got == want, f"S={S} T={T}"
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.data_too_large,
+    ],
+)
+@given(data=st.data())
+def test_merge_on_read_equals_live_resolution(spark, data):
+    """Property: for ANY op sequence without app-bounded rectangles,
+    compacting at ANY point and then reading the default current
+    state (merge-on-read over the stale compact) equals the live
+    resolution at explicit basis times.  Erase anywhere invalidates
+    the compact but must still answer identically."""
+    import shutil
+    from datetime import datetime, timedelta
+
+    from core2_spark.engine import Delete, Engine, Erase, Put
+
+    root = "/root/repo/_data/mor_property"
+    shutil.rmtree(root, ignore_errors=True)
+    eng = Engine(spark, root)
+    base = datetime(2024, 1, 1)
+
+    # seed tx so later Delete/Erase always have a table to act on
+    eng.submit_tx(
+        [Put("t", spark.createDataFrame(
+            [(x, f"seed{x}") for x in range(7)], "id long, v string"))],
+        tx_time=base,
+    )
+    n_txs = data.draw(st.integers(3, 5), label="n_txs")
+    compact_after = data.draw(st.integers(0, n_txs - 2), label="compact_after")
+    for i in range(n_txs):
+        kind = data.draw(
+            st.sampled_from(["put", "put", "put", "delete", "erase"]),
+            label=f"op{i}",
+        )
+        ids = data.draw(
+            st.lists(st.integers(0, 6), min_size=1, max_size=3, unique=True),
+            label=f"ids{i}",
+        )
+        t = base + timedelta(days=i + 1)
+        if kind == "put":
+            eng.submit_tx(
+                [Put("t", spark.createDataFrame(
+                    [(x, f"v{x}_{i}") for x in ids], "id long, v string"))],
+                tx_time=t,
+            )
+        elif kind == "delete":
+            eng.submit_tx(
+                [Delete("t", spark.createDataFrame([(x,) for x in ids], "id long"))],
+                tx_time=t,
+            )
+        else:
+            eng.submit_tx(
+                [Erase("t", spark.createDataFrame([(x,) for x in ids], "id long"))],
+                tx_time=t,
+            )
+        if i == compact_after:
+            eng.compact("t")
+
+    db = eng.db()
+    clock = eng._last_tx_time
+    fast = {(r["id"], r["v"]) for r in db.table("t").collect()}
+    live = {
+        (r["id"], r["v"])
+        for r in db.table("t", system_time=clock, app_time=clock).collect()
+    }
+    assert fast == live
