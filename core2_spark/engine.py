@@ -505,6 +505,15 @@ class Engine:
                 # reads prune whole files (PartitionFilters, see
                 # temporal.sys_day_predicate) — the 100 TB requirement that
                 # a current-state read not scan years of history.
+                if isinstance(op, (Delete, Erase)) and not os.path.isdir(path):
+                    # Put creates tables implicitly; Delete/Erase on a
+                    # table that never existed is a caller error — fail
+                    # cleanly (and roll back) instead of surfacing a
+                    # raw AnalysisException from the read
+                    raise ValueError(
+                        f"unknown table {op.table!r}: nothing to "
+                        f"{'delete from' if isinstance(op, Delete) else 'erase from'}"
+                    )
                 if isinstance(op, (Put, Delete)) and (
                     op.app_start is not None or op.app_end is not None
                 ):

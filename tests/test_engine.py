@@ -930,3 +930,19 @@ def test_erase_invalidates_compact(spark):
     got = {(r["id"], r["v"]) for r in db.table("t").collect()}
     assert got == {(1, "a"), (3, "c")}
     assert not any("_current" in f for f in db.table("t").inputFiles())
+
+
+def test_delete_or_erase_unknown_table_fails_cleanly(spark, engine):
+    """Delete/Erase against a table that never existed raises a clear
+    ValueError (and rolls back) instead of a raw AnalysisException
+    from inside the transaction."""
+    ids = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="unknown table"):
+        engine.submit_tx([Erase("nope", ids)])
+    with pytest.raises(ValueError, match="unknown table"):
+        engine.submit_tx([Delete("nope", ids)])
+    # the failed transactions left no clock advance: the next commit works
+    engine.submit_tx(
+        [Put("t", spark.createDataFrame([(1, "a")], "id long, v string"))]
+    )
+    assert engine.db().table("t").count() == 1
