@@ -110,6 +110,40 @@ class Basis:
         return df
 
 
+def basis_to_json(basis: Basis) -> str:
+    """Serialize a basis to a portable token.  core2 passes a basis
+    across request boundaries so a client can re-run any query against
+    the exact snapshot later (README.adoc:13 — deterministic
+    queries at a log position); the JSON token is this engine's
+    equivalent: clock + pinned manifests + roots + schema cache."""
+    import json
+
+    return json.dumps(
+        {
+            "current_time": basis.current_time.isoformat(),
+            "manifests": {t: list(fs) for t, fs in basis.manifests.items()},
+            "roots": dict(basis.roots),
+            "schemas": dict(basis.schemas),
+        }
+    )
+
+
+def basis_from_json(token: str) -> Basis:
+    """Rehydrate a basis token (see ``basis_to_json``).  Reads at the
+    rehydrated basis answer identically as long as the pinned files
+    still exist (Erase/optimize rewrites invalidate old manifests, as
+    ever)."""
+    import json
+
+    d = json.loads(token)
+    return Basis(
+        current_time=datetime.fromisoformat(d["current_time"]),
+        manifests={t: tuple(fs) for t, fs in d["manifests"].items()},
+        roots=dict(d["roots"]),
+        schemas=dict(d.get("schemas", {})),
+    )
+
+
 def _file_day_in_range(path: str, day_lo, day_hi) -> bool:
     """True if the file's ``_sys_day=`` path component (if any) falls
     in the closed [day_lo, day_hi] range; files without the component

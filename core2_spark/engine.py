@@ -859,6 +859,24 @@ class Snapshot:
             raw = raw.drop(bt.SYS_DAY)
         return bt.close_system_versions(raw, "id")
 
+    def entity_history(
+        self, table: str, entity_id, newest_first: bool = True
+    ) -> DataFrame:
+        """Version history of ONE entity (the reference's
+        ``entity-history`` API [upstream: core2 api `datalog.clj` /
+        xtdb entity-history]): every version row of ``entity_id``
+        visible at this basis, with both temporal rectangles and the
+        ``_tombstone`` marker, ordered by system time.  The id
+        predicate pushes to the scan (and prunes row groups when the
+        engine writes bloom filters on id)."""
+        h = self.history(table).filter(F.col("id") == F.lit(entity_id))
+        order = (
+            [F.col(bt.SYS_START).desc(), F.col(bt.TX_SEQ).desc()]
+            if newest_first
+            else [F.col(bt.SYS_START).asc(), F.col(bt.TX_SEQ).asc()]
+        )
+        return h.orderBy(*order)
+
     def table(
         self,
         table: str,

@@ -946,3 +946,48 @@ def test_delete_or_erase_unknown_table_fails_cleanly(spark, engine):
         [Put("t", spark.createDataFrame([(1, "a")], "id long, v string"))]
     )
     assert engine.db().table("t").count() == 1
+
+
+def test_entity_history_and_basis_token_roundtrip(spark, engine):
+    """Reference API parity: entity_history(id) returns one entity's
+    version rows (rectangles + tombstone marker) in system-time order;
+    a basis serializes to a portable token and rehydrates to the exact
+    same snapshot — even after later transactions."""
+    from core2_spark.basis import basis_from_json, basis_to_json
+
+    engine.submit_tx(
+        [Put("t", spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"))],
+        tx_time="2024-01-01 00:00:01",
+    )
+    engine.submit_tx(
+        [Put("t", spark.createDataFrame([(1, "a2")], "id long, v string"))],
+        tx_time="2024-02-01 00:00:01",
+    )
+    basis2 = engine.submit_tx(
+        [Delete("t", spark.createDataFrame([(1,)], "id long"))],
+        tx_time="2024-03-01 00:00:01",
+    )
+
+    db = engine.db(basis2)
+    hist = db.entity_history("t", 1).collect()
+    assert [r["v"] for r in hist] == [None, "a2", "a"]  # tombstone first
+    assert hist[0]["_tombstone"] is True
+    assert [str(r["system_time_start"])[:7] for r in hist] == [
+        "2024-03", "2024-02", "2024-01",
+    ]
+    oldest_first = db.entity_history("t", 1, newest_first=False).collect()
+    assert [r["v"] for r in oldest_first] == ["a", "a2", None]
+
+    # basis token: serialize, commit MORE transactions, rehydrate —
+    # the token still answers with the old snapshot
+    token = basis_to_json(basis2)
+    engine.submit_tx(
+        [Put("t", spark.createDataFrame([(9, "later")], "id long, v string"))],
+        tx_time="2024-04-01 00:00:01",
+    )
+    rehydrated = engine.db(basis_from_json(token))
+    assert {r["id"] for r in rehydrated.table("t").collect()} == {2}
+    assert rehydrated.history("t").count() == 4  # 3 puts + tombstone
+    # while the live head sees the later write
+    assert {r["id"] for r in engine.db().table("t").collect()} == {2, 9}
