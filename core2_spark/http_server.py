@@ -14,6 +14,11 @@ One read surface, two encodings:
   ``Engine.sql_dml_many`` (requires an attached engine); response
   carries the committed transaction time;
 - ``GET /tables`` → the table catalog (requires an attached engine);
+- ``GET /basis`` → the current log head serialized as a portable
+  basis token; ``POST /query`` accepts an optional ``"basis"`` field
+  carrying such a token, so a client can pin one snapshot and run
+  many queries against it across requests — the reference's
+  pass-a-basis contract over HTTP;
 - ``GET /changes?table=t&since=...[&until=...]`` → the CDC feed
   (``Snapshot.changes``) for that window, Arrow IPC or JSON by
   ``Accept`` — an HTTP consumer can tail the transaction log with
@@ -93,6 +98,17 @@ class SqlHttpServer:
                 parsed = urlparse(self.path)
                 if parsed.path == "/changes":
                     return self._do_changes(parse_qs(parsed.query))
+                if parsed.path == "/basis":
+                    if outer._engine is None:
+                        return self._error(400, "no engine attached")
+                    from core2_spark.basis import basis_to_json
+
+                    token = basis_to_json(outer._engine.db().basis)
+                    return self._send(
+                        200,
+                        json.dumps({"basis": token}).encode(),
+                        "application/json",
+                    )
                 if parsed.path != "/tables":
                     return self._error(404, f"no route {self.path}")
                 if outer._engine is None:
@@ -137,9 +153,18 @@ class SqlHttpServer:
                 except (ValueError, KeyError) as exc:
                     return self._error(400, f"bad request body: {exc!r}")
                 try:
-                    table = df_to_arrow(
-                        outer._executor(sql), outer._max_result_rows
-                    )
+                    token = spec.get("basis")
+                    if token is not None:
+                        if outer._engine is None:
+                            return self._error(
+                                400, "basis tokens need an attached engine"
+                            )
+                        from core2_spark.basis import basis_from_json
+
+                        df = outer._engine.db(basis_from_json(token)).sql(sql)
+                    else:
+                        df = outer._executor(sql)
+                    table = df_to_arrow(df, outer._max_result_rows)
                 except Exception as exc:  # surface executor errors as 400s
                     return self._error(400, repr(exc))
                 if ARROW_MIME in self.headers.get("Accept", ""):

@@ -178,3 +178,48 @@ def test_http_changes_feed(spark, engine):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_http_basis_token_pins_snapshot(spark, engine):
+    """GET /basis hands out the log-head token; POST /query with that
+    token keeps answering from the pinned snapshot even after later
+    transactions — the reference's pass-a-basis contract over HTTP."""
+    import json as _json
+    import urllib.request
+
+    from core2_spark.http_server import SqlHttpServer
+
+    engine.submit_tx(
+        [Put("trades", spark.createDataFrame(
+            [(1, 100.0), (2, 200.0)], "id long, px double"))],
+        tx_time="2024-01-10 00:00:00",
+    )
+    server = SqlHttpServer(lambda sql: engine.db().sql(sql), engine=engine)
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        with urllib.request.urlopen(f"{base}/basis") as resp:
+            token = _json.loads(resp.read())["basis"]
+
+        engine.submit_tx(
+            [Put("trades", spark.createDataFrame(
+                [(3, 300.0)], "id long, px double"))],
+            tx_time="2024-02-10 00:00:00",
+        )
+
+        def post_query(body):
+            req = urllib.request.Request(
+                f"{base}/query",
+                data=_json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as resp:
+                return _json.loads(resp.read())
+
+        pinned = post_query(
+            {"sql": "SELECT COUNT(*) AS n FROM trades", "basis": token}
+        )
+        assert pinned["rows"] == [[2]]  # the token predates tx2
+        live = post_query({"sql": "SELECT COUNT(*) AS n FROM trades"})
+        assert live["rows"] == [[3]]
+    finally:
+        server.shutdown()
