@@ -776,6 +776,56 @@ class Engine:
         if self._last_tx_time is not None:
             self._persist_clock()
 
+    def vacuum(self, table: str, older_than: str | datetime) -> None:
+        """History retention: physically drop version rows whose
+        system-time visibility window closed BEFORE ``older_than`` —
+        they can no longer affect any read at or after the horizon.
+        At 100 TB this is what bounds unbounded history growth: a
+        version superseded years ago costs storage and (for history
+        scans) read time forever, and most deployments only owe
+        time-travel up to a regulatory horizon.
+
+        Kept: every version whose derived ``system_time_end`` (the
+        successor's start, ∞ if none) is after the horizon — including
+        tombstones still hiding their id.  After a vacuum, reads with
+        BOTH clocks at or after the horizon (current state, recent
+        as-of, changes since) answer exactly as before; any read
+        pinned before the horizon on either axis is explicitly out of
+        contract.  Refused for app-bounded tables: there a
+        system-superseded version can still WIN at app instants its
+        successor's rectangle does not cover (partial retroactive
+        corrections never shadow periods they don't cover), so naive
+        system-axis retention would change answers — bounding that
+        history needs rectangle subtraction, not a cutoff.  Like
+        Erase/optimize this rewrites the table (previously acquired
+        bases for it go stale), and any compact older than the
+        horizon is invalidated."""
+        if table in self._app_bounded:
+            raise ValueError(
+                f"vacuum({table!r}) unsupported: the table has app-time-"
+                "bounded versions, whose superseded predecessors can still "
+                "win at app instants outside the successor's rectangle"
+            )
+        horizon = _to_datetime(older_than)
+        raw = self.spark.read.option("mergeSchema", "true").parquet(
+            self._table_path(table)
+        )
+        closed = bt.close_system_versions(
+            raw.drop(bt.SYS_DAY) if bt.SYS_DAY in raw.columns else raw, "id"
+        )
+        kept = closed.filter(
+            F.col(bt.SYS_END) > bt._ts(horizon)
+        ).drop(bt.SYS_END)
+        if bt.SYS_DAY in raw.columns:
+            kept = kept.withColumn(bt.SYS_DAY, F.to_date(F.col(bt.SYS_START)))
+        self._rewrite_atomic(self._table_path(table), kept)
+        meta = os.path.join(self.root, "_current", f"{table}.json")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                tx = datetime.fromisoformat(json.load(f)["tx_time"])
+            if tx < horizon:
+                os.remove(meta)
+
     # -- §4 materialized current state --------------------------------
     def compact(self, table: str) -> str:
         """Materialize the current-state view of ``table`` at the

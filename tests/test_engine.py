@@ -991,3 +991,58 @@ def test_entity_history_and_basis_token_roundtrip(spark, engine):
     assert rehydrated.history("t").count() == 4  # 3 puts + tombstone
     # while the live head sees the later write
     assert {r["id"] for r in engine.db().table("t").collect()} == {2, 9}
+
+
+def test_vacuum_retention_drops_closed_history_only(spark):
+    """vacuum(older_than) physically drops versions whose system
+    window closed before the horizon; every read with both clocks at
+    or after the horizon answers exactly as before.  App-bounded
+    tables refuse (their superseded versions can still win outside
+    the successor's rectangle)."""
+    root = ROOT + "_vacuum"
+    shutil.rmtree(root, ignore_errors=True)
+    eng = Engine(spark, root)
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    eng.submit_tx([Put("t", mk([(1, "jan1"), (2, "jan2"), (3, "jan3")]))],
+                  tx_time="2024-01-01 00:00:01")
+    eng.submit_tx([Put("t", mk([(1, "feb1")]))], tx_time="2024-02-01 00:00:01")
+    eng.submit_tx([Delete("t", spark.createDataFrame([(3,)], "id long"))],
+                  tx_time="2024-02-15 00:00:01")
+    eng.submit_tx([Put("t", mk([(1, "jun1"), (4, "jun4")]))],
+                  tx_time="2024-06-01 00:00:01")
+
+    db_before = eng.db()
+    cur_before = {(r["id"], r["v"]) for r in db_before.table("t").collect()}
+    asof_before = {
+        (r["id"], r["v"])
+        for r in db_before.table(
+            "t", system_time="2024-05-01", app_time="2024-05-01"
+        ).collect()
+    }
+    n_before = db_before.history("t").count()  # 7 versions
+
+    eng.vacuum("t", older_than="2024-03-01")
+    db = eng.db()
+    # dropped: id=1's jan version (superseded in Feb) AND id=3's jan
+    # put (superseded by its tombstone on Feb 15 — the tombstone is
+    # the system-axis successor).  Kept: feb1 (closed only in June,
+    # after the horizon), jun1, jan2 (never superseded), the id=3
+    # tombstone (window still open — keeps the id hidden), and jun4.
+    assert db.history("t").count() == n_before - 2
+    assert {(r["id"], r["v"]) for r in db.table("t").collect()} == cur_before
+    assert {
+        (r["id"], r["v"])
+        for r in db.table(
+            "t", system_time="2024-05-01", app_time="2024-05-01"
+        ).collect()
+    } == asof_before
+    left = {r["v"] for r in db.history("t").collect()}
+    assert "jan1" not in left and "jan3" not in left
+
+    # app-bounded tables refuse
+    eng.submit_tx(
+        [Put("m", mk([(9, "x")]), app_start="2024-01-01", app_end="2024-02-01")],
+        tx_time="2024-07-01 00:00:01",
+    )
+    with pytest.raises(ValueError, match="app-time-bounded"):
+        eng.vacuum("m", older_than="2024-08-01")
