@@ -505,14 +505,16 @@ class Engine:
                 # reads prune whole files (PartitionFilters, see
                 # temporal.sys_day_predicate) — the 100 TB requirement that
                 # a current-state read not scan years of history.
-                if isinstance(op, (Delete, Erase)) and not os.path.isdir(path):
-                    # Put creates tables implicitly; Delete/Erase on a
-                    # table that never existed is a caller error — fail
-                    # cleanly (and roll back) instead of surfacing a
-                    # raw AnalysisException from the read
+                if isinstance(op, Erase) and not os.path.isdir(path):
+                    # Erase must read the table it rewrites — on a
+                    # table that never existed, fail cleanly (and roll
+                    # back) instead of surfacing a raw
+                    # AnalysisException.  Delete is different: deleting
+                    # ids that were never put is a valid no-op-shaped
+                    # op (the tombstones simply hide nothing), exactly
+                    # as in the reference's model.
                     raise ValueError(
-                        f"unknown table {op.table!r}: nothing to "
-                        f"{'delete from' if isinstance(op, Delete) else 'erase from'}"
+                        f"unknown table {op.table!r}: nothing to erase from"
                     )
                 if isinstance(op, (Put, Delete)) and (
                     op.app_start is not None or op.app_end is not None

@@ -939,9 +939,11 @@ def test_delete_or_erase_unknown_table_fails_cleanly(spark, engine):
     ids = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="unknown table"):
         engine.submit_tx([Erase("nope", ids)])
-    with pytest.raises(ValueError, match="unknown table"):
-        engine.submit_tx([Delete("nope", ids)])
-    # the failed transactions left no clock advance: the next commit works
+    # Delete on a never-put table is a VALID op (tombstones hiding
+    # nothing — the reference's model), not an error
+    engine.submit_tx([Delete("maybe_later", ids)])
+    assert engine.db().table("maybe_later").count() == 0
+    # the failed transaction left no clock advance: the next commit works
     engine.submit_tx(
         [Put("t", spark.createDataFrame([(1, "a")], "id long, v string"))]
     )
