@@ -933,9 +933,9 @@ def test_erase_invalidates_compact(spark):
 
 
 def test_delete_or_erase_unknown_table_fails_cleanly(spark, engine):
-    """Delete/Erase against a table that never existed raises a clear
-    ValueError (and rolls back) instead of a raw AnalysisException
-    from inside the transaction."""
+    """Erase against a table that never existed raises a clear
+    ValueError (and rolls back) instead of a raw AnalysisException;
+    Delete on a never-put table stays a valid no-op-shaped op."""
     ids = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="unknown table"):
         engine.submit_tx([Erase("nope", ids)])
