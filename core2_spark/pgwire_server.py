@@ -91,9 +91,13 @@ class PgWireServer:
         executor: Callable[[str], DataFrame],
         port: int = 0,
         max_result_rows: int = 1_000_000,
+        engine=None,
     ):
         outer_executor = executor
         outer_max = max_result_rows
+        outer_engine = engine
+
+        _DML = ("insert", "update", "delete", "erase")
 
         class Handler(socketserver.BaseRequestHandler):
             def _send(self, data: bytes) -> None:
@@ -184,10 +188,34 @@ class PgWireServer:
                             row += struct.pack("!i", len(b)) + b
                     self._send(_msg(b"D", row))
 
+            @staticmethod
+            def _dml_tag(sql: str) -> str | None:
+                """CommandComplete tag if ``sql`` is a DML statement
+                the engine runs at index time, else None.  Row counts
+                are unreported (DML compiles against the pre-tx
+                snapshot; counting would double-execute), matching the
+                FlightSQL boundary's -1 convention."""
+                head = sql.lstrip().split(None, 1)
+                word = head[0].lower() if head else ""
+                if word not in _DML:
+                    return None
+                return {"insert": "INSERT 0 0", "update": "UPDATE 0",
+                        "delete": "DELETE 0", "erase": "ERASE 0"}[word]
+
             def _run_query(self, sql: str) -> None:
                 sql = sql.strip().rstrip(";")
                 if not sql:
                     self._send(_msg(b"I", b""))  # EmptyQueryResponse
+                    return
+                tag = self._dml_tag(sql)
+                if tag is not None:
+                    if outer_engine is None:
+                        raise ValueError(
+                            "DML over pgwire needs an attached engine "
+                            "(PgWireServer(engine=...))"
+                        )
+                    outer_engine.sql_dml(sql)
+                    self._send(_msg(b"C", _cstr(tag)))
                     return
                 table = df_to_arrow(outer_executor(sql), outer_max)
                 self._send(self._row_description(table))
@@ -209,12 +237,14 @@ class PgWireServer:
             def _portal_table(self, portal: dict):
                 """Execute the portal's query once, lazily: Describe
                 and Execute share the result (drivers Describe right
-                before Execute; running twice would double-execute)."""
+                before Execute; running twice would double-execute).
+                DML portals have no row description (NoData) — they
+                run at Execute time."""
                 if "table" not in portal:
                     sql = portal["sql"]
                     portal["table"] = (
                         None
-                        if not sql
+                        if not sql or self._dml_tag(sql) is not None
                         else df_to_arrow(outer_executor(sql), outer_max)
                     )
                 return portal["table"]
@@ -293,6 +323,16 @@ class PgWireServer:
                     portal = self._portals.get(name)
                     if portal is None:
                         raise ValueError(f"unknown portal {name!r}")
+                    dml = self._dml_tag(portal["sql"]) if portal["sql"] else None
+                    if dml is not None:
+                        if outer_engine is None:
+                            raise ValueError(
+                                "DML over pgwire needs an attached engine "
+                                "(PgWireServer(engine=...))"
+                            )
+                        outer_engine.sql_dml(portal["sql"])
+                        self._send(_msg(b"C", _cstr(dml)))
+                        return
                     table = self._portal_table(portal)
                     if table is None:
                         self._send(_msg(b"I", b""))  # EmptyQueryResponse

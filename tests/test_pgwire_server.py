@@ -276,3 +276,57 @@ def test_pgwire_extended_query_protocol(spark, engine):
         client.close()
     finally:
         server.shutdown()
+
+
+def test_pgwire_dml_simple_and_extended(spark, engine):
+    """Round-5: DML over pgwire — the simple-query path routes
+    INSERT/UPDATE/DELETE to Engine.sql_dml with proper CommandComplete
+    tags, and the extended path executes a DML portal (Describe →
+    NoData, Execute → tag).  Without an engine the statement errors
+    cleanly and the session survives."""
+    from core2_spark.pgwire_server import PgWireServer
+
+    v1 = spark.createDataFrame(
+        [(1, "AAPL", 100.0), (2, "MSFT", 200.0)], "id long, sym string, px double"
+    )
+    engine.submit_tx([Put("trades", v1)], tx_time="2024-01-01 00:00:01")
+
+    server = PgWireServer(lambda sql: engine.db().sql(sql), engine=engine)
+    try:
+        client = ExtendedPgClient(server.port)
+
+        # simple-query DML
+        cols, rows, err = client.query(
+            "INSERT INTO trades (id, sym, px) VALUES (3, 'GOOG', 300.0)"
+        )
+        assert err is None and rows == []
+        cols, rows, err = client.query("UPDATE trades SET px = px + 1 WHERE id = 1")
+        assert err is None
+        cols, rows, err = client.query("SELECT px FROM trades ORDER BY id")
+        assert [r[0] for r in rows] == ["101.0", "200.0", "300.0"]
+
+        # extended-protocol DML portal: Describe → NoData, Execute → tag
+        client.parse("", "DELETE FROM trades WHERE sym = $1")
+        client.bind("", "", ["GOOG"])
+        client.describe_portal("")
+        client.execute("")
+        tags, _, rows, err = client.sync_and_collect()
+        assert err is None and rows == []
+        assert b"n" in tags  # NoData for the DML portal
+        _, rows, err = client.query("SELECT COUNT(*) AS n FROM trades")
+        assert rows == [["2"]]
+        client.close()
+    finally:
+        server.shutdown()
+
+    # read-only server: DML errors cleanly, session usable after
+    ro = PgWireServer(lambda sql: engine.db().sql(sql))
+    try:
+        client = MiniPgClient(ro.port)
+        _, _, err = client.query("DELETE FROM trades WHERE id = 1")
+        assert err is not None and "attached engine" in err
+        _, rows, err = client.query("SELECT COUNT(*) AS n FROM trades")
+        assert err is None and rows == [["2"]]
+        client.close()
+    finally:
+        ro.shutdown()
