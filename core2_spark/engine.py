@@ -904,9 +904,96 @@ class Snapshot:
         self.engine = engine
         self.basis = basis
 
+    def _versions(self, table: str, day_lo=None, day_hi=None) -> DataFrame:
+        """Raw version rows of ``table`` visible at this basis — the
+        single read funnel every Snapshot surface goes through, so a
+        speculative overlay (``with_tx``) only has to extend it."""
+        return self.basis.read(
+            self.engine.spark, table, day_lo=day_lo, day_hi=day_hi
+        )
+
+    def with_tx(
+        self,
+        ops: list,
+        tx_time: str | datetime | None = None,
+    ) -> "Snapshot":
+        """SPECULATIVE transaction (the reference lineage's
+        ``with-tx``/``xt/with`` what-if surface): a snapshot that
+        answers as if ``ops`` had been committed at ``tx_time``
+        (default: one second past this basis' clock) — without
+        writing anything to the log.  Every read surface works —
+        table(), history(), entity_history(), sql() with the temporal
+        dialect, Datalog, changes() — and the underlying engine state
+        is untouched; speculative snapshots stack (``.with_tx(...)``
+        on a speculative snapshot layers another transaction).
+        Speculative Erase hides the id's whole history, like the real
+        op (without the rewrite).  Call ops expand against THIS
+        snapshot."""
+        t = (
+            _to_datetime(tx_time)
+            if tx_time is not None
+            else self.basis.current_time + timedelta(seconds=1)
+        )
+        if t <= self.basis.current_time:
+            raise ValueError(
+                f"speculative tx_time {t} is not after the basis clock "
+                f"({self.basis.current_time})"
+            )
+        expanded = []
+        for op in ops:
+            if isinstance(op, Call):
+                expanded.extend(op.fn(self))
+            else:
+                expanded.append(op)
+        overlays: dict[str, DataFrame] = {}
+        erased: dict[str, DataFrame] = {}
+        for seq, op in enumerate(expanded):
+            if isinstance(op, Put):
+                rows = (
+                    bt.put(
+                        op.rows,
+                        tx_time=t,
+                        app_start=op.app_start,
+                        app_end=op.app_end,
+                    )
+                    .withColumn(bt.TOMBSTONE, F.lit(False))
+                    .withColumn(bt.TX_SEQ, F.lit(seq))
+                )
+            elif isinstance(op, Delete):
+                rows = bt.delete_tombstone(
+                    op.ids, op.id_col, t, op.app_start, op.app_end
+                ).withColumn(bt.TX_SEQ, F.lit(seq))
+            elif isinstance(op, Erase):
+                ids = op.ids.select(F.col(op.id_col).alias("id")).distinct()
+                erased[op.table] = (
+                    erased[op.table].unionByName(ids)
+                    if op.table in erased
+                    else ids
+                )
+                continue
+            else:
+                raise TypeError(f"unsupported speculative op {op!r}")
+            overlays[op.table] = (
+                overlays[op.table].unionByName(rows, allowMissingColumns=True)
+                if op.table in overlays
+                else rows
+            )
+        manifests = dict(self.basis.manifests)
+        for tname in overlays:
+            # a speculative Put may create a brand-new table: an empty
+            # manifest entry makes sql() register its view too
+            manifests.setdefault(tname, ())
+        basis = Basis(
+            current_time=t,
+            manifests=manifests,
+            roots=dict(self.basis.roots),
+            schemas=dict(self.basis.schemas),
+        )
+        return _SpeculativeSnapshot(self, basis, overlays, erased)
+
     def history(self, table: str) -> DataFrame:
         """FOR ALL SYSTEM_TIME — every version visible at the basis."""
-        raw = self.basis.read(self.engine.spark, table)
+        raw = self._versions(table)
         if bt.SYS_DAY in raw.columns:  # physical-layout detail
             raw = raw.drop(bt.SYS_DAY)
         return bt.close_system_versions(raw, "id")
@@ -941,7 +1028,9 @@ class Snapshot:
         version covering the app instant wins, tombstones hide ids —
         partial retroactive corrections never shadow periods they
         don't cover."""
-        if system_time is None and app_time is None:
+        if system_time is None and app_time is None and getattr(
+            self, "_use_compacts", True
+        ):
             # default read at the basis clock: a fresh compact (if the
             # engine materialized one at exactly this clock) is a plain
             # scan — no window, no shuffle
@@ -965,9 +1054,7 @@ class Snapshot:
         # never be visible at s — drop their files on the driver, so a
         # deep-history as-of read plans over O(files in range), not
         # O(all history) (see Basis.read)
-        versions = self.basis.read(
-            self.engine.spark, table, day_hi=_to_datetime(s).date()
-        )
+        versions = self._versions(table, day_hi=_to_datetime(s).date())
         visible = bt.resolve_as_of(versions, s, t, "id")
         drop = [*bt.TEMPORAL_COLS, bt.TOMBSTONE, bt.TX_SEQ, bt.SYS_DAY]
         return visible.drop(*[c for c in drop if c in visible.columns])
@@ -986,15 +1073,13 @@ class Snapshot:
         compact outright at commit."""
         spark = self.engine.spark
         t0_col = bt._ts(t0)
-        recent = self.basis.read(spark, table, day_lo=t0.date()).filter(
+        recent = self._versions(table, day_lo=t0.date()).filter(
             F.col(bt.SYS_START) > t0_col
         )
         recent_ids = recent.select("id").distinct()
         base = spark.read.parquet(compact_path)
         untouched = base.join(recent_ids, "id", "left_anti")
-        versions = self.basis.read(spark, table).join(
-            recent_ids, "id", "left_semi"
-        )
+        versions = self._versions(table).join(recent_ids, "id", "left_semi")
         s = t = self.basis.current_time
         vis = bt.resolve_as_of(versions, s, t, "id")
         drop = [*bt.TEMPORAL_COLS, bt.TOMBSTONE, bt.TX_SEQ, bt.SYS_DAY]
@@ -1083,8 +1168,7 @@ class Snapshot:
         consumers can apply changes in log order."""
         # manifest pruning on both bounds: a consumer tailing from a
         # recent offset plans over the tail files only (see Basis.read)
-        raw = self.basis.read(
-            self.engine.spark,
+        raw = self._versions(
             table,
             day_lo=_to_datetime(since).date(),
             day_hi=_to_datetime(until).date() if until is not None else None,
@@ -1116,3 +1200,39 @@ class Snapshot:
         return dl.q_with_resolver(
             lambda table: self.table(table, **asof), query, args=args
         )
+
+
+class _SpeculativeSnapshot(Snapshot):
+    """Snapshot layering uncommitted version rows over a parent
+    snapshot (``Snapshot.with_tx``).  All read surfaces inherit; only
+    the version funnel changes, and compact fast paths are bypassed
+    (they materialize COMMITTED state only)."""
+
+    def __init__(self, parent: Snapshot, basis: Basis, overlays, erased):
+        super().__init__(parent.engine, basis)
+        self._parent = parent
+        self._overlays = overlays
+        self._erased = erased
+        self._use_compacts = False
+
+    def _versions(self, table: str, day_lo=None, day_hi=None) -> DataFrame:
+        ov = self._overlays.get(table)
+        base = None
+        if self.basis.manifests.get(table):
+            base = self._parent._versions(table, day_lo=day_lo, day_hi=day_hi)
+        if ov is not None:
+            if base is not None and bt.SYS_DAY in base.columns:
+                ov = ov.withColumn(
+                    bt.SYS_DAY, F.to_date(F.col(bt.SYS_START))
+                )
+            base = (
+                base.unionByName(ov, allowMissingColumns=True)
+                if base is not None
+                else ov
+            )
+        if base is None:
+            raise KeyError(f"unknown table {table!r} at this basis")
+        er = self._erased.get(table)
+        if er is not None:
+            base = base.join(er, "id", "left_anti")
+        return base

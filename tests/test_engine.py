@@ -1048,3 +1048,83 @@ def test_vacuum_retention_drops_closed_history_only(spark):
     )
     with pytest.raises(ValueError, match="app-time-bounded"):
         eng.vacuum("m", older_than="2024-08-01")
+
+
+def test_speculative_with_tx(spark, engine):
+    """Round-5 with_tx: a speculative snapshot answers as if the ops
+    had committed — across table(), sql() with the temporal dialect,
+    Datalog, history() and a brand-new table — while the engine's real
+    state is untouched; speculative snapshots stack."""
+    from core2_spark.engine import Call
+
+    v1 = spark.createDataFrame(
+        [(1, "AAPL", 100.0), (2, "MSFT", 200.0), (3, "GOOG", 300.0)],
+        "id long, sym string, px double",
+    )
+    engine.submit_tx([Put("trades", v1)], tx_time="2024-01-01 00:00:01")
+    db = engine.db()
+
+    spec = db.with_tx(
+        [
+            Put("trades", spark.createDataFrame(
+                [(1, "AAPL", 111.0)], "id long, sym string, px double")),
+            Delete("trades", spark.createDataFrame([(3,)], "id long")),
+            Put("alerts", spark.createDataFrame(
+                [(7, "price-jump")], "id long, kind string")),
+        ]
+    )
+    # what-if current state
+    assert {(r["id"], r["px"]) for r in spec.table("trades").collect()} == {
+        (1, 111.0), (2, 200.0),
+    }
+    # SQL incl. the temporal dialect sees the speculative version too
+    assert spec.sql(
+        "SELECT COUNT(*) AS n FROM trades FOR SYSTEM_TIME ALL"
+    ).collect()[0]["n"] == 4  # 3 puts + spec put (FOR views hide tombstones)
+    # the speculative new table is queryable
+    assert spec.sql("SELECT kind FROM alerts").collect()[0]["kind"] == "price-jump"
+    # Datalog over the overlay
+    assert {
+        r["sym"]
+        for r in spec.q(
+            {"find": ["?sym"], "where": [("trades", {"id": "?i", "sym": "?sym"})]}
+        ).collect()
+    } == {"AAPL", "MSFT"}
+    # entity history shows the speculative version on top
+    assert [r["px"] for r in spec.entity_history("trades", 1).collect()] == [
+        111.0, 100.0,
+    ]
+
+    # the REAL engine state is untouched
+    assert {(r["id"], r["px"]) for r in db.table("trades").collect()} == {
+        (1, 100.0), (2, 200.0), (3, 300.0),
+    }
+    assert "alerts" not in engine._all_tables()
+
+    # stacking: a second speculative layer (with a Call op) on top
+    def bump(snap):
+        cur = snap.table("trades")
+        from pyspark.sql import functions as F
+
+        return [Put("trades", cur.withColumn("px", F.col("px") + 1))]
+
+    spec2 = spec.with_tx([Call(bump)])
+    assert {(r["id"], r["px"]) for r in spec2.table("trades").collect()} == {
+        (1, 112.0), (2, 201.0),
+    }
+    # speculative Erase hides the whole history
+    spec3 = spec.with_tx(
+        [Erase("trades", spark.createDataFrame([(1,)], "id long"))]
+    )
+    assert {r["id"] for r in spec3.table("trades").collect()} == {2}
+    # erase removed id=1's whole history; id=3 keeps its history
+    # (delete preserves versions — only erase destroys)
+    assert {r["id"] for r in spec3.history("trades").select("id").collect()} == {2, 3}
+
+    # a speculative snapshot over a FRESH compact still sees the overlay
+    engine.compact("trades")
+    spec4 = engine.db().with_tx(
+        [Put("trades", spark.createDataFrame(
+            [(9, "NVDA", 900.0)], "id long, sym string, px double"))]
+    )
+    assert {r["id"] for r in spec4.table("trades").collect()} == {1, 2, 3, 9}
