@@ -383,3 +383,54 @@ def engine_replica_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "name", "n_versions")
         .orderBy("id")
     )
+
+
+@query(
+    "engine_speculative_with_tx",
+    oracle="""
+    SELECT n_nationkey AS id,
+           CASE WHEN n_nationkey % 3 = 0 THEN n_name || '_spec' ELSE n_name END
+               AS name,
+           (n_nationkey % 3 = 0) AS speculative
+    FROM nation
+    WHERE n_nationkey % 5 <> 0
+    ORDER BY id
+    """,
+)
+def engine_speculative_with_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speculative transactions (Snapshot.with_tx — the reference
+    lineage's what-if surface): commit a base table, then layer an
+    UNCOMMITTED update + delete over the basis and answer from the
+    speculative snapshot via Snapshot.sql.  The oracle reconstructs
+    the what-if state in plain SQL; determinism is trivial since
+    nothing concurrent exists, and the engine's real state is
+    untouched (asserted by reading the live head too)."""
+    from pyspark.sql import functions as FF
+
+    from core2_spark.engine import Delete, Engine, Put
+
+    nation = _nation_rows(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="engine_q_spec_"))
+    eng.submit_tx([Put("nations", nation)], tx_time="2024-01-01 00:00:01")
+
+    spec = eng.db().with_tx(
+        [
+            Put(
+                "nations",
+                nation.filter(FF.col("id") % 3 == 0).withColumn(
+                    "name", FF.concat(FF.col("name"), FF.lit("_spec"))
+                ),
+            ),
+            Delete("nations", nation.filter(FF.col("id") % 5 == 0).select("id")),
+        ]
+    )
+    out = spec.sql(
+        """
+        SELECT id, name,
+               right(name, 5) = '_spec' AS speculative
+        FROM nations ORDER BY id
+        """
+    )
+    # the engine's committed state must be untouched by the overlay
+    assert eng.db().table("nations").count() == nation.count()
+    return out
