@@ -420,9 +420,16 @@ def split_exists_disjunctions(sql: str) -> str:
     during optimization; DuckDB executes it — found by the round-4
     fuzzer, tests/test_random_sql.py).  After the split each disjunct's
     correlation is conjunctive at the top level, which Spark
-    decorrelates into ordinary semi/anti joins.  Correlation inside a
-    NESTED disjunction under a top-level AND (`(corr OR p) AND q`)
-    still throws — full DNF expansion is deliberately out of scope.
+    decorrelates into ordinary semi/anti joins.
+
+    Nested disjunctions under a top-level AND (`(corr OR p) AND q`)
+    are handled by a bounded DNF pass: the predicate is parsed into a
+    boolean AST (BETWEEN's non-boolean AND, CASE..END internals, and
+    parenthesized subqueries are kept inside atoms), NOT is pushed to
+    the atoms by De Morgan, and AND is distributed over OR — all exact
+    identities in Kleene 3VL, which is a distributive lattice.  The
+    expansion is capped at ``_DNF_CAP`` disjuncts; past the cap the
+    predicate is left alone (Catalyst then reports its own error).
 
     The engine applies this as a RETRY after Catalyst rejects the
     original query (see ``Snapshot.sql``), so decorrelatable queries
@@ -433,6 +440,161 @@ def split_exists_disjunctions(sql: str) -> str:
             return sql
         sql = rewritten
     return sql
+
+
+_DNF_CAP = 24  # max disjuncts an expansion may produce
+
+# inside an atom, NOT belongs to the operator that follows it
+# (`x NOT BETWEEN/IN/LIKE/RLIKE/ILIKE/SIMILAR ...`, `IS NOT NULL`);
+# at factor position it is boolean negation
+_NOT_OPERATORS = {"BETWEEN", "IN", "LIKE", "RLIKE", "ILIKE", "SIMILAR"}
+
+
+def _parse_bool(toks: list[_Tok], lo: int, hi: int, sql: str):
+    """Parse toks[lo:hi] as a boolean predicate into an AST of
+    ``("or"|"and", [children])`` / ``("not", child)`` /
+    ``("atom", text)`` nodes.  Atoms are balanced source spans: parens
+    (incl. subqueries), CASE..END bodies, and the AND belonging to a
+    BETWEEN are consumed into the atom, so the boolean structure seen
+    here is exactly SQL's."""
+
+    def parse_expr(i):
+        node, i = parse_term(i)
+        children = [node]
+        while i < hi and toks[i].word() == "OR":
+            node, i = parse_term(i + 1)
+            children.append(node)
+        return (("or", children) if len(children) > 1 else children[0]), i
+
+    def parse_term(i):
+        node, i = parse_factor(i)
+        children = [node]
+        while i < hi and toks[i].word() == "AND":
+            node, i = parse_factor(i + 1)
+            children.append(node)
+        return (("and", children) if len(children) > 1 else children[0]), i
+
+    def matching_close(i):
+        d = 0
+        while i < hi:
+            if toks[i].text == "(":
+                d += 1
+            elif toks[i].text == ")":
+                d -= 1
+                if d == 0:
+                    return i
+            i += 1
+        raise ValueError("unbalanced parens in predicate")
+
+    def parse_factor(i):
+        if i >= hi:
+            raise ValueError("empty boolean factor")
+        if (
+            toks[i].word() == "NOT"
+            and i + 1 < hi
+            and toks[i + 1].word() != "EXISTS"
+        ):
+            node, j = parse_factor(i + 1)
+            return ("not", node), j
+        if toks[i].text == "(":
+            j = matching_close(i)
+            after = toks[j + 1].word() if j + 1 < hi else ""
+            is_whole_factor = j + 1 >= hi or after in ("AND", "OR")
+            starts_select = i + 1 <= j - 1 and toks[i + 1].word() == "SELECT"
+            if is_whole_factor and not starts_select and i + 1 <= j - 1:
+                node, k = parse_expr_range(i + 1, j)
+                if k != j:
+                    raise ValueError("trailing tokens inside boolean group")
+                return node, j + 1
+        return parse_atom(i)
+
+    def parse_expr_range(i, sub_hi):
+        nonlocal hi
+        saved = hi
+        hi = sub_hi
+        try:
+            return parse_expr(i)
+        finally:
+            hi = saved
+
+    def parse_atom(i):
+        start = i
+        pending_between = 0
+        case_depth = 0
+        while i < hi:
+            t = toks[i]
+            w = t.word()
+            if t.text == "(":
+                i = matching_close(i) + 1
+                continue
+            if t.text == ")":
+                raise ValueError("unbalanced close paren in predicate")
+            if w == "CASE":
+                case_depth += 1
+            elif w == "END" and case_depth:
+                case_depth -= 1
+            elif case_depth == 0:
+                if w == "BETWEEN":
+                    pending_between += 1
+                elif w == "AND":
+                    if pending_between:
+                        pending_between -= 1
+                    else:
+                        break
+                elif w == "OR":
+                    break
+            i += 1
+        if i == start:
+            raise ValueError("empty atom in predicate")
+        return ("atom", sql[toks[start].start : toks[i - 1].end]), i
+
+    node, i = parse_expr(lo)
+    if i != hi:
+        raise ValueError("trailing tokens after boolean predicate")
+    return node
+
+
+def _to_dnf(node, cap: int = _DNF_CAP) -> list[list[str]] | None:
+    """AST → list of disjuncts, each a list of atom texts (possibly
+    ``NOT (atom)``).  None if the expansion would exceed ``cap``.
+    De Morgan + double-negation push NOT to the atoms; AND distributes
+    over OR by cartesian product — both exact in Kleene 3VL."""
+
+    def nnf(n, neg: bool):
+        kind = n[0]
+        if kind == "not":
+            return nnf(n[1], not neg)
+        if kind == "atom":
+            return ("natom" if neg else "atom", n[1])
+        if kind in ("and", "or"):
+            flipped = ("or" if kind == "and" else "and") if neg else kind
+            return (flipped, [nnf(c, neg) for c in n[1]])
+        raise ValueError(f"unknown node {kind}")
+
+    def expand(n) -> list[list[str]] | None:
+        kind = n[0]
+        if kind == "atom":
+            return [[n[1]]]
+        if kind == "natom":
+            return [[f"NOT ({n[1]})"]]
+        if kind == "or":
+            out: list[list[str]] = []
+            for c in n[1]:
+                sub = expand(c)
+                if sub is None or len(out) + len(sub) > cap:
+                    return None
+                out.extend(sub)
+            return out
+        # and: cartesian product of children's disjunct lists
+        out = [[]]
+        for c in n[1]:
+            sub = expand(c)
+            if sub is None or len(out) * len(sub) > cap:
+                return None
+            out = [a + b for a in out for b in sub]
+        return out
+
+    return expand(nnf(node, False))
 
 
 def _split_exists_once(sql: str) -> str:
@@ -485,20 +647,37 @@ def _split_exists_once(sql: str) -> str:
             elif d == 0 and toks[k].word() in _PRED_ENDERS:
                 pred_hi = k
                 break
-        # split the predicate on top-level OR
-        parts: list[tuple[int, int]] = []
-        d = 0
-        part_lo = pred_lo
-        for k in range(pred_lo, pred_hi):
-            if toks[k].text == "(":
-                d += 1
-            elif toks[k].text == ")":
-                d -= 1
-            elif d == 0 and toks[k].word() == "OR":
-                parts.append((part_lo, k))
-                part_lo = k + 1
-        parts.append((part_lo, pred_hi))
-        if len(parts) < 2:
+        # full bounded DNF of the predicate (handles nested
+        # disjunctions like `(corr OR p) AND q`); fall back to a plain
+        # top-level OR split if the parse balks or the cap is hit
+        disjuncts: list[str] | None = None
+        try:
+            terms = _to_dnf(_parse_bool(toks, pred_lo, pred_hi, sql))
+            if terms is not None and len(terms) >= 2:
+                disjuncts = [
+                    " AND ".join(f"({c})" for c in conj) for conj in terms
+                ]
+        except ValueError:
+            disjuncts = None
+        if disjuncts is None:
+            parts: list[tuple[int, int]] = []
+            d = 0
+            part_lo = pred_lo
+            for k in range(pred_lo, pred_hi):
+                if toks[k].text == "(":
+                    d += 1
+                elif toks[k].text == ")":
+                    d -= 1
+                elif d == 0 and toks[k].word() == "OR":
+                    parts.append((part_lo, k))
+                    part_lo = k + 1
+            parts.append((part_lo, pred_hi))
+            if len(parts) >= 2:
+                disjuncts = [
+                    f"({sql[toks[lo].start : toks[hi - 1].end]})"
+                    for lo, hi in parts
+                ]
+        if disjuncts is None:
             i = close_idx + 1
             continue
         pre = sql[toks[open_idx].end : toks[where_idx].end]  # "SELECT.. WHERE"
@@ -507,11 +686,8 @@ def _split_exists_once(sql: str) -> str:
             if pred_hi < close_idx
             else ""
         )
-        branches = []
-        for lo, hi in parts:
-            d_txt = sql[toks[lo].start : toks[hi - 1].end]
-            word = "NOT EXISTS" if negated else "EXISTS"
-            branches.append(f"{word} ({pre} ({d_txt}) {post})")
+        word = "NOT EXISTS" if negated else "EXISTS"
+        branches = [f"{word} ({pre} {d_txt} {post})" for d_txt in disjuncts]
         joiner = " AND " if negated else " OR "
         start = toks[i - 1].start if negated else t.start
         out.append(sql[pos:start])

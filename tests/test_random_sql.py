@@ -369,14 +369,26 @@ def random_exists_disjunction(draw):
     opred = draw(predicates("orders"))
     lp1 = draw(predicates("lineitem"))
     lp2 = draw(predicates("lineitem"))
+    l1, l2 = lp1.replace("l_", "l.l_"), lp2.replace("l_", "l.l_")
+    inner = draw(
+        st.sampled_from(
+            [
+                # flat: corr AND p1 OR p2 (top-level OR split)
+                f"l.l_orderkey = o.o_orderkey AND ({l1}) OR ({l2})",
+                # nested: (corr OR p1) AND p2 (bounded DNF, round-5)
+                f"(l.l_orderkey = o.o_orderkey OR ({l1})) AND ({l2})",
+                # nested negation: corr AND NOT (p1 OR p2) then OR —
+                # De Morgan inside DNF
+                f"l.l_orderkey = o.o_orderkey AND NOT (({l1}) OR ({l2})) "
+                f"OR ({l2})",
+            ]
+        )
+    )
     return f"""
     SELECT o_orderstatus AS g, COUNT(*) AS n
     FROM orders o
     WHERE ({opred.replace('o_', 'o.o_')})
-      AND {word} (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey
-                        AND ({lp1.replace('l_', 'l.l_')})
-                     OR ({lp2.replace('l_', 'l.l_')}))
+      AND {word} (SELECT 1 FROM lineitem l WHERE {inner})
     GROUP BY o_orderstatus
     """
 

@@ -277,7 +277,7 @@ def test_split_exists_disjunction_string_forms():
     out = split_exists_disjunctions(sql)
     assert out.count("EXISTS") == 2
     assert " OR EXISTS" in out
-    assert "(l.k = o.k AND l.q > 5)" in out and "(l.s = 3)" in out
+    assert "(l.k = o.k) AND (l.q > 5)" in out and "(l.s = 3)" in out
 
     neg = split_exists_disjunctions(
         "SELECT g FROM o WHERE NOT EXISTS "
@@ -286,9 +286,34 @@ def test_split_exists_disjunction_string_forms():
     assert neg.count("NOT EXISTS") == 2
     assert " AND NOT EXISTS" in neg
 
-    # no top-level OR → untouched (nested OR under parens stays put)
-    keep = "SELECT g FROM o WHERE EXISTS (SELECT 1 FROM l WHERE l.k = o.k AND (l.q > 5 OR l.s = 3))"
-    assert split_exists_disjunctions(keep) == keep
+    # nested disjunction under a top-level AND: bounded DNF distributes
+    # it, so `corr AND (p OR q)` becomes two conjunctive branches
+    nested = split_exists_disjunctions(
+        "SELECT g FROM o WHERE EXISTS "
+        "(SELECT 1 FROM l WHERE l.k = o.k AND (l.q > 5 OR l.s = 3))"
+    )
+    assert nested.count("EXISTS") == 2
+    assert "(l.k = o.k) AND (l.q > 5)" in nested
+    assert "(l.k = o.k) AND (l.s = 3)" in nested
+
+    # NOT over a disjunctive group: De Morgan pushes to the atoms —
+    # a purely conjunctive predicate, left as ONE branch
+    dem = split_exists_disjunctions(
+        "SELECT g FROM o WHERE EXISTS "
+        "(SELECT 1 FROM l WHERE NOT (l.q > 5 OR l.s = 3) AND l.k = o.k)"
+    )
+    assert dem.count("EXISTS") == 1
+
+    # BETWEEN's AND is not a boolean AND; CASE internals stay atomic
+    btw = (
+        "SELECT g FROM o WHERE EXISTS (SELECT 1 FROM l WHERE "
+        "l.q BETWEEN 1 AND 9 OR CASE WHEN l.s = 1 OR l.s = 2 "
+        "THEN 1 ELSE 0 END = 1)"
+    )
+    btw_out = split_exists_disjunctions(btw)
+    assert btw_out.count("EXISTS") == 2
+    assert "(l.q BETWEEN 1 AND 9)" in btw_out
+    assert "CASE WHEN l.s = 1 OR l.s = 2" in btw_out
 
     # trailing clauses after the predicate survive in every branch
     tail = split_exists_disjunctions(
@@ -346,3 +371,21 @@ def test_exists_disjunction_through_engine_sql_matches_duckdb(spark, tmp_path):
     duck_neg = con.execute(neg_sql).df()
     con.close()
     assert_frames_match(spark_neg, duck_neg, "not_exists_disjunction_engine")
+
+    # nested disjunction under a top-level AND — `(corr OR p) AND q` —
+    # the shape the round-4 fuzzer documented as still-throwing; the
+    # bounded DNF pass now distributes it into decorrelatable branches
+    nested_sql = (
+        "SELECT status, COUNT(*) AS n FROM o "
+        "WHERE EXISTS (SELECT 1 FROM l "
+        "              WHERE (l.orderkey = o.id OR l.suppkey = o.custkey) "
+        "                AND l.qty BETWEEN 5 AND 20) "
+        "GROUP BY status"
+    )
+    spark_nested = eng.db().sql(nested_sql).toPandas()
+    con = duckdb.connect()
+    con.register("o", o.toPandas())
+    con.register("l", l.toPandas())
+    duck_nested = con.execute(nested_sql).df()
+    con.close()
+    assert_frames_match(spark_nested, duck_nested, "exists_nested_dnf_engine")
