@@ -287,6 +287,36 @@ def external_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "external_orc_source",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 4) AS acctbal
+    FROM supplier WHERE s_acctbal > 5000
+    """,
+)
+def external_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC external source round-trip — the third columnar on-disk
+    format Spark reads natively (after Parquet and Arrow IPC).  Unlike
+    the CSV/JSON reference-data paths this is a SCALE format: ORC
+    carries stripe-level min/max statistics, so the `s_acctbal > 5000`
+    filter is pushed into the scan (PushedFilters in the plan) and
+    prunes stripes exactly like Parquet row groups — a valid 100 TB
+    ingest format, not just an exchange format."""
+    t = load_tables(spark, sf_dir, ("supplier",))
+    out_dir = "/root/repo/_data/external_orc"
+    t["supplier"].write.mode("overwrite").orc(out_dir)
+    return (
+        spark.read.orc(out_dir)
+        .filter(F.col("s_acctbal") > 5000)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "s_nationkey",
+            F.round("s_acctbal", 4).alias("acctbal"),
+        )
+    )
+
+
+@query(
     "datalog_join_filter",
     oracle="""
     SELECT c.c_name AS name, ROUND(o.o_totalprice, 4) AS price

@@ -1125,6 +1125,75 @@ def curation_decontaminate_ngram_q(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "curation_decontaminate_substring",
+    oracle="""
+    WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+    grams_eval AS (
+        SELECT doc_id AS eval_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(length(s) - 39, 0)),
+                   i -> substr(s, CAST(i AS INT), 40)))) AS g
+        FROM t WHERE doc_id % 7 = 0
+    ),
+    grams_corpus AS (
+        SELECT doc_id AS corpus_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(length(s) - 39, 0), 10),
+                   i -> substr(s, CAST(i AS INT), 40)))) AS g
+        FROM t WHERE doc_id % 7 <> 0
+    )
+    SELECT corpus_id, eval_id, COUNT(*) AS n_hits
+    FROM grams_corpus JOIN grams_eval USING (g)
+    GROUP BY corpus_id, eval_id
+    """,
+)
+def curation_decontaminate_substring_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Character-shingle decontamination — the substring-overlap twin
+    of ``curation_decontaminate_ngram``: word n-grams miss benchmark
+    text that was re-tokenized or re-punctuated, so production recipes
+    also sweep raw character windows.  The eval side (every 7th doc_id
+    stands in for the benchmark) takes EVERY overlapping 40-char
+    shingle; the corpus side takes shingles at stride 10 — any shared
+    substring of length >= 49 therefore aligns at least one pair
+    exactly, at a tenth of the corpus-side explode cost (the classic
+    strided-shingle trade).
+
+    Scale shape: identical to the word-gram sweep — distinct shingles
+    per side, one EQUI-JOIN on the shingle string with the benchmark
+    side broadcast, never an all-pairs comparison.  At 100 TB the
+    corpus side is one map + broadcast probe, no shuffle."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = d.select("doc_id", F.lower(F.col("text")).alias("s"))
+    n = F.length(F.col("s"))
+
+    def shingles(step: int):
+        idx = F.when(
+            n >= 40, F.sequence(F.lit(1), n - 39, F.lit(step))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.col("s").substr(i, F.lit(40)))
+        )
+
+    eval_g = (
+        t.filter(F.col("doc_id") % 7 == 0)
+        .select(F.col("doc_id").alias("eval_id"), F.explode(shingles(1)).alias("g"))
+    )
+    corpus_g = (
+        t.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            F.col("doc_id").alias("corpus_id"), F.explode(shingles(10)).alias("g")
+        )
+    )
+    return (
+        corpus_g.join(F.broadcast(eval_g), "g")
+        .groupBy("corpus_id", "eval_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
 @query("knn_ivf_partitioned_layout")  # rows-only: physical-layout path
 def knn_ivf_partitioned_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The at-ingest IVF layout end-to-end: assign centroid cells once,
