@@ -162,6 +162,13 @@ class Engine:
         # versions (a bounded period expires as the clock advances),
         # so the stale-compact merge-on-read fast path must not apply.
         self._app_bounded: set[str] = set()
+        # Per-table HISTORY-REWRITE clock (iso string): last Erase or
+        # vacuum — operations that remove version rows without leaving
+        # a CDC trace.  Incremental consumers of the changes feed
+        # (materialized views) compare it against their own clock and
+        # fall back to a full recompute when the history they would
+        # need may be gone.
+        self._rewrites: dict[str, str] = {}
         os.makedirs(root, exist_ok=True)
         self._recover_rewrites()
         self._recover_clock()
@@ -301,6 +308,7 @@ class Engine:
             # mergeSchema read
             self._table_schemas = dict(meta.get("schemas", {}))
             self._app_bounded = set(meta.get("app_bounded", []))
+            self._rewrites = dict(meta.get("rewrites", {}))
             self._persisted_clock = raw
             return
         import pyarrow.compute as pa_compute
@@ -364,6 +372,7 @@ class Engine:
                 "tx_counter": self._tx_counter,
                 "schemas": self._table_schemas,
                 "app_bounded": sorted(self._app_bounded),
+                "rewrites": self._rewrites,
             }
         )
         tmp = os.path.join(self.root, "_log.json.tmp")
@@ -494,6 +503,7 @@ class Engine:
         touched: set[str] = set()
         prev_schemas = dict(self._table_schemas)
         prev_app_bounded = set(self._app_bounded)
+        prev_rewrites = dict(self._rewrites)
         try:
             for seq, op in enumerate(ops):
                 path = self._table_path(op.table)
@@ -572,6 +582,10 @@ class Engine:
                     )
                     if os.path.exists(meta):
                         os.remove(meta)
+                    # an erase leaves no CDC trace either — stamp the
+                    # history-rewrite clock so incremental view
+                    # refreshes older than this tx recompute fully
+                    self._rewrites[op.table] = t.isoformat()
                 touched.add(op.table)
             self._persist_clock()
         except BaseException:
@@ -579,6 +593,7 @@ class Engine:
             self._tx_counter, self._last_tx_time = prev_counter, prev_time
             self._table_schemas = prev_schemas
             self._app_bounded = prev_app_bounded
+            self._rewrites = prev_rewrites
             raise
         for _path, old in deferred_old:
             shutil.rmtree(old, ignore_errors=True)
@@ -827,6 +842,15 @@ class Engine:
                 tx = datetime.fromisoformat(json.load(f)["tx_time"])
             if tx < horizon:
                 os.remove(meta)
+        # stamp the history-rewrite clock at the CURRENT head: an
+        # incremental view at an older clock may need versions this
+        # vacuum just dropped (a view at exactly this head cannot —
+        # everything it will ever need closes after the head, above
+        # any admissible horizon)
+        self._rewrites[table] = (
+            (self._last_tx_time or self._epoch).isoformat()
+        )
+        self._persist_clock()
 
     # -- §4 materialized current state --------------------------------
     def compact(self, table: str) -> str:
@@ -883,6 +907,40 @@ class Engine:
         if tx != basis_time:
             return None
         return os.path.join(self.root, "_current", table)
+
+    # -- incremental materialized views (see mviews.py) ----------------
+    def create_materialized_view(
+        self,
+        name: str,
+        table: str,
+        keys: list[str],
+        aggs: dict[str, tuple[str, str]],
+    ) -> DataFrame:
+        """Create a keyed-aggregate materialized view of ``table``'s
+        current state at this clock.  ``aggs`` maps output alias →
+        ``(fn, column)`` with fn in count/sum/min/max/avg/
+        count_distinct (column '*' for count).  Maintained
+        incrementally from the CDC feed by
+        ``refresh_materialized_view`` — see mviews.py for the algebra
+        and its exactness guards."""
+        from core2_spark import mviews
+
+        return mviews.create(self, name, table, keys, aggs)
+
+    def refresh_materialized_view(self, name: str) -> dict:
+        """Bring the view to the current clock; cost tracks the change
+        volume, not the table size.  Returns ``{"mode": "noop"|
+        "incremental"|"full", ...}`` — full recomputes happen only for
+        app-time-bounded tables and post-view Erase/vacuum rewrites."""
+        from core2_spark import mviews
+
+        return mviews.refresh(self, name)
+
+    def materialized_view(self, name: str) -> DataFrame:
+        """Read a materialized view (plain pushed-down parquet scan)."""
+        from core2_spark import mviews
+
+        return mviews.read(self, name)
 
     def db(self, basis: Basis | None = None) -> "Snapshot":
         """Latest snapshot: basis clock = the last committed tx_time

@@ -434,3 +434,72 @@ def engine_speculative_with_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the engine's committed state must be untouched by the overlay
     assert eng.db().table("nations").count() == nation.count()
     return out
+
+
+@query(
+    "engine_mview_incremental",
+    oracle="""
+    WITH f AS (
+        SELECT CASE WHEN o_custkey % 20 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS status,
+               CAST(o_totalprice AS DECIMAL(18,2))
+                   + CASE WHEN o_custkey % 10 = 0 THEN 100 ELSE 0 END AS price
+        FROM orders WHERE o_custkey % 13 <> 0
+    )
+    SELECT status, COUNT(*) AS n,
+           ROUND(CAST(SUM(price) AS DOUBLE), 2) AS total
+    FROM f GROUP BY status ORDER BY status
+    """,
+)
+def engine_mview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view through the real engine write
+    path (mviews.py): ingest orders, materialize a per-status revenue
+    view, then commit a mixed transaction (price updates, status
+    moves, deletes) and REFRESH — the incremental path is asserted
+    (mode == 'incremental'), so a silent fall-back to full recompute
+    fails the gate rather than hiding.  Prices ride DECIMAL(18,2)
+    end-to-end so the maintained sums are exact in both engines.
+
+    The oracle reconstructs the post-transaction state directly from
+    `orders`; matching hashes prove the maintained view equals a
+    from-scratch aggregate of current state."""
+    from core2_spark.catalog import load_table
+    from core2_spark.engine import Delete, Engine, Put
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    eng = Engine(spark, tempfile.mkdtemp(prefix="engine_q_mv_"))
+    eng.submit_tx([Put("orders", o)], tx_time="2024-01-01 00:00:01")
+    eng.create_materialized_view(
+        "rev", "orders", ["status"], {"n": ("count", "*"), "total": ("sum", "price")}
+    )
+    updates = (
+        o.filter(F.col("cust") % 10 == 0)
+        .withColumn("price", F.col("price") + F.lit(100).cast("decimal(18,2)"))
+        .withColumn(
+            "status",
+            F.when(F.col("cust") % 20 == 0, "X").otherwise(F.col("status")),
+        )
+    )
+    eng.submit_tx(
+        [
+            Put("orders", updates),
+            Delete("orders", o.filter(F.col("cust") % 13 == 0).select("id")),
+        ],
+        tx_time="2024-01-01 00:00:02",
+    )
+    stats = eng.refresh_materialized_view("rev")
+    assert stats["mode"] == "incremental", stats
+    return (
+        eng.materialized_view("rev")
+        .select(
+            "status",
+            "n",
+            F.round(F.col("total").cast("double"), 2).alias("total"),
+        )
+        .orderBy("status")
+    )

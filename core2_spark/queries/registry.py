@@ -116,6 +116,11 @@ _PRIORITY: list[str] = [
     # replica round-trip through apply_changes.
     "engine_replica_cdc_roundtrip",
     "curation_pii_redact",
+    # Late round-5 additions (never driver-checked; first in line if
+    # the driver's truncation window exceeds 50).
+    "engine_mview_incremental",
+    "curation_decontaminate_substring",
+    "external_orc_source",
     # Previously driver-verified queries (r1-r4 green) follow.
     "tpch_q5_region_revenue",
     "dedup_minhash_lsh",

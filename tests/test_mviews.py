@@ -1,0 +1,236 @@
+"""Incremental materialized views (core2_spark/mviews.py): every
+refresh must leave the stored view EQUAL to a from-scratch groupBy of
+the table's current state, with the incremental path actually taken
+(mode asserted) except where the documented guards force a full
+recompute (app-bounded tables, post-view Erase/vacuum)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from core2_spark.engine import Delete, Engine, Erase, Put
+
+ROOT = "/root/repo/_data/mview_test"
+
+AGGS = {"n": ("count", "*"), "total": ("sum", "v"), "hi": ("max", "v")}
+
+
+@pytest.fixture
+def engine(spark):
+    shutil.rmtree(ROOT, ignore_errors=True)
+    return Engine(spark, ROOT)
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "id long, grp string, v double")
+
+
+def _nkey(row):  # None sorts before any string
+    return tuple((v is not None, v) for v in row)
+
+
+def _expected(engine):
+    return sorted(
+        (
+            tuple(r)
+            for r in engine.db()
+            .table("t")
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("total"),
+                F.max("v").alias("hi"),
+            )
+            .collect()
+        ),
+        key=_nkey,
+    )
+
+
+def _stored(engine):
+    return sorted(
+        (tuple(r) for r in engine.materialized_view("agg").collect()), key=_nkey
+    )
+
+
+def test_create_refresh_modes_and_equality(spark, engine):
+    engine.submit_tx(
+        [Put("t", _rows(spark, [(i, f"g{i % 3}", float(i)) for i in range(30)]))]
+    )
+    engine.create_materialized_view("agg", "t", ["grp"], AGGS)
+    assert _stored(engine) == _expected(engine)
+
+    # no new transactions → noop
+    assert engine.refresh_materialized_view("agg")["mode"] == "noop"
+
+    # update (group move), insert, delete — one incremental refresh
+    engine.submit_tx(
+        [
+            Put("t", _rows(spark, [(0, "gX", 5.0), (3, "gX", 7.0), (100, "g1", 1.0)])),
+            Delete("t", spark.createDataFrame([(6,)], "id long")),
+        ]
+    )
+    stats = engine.refresh_materialized_view("agg")
+    assert stats["mode"] == "incremental"
+    # touched groups only: g0 (ids 0,3,6 left), g1 (id 100 joined), gX (new)
+    assert stats["refreshed_groups"] == 4  # g0, g1, gX + tombstone NULL key
+    assert _stored(engine) == _expected(engine)
+
+    # a group whose last member leaves disappears from the view
+    engine.submit_tx(
+        [Delete("t", spark.createDataFrame([(0,), (3,)], "id long"))]
+    )
+    assert engine.refresh_materialized_view("agg")["mode"] == "incremental"
+    assert _stored(engine) == _expected(engine)
+    assert not any(r[0] == "gX" for r in _stored(engine))
+
+
+def test_null_group_keys_are_maintained(spark, engine):
+    engine.submit_tx(
+        [
+            Put(
+                "t",
+                spark.createDataFrame(
+                    [(1, None, 1.0), (2, "a", 2.0), (3, None, 3.0)],
+                    "id long, grp string, v double",
+                ),
+            )
+        ]
+    )
+    engine.create_materialized_view("agg", "t", ["grp"], AGGS)
+    # change a NULL-group member: the null-safe join must find the
+    # stored NULL row and replace it (a plain equi-join never would)
+    engine.submit_tx(
+        [
+            Put(
+                "t",
+                spark.createDataFrame(
+                    [(1, None, 10.0)], "id long, grp string, v double"
+                ),
+            )
+        ]
+    )
+    stats = engine.refresh_materialized_view("agg")
+    assert stats["mode"] == "incremental"
+    assert _stored(engine) == _expected(engine)
+    null_rows = [r for r in _stored(engine) if r[0] is None]
+    assert null_rows == [(None, 2, 13.0, 10.0)]
+
+
+def test_erase_and_vacuum_force_full_recompute(spark, engine):
+    engine.submit_tx(
+        [Put("t", _rows(spark, [(i, f"g{i % 3}", float(i)) for i in range(12)]))]
+    )
+    engine.create_materialized_view("agg", "t", ["grp"], AGGS)
+    engine.submit_tx([Erase("t", spark.createDataFrame([(5,)], "id long"))])
+    stats = engine.refresh_materialized_view("agg")
+    assert stats["mode"] == "full"
+    assert _stored(engine) == _expected(engine)
+
+    # a vacuum AFTER the view's clock forces full on the next refresh
+    engine.submit_tx(
+        [Put("t", _rows(spark, [(1, "g1", 99.0)]))]
+    )
+    engine.vacuum("t", engine._last_tx_time)
+    stats = engine.refresh_materialized_view("agg")
+    assert stats["mode"] == "full"
+    assert _stored(engine) == _expected(engine)
+
+    # rewrite clocks survive reopen (persisted in _log.json)
+    reopened = Engine(spark, ROOT)
+    assert "t" in reopened._rewrites
+
+
+def test_app_bounded_table_never_incremental(spark, engine):
+    engine.submit_tx(
+        [Put("t", _rows(spark, [(i, "g0", float(i)) for i in range(6)]))]
+    )
+    engine.create_materialized_view("agg", "t", ["grp"], AGGS)
+    # an app-time-BOUNDED put marks the table: current state can then
+    # change with no CDC rows, so incremental refresh would be wrong
+    engine.submit_tx(
+        [
+            Put(
+                "t",
+                _rows(spark, [(1, "g0", 50.0)]),
+                app_start="2024-06-01",
+                app_end="2024-07-01",
+            )
+        ]
+    )
+    stats = engine.refresh_materialized_view("agg")
+    assert stats["mode"] == "full"
+    assert _stored(engine) == _expected(engine)
+
+
+def test_validation_errors(spark, engine):
+    engine.submit_tx([Put("t", _rows(spark, [(1, "a", 1.0)]))])
+    with pytest.raises(ValueError, match="identifier"):
+        engine.create_materialized_view("../x", "t", ["grp"], AGGS)
+    with pytest.raises(ValueError, match="at least one group key"):
+        engine.create_materialized_view("v", "t", [], AGGS)
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        engine.create_materialized_view("v", "t", ["grp"], {"x": ("median", "v")})
+    with pytest.raises(ValueError, match="only valid with count"):
+        engine.create_materialized_view("v", "t", ["grp"], {"x": ("sum", "*")})
+    with pytest.raises(ValueError, match="collides"):
+        engine.create_materialized_view("v", "t", ["grp"], {"grp": ("count", "*")})
+    with pytest.raises(ValueError, match="no materialized view"):
+        engine.materialized_view("absent")
+
+
+@st.composite
+def op_sequence(draw):
+    """2-4 transactions of random puts/deletes over ids 0..19 and
+    groups g0..g3 (N = NULL group)."""
+    txs = []
+    for _ in range(draw(st.integers(2, 4))):
+        n_put = draw(st.integers(0, 5))
+        puts = [
+            (
+                draw(st.integers(0, 19)),
+                draw(st.sampled_from(["g0", "g1", "g2", "g3", None])),
+                float(draw(st.integers(0, 50))),
+            )
+            for _ in range(n_put)
+        ]
+        dels = draw(st.lists(st.integers(0, 19), max_size=3))
+        txs.append((puts, dels))
+    return txs
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(txs=op_sequence())
+def test_refresh_matches_full_recompute_under_random_ops(spark, txs):
+    shutil.rmtree(ROOT, ignore_errors=True)
+    engine = Engine(spark, ROOT)
+    engine.submit_tx(
+        [Put("t", _rows(spark, [(i, f"g{i % 2}", float(i)) for i in range(10)]))]
+    )
+    engine.create_materialized_view("agg", "t", ["grp"], AGGS)
+    for puts, dels in txs:
+        ops = []
+        if puts:
+            ops.append(Put("t", _rows(spark, puts)))
+        if dels:
+            ops.append(
+                Delete(
+                    "t",
+                    spark.createDataFrame([(i,) for i in dels], "id long"),
+                )
+            )
+        if not ops:
+            continue
+        engine.submit_tx(ops)
+        stats = engine.refresh_materialized_view("agg")
+        assert stats["mode"] == "incremental"
+        assert _stored(engine) == _expected(engine)
