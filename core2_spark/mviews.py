@@ -27,10 +27,18 @@ closes after ``as_of`` and is therefore above any admissible horizon.
 
 Scale shape: the changed-id set comes from the manifest-pruned CDC
 tail (O(files since as_of) planning, not O(history)); the
-affected-key set is tiny and AQE broadcasts it into the semi/anti
-joins; the recompute touches only affected groups' current rows; the
-view rewrite is small because views are aggregates.  Cost tracks the
-delta, not the table.
+affected-key set is tiny and broadcast into the maintenance joins;
+when it is small enough to collect (≤ ``_INLIST_CAP`` groups) the
+re-aggregation filter becomes an IN-list PUSHED INTO the parquet scan
+(row-group stat pruning on the key columns), so the recompute reads
+only affected groups' row groups; the view rewrite is small because
+views are aggregates.  The one term that still touches the whole
+table is the group-DISCOVERY pass (which versions did changed ids
+ever have?): a column-pruned scan of (id, keys) that id-bloom filters
+and runtime bloom-filter join pushdown cut to the matching row
+groups.  Removing it entirely needs persistent delta state (an
+id→keys map maintained with the view — classic IVM bookkeeping),
+documented here as the known extension, not silently skipped.
 
 Two situations refuse incrementality and recompute fully (reported in
 the returned stats): app-time-BOUNDED tables (a bounded period can
@@ -62,6 +70,11 @@ _AGG_FNS = {
 }
 
 _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+# Affected-group sets up to this size are collected to the driver and
+# applied as IN-list filters (pushed into the parquet scan); bigger
+# sets fall back to a broadcast semi join.
+_INLIST_CAP = 1024
 
 
 def _validate(name: str, keys: list[str], aggs: dict[str, tuple[str, str]]):
@@ -99,6 +112,40 @@ def _keyjoin(left: DataFrame, right: DataFrame, keys: list[str], how: str):
         [F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}")) for k in keys],
     )
     return l.join(r, cond, how)
+
+
+def _inlist_condition(key_rows, keys: list[str]):
+    """Literal membership filter for the affected-group set.  A single
+    key becomes one flat ``In`` (+ isNull when the NULL group is
+    affected) — the shape parquet filter pushdown understands.  Multi
+    key falls back to a BALANCED tree of per-row conjunctions: a
+    left-nested reduce over ~1000 disjuncts overflows Catalyst's
+    recursive tree walks, a balanced tree is log-depth."""
+    if not key_rows:
+        return F.lit(False)
+    if len(keys) == 1:
+        k = keys[0]
+        vals = [r[k] for r in key_rows if r[k] is not None]
+        cond = F.col(k).isin(vals) if vals else F.lit(False)
+        if len(vals) < len(key_rows):  # the NULL group is affected
+            cond = cond | F.col(k).isNull()
+        return cond
+
+    def balanced(parts):
+        if len(parts) == 1:
+            return parts[0]
+        mid = len(parts) // 2
+        return balanced(parts[:mid]) | balanced(parts[mid:])
+
+    return balanced(
+        [
+            reduce(
+                lambda a, b: a & b,
+                [F.col(k).eqNullSafe(F.lit(r[k])) for k in keys],
+            )
+            for r in key_rows
+        ]
+    )
 
 
 def _base(engine, name: str) -> str:
@@ -183,21 +230,37 @@ def refresh(engine, name: str) -> dict:
     changed = snap.changes(table, since=as_of).select("id").distinct()
     affected = (
         snap.history(table)
-        .join(changed, "id", "left_semi")
+        # project BEFORE the join so the discovery scan reads only the
+        # id + key columns (ReadSchema pruning); broadcast the
+        # delta-sized id set so the big side never shuffles
+        .select("id", *keys)
+        .join(F.broadcast(changed), "id", "left_semi")
         .select(*keys)
         .distinct()
-        # the affected-key set is delta-sized by construction; pinning
-        # the broadcast (rather than trusting AQE's estimate) keeps
-        # both maintenance joins shuffle-free
-        .localCheckpoint(eager=True)
     )
-    n_groups = affected.count()
-    recomputed = _compute(
-        _keyjoin(snap.table(table), F.broadcast(affected), keys, "left_semi"),
-        keys,
-        aggs,
-    )
-    kept = _keyjoin(read(engine, name), F.broadcast(affected), keys, "left_anti")
+    key_rows = affected.limit(_INLIST_CAP + 1).collect()
+    cur, old = snap.table(table), read(engine, name)
+    if len(key_rows) <= _INLIST_CAP:
+        # common case: the affected set fits an IN-list, so BOTH
+        # maintenance predicates become literal filters — the
+        # recompute side pushes into the parquet scan (row-group stat
+        # pruning on the keys) and neither side joins at all.  The
+        # kept side must coalesce: `isin` is NULL (not false) for a
+        # NULL-group row when NULL is unaffected, and negating NULL
+        # would silently drop that stored row.
+        cond = _inlist_condition(key_rows, keys)
+        recomputed = _compute(cur.filter(cond), keys, aggs)
+        kept = old.filter(~F.coalesce(cond, F.lit(False)))
+        n_groups = len(key_rows)
+    else:
+        # big delta: keep the set distributed; the explicit broadcast
+        # (not AQE's estimate) keeps both joins shuffle-free
+        affected = affected.localCheckpoint(eager=True)
+        recomputed = _compute(
+            _keyjoin(cur, F.broadcast(affected), keys, "left_semi"), keys, aggs
+        )
+        kept = _keyjoin(old, F.broadcast(affected), keys, "left_anti")
+        n_groups = affected.count()
     _store(engine, name, kept.unionByName(recomputed), meta)
     return {
         "mode": "incremental",
