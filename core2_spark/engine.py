@@ -853,14 +853,22 @@ class Engine:
         self._persist_clock()
 
     # -- §4 materialized current state --------------------------------
-    def compact(self, table: str) -> str:
+    def compact(
+        self,
+        table: str,
+        sort_by: tuple[str, ...] = (),
+        sort_files: int | None = None,
+    ) -> str:
         """Materialize the current-state view of ``table`` at the
         engine's clock (SURVEY.md §4's optional optimization): the
         latest-version window dedup runs ONCE here, so subsequent
         current-state reads are plain pushed-down parquet scans — no
         window, no shuffle.  Reads fall back to the live resolution
         automatically once newer transactions make the compact stale;
-        history/as-of queries never use it.  Returns the compact path."""
+        history/as-of queries never use it.  ``sort_by`` clusters the
+        compact by the given columns (range partition + sort) so
+        footer min/max stats prune predicates on them.  Returns the
+        compact path."""
         import json
 
         snap = self.db()
@@ -871,6 +879,24 @@ class Engine:
         current = snap.table(
             table, system_time=self._last_tx_time, app_time=self._last_tx_time
         )
+        if sort_by:
+            # CLUSTERED compact: range-partition + sort by the hot
+            # filter keys, so each file/row group covers a narrow key
+            # range and min/max footer stats actually prune key
+            # predicates (an unsorted compact's row groups all span
+            # the full key domain — stats prune nothing).  This is
+            # what makes IN-list filters (e.g. materialized-view
+            # refresh recomputes, point lookups) skip data at scale.
+            # ``sort_files`` pins the file count (size-budgeted by the
+            # caller); default lets Spark/AQE choose.
+            parts = (
+                [F.col(c) for c in sort_by]
+                if sort_files is None
+                else [sort_files, *[F.col(c) for c in sort_by]]
+            )
+            current = current.repartitionByRange(*parts).sortWithinPartitions(
+                *sort_by
+            )
         self._rewrite_atomic(path, current)
         with open(os.path.join(self.root, "_current", f"{table}.json"), "w") as f:
             json.dump({"tx_time": self._last_tx_time.isoformat()}, f)

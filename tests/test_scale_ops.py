@@ -226,3 +226,49 @@ def test_zorder_layout_prunes_on_both_dimensions(spark):
         # unclustered files would each span ~100% of the range;
         # z-ordered files must average well under it on BOTH columns
         assert avg_span < 0.65 * total, f"{col}: avg span {avg_span} vs {total}"
+
+
+def test_clustered_compact_files_cover_narrow_key_ranges(spark, tmp_path):
+    """Engine.compact(sort_by=...) range-partitions + sorts the
+    current-state materialization so each file's footer min/max on the
+    key spans a narrow slice — the property that lets key predicates
+    (mview IN-lists, point lookups) skip whole files, where an
+    unsorted compact's files all span the full domain and stats prune
+    nothing."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from core2_spark.engine import Engine, Put
+
+    eng = Engine(spark, str(tmp_path / "clustered"))
+    rows = spark.range(5000).select(
+        F.col("id"),
+        (F.col("id") % 1000).alias("bucket"),
+        (F.col("id") * 2).alias("v"),
+    )
+    eng.submit_tx([Put("t", rows.repartition(8))])
+    path = eng.compact("t", sort_by=("bucket",), sort_files=4)
+
+    spans = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for c in range(md.num_columns):
+                col = md.row_group(rg).column(c)
+                if col.path_in_schema == "bucket" and col.statistics:
+                    s = col.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            spans.append((lo, hi))
+    assert len(spans) >= 2  # actually clustered into multiple files
+    # each file covers a narrow slice of the 0..999 domain
+    assert all(hi - lo < 500 for lo, hi in spans), spans
+    # and the clustered compact answers identically
+    got = {(r["id"], r["bucket"], r["v"]) for r in eng.db().table("t").collect()}
+    want = {(r["id"], r["bucket"], r["v"]) for r in rows.collect()}
+    assert got == want
