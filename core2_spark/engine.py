@@ -674,7 +674,12 @@ class Engine:
         """Execute one SQL DML statement (INSERT/UPDATE/DELETE/ERASE —
         core2 runs SQL DML deterministically at index time) as a
         transaction; returns the basis at which it is visible.  See
-        sql_dml.py for the supported dialect."""
+        sql_dml.py for the supported dialect.
+
+        Materialized-view maintenance statements (CREATE/REFRESH/DROP
+        MATERIALIZED VIEW) are also accepted here: they execute
+        immediately (they are not log ops) and return the current
+        basis unchanged."""
         return self.sql_dml_many([statement], tx_time, id_col)
 
     def sql_dml_many(
@@ -688,10 +693,27 @@ class Engine:
         against the same pre-transaction snapshot, share one tx_time,
         and later statements win on id conflicts via the within-tx
         sequence — atomic multi-statement DML."""
-        from core2_spark.sql_dml import dml_to_ops
+        from core2_spark.sql_dml import (
+            _CREATE_MVIEW,
+            _DROP_MVIEW,
+            _REFRESH_MVIEW,
+            dml_to_ops,
+            maintenance_result,
+        )
 
+        if len(statements) == 1 and maintenance_result(self, statements[0]):
+            return self.db().basis
         ops = []
         for stmt in statements:
+            if any(
+                p.match(stmt)
+                for p in (_CREATE_MVIEW, _REFRESH_MVIEW, _DROP_MVIEW)
+            ):
+                raise ValueError(
+                    "materialized-view maintenance statements are not log "
+                    "ops and cannot join a multi-statement transaction — "
+                    "run them alone"
+                )
             ops.extend(dml_to_ops(self, stmt, id_col))
         return self.submit_tx(ops, tx_time)
 

@@ -97,7 +97,10 @@ class PgWireServer:
         outer_max = max_result_rows
         outer_engine = engine
 
-        _DML = ("insert", "update", "delete", "erase")
+        # create/refresh/drop: materialized-view maintenance — in this
+        # dialect those verbs exist only for MATERIALIZED VIEW, and
+        # Engine.sql_dml rejects anything else loudly
+        _DML = ("insert", "update", "delete", "erase", "create", "refresh", "drop")
 
         class Handler(socketserver.BaseRequestHandler):
             def _send(self, data: bytes) -> None:
@@ -200,7 +203,10 @@ class PgWireServer:
                 if word not in _DML:
                     return None
                 return {"insert": "INSERT 0 0", "update": "UPDATE 0",
-                        "delete": "DELETE 0", "erase": "ERASE 0"}[word]
+                        "delete": "DELETE 0", "erase": "ERASE 0",
+                        "create": "CREATE MATERIALIZED VIEW",
+                        "refresh": "REFRESH MATERIALIZED VIEW",
+                        "drop": "DROP MATERIALIZED VIEW"}[word]
 
             def _run_query(self, sql: str) -> None:
                 sql = sql.strip().rstrip(";")

@@ -24,6 +24,19 @@ Supported statements::
         [WHERE pred]
     ERASE FROM t [WHERE pred]
 
+Maintenance statements (NOT log ops — they execute immediately, like
+their Engine-method counterparts)::
+
+    CREATE MATERIALIZED VIEW v AS
+        SELECT k1, k2, COUNT(*) AS n, SUM(c) AS s FROM t GROUP BY k1, k2
+    REFRESH MATERIALIZED VIEW v
+    DROP MATERIALIZED VIEW v
+
+The CREATE shape is exactly the incrementally-maintainable form
+mviews.py supports: bare key columns (repeated in GROUP BY) plus
+COUNT(*)/COUNT(DISTINCT c)/SUM/MIN/MAX/AVG aggregates, one table, no
+WHERE — a deliberate subset, rejected loudly otherwise.
+
 UPDATE appends new versions of the matched current rows (the old
 versions stay visible to historical queries — core2's semantics);
 DELETE appends tombstones; ERASE rewrites the table without the ids
@@ -217,3 +230,114 @@ def dml_to_ops(engine, statement: str, id_col: str = "id") -> list:
             )
         ]
     return [Erase(p.table, ids, id_col)]
+
+
+# -- materialized-view maintenance statements -------------------------
+
+_CREATE_MVIEW = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>\w+)\s+AS\s+"
+    r"(?P<select>SELECT\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MVIEW = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>\w+)\s*$", re.IGNORECASE
+)
+_DROP_MVIEW = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?P<name>\w+)\s*$", re.IGNORECASE
+)
+_MVIEW_SELECT = re.compile(
+    r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>\w+)\s+"
+    r"GROUP\s+BY\s+(?P<keys>[\w\s,]+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MVIEW_AGG = re.compile(
+    r"^(?P<fn>COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(?P<distinct>DISTINCT\s+)?"
+    r"(?P<col>\*|\w+)\s*\)\s+AS\s+(?P<alias>\w+)$",
+    re.IGNORECASE,
+)
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on top-level commas (not inside parens or strings)."""
+    parts, depth, in_str, cur = [], 0, False, []
+    for ch in text:
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+                continue
+        cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts
+
+
+def parse_mview_select(select: str) -> tuple[str, list[str], dict]:
+    """`SELECT keys..., aggs... FROM t GROUP BY keys` → the
+    (table, keys, aggs) triple mviews.create takes.  Restricted by
+    design to the incrementally-maintainable shape; anything else
+    (expressions over keys, WHERE, joins, HAVING) errors loudly."""
+    m = _MVIEW_SELECT.match(select)
+    if not m:
+        raise ValueError(
+            "CREATE MATERIALIZED VIEW supports exactly "
+            "'SELECT <keys and aggregates> FROM <table> GROUP BY <keys>': "
+            f"{select[:120]}"
+        )
+    keys = [k.strip() for k in m["keys"].split(",")]
+    aggs: dict[str, tuple[str, str]] = {}
+    seen_keys: list[str] = []
+    for item in _split_top_level(m["items"]):
+        a = _MVIEW_AGG.match(item)
+        if a:
+            fn = a["fn"].lower()
+            if a["distinct"]:
+                if fn != "count":
+                    raise ValueError(
+                        f"DISTINCT only supported with COUNT: {item!r}"
+                    )
+                fn = "count_distinct"
+            aggs[a["alias"]] = (fn, a["col"])
+        elif re.match(r"^\w+$", item):
+            seen_keys.append(item)
+        else:
+            raise ValueError(
+                f"unsupported select item {item!r} (bare key column or "
+                "COUNT/SUM/MIN/MAX/AVG(col) AS alias)"
+            )
+    if seen_keys != keys:
+        raise ValueError(
+            f"select-list keys {seen_keys} must equal GROUP BY keys {keys} "
+            "(same order)"
+        )
+    return m["table"], keys, aggs
+
+
+def maintenance_result(engine, statement: str) -> dict | None:
+    """Execute ``statement`` if it is a materialized-view maintenance
+    statement; return a result dict, or None when it is ordinary DML."""
+    import shutil
+
+    from core2_spark import mviews
+
+    m = _CREATE_MVIEW.match(statement)
+    if m:
+        table, keys, aggs = parse_mview_select(m["select"])
+        mviews.create(engine, m["name"], table, keys, aggs)
+        return {"statement": "create_materialized_view", "name": m["name"]}
+    m = _REFRESH_MVIEW.match(statement)
+    if m:
+        stats = mviews.refresh(engine, m["name"])
+        return {"statement": "refresh_materialized_view", "name": m["name"], **stats}
+    m = _DROP_MVIEW.match(statement)
+    if m:
+        base = mviews._base(engine, m["name"])
+        mviews._load_meta(engine, m["name"])  # clear error if absent
+        shutil.rmtree(base)
+        return {"statement": "drop_materialized_view", "name": m["name"]}
+    return None

@@ -234,3 +234,77 @@ def test_refresh_matches_full_recompute_under_random_ops(spark, txs):
         stats = engine.refresh_materialized_view("agg")
         assert stats["mode"] == "incremental"
         assert _stored(engine) == _expected(engine)
+
+
+def test_sql_maintenance_statements(spark, engine):
+    """CREATE/REFRESH/DROP MATERIALIZED VIEW through the SQL frontend
+    behave exactly like the Engine-method API (same mviews.py path)."""
+    engine.submit_tx(
+        [Put("t", _rows(spark, [(i, f"g{i % 3}", float(i)) for i in range(12)]))]
+    )
+    engine.sql_dml(
+        "CREATE MATERIALIZED VIEW agg AS "
+        "SELECT grp, COUNT(*) AS n, SUM(v) AS total, MAX(v) AS hi "
+        "FROM t GROUP BY grp"
+    )
+    assert _stored(engine) == _expected(engine)
+
+    engine.sql_dml("INSERT INTO t (id, grp, v) VALUES (100, 'g9', 7.0)")
+    engine.sql_dml("REFRESH MATERIALIZED VIEW agg")
+    assert _stored(engine) == _expected(engine)
+    assert any(r[0] == "g9" for r in _stored(engine))
+
+    engine.sql_dml("DROP MATERIALIZED VIEW agg")
+    with pytest.raises(ValueError, match="no materialized view"):
+        engine.materialized_view("agg")
+
+    # maintenance statements refuse multi-statement transactions
+    with pytest.raises(ValueError, match="cannot join"):
+        engine.sql_dml_many(
+            [
+                "INSERT INTO t (id, grp, v) VALUES (101, 'g9', 8.0)",
+                "REFRESH MATERIALIZED VIEW agg",
+            ]
+        )
+
+    # the CREATE shape is a deliberate subset — loud rejections
+    for bad, msg in [
+        ("CREATE MATERIALIZED VIEW v AS SELECT grp FROM t", "GROUP BY"),
+        (
+            "CREATE MATERIALIZED VIEW v AS "
+            "SELECT grp, SUM(v) AS s FROM t WHERE v > 1 GROUP BY grp",
+            "",  # WHERE breaks the FROM <table> GROUP BY shape
+        ),
+        (
+            "CREATE MATERIALIZED VIEW v AS "
+            "SELECT upper(grp), COUNT(*) AS n FROM t GROUP BY grp",
+            "unsupported select item",
+        ),
+        (
+            "CREATE MATERIALIZED VIEW v AS "
+            "SELECT grp, SUM(DISTINCT v) AS s FROM t GROUP BY grp",
+            "DISTINCT only supported with COUNT",
+        ),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            engine.sql_dml(bad)
+
+
+def test_sql_count_distinct_parses(spark, engine):
+    engine.submit_tx(
+        [Put("t", _rows(spark, [(i, f"g{i % 2}", float(i % 3)) for i in range(10)]))]
+    )
+    engine.sql_dml(
+        "CREATE MATERIALIZED VIEW cd AS "
+        "SELECT grp, COUNT(DISTINCT v) AS nv FROM t GROUP BY grp"
+    )
+    got = sorted(tuple(r) for r in engine.materialized_view("cd").collect())
+    want = sorted(
+        tuple(r)
+        for r in engine.db()
+        .table("t")
+        .groupBy("grp")
+        .agg(F.countDistinct("v").alias("nv"))
+        .collect()
+    )
+    assert got == want

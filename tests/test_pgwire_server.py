@@ -330,3 +330,54 @@ def test_pgwire_dml_simple_and_extended(spark, engine):
         client.close()
     finally:
         ro.shutdown()
+
+
+def test_pgwire_mview_maintenance(spark, engine):
+    """CREATE/REFRESH/DROP MATERIALIZED VIEW over the wire: the
+    maintenance verbs route to Engine.sql_dml like DML (they are not
+    log ops — they execute immediately), and the view is readable as
+    a plain query right after."""
+    from core2_spark.pgwire_server import PgWireServer
+
+    v1 = spark.createDataFrame(
+        [(1, "AAPL", 100.0), (2, "MSFT", 200.0), (3, "AAPL", 50.0)],
+        "id long, sym string, px double",
+    )
+    engine.submit_tx([Put("trades", v1)], tx_time="2024-01-01 00:00:01")
+
+    def executor(sql):
+        if sql.strip().lower().startswith("select * from mview_rev"):
+            return engine.materialized_view("rev").orderBy("sym")
+        return engine.db().sql(sql)
+
+    server = PgWireServer(executor, engine=engine)
+    try:
+        client = MiniPgClient(server.port)
+        _, _, err = client.query(
+            "CREATE MATERIALIZED VIEW rev AS "
+            "SELECT sym, COUNT(*) AS n, SUM(px) AS total "
+            "FROM trades GROUP BY sym"
+        )
+        assert err is None
+        _, _, err = client.query(
+            "INSERT INTO trades (id, sym, px) VALUES (4, 'AAPL', 25.0)"
+        )
+        assert err is None
+        _, _, err = client.query("REFRESH MATERIALIZED VIEW rev")
+        assert err is None
+        _, rows, err = client.query("SELECT * FROM mview_rev ORDER BY sym")
+        assert err is None
+        assert [(r[0], r[1], r[2]) for r in rows] == [
+            ("AAPL", "3", "175.0"),
+            ("MSFT", "1", "200.0"),
+        ]
+        _, _, err = client.query("DROP MATERIALIZED VIEW rev")
+        assert err is None
+        # malformed CREATE errors loudly and the session survives
+        _, _, err = client.query("CREATE MATERIALIZED VIEW x AS SELECT 1")
+        assert err is not None
+        _, rows, err = client.query("SELECT COUNT(*) AS n FROM trades")
+        assert err is None and rows == [["4"]]
+        client.close()
+    finally:
+        server.shutdown()
