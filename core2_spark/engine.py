@@ -1213,11 +1213,16 @@ class Snapshot:
 
         from core2_spark.sql_dialect import (
             find_temporal_tables,
+            pin_now,
             rename_bare_tables,
             rewrite_temporal_sql,
         )
 
         uid = uuid.uuid4().hex[:8]
+        # repeatable queries: CURRENT_TIMESTAMP/CURRENT_DATE/NOW() are
+        # the BASIS clock, never the wall clock — the same query at
+        # the same basis answers identically forever (core2 semantics)
+        query = pin_now(query, self.basis.current_time)
         temporal_tables = find_temporal_tables(query)
         table_map: dict[str, str] = {}
         bare_map: dict[str, str] = {}

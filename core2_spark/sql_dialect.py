@@ -698,6 +698,62 @@ def _split_exists_once(sql: str) -> str:
     return "".join(out)
 
 
+# CURRENT_TIME/LOCALTIME (SQL TIME type) are omitted: Spark has no
+# TIME type or function to pin — they error identically with or
+# without the pre-pass.
+_NOW_WORDS = {
+    "CURRENT_TIMESTAMP",
+    "LOCALTIMESTAMP",
+    "CURRENT_DATE",
+    "NOW",
+}
+
+
+def pin_now(sql: str, at) -> str:
+    """Replace the SQL now-family niladic functions with LITERALS at
+    the basis clock — core2's repeatable-query semantics (SURVEY §2.8:
+    'pin now to a basis parameter, never the wall clock').  A query
+    executed twice at the same basis must answer identically; Spark's
+    CURRENT_TIMESTAMP reads the wall clock at plan time, which would
+    make snapshot reads unrepeatable.  Token-aware: occurrences inside
+    strings, quoted identifiers, and comments are untouched; an
+    optional empty argument list (``NOW()``) is consumed."""
+    ts = at.isoformat(sep=" ", timespec="microseconds")
+    out, pos = [], 0
+    toks = _tokens(sql)
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        w = t.word()
+        if w not in _NOW_WORDS:
+            i += 1
+            continue
+        end = t.end
+        j = i + 1
+        if (
+            j + 1 < len(toks)
+            and toks[j].text == "("
+            and toks[j + 1].text == ")"
+        ):
+            end = toks[j + 1].end
+            j += 2
+        elif w == "NOW":
+            # bare NOW is a valid identifier, not a now-function
+            i += 1
+            continue
+        lit = (
+            f"DATE '{at.date().isoformat()}'"
+            if w == "CURRENT_DATE"
+            else f"TIMESTAMP '{ts}'"
+        )
+        out.append(sql[pos : t.start])
+        out.append(lit)
+        pos = end
+        i = j
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def sql_with_temporal(
     spark: SparkSession,
     sql: str,

@@ -389,3 +389,48 @@ def test_exists_disjunction_through_engine_sql_matches_duckdb(spark, tmp_path):
     duck_nested = con.execute(nested_sql).df()
     con.close()
     assert_frames_match(spark_nested, duck_nested, "exists_nested_dnf_engine")
+
+
+def test_pin_now_string_forms():
+    from datetime import datetime
+
+    from core2_spark.sql_dialect import pin_now
+
+    at = datetime(2024, 3, 4, 5, 6, 7)
+    out = pin_now("SELECT CURRENT_TIMESTAMP AS t, CURRENT_DATE AS d", at)
+    assert "TIMESTAMP '2024-03-04 05:06:07.000000'" in out
+    assert "DATE '2024-03-04'" in out
+    # empty argument lists are consumed; NOW needs them (bare NOW is a
+    # legal identifier)
+    assert "TIMESTAMP '" in pin_now("SELECT NOW() AS t", at)
+    assert pin_now("SELECT now FROM t", at) == "SELECT now FROM t"
+    assert (
+        pin_now("SELECT localtimestamp() AS t", at)
+        == "SELECT TIMESTAMP '2024-03-04 05:06:07.000000' AS t"
+    )
+    # strings and comments untouched
+    lit = "SELECT 'CURRENT_TIMESTAMP' AS s -- CURRENT_DATE"
+    assert pin_now(lit, at) == lit
+
+
+def test_snapshot_sql_now_is_basis_pinned(spark, tmp_path):
+    """The same query at the same basis answers identically forever —
+    CURRENT_TIMESTAMP is the basis clock, not the wall clock."""
+    from core2_spark.engine import Engine, Put
+
+    eng = Engine(spark, str(tmp_path / "pin_now"))
+    rows = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    eng.submit_tx([Put("t", rows)], tx_time="2024-01-01 00:00:05")
+    snap = eng.db()
+    r1 = snap.sql(
+        "SELECT id, CURRENT_TIMESTAMP AS asof, CURRENT_DATE AS d FROM t"
+    ).collect()
+    r2 = snap.sql(
+        "SELECT id, CURRENT_TIMESTAMP AS asof, CURRENT_DATE AS d FROM t"
+    ).collect()
+    assert r1 == r2
+    assert all(str(r["asof"]).startswith("2024-01-01 00:00:05") for r in r1)
+    # a later transaction advances the basis clock of NEW snapshots
+    eng.submit_tx([Put("t", rows)], tx_time="2024-06-01 00:00:00")
+    r3 = eng.db().sql("SELECT CURRENT_DATE AS d FROM t LIMIT 1").collect()
+    assert str(r3[0]["d"]) == "2024-06-01"
