@@ -119,6 +119,7 @@ class Engine:
         epoch: str = "2024-01-01",
         auto_compact_files: int | None = None,
         bloom_filter_columns: tuple[str, ...] = (),
+        auto_refresh_views: bool = False,
     ):
         self.spark = spark
         self.root = root
@@ -139,6 +140,10 @@ class Engine:
         # for the table, so it is opt-in).
         self._auto_compact_files = auto_compact_files
         self._compact_warned: set[str] = set()
+        # Opt-in: refresh materialized views of touched tables after
+        # each commit, so views track the log without manual refresh
+        # calls (incremental — cost follows the delta).
+        self._auto_refresh_views = auto_refresh_views
         # Merged-schema cache (100 TB planning cost): a mergeSchema
         # read pays one footer read PER FILE at plan time on every
         # query.  The engine sees every schema it writes, so it
@@ -598,6 +603,18 @@ class Engine:
         for _path, old in deferred_old:
             shutil.rmtree(old, ignore_errors=True)
         self._maybe_auto_compact(touched)
+        if self._auto_refresh_views:
+            from core2_spark import mviews
+
+            for name, meta in mviews.list_views(self).items():
+                if meta.get("table") in touched:
+                    try:
+                        mviews.refresh(self, name)
+                    except Exception as exc:  # tx is already durable
+                        raise RuntimeError(
+                            f"transaction committed, but auto-refresh of "
+                            f"materialized view {name!r} failed: {exc}"
+                        ) from exc
         return acquire_basis(self._all_tables(), t, self._basis_schemas())
 
     def _rollback(
@@ -974,6 +991,12 @@ class Engine:
         from core2_spark import mviews
 
         return mviews.create(self, name, table, keys, aggs)
+
+    def materialized_views(self) -> dict[str, dict]:
+        """{name: meta} for every materialized view under this root."""
+        from core2_spark import mviews
+
+        return mviews.list_views(self)
 
     def refresh_materialized_view(self, name: str) -> dict:
         """Bring the view to the current clock; cost tracks the change

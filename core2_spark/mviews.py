@@ -200,6 +200,20 @@ def create(
     return read(engine, name)
 
 
+def list_views(engine) -> dict[str, dict]:
+    """{name: meta} for every materialized view under the root."""
+    base = os.path.join(engine.root, "_mviews")
+    if not os.path.isdir(base):
+        return {}
+    out = {}
+    for name in sorted(os.listdir(base)):
+        path = os.path.join(base, name, "meta.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                out[name] = json.load(f)
+    return out
+
+
 def read(engine, name: str) -> DataFrame:
     _load_meta(engine, name)  # existence check with a clear error
     return engine.spark.read.parquet(os.path.join(_base(engine, name), "data"))

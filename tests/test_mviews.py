@@ -308,3 +308,27 @@ def test_sql_count_distinct_parses(spark, engine):
         .collect()
     )
     assert got == want
+
+
+def test_auto_refresh_views_tracks_commits(spark):
+    """Engine(auto_refresh_views=True): views of touched tables
+    refresh after each commit — no manual refresh calls."""
+    shutil.rmtree(ROOT, ignore_errors=True)
+    engine = Engine(spark, ROOT, auto_refresh_views=True)
+    engine.submit_tx(
+        [Put("t", _rows(spark, [(i, f"g{i % 3}", float(i)) for i in range(9)]))]
+    )
+    engine.create_materialized_view("agg", "t", ["grp"], AGGS)
+    assert list(engine.materialized_views()) == ["agg"]
+
+    engine.submit_tx([Put("t", _rows(spark, [(0, "gZ", 9.0)]))])
+    # already fresh: the commit refreshed it
+    assert engine.refresh_materialized_view("agg")["mode"] == "noop"
+    assert _stored(engine) == _expected(engine)
+    assert any(r[0] == "gZ" for r in _stored(engine))
+
+    # untouched tables' views are left alone
+    engine.submit_tx(
+        [Put("other", _rows(spark, [(1, "x", 1.0)]))]
+    )
+    assert engine.materialized_views()["agg"]["table"] == "t"
