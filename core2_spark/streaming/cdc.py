@@ -103,3 +103,43 @@ def replicate_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def maintain_views_stream(
+    spark: SparkSession,
+    engine,
+    table: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """CONTINUOUS incremental view maintenance: tail ``table``'s
+    change feed as a stream and refresh every materialized view over
+    it after each micro-batch — mviews.py's refresh loop driven by the
+    log instead of manual calls (the streaming twin of
+    ``Engine(auto_refresh_views=True)``, for maintainers running in a
+    separate process from the writer).
+
+    The micro-batch content is ignored on purpose: it is the TRIGGER
+    (new files = new transactions), while the refresh itself re-reads
+    the delta from the view's own clock — so a lost/duplicated trigger
+    can never lose or double-apply changes (refresh is idempotent:
+    noop when the view is already at the head), and the checkpoint
+    only bounds trigger redelivery, not correctness."""
+    from core2_spark import mviews
+
+    def refresh_views(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        engine.refresh()  # follow the writer's log head
+        for name, meta in mviews.list_views(engine).items():
+            if meta.get("table") == table:
+                mviews.refresh(engine, name)
+
+    stream = changes_stream(spark, os.path.join(engine.root), table)
+    writer = (
+        stream.writeStream.foreachBatch(refresh_views)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

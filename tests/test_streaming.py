@@ -471,3 +471,57 @@ def test_replicate_stream_converges_and_resumes(spark, tmp_path):
     q2.awaitTermination(120)
     assert cur(dst.db()) == cur(src.db()) == {(1, "a2")}
     assert dst.db().history("t").count() == src.db().history("t").count() == 4
+
+
+def test_maintain_views_stream_refreshes_on_commits(spark, tmp_path):
+    """Continuous incremental view maintenance: a maintainer process
+    tails the change feed and refreshes materialized views after each
+    micro-batch; triggers are idempotent (refresh noops at the head),
+    so redelivery cannot double-apply."""
+    from core2_spark.engine import Engine, Put
+    from core2_spark.streaming.cdc import maintain_views_stream
+
+    root = str(tmp_path / "mv_src")
+    writer = Engine(spark, root)
+
+    def rows(data):
+        return spark.createDataFrame(data, "id long, grp string, v double")
+
+    writer.submit_tx([Put("t", rows([(i, f"g{i % 2}", float(i)) for i in range(8)]))])
+    writer.create_materialized_view(
+        "agg", "t", ["grp"], {"n": ("count", "*"), "total": ("sum", "v")}
+    )
+
+    # maintainer: a separate Engine object over the same root
+    maintainer = Engine(spark, root)
+    ckpt = str(tmp_path / "ckpt")
+
+    writer.submit_tx([Put("t", rows([(0, "gX", 5.0), (100, "g1", 2.0)]))])
+    q = maintain_views_stream(spark, maintainer, "t", ckpt)
+    q.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in writer.materialized_view("agg").collect())
+    want = sorted(
+        tuple(r)
+        for r in writer.db()
+        .table("t")
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    )
+    assert got == want
+
+    # second round: more commits, resume from the same checkpoint
+    writer.submit_tx([Put("t", rows([(1, "gX", 7.0)]))])
+    q2 = maintain_views_stream(spark, maintainer, "t", ckpt)
+    q2.awaitTermination(120)
+    got2 = sorted(tuple(r) for r in writer.materialized_view("agg").collect())
+    want2 = sorted(
+        tuple(r)
+        for r in writer.db()
+        .table("t")
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    )
+    assert got2 == want2
