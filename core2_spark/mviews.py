@@ -32,13 +32,14 @@ when it is small enough to collect (≤ ``_INLIST_CAP`` groups) the
 re-aggregation filter becomes an IN-list PUSHED INTO the parquet scan
 (row-group stat pruning on the key columns), so the recompute reads
 only affected groups' row groups; the view rewrite is small because
-views are aggregates.  The one term that still touches the whole
-table is the group-DISCOVERY pass (which versions did changed ids
-ever have?): a column-pruned scan of (id, keys) that id-bloom filters
-and runtime bloom-filter join pushdown cut to the matching row
-groups.  Removing it entirely needs persistent delta state (an
-id→keys map maintained with the view — classic IVM bookkeeping),
-documented here as the known extension, not silently skipped.
+views are aggregates.  Group DISCOVERY (which keys did changed ids
+have at the view's clock?) takes the compact fast path when one
+exists at clock c ≤ as_of: the as-of key lives either in the compact
+(a NARROW id+keys scan, row-group-prunable when clustered) or in the
+manifest-pruned version slice of (c, as_of]; now-keys ride the feed
+rows.  Without a compact, discovery falls back to a column-pruned
+(id, keys) pass over history that id-bloom filters and runtime
+bloom-filter join pushdown cut to the matching row groups.
 
 Two situations refuse incrementality and recompute fully (reported in
 the returned stats): app-time-BOUNDED tables (a bounded period can
@@ -148,6 +149,63 @@ def _inlist_condition(key_rows, keys: list[str]):
     )
 
 
+def _affected_keys(engine, snap, table, keys, as_of, feed, changed):
+    """Distinct group keys whose stored view rows may be stale: every
+    key a changed id had AT ``as_of`` (what the view counted) plus
+    every key it has NOW.
+
+    Fast path — when a compact exists at clock c ≤ as_of, the as-of
+    key of a changed id lives either in the compact (state at c, a
+    NARROW id+keys column scan, row-group-prunable when the compact is
+    clustered) or in the manifest-pruned version files of (c, as_of]
+    (the id changed in between); the NOW keys ride the feed rows
+    themselves.  Discovery then costs delta + one narrow compact scan
+    instead of a pass over the full version history.
+
+    Fallback — no usable compact: scan (id, keys) over all history
+    semi-joined to the changed ids (column-pruned; id-bloom filters
+    and runtime bloom-filter pushdown cut the row groups read)."""
+    import json as _json
+    from datetime import datetime as _dt
+
+    spark = engine.spark
+    meta = os.path.join(engine.root, "_current", f"{table}.json")
+    compact_clock = None
+    if os.path.exists(meta) and table not in engine._app_bounded:
+        with open(meta) as f:
+            c = _dt.fromisoformat(_json.load(f)["tx_time"])
+        if c <= as_of:
+            compact_clock = c
+    if compact_clock is None:
+        return (
+            snap.history(table)
+            .select("id", *keys)
+            .join(F.broadcast(changed), "id", "left_semi")
+            .select(*keys)
+            .distinct()
+        )
+    from core2_spark import temporal as bt
+
+    compact_keys = (
+        spark.read.parquet(os.path.join(engine.root, "_current", table))
+        .select("id", *keys)
+        .join(F.broadcast(changed), "id", "left_semi")
+        .select(*keys)
+    )
+    between = (
+        snap._versions(table, day_lo=compact_clock.date(), day_hi=as_of.date())
+        .filter(
+            (F.col(bt.SYS_START) > bt._ts(compact_clock))
+            & (F.col(bt.SYS_START) <= bt._ts(as_of))
+        )
+        .select("id", *keys)
+        .join(F.broadcast(changed), "id", "left_semi")
+        .select(*keys)
+    )
+    now_keys = feed.select(*keys)
+    return compact_keys.unionByName(between).unionByName(now_keys).distinct()
+
+
 def _base(engine, name: str) -> str:
     return os.path.join(engine.root, "_mviews", name)
 
@@ -241,17 +299,9 @@ def refresh(engine, name: str) -> dict:
         _store(engine, name, view, meta)
         return {"mode": "full", "as_of": meta["as_of"]}
 
-    changed = snap.changes(table, since=as_of).select("id").distinct()
-    affected = (
-        snap.history(table)
-        # project BEFORE the join so the discovery scan reads only the
-        # id + key columns (ReadSchema pruning); broadcast the
-        # delta-sized id set so the big side never shuffles
-        .select("id", *keys)
-        .join(F.broadcast(changed), "id", "left_semi")
-        .select(*keys)
-        .distinct()
-    )
+    feed = snap.changes(table, since=as_of)
+    changed = feed.select("id").distinct()
+    affected = _affected_keys(engine, snap, table, keys, as_of, feed, changed)
     key_rows = affected.limit(_INLIST_CAP + 1).collect()
     cur, old = snap.table(table), read(engine, name)
     if len(key_rows) <= _INLIST_CAP:

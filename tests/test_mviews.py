@@ -332,3 +332,33 @@ def test_auto_refresh_views_tracks_commits(spark):
         [Put("other", _rows(spark, [(1, "x", 1.0)]))]
     )
     assert engine.materialized_views()["agg"]["table"] == "t"
+
+
+def test_refresh_with_compact_discovery_path(spark, engine):
+    """When a compact exists at or before the view's clock, affected-
+    key discovery reads the compact + the (c, as_of] version slice
+    instead of full history — same answers, including group moves and
+    ids created after the compact."""
+    engine.submit_tx(
+        [Put("t", _rows(spark, [(i, f"g{i % 3}", float(i)) for i in range(30)]))]
+    )
+    engine.compact("t")
+    # post-compact, pre-view changes (the (c, as_of] slice)
+    engine.submit_tx(
+        [Put("t", _rows(spark, [(2, "gM", 1.0), (200, "g1", 3.0)]))]
+    )
+    engine.create_materialized_view("agg", "t", ["grp"], AGGS)
+    # post-view changes: group move of a compact-resident id, a move
+    # of the slice-resident id, a delete, a brand-new id
+    engine.submit_tx(
+        [
+            Put("t", _rows(spark, [(0, "gX", 5.0), (2, "g0", 2.0), (300, "gX", 4.0)])),
+            Delete("t", spark.createDataFrame([(1,)], "id long")),
+        ]
+    )
+    stats = engine.refresh_materialized_view("agg")
+    assert stats["mode"] == "incremental"
+    assert _stored(engine) == _expected(engine)
+    # old groups found via compact (g0 for id 0), via the slice (gM
+    # for id 2) — both now correct in the refreshed view
+    assert not any(r[0] == "gM" for r in _stored(engine))
