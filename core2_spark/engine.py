@@ -1231,7 +1231,13 @@ class Snapshot:
         Views are SCOPED PER CALL (unique suffix, dropped once the
         query is analyzed): two snapshots at different bases running
         concurrently in one SparkSession never clobber each other's
-        view registrations."""
+        view registrations.
+
+        Materialized views are queryable as ``mview_<name>`` (and join
+        freely with tables).  They reflect their OWN refresh clock,
+        not this basis — a deliberately visible seam: a stale view is
+        stale data, and the `mview_` prefix marks the reference as
+        coming from the maintenance tier."""
         import uuid
 
         from core2_spark.sql_dialect import (
@@ -1264,6 +1270,15 @@ class Snapshot:
                     ).createOrReplaceTempView(hist_name)
                     registered.append(hist_name)
                     table_map[name] = hist_name
+            if "mview_" in query.lower():  # zero overhead otherwise
+                for vname in self.engine.materialized_views():
+                    ext = f"mview_{vname}"
+                    tmp_name = f"{ext}__snap_{uid}"
+                    self.engine.materialized_view(vname).createOrReplaceTempView(
+                        tmp_name
+                    )
+                    registered.append(tmp_name)
+                    bare_map[ext] = tmp_name
             rewritten = rename_bare_tables(
                 rewrite_temporal_sql(query, table_map), bare_map
             )

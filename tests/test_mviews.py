@@ -6,8 +6,6 @@ recompute (app-bounded tables, post-view Erase/vacuum)."""
 
 from __future__ import annotations
 
-import shutil
-
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -15,15 +13,14 @@ from pyspark.sql import functions as F
 
 from core2_spark.engine import Delete, Engine, Erase, Put
 
-ROOT = "/root/repo/_data/mview_test"
-
 AGGS = {"n": ("count", "*"), "total": ("sum", "v"), "hi": ("max", "v")}
 
 
+# unique root per test (and per concurrent pytest invocation): a fixed
+# _data path made overlapping runs rmtree each other's engine roots
 @pytest.fixture
-def engine(spark):
-    shutil.rmtree(ROOT, ignore_errors=True)
-    return Engine(spark, ROOT)
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "mview_engine"))
 
 
 def _rows(spark, data):
@@ -142,7 +139,7 @@ def test_erase_and_vacuum_force_full_recompute(spark, engine):
     assert _stored(engine) == _expected(engine)
 
     # rewrite clocks survive reopen (persisted in _log.json)
-    reopened = Engine(spark, ROOT)
+    reopened = Engine(spark, engine.root)
     assert "t" in reopened._rewrites
 
 
@@ -211,8 +208,10 @@ def op_sequence(draw):
 )
 @given(txs=op_sequence())
 def test_refresh_matches_full_recompute_under_random_ops(spark, txs):
-    shutil.rmtree(ROOT, ignore_errors=True)
-    engine = Engine(spark, ROOT)
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="mview_prop_")
+    engine = Engine(spark, root)
     engine.submit_tx(
         [Put("t", _rows(spark, [(i, f"g{i % 2}", float(i)) for i in range(10)]))]
     )
@@ -310,11 +309,10 @@ def test_sql_count_distinct_parses(spark, engine):
     assert got == want
 
 
-def test_auto_refresh_views_tracks_commits(spark):
+def test_auto_refresh_views_tracks_commits(spark, tmp_path):
     """Engine(auto_refresh_views=True): views of touched tables
     refresh after each commit — no manual refresh calls."""
-    shutil.rmtree(ROOT, ignore_errors=True)
-    engine = Engine(spark, ROOT, auto_refresh_views=True)
+    engine = Engine(spark, str(tmp_path / "auto"), auto_refresh_views=True)
     engine.submit_tx(
         [Put("t", _rows(spark, [(i, f"g{i % 3}", float(i)) for i in range(9)]))]
     )
@@ -362,3 +360,27 @@ def test_refresh_with_compact_discovery_path(spark, engine):
     # old groups found via compact (g0 for id 0), via the slice (gM
     # for id 2) — both now correct in the refreshed view
     assert not any(r[0] == "gM" for r in _stored(engine))
+
+
+def test_mviews_queryable_in_snapshot_sql(spark, engine):
+    """Materialized views register as mview_<name> in Snapshot.sql and
+    join freely with basis tables."""
+    engine.submit_tx(
+        [Put("t", _rows(spark, [(i, f"g{i % 3}", float(i)) for i in range(9)]))]
+    )
+    engine.create_materialized_view(
+        "agg", "t", ["grp"], {"n": ("count", "*"), "total": ("sum", "v")}
+    )
+    rows = engine.db().sql(
+        "SELECT t.id, t.grp, m.n, m.total "
+        "FROM t JOIN mview_agg m ON m.grp = t.grp "
+        "WHERE t.id < 3 ORDER BY t.id"
+    ).collect()
+    assert [(r["id"], r["n"]) for r in rows] == [(0, 3), (1, 3), (2, 3)]
+    # the view reflects ITS clock, not the basis — the seam is visible
+    engine.submit_tx([Put("t", _rows(spark, [(100, "g0", 9.0)]))])
+    stale = engine.db().sql("SELECT n FROM mview_agg WHERE grp = 'g0'").collect()
+    assert stale[0]["n"] == 3  # not refreshed yet
+    engine.refresh_materialized_view("agg")
+    fresh = engine.db().sql("SELECT n FROM mview_agg WHERE grp = 'g0'").collect()
+    assert fresh[0]["n"] == 4
