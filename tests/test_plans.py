@@ -108,6 +108,7 @@ def test_window_topk_partitions_by_group(spark):
         "embedding_cosine_near_dup",
         "knn_lsh_bucketed",
         "curation_decontaminate_ngram",
+        "curation_decontaminate_substring",
         "stream_cdc_log_tail",
     ],
 )
@@ -212,3 +213,31 @@ def test_ivf_cell_assignment_plan_bounded_at_4096_clusters(spark):
     assert "ArrowEvalPython" in out._jdf.queryExecution().executedPlan().toString()
     # and it still computes the argmax assignment
     assert out.count() == 32
+
+
+def test_mview_inlist_recompute_pushes_key_filter(spark, tmp_path):
+    """The mview refresh's IN-list fast path must push the affected-key
+    filter into the scan: over a CLUSTERED compact the recompute reads
+    a plain parquet scan with PushedFilters In(bucket, ...) — the
+    scale claim mviews.py makes, enforced."""
+    from pyspark.sql import functions as FF
+
+    from core2_spark import mviews
+    from core2_spark.engine import Engine, Put
+
+    eng = Engine(spark, str(tmp_path / "mvplan"))
+    rows = spark.range(4000).select(
+        FF.col("id"),
+        (FF.col("id") % 100).alias("bucket"),
+        (FF.col("id") * 2.0).alias("v"),
+    )
+    eng.submit_tx([Put("t", rows)])
+    eng.compact("t", sort_by=("bucket",), sort_files=4)
+
+    snap = eng.db()
+    cond = mviews._inlist_condition(
+        [{"bucket": 3}, {"bucket": 7}], ["bucket"]
+    )
+    plan = plan_of(snap.table("t").filter(cond))
+    assert "PushedFilters: [In(bucket" in plan
+    assert "Exchange" not in plan  # fresh compact: plain scan, no window
