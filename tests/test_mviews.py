@@ -183,8 +183,10 @@ def test_validation_errors(spark, engine):
 
 @st.composite
 def op_sequence(draw):
-    """2-4 transactions of random puts/deletes over ids 0..19 and
-    groups g0..g3 (N = NULL group)."""
+    """2-4 rounds of random puts/deletes over ids 0..19 and groups
+    g0..g3 (N = NULL group), each optionally followed by maintenance
+    (compact — exercises the compact discovery path — or erase /
+    vacuum, which must force a FULL refresh via the rewrite clock)."""
     txs = []
     for _ in range(draw(st.integers(2, 4))):
         n_put = draw(st.integers(0, 5))
@@ -197,7 +199,10 @@ def op_sequence(draw):
             for _ in range(n_put)
         ]
         dels = draw(st.lists(st.integers(0, 19), max_size=3))
-        txs.append((puts, dels))
+        maint = draw(
+            st.sampled_from([None, None, "compact", "erase", "vacuum"])
+        )
+        txs.append((puts, dels, maint))
     return txs
 
 
@@ -216,7 +221,8 @@ def test_refresh_matches_full_recompute_under_random_ops(spark, txs):
         [Put("t", _rows(spark, [(i, f"g{i % 2}", float(i)) for i in range(10)]))]
     )
     engine.create_materialized_view("agg", "t", ["grp"], AGGS)
-    for puts, dels in txs:
+    rewritten = False
+    for puts, dels, maint in txs:
         ops = []
         if puts:
             ops.append(Put("t", _rows(spark, puts)))
@@ -227,12 +233,28 @@ def test_refresh_matches_full_recompute_under_random_ops(spark, txs):
                     spark.createDataFrame([(i,) for i in dels], "id long"),
                 )
             )
-        if not ops:
-            continue
-        engine.submit_tx(ops)
-        stats = engine.refresh_materialized_view("agg")
-        assert stats["mode"] == "incremental"
-        assert _stored(engine) == _expected(engine)
+        if ops:
+            engine.submit_tx(ops)
+            stats = engine.refresh_materialized_view("agg")
+            assert stats["mode"] == ("full" if rewritten else "incremental")
+            rewritten = False
+            assert _stored(engine) == _expected(engine)
+        if maint == "compact":
+            engine.compact("t")
+        elif maint == "erase":
+            engine.submit_tx(
+                [Erase("t", spark.createDataFrame([(0,), (7,)], "id long"))]
+            )
+            rewritten = True
+        elif maint == "vacuum":
+            # vacuum at the view's OWN clock is the guard's proven-safe
+            # boundary: every version a later refresh needs closes
+            # after this head, above any admissible horizon — so the
+            # next refresh stays INCREMENTAL (rewrite == as_of, not >)
+            engine.vacuum("t", engine._last_tx_time)
+    # final convergence regardless of trailing maintenance
+    engine.refresh_materialized_view("agg")
+    assert _stored(engine) == _expected(engine)
 
 
 def test_sql_maintenance_statements(spark, engine):
