@@ -223,3 +223,56 @@ def test_http_basis_token_pins_snapshot(spark, engine):
         assert live["rows"] == [[3]]
     finally:
         server.shutdown()
+
+
+def test_http_tx_mview_maintenance(spark, engine):
+    """A single materialized-view maintenance statement rides the same
+    POST /tx funnel (it executes immediately — not a log op); mixing
+    it into a multi-statement transaction is a 400."""
+    import urllib.error
+    import urllib.request
+
+    from core2_spark.http_server import SqlHttpServer, http_query
+
+    v1 = spark.createDataFrame(
+        [(1, "AAPL", 100.0), (2, "MSFT", 200.0), (3, "AAPL", 50.0)],
+        "id long, sym string, px double",
+    )
+    engine.submit_tx([Put("trades", v1)], tx_time="2024-01-01 00:00:01")
+
+    server = SqlHttpServer(lambda sql: engine.db().sql(sql), engine=engine)
+    try:
+        def post(statements):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{server.port}/tx",
+                data=json.dumps({"statements": statements}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as resp:
+                return json.loads(resp.read())
+
+        post(
+            [
+                "CREATE MATERIALIZED VIEW rev AS "
+                "SELECT sym, COUNT(*) AS n, SUM(px) AS total "
+                "FROM trades GROUP BY sym"
+            ]
+        )
+        post(["INSERT INTO trades (id, sym, px) VALUES (4, 'AAPL', 25.0)"])
+        post(["REFRESH MATERIALIZED VIEW rev"])
+        got = http_query(
+            server.port, "SELECT sym, n, total FROM mview_rev ORDER BY sym"
+        )
+        assert got["rows"] == [["AAPL", 3, 175.0], ["MSFT", 1, 200.0]]
+
+        # maintenance mixed into a multi-statement tx: 400, no effect
+        with pytest.raises(urllib.error.HTTPError) as err:
+            post(
+                [
+                    "INSERT INTO trades (id, sym, px) VALUES (5, 'GOOG', 1.0)",
+                    "REFRESH MATERIALIZED VIEW rev",
+                ]
+            )
+        assert err.value.code == 400
+    finally:
+        server.shutdown()
