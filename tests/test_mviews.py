@@ -406,3 +406,23 @@ def test_mviews_queryable_in_snapshot_sql(spark, engine):
     engine.refresh_materialized_view("agg")
     fresh = engine.db().sql("SELECT n FROM mview_agg WHERE grp = 'g0'").collect()
     assert fresh[0]["n"] == 4
+
+
+def test_failed_tx_leaves_refresh_noop(spark, engine):
+    """A rolled-back transaction rewinds the clock and leaves no CDC
+    rows — the next refresh must be a noop and the view stays equal."""
+    engine.submit_tx(
+        [Put("t", _rows(spark, [(i, f"g{i % 2}", float(i)) for i in range(6)]))]
+    )
+    engine.create_materialized_view("agg", "t", ["grp"], AGGS)
+    # the Put appends first; the Erase on a never-existing table then
+    # fails the transaction, rolling the append back
+    with pytest.raises(ValueError, match="nothing to erase"):
+        engine.submit_tx(
+            [
+                Put("t", _rows(spark, [(0, "gX", 9.0)])),
+                Erase("never_there", spark.createDataFrame([(1,)], "id long")),
+            ]
+        )
+    assert engine.refresh_materialized_view("agg")["mode"] == "noop"
+    assert _stored(engine) == _expected(engine)
