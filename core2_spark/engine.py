@@ -542,6 +542,12 @@ class Engine:
                         )
                         .withColumn(bt.TOMBSTONE, F.lit(False))
                         .withColumn(bt.TX_SEQ, F.lit(seq))
+                        # duplicate ids WITHIN one Put tie on
+                        # (sys_start, _tx_seq); the stamped row id
+                        # freezes an arbitrary winner in the file so
+                        # every read of every basis agrees (see
+                        # temporal.ROW_SEQ)
+                        .withColumn(bt.ROW_SEQ, F.monotonically_increasing_id())
                         .withColumn(bt.SYS_DAY, F.to_date(F.col(bt.SYS_START)))
                     )
                     self._merge_schema_cache(
@@ -1139,9 +1145,9 @@ class Snapshot:
         engine writes bloom filters on id)."""
         h = self.history(table).filter(F.col("id") == F.lit(entity_id))
         order = (
-            [F.col(bt.SYS_START).desc(), F.col(bt.TX_SEQ).desc()]
+            [F.col(c).desc() for c in (bt.SYS_START, bt.TX_SEQ, bt.ROW_SEQ) if c in h.columns]
             if newest_first
-            else [F.col(bt.SYS_START).asc(), F.col(bt.TX_SEQ).asc()]
+            else [F.col(c).asc() for c in (bt.SYS_START, bt.TX_SEQ, bt.ROW_SEQ) if c in h.columns]
         )
         return h.orderBy(*order)
 
@@ -1185,7 +1191,7 @@ class Snapshot:
         # O(all history) (see Basis.read)
         versions = self._versions(table, day_hi=_to_datetime(s).date())
         visible = bt.resolve_as_of(versions, s, t, "id")
-        drop = [*bt.TEMPORAL_COLS, bt.TOMBSTONE, bt.TX_SEQ, bt.SYS_DAY]
+        drop = [*bt.TEMPORAL_COLS, bt.TOMBSTONE, bt.TX_SEQ, bt.ROW_SEQ, bt.SYS_DAY]
         return visible.drop(*[c for c in drop if c in visible.columns])
 
     def _merge_on_read(self, table: str, compact_path: str, t0) -> DataFrame:
@@ -1211,7 +1217,7 @@ class Snapshot:
         versions = self._versions(table).join(recent_ids, "id", "left_semi")
         s = t = self.basis.current_time
         vis = bt.resolve_as_of(versions, s, t, "id")
-        drop = [*bt.TEMPORAL_COLS, bt.TOMBSTONE, bt.TX_SEQ, bt.SYS_DAY]
+        drop = [*bt.TEMPORAL_COLS, bt.TOMBSTONE, bt.TX_SEQ, bt.ROW_SEQ, bt.SYS_DAY]
         vis = vis.drop(*[c for c in drop if c in vis.columns])
         return untouched.unionByName(vis, allowMissingColumns=True)
 
@@ -1266,7 +1272,7 @@ class Snapshot:
                 if name in temporal_tables:
                     hist_name = f"{name}__sys_history_{uid}"
                     bt.without_tombstones(self.history(name)).drop(
-                        bt.TX_SEQ, bt.TOMBSTONE
+                        bt.TX_SEQ, bt.ROW_SEQ, bt.TOMBSTONE
                     ).createOrReplaceTempView(hist_name)
                     registered.append(hist_name)
                     table_map[name] = hist_name

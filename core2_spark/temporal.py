@@ -47,6 +47,16 @@ TEMPORAL_COLS = (SYS_START, SYS_END, APP_START, APP_END)
 # Writers stamp it (Engine.submit_tx); readers use it as the default
 # tiebreaker wherever versions are ordered.
 TX_SEQ = "_tx_seq"
+# Row-level write sequence WITHIN one op: duplicate ids inside a single
+# Put tie on (system_time_start, _tx_seq), and an un-tiebroken
+# row_number would pick a DIFFERENT winner on different evaluations of
+# the same basis — violating repeatable reads.  The winner among
+# within-op duplicates is inherently arbitrary (DataFrames are
+# unordered), but stamping monotonically_increasing_id AT WRITE TIME
+# freezes the choice in the parquet file: every read of every basis
+# agrees forever.  Legacy rows without the column sort before stamped
+# rows of the same transaction (asc_nulls_first / desc_nulls_last).
+ROW_SEQ = "_row_seq"
 
 # Partition column for engine version tables: the calendar day of
 # system_time_start.  Writers partition appends by it so as-of reads
@@ -104,6 +114,8 @@ def close_system_versions(versions: DataFrame, id_col: str = "id") -> DataFrame:
     order = [F.col(SYS_START).asc()]
     if TX_SEQ in versions.columns:
         order.append(F.col(TX_SEQ).asc())  # same-tx versions: write order
+    if ROW_SEQ in versions.columns:
+        order.append(F.col(ROW_SEQ).asc())  # within-op duplicates: stable
     w = Window.partitionBy(id_col).orderBy(*order)
     return versions.withColumn(
         SYS_END, F.coalesce(F.lead(SYS_START).over(w), _ts(END_OF_TIME))
@@ -168,7 +180,9 @@ def latest_versions(
     (None): the engine's intra-transaction sequence column ``_tx_seq``
     when present, else no tiebreak."""
     if tiebreak_cols is None:
-        tiebreak_cols = (TX_SEQ,) if TX_SEQ in versions.columns else ()
+        tiebreak_cols = tuple(
+            c for c in (TX_SEQ, ROW_SEQ) if c in versions.columns
+        )
     order = [F.col(SYS_START).desc()] + [F.col(c).desc() for c in tiebreak_cols]
     w = Window.partitionBy(id_col).orderBy(*order)
     return (
