@@ -503,3 +503,31 @@ def engine_mview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "engine_sql_basis_now",
+    oracle="""
+    SELECT n_nationkey AS id, n_name AS name,
+           DATE '2024-03-05' AS asof_day,
+           TRUE AS same_day
+    FROM nation WHERE n_nationkey < 10 ORDER BY id
+    """,
+)
+def engine_sql_basis_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeatable 'now' (SURVEY §2.8): CURRENT_DATE/CURRENT_TIMESTAMP
+    through Snapshot.sql are the BASIS clock, never the wall clock —
+    the oracle hard-codes the transaction date, so a wall-clock leak
+    hash-mismatches on any day except the fixture's."""
+    from core2_spark.engine import Engine, Put
+
+    nation = _nation_rows(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="engine_q_now_"))
+    eng.submit_tx([Put("nations", nation)], tx_time="2024-03-05 12:00:00")
+    return eng.db().sql(
+        """
+        SELECT id, name, CURRENT_DATE AS asof_day,
+               CAST(CURRENT_TIMESTAMP AS DATE) = CURRENT_DATE AS same_day
+        FROM nations WHERE id < 10 ORDER BY id
+        """
+    )
