@@ -68,6 +68,11 @@ _AGG_FNS = {
     "max": F.max,
     "avg": F.avg,
     "count_distinct": F.countDistinct,
+    # the scale substitute for count_distinct on massive-cardinality
+    # groups: HLL-sketched, and still exact-to-its-own-definition under
+    # incremental maintenance because affected groups recompute from
+    # scratch (nothing is merged across refreshes)
+    "approx_count_distinct": F.approx_count_distinct,
 }
 
 _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")

@@ -1128,3 +1128,34 @@ def test_speculative_with_tx(spark, engine):
             [(9, "NVDA", 900.0)], "id long, sym string, px double"))]
     )
     assert {r["id"] for r in spec4.table("trades").collect()} == {1, 2, 3, 9}
+
+
+def test_duplicate_ids_within_one_put_read_repeatably(spark, engine):
+    """Within-op duplicate ids have no defined winner (DataFrames are
+    unordered), but the _row_seq stamp freezes the choice at write:
+    every read of the same basis — current state, SQL, history-based
+    recompute — agrees, forever."""
+    from pyspark.sql import functions as F
+
+    dup = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 20.0), (1, "c", 30.0), (2, "x", 1.0)],
+        "id long, tag string, px double",
+    )
+    engine.submit_tx([Put("trades", dup)])
+    snap = engine.db()
+    reads = [
+        {(r["id"], r["tag"]) for r in snap.table("trades").collect()}
+        for _ in range(3)
+    ]
+    assert reads[0] == reads[1] == reads[2]
+    assert len(reads[0]) == 2  # one winner for id 1, plus id 2
+    sql_read = {
+        (r["id"], r["tag"])
+        for r in snap.sql("SELECT id, tag FROM trades").collect()
+    }
+    assert sql_read == reads[0]
+    # a reopened engine over the same files agrees too
+    reopened = Engine(spark, engine.root).db()
+    assert {
+        (r["id"], r["tag"]) for r in reopened.table("trades").collect()
+    } == reads[0]

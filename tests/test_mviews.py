@@ -426,3 +426,28 @@ def test_failed_tx_leaves_refresh_noop(spark, engine):
         )
     assert engine.refresh_materialized_view("agg")["mode"] == "noop"
     assert _stored(engine) == _expected(engine)
+
+
+def test_approx_count_distinct_agg(spark, engine):
+    """approx_count_distinct views stay consistent under incremental
+    refresh: affected groups recompute from scratch, so the sketch is
+    re-estimated over the group's full current rows (never merged
+    across refreshes) — stored always equals a direct aggregate."""
+    engine.submit_tx(
+        [Put("t", _rows(spark, [(i, f"g{i % 2}", float(i % 5)) for i in range(40)]))]
+    )
+    engine.create_materialized_view(
+        "acd", "t", ["grp"], {"vals": ("approx_count_distinct", "v")}
+    )
+    engine.submit_tx([Put("t", _rows(spark, [(0, "g0", 99.0), (100, "g1", 77.0)]))])
+    assert engine.refresh_materialized_view("acd")["mode"] == "incremental"
+    got = sorted(tuple(r) for r in engine.materialized_view("acd").collect())
+    want = sorted(
+        tuple(r)
+        for r in engine.db()
+        .table("t")
+        .groupBy("grp")
+        .agg(F.approx_count_distinct("v").alias("vals"))
+        .collect()
+    )
+    assert got == want
