@@ -408,3 +408,54 @@ def test_exists_disjunction_split_matches_duckdb(spark, duck, sql):
     spark_pdf = spark.sql(split).toPandas()
     duck_pdf = duck.execute(sql).df()
     assert_frames_match(spark_pdf, duck_pdf, "exists_disjunction_split")
+
+
+@st.composite
+def random_lateral_query(draw):
+    """Round-5 family: LATERAL correlated derived tables — the SQL
+    shape Spark 4 and DuckDB both execute natively (the reference's
+    `:apply` operator written the modern way).  Random inner aggregate
+    and random predicates on both sides; SUM rides DECIMAL(38,6) so
+    both engines sum exactly.
+
+    Found divergence (first draw of this family): on an EMPTY
+    correlated group, `FROM o, LATERAL (SELECT MAX(..) ...)` keeps the
+    outer row with a NULL aggregate in Spark (the SQL-standard
+    one-row-per-scalar-aggregate semantics, as in Postgres) but emits
+    NOTHING in DuckDB.  `HAVING COUNT(*) > 0` makes the empty group
+    produce zero inner rows, which both engines then drop identically
+    — the same normalization trick the rollup family uses."""
+    agg = draw(
+        st.sampled_from(
+            [
+                "COUNT(*)",
+                "MAX(l_extendedprice)",
+                "MIN(l_quantity)",
+                "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) "
+                "AS DOUBLE), 4)",
+            ]
+        )
+    )
+    opred = draw(predicates("orders")).replace("o_", "o.o_")
+    lpred = draw(predicates("lineitem"))
+    return f"""
+    SELECT o.o_orderkey AS k, o.o_orderstatus AS st, l.m AS m
+    FROM orders o,
+    LATERAL (SELECT {agg} AS m FROM lineitem
+             WHERE l_orderkey = o.o_orderkey AND ({lpred})
+             HAVING COUNT(*) > 0) l
+    WHERE ({opred}) AND o.o_orderkey % 7 = 0
+    """
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(sql=random_lateral_query())
+def test_same_sql_same_answer_lateral(spark, duck, sql):
+    register_views(spark, SF_DIR, ("orders", "lineitem"))
+    spark_pdf = spark.sql(sql).toPandas()
+    duck_pdf = duck.execute(sql).df()
+    assert_frames_match(spark_pdf, duck_pdf, "lateral_family")
