@@ -369,3 +369,38 @@ def join_interval_overlap_binned_q(spark: SparkSession, sf_dir: str) -> DataFram
         p, e, "p_start", "p_end", "e_start", "e_end",
         keys=("user_id",), bin_seconds=600,
     ).select("p_id", "e_id", "user_id")
+
+
+@query(
+    "join_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey AS cust, o.o_orderkey AS k,
+           ROUND(o.o_totalprice, 4) AS price
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+    WHERE c.c_custkey % 5 = 0
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`:apply` written the modern way — a LATERAL correlated derived
+    table with per-outer-row ORDER BY .. LIMIT (top-3 orders per
+    customer).  Same SQL text runs on DuckDB as the oracle; Catalyst
+    decorrelates the lateral limit into a ranked window under the
+    hood, so the plan is the same partitioned top-k the window
+    operators produce — no per-row re-execution at scale."""
+    from core2_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS cust, o.o_orderkey AS k,
+               ROUND(o.o_totalprice, 4) AS price
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+        WHERE c.c_custkey % 5 = 0
+        """
+    )

@@ -122,6 +122,7 @@ _PRIORITY: list[str] = [
     "curation_decontaminate_substring",
     "external_orc_source",
     "engine_sql_basis_now",
+    "join_lateral_topk",
     # Previously driver-verified queries (r1-r4 green) follow.
     "tpch_q5_region_revenue",
     "dedup_minhash_lsh",
