@@ -241,3 +241,13 @@ def test_mview_inlist_recompute_pushes_key_filter(spark, tmp_path):
     plan = plan_of(snap.table("t").filter(cond))
     assert "PushedFilters: [In(bucket" in plan
     assert "Exchange" not in plan  # fresh compact: plain scan, no window
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    """The LATERAL per-row ORDER BY..LIMIT must decorrelate into the
+    partitioned-window top-k — never a per-outer-row re-execution or a
+    cartesian product."""
+    plan = plan_of(QUERIES["join_lateral_topk"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
