@@ -71,7 +71,10 @@ _PRIORITY: list[str] = [
     # driver CORRECTNESS row (cross-checked against
     # CORRECTNESS_r01..r04).  Oracle-paired first (strong hash check),
     # the 12 rows-only declarations after.  8 + 40 = 48 ≤ 50, so this
-    # round's gate completes the independent ledger at 185/185.
+    # round's gate completes the independent ledger for the 185
+    # queries that existed at rotation time; the seven new round-5
+    # queries sit directly after (slots 49-55) and are first in line
+    # for the next rotation.
     "map_construct_access",
     "project_compute",
     "select_compound_predicate",
