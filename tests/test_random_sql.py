@@ -459,3 +459,42 @@ def test_same_sql_same_answer_lateral(spark, duck, sql):
     spark_pdf = spark.sql(sql).toPandas()
     duck_pdf = duck.execute(sql).df()
     assert_frames_match(spark_pdf, duck_pdf, "lateral_family")
+
+
+@st.composite
+def random_bag_setop_query(draw):
+    """Round-5 family: bag-semantics set operations (README.adoc:13 —
+    core2's relations are bags).  Two random selections over one table
+    combined with INTERSECT/EXCEPT in both ALL (bag) and DISTINCT
+    (set) forms, aggregated per group for a stable compare."""
+    table = draw(st.sampled_from(sorted(TABLES)))
+    group_col = draw(
+        st.sampled_from([c for c, k in TABLES[table] if k == "str"])
+    )
+    p1 = draw(predicates(table))
+    p2 = draw(predicates(table))
+    op = draw(
+        st.sampled_from(
+            ["INTERSECT ALL", "EXCEPT ALL", "INTERSECT", "EXCEPT", "UNION"]
+        )
+    )
+    return f"""
+    SELECT g, COUNT(*) AS n FROM (
+        SELECT {group_col} AS g FROM {table} WHERE {p1}
+        {op}
+        SELECT {group_col} AS g FROM {table} WHERE {p2}
+    ) u GROUP BY g
+    """
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(sql=random_bag_setop_query())
+def test_same_sql_same_answer_bag_setops(spark, duck, sql):
+    register_views(spark, SF_DIR, ("orders", "customer", "lineitem"))
+    spark_pdf = spark.sql(sql).toPandas()
+    duck_pdf = duck.execute(sql).df()
+    assert_frames_match(spark_pdf, duck_pdf, "bag_setop_family")
