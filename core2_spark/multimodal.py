@@ -53,6 +53,7 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_SCHEMA = "media_id long, mime string, n_bytes long, feature array<double>"
+FEATURE_WIDTH = 8  # every codec's feature vector is this fixed width
 
 MIME_PPM = "image/x-portable-pixmap"
 MIME_BMP = "image/bmp"

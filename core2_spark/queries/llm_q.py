@@ -567,7 +567,20 @@ def multimodal_feature_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.generate_media(
         d.filter(F.col("doc_id") < 120).select(F.col("doc_id").alias("media_id"))
     )
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    # The driver's rows-only canonicalizer sorts result values in pandas,
+    # which requires hashable (scalar) cells — explode the fixed-width
+    # feature vector into named doubles (rounded: fp determinism) instead
+    # of returning array<double> (the round-5 red row).
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        *[
+            F.round(F.col("feature")[i], 6).alias(f"f{i}")
+            for i in range(multimodal.FEATURE_WIDTH)
+        ],
+    )
 
 
 @query("multimodal_image_resize")  # rows-only: binary-out transform stage

@@ -67,14 +67,67 @@ _PRIORITY: list[str] = [
     "engine_changes_feed",
     "temporal_asof_bitemporal",
     "tpch_q1_pricing_summary",
-    # Rotation (round 5): the final 40 names that have NEVER had a
-    # driver CORRECTNESS row (cross-checked against
-    # CORRECTNESS_r01..r04).  Oracle-paired first (strong hash check),
-    # the 12 rows-only declarations after.  8 + 40 = 48 ≤ 50, so this
-    # round's gate completes the independent ledger for the 185
-    # queries that existed at rotation time; the seven new round-5
-    # queries sit directly after (slots 49-55) and are first in line
-    # for the next rotation.
+    # Rotation (round 6): close the ledger.  Slots 9-17 are the 8
+    # round-5 names that have never had a driver CORRECTNESS row
+    # (cross-checked against CORRECTNESS_r01..r05) plus the re-fixed
+    # `multimodal_feature_extract` (the r5 red row, now emitting scalar
+    # feature columns).  Green on all nine → every registered query has
+    # independent driver evidence.  New round-6 queries follow
+    # immediately (never checked by definition), then ~30 slots of
+    # flagship re-verification fill the driver's ~50-row window.
+    "engine_mview_incremental",
+    "engine_speculative_with_tx",
+    "engine_sql_basis_now",
+    "join_lateral_topk",
+    "external_orc_source",
+    "curation_pii_detect",
+    "curation_decontaminate_substring",
+    "text_repetition_filter",
+    "multimodal_feature_extract",
+    # -- new round-6 names insert here --
+    # Flagship re-verification: bench headliners + one representative
+    # per operator family, rotated back in after their last check.
+    "tpch_q3_shipping_priority",
+    "tpch_q5_region_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
+    "tpch_q21_waiting_suppliers",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "window_topk_per_group",
+    "window_rank_dense",
+    "join_full_outer",
+    "join_anti",
+    "join_interval_overlap_binned",
+    "asof_join_enrichment",
+    "temporal_latest_versions",
+    "temporal_rectangle_resolution",
+    "period_predicates",
+    "recursion_fixpoint_ancestors",
+    "datalog_rules_recursive",
+    "unwind_with_ordinality",
+    "json_dynamic_access",
+    "dynamic_variant_union_legs",
+    "subquery_not_in_3vl",
+    "set_except_all",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "dedup_exact_survivors",
+    "dedup_minhash_lsh",
+    "dedup_cluster_canonical",
+    "knn_brute_force_cosine",
+    "embedding_quantize_int8",
+    "corpus_curation_pipeline",
+    "curation_decontaminate_ngram",
+    "curation_pii_redact",
+    "split_train_val_test",
+    "pack_sequences_boundaries",
+    "text_tfidf_distinctive_term_per_doc",
+    "skew_salted_hot_key_agg",
+    "grouped_map_pandas",
+    "external_csv_source",
+    "engine_replica_cdc_roundtrip",
+    # Previously driver-verified queries (r1-r5 green) follow.
     "map_construct_access",
     "project_compute",
     "select_compound_predicate",
@@ -97,7 +150,6 @@ _PRIORITY: list[str] = [
     "date_trunc_monthly_revenue",
     "ts_gap_fill_locf",
     "ts_device_delta_stats",
-    "window_rank_dense",
     "window_lag_lead",
     "window_running_sum",
     "window_statistics",
@@ -107,7 +159,6 @@ _PRIORITY: list[str] = [
     "knn_lsh_bucketed",
     "knn_ivf_probe",
     "knn_ivf_partitioned_layout",
-    "multimodal_feature_extract",
     "multimodal_image_resize",
     "multimodal_frame_sampling",
     "embedding_cosine_near_dup",
@@ -115,37 +166,16 @@ _PRIORITY: list[str] = [
     "stream_structured_tumbling",
     "stream_kafka_log_transport",
     "stream_cdc_log_tail",
-    # New in round 5 (never driver-checked by definition): the CDC
-    # replica round-trip through apply_changes.
-    "engine_replica_cdc_roundtrip",
-    "curation_pii_redact",
-    # Late round-5 additions (never driver-checked; first in line if
-    # the driver's truncation window exceeds 50).
-    "engine_mview_incremental",
-    "curation_decontaminate_substring",
-    "external_orc_source",
-    "engine_sql_basis_now",
-    "join_lateral_topk",
-    # Previously driver-verified queries (r1-r4 green) follow.
-    "tpch_q5_region_revenue",
-    "dedup_minhash_lsh",
-    "knn_brute_force_cosine",
-    "curation_decontaminate_ngram",
-    "split_train_val_test",
     "corpus_weighted_mixture",
-    "pack_sequences_boundaries",
     "orderby_multi_key_limit",
     "unwind_explode",
     "array_higher_order",
-    "json_dynamic_access",
-    "subquery_not_in_3vl",
     "null_three_valued_logic",
     "cast_functions",
     "interval_arithmetic",
     "ts_last_point_per_device",
     "text_quality_stats",
     "ts_hourly_rollup_daily_peak",
-    "agg_grouping_sets",
     "graph_copurchase_pairs",
     "graph_connected_components",
     "subquery_scalar",
@@ -159,10 +189,8 @@ _PRIORITY: list[str] = [
     "embedding_norm_stats",
     "embedding_label_near_dup",
     "text_doc_frequency_idf",
-    "text_tfidf_distinctive_term_per_doc",
     "text_unigram_logprob_score",
     "text_chunk_windows_udtf",
-    "unwind_with_ordinality",
     "unwind_outer_empty",
     "array_functions",
     "json_from_json_struct",
@@ -170,13 +198,11 @@ _PRIORITY: list[str] = [
     "set_semantics_arrays",
     "tagged_identifier_types",
     "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
     "tpch_q11_important_stock",
     "tpch_q12_shipmode_priority",
     "tpch_q13_customer_distribution",
@@ -184,53 +210,29 @@ _PRIORITY: list[str] = [
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_counts",
     "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume",
     "tpch_q19_disjunctive_predicate",
     "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     "join_inner_equi",
     "join_left_outer",
-    "join_full_outer",
     "join_semi",
-    "join_anti",
     "join_cross",
     "join_theta_nonequi",
     "join_nullsafe_equal",
-    "join_interval_overlap_binned",
     "temporal_asof_system",
     "temporal_system_from_to",
     "temporal_app_from_to",
-    "temporal_latest_versions",
-    "temporal_rectangle_resolution",
-    "period_predicates",
-    "dedup_exact_survivors",
     "dedup_ngram_jaccard_lsh",
-    "dedup_cluster_canonical",
-    "corpus_curation_pipeline",
-    "embedding_quantize_int8",
-    "window_topk_per_group",
     "window_distribution",
-    "stream_tumbling_window",
-    "stream_session_window",
     "agg_basic",
     "agg_rollup",
     "set_union_all",
-    "set_except_all",
     "apply_correlated_scalar",
-    "recursion_fixpoint_ancestors",
-    "datalog_rules_recursive",
-    "asof_join_enrichment",
-    "skew_salted_hot_key_agg",
-    "grouped_map_pandas",
-    "dynamic_variant_union_legs",
     "string_regex_functions",
     "datetime_construction",
     "pivot_sum_values",
-    "external_csv_source",
     "table_literal_values",
     "graph_linear_path_4hop",
-    "agg_distinct",
     "agg_stats",
     "agg_bool",
     "agg_array_agg",

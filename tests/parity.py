@@ -42,6 +42,25 @@ def normalize_frame(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def rows_only_canonical(pdf: pd.DataFrame) -> list[tuple]:
+    """Driver-identical rows-only canonicalization.
+
+    The driver's weaker no-oracle check still column-sorts and
+    value-sorts the result in pandas, whose hashtable-backed sort
+    raises ``TypeError: unhashable type`` on list/dict/ndarray cells —
+    exactly how ``multimodal_feature_extract`` went red in round 5
+    while the old count()-only local twin stayed green.  Enforce
+    hashability explicitly (mirrors pandas ``factorize``) and then
+    sort, so unhashable output types fail locally first."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for col in pdf.columns:
+        for v in pdf[col]:
+            hash(v)  # TypeError on list/dict/set/ndarray, like the driver
+    if len(pdf.columns):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return [tuple(rec) for rec in pdf.itertuples(index=False)]
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"

@@ -8,7 +8,7 @@ import pytest
 
 from core2_spark.queries.registry import all_oracles, all_queries
 from tests.conftest import SF_DIR
-from tests.parity import assert_frames_match
+from tests.parity import assert_frames_match, rows_only_canonical
 
 ORACLES = all_oracles()
 QUERIES = all_queries()
@@ -22,8 +22,27 @@ def test_oracle_parity(name, spark, duck):
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(name, spark):
+def test_rows_only_queries_canonicalize(name, spark):
+    """Rows-only queries must survive the driver's canonicalization,
+    not just count() — the r5 `multimodal_feature_extract` red row was
+    an unhashable array<double> cell the old count()-only twin missed.
+
+    Two layers: a static schema gate (no top-level array/map/struct —
+    the driver sorts cell values in a pandas hashtable) and the
+    driver-identical value sort over the materialized result."""
+    from pyspark.sql import types as T
+
     df = QUERIES[name](spark, SF_DIR)
-    n = df.count()
-    assert n >= 0
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: rows-only output has driver-uncanonicalizable "
+        f"complex columns {complex_cols}; emit scalar digests instead"
+    )
+    pdf = df.toPandas()
+    rows = rows_only_canonical(pdf)
+    assert len(rows) == len(pdf)
     assert len(df.schema.fields) > 0
