@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import warnings
 from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
 
@@ -144,6 +145,10 @@ class Engine:
         # each commit, so views track the log without manual refresh
         # calls (incremental — cost follows the delta).
         self._auto_refresh_views = auto_refresh_views
+        # View-name → error string for auto-refreshes that failed AFTER
+        # the transaction was durable (submit_tx never raises for these
+        # — a retry would double-apply the committed tx).
+        self.last_refresh_errors: dict[str, str] = {}
         # Merged-schema cache (100 TB planning cost): a mergeSchema
         # read pays one footer read PER FILE at plan time on every
         # query.  The engine sees every schema it writes, so it
@@ -257,8 +262,21 @@ class Engine:
         Recovery: an ``_old_`` dir whose final dir is missing is the
         surviving pre-rewrite table — rename it back; one whose final
         dir exists means the swap completed — drop the leftover.
-        ``_tmp_`` dirs are always incomplete writes — drop them."""
-        for base in (self.root, os.path.join(self.root, "_current")):
+        ``_tmp_`` dirs are always incomplete writes — drop them.
+
+        Scans the table root, ``_current``, and every materialized-view
+        directory (``_mviews/<name>`` — mviews._store rewrites
+        ``_mviews/<name>/data`` through the same swap, so a crash there
+        would otherwise strand the view in ``_old_data`` permanently)."""
+        bases = [self.root, os.path.join(self.root, "_current")]
+        mviews_root = os.path.join(self.root, "_mviews")
+        if os.path.isdir(mviews_root):
+            bases.extend(
+                os.path.join(mviews_root, d)
+                for d in sorted(os.listdir(mviews_root))
+                if os.path.isdir(os.path.join(mviews_root, d))
+            )
+        for base in bases:
             if not os.path.isdir(base):
                 continue
             for entry in sorted(os.listdir(base)):
@@ -609,18 +627,37 @@ class Engine:
         for _path, old in deferred_old:
             shutil.rmtree(old, ignore_errors=True)
         self._maybe_auto_compact(touched)
+        self.last_refresh_errors = {}
         if self._auto_refresh_views:
             from core2_spark import mviews
 
-            for name, meta in mviews.list_views(self).items():
+            # The transaction is already durable past this point:
+            # raising would make a retrying caller double-apply it
+            # (duplicate version rows).  Record failures (including a
+            # failure to enumerate the views at all) and still return
+            # the basis; callers inspect `engine.last_refresh_errors`
+            # and can refresh manually later.
+            def _note(name: str, exc: Exception) -> None:
+                self.last_refresh_errors[name] = str(exc)
+                warnings.warn(
+                    f"transaction committed; auto-refresh of "
+                    f"materialized view {name!r} failed "
+                    f"(see Engine.last_refresh_errors): {exc}",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
+
+            try:
+                views = mviews.list_views(self).items()
+            except Exception as exc:
+                _note("<list_views>", exc)
+                views = ()
+            for name, meta in views:
                 if meta.get("table") in touched:
                     try:
                         mviews.refresh(self, name)
-                    except Exception as exc:  # tx is already durable
-                        raise RuntimeError(
-                            f"transaction committed, but auto-refresh of "
-                            f"materialized view {name!r} failed: {exc}"
-                        ) from exc
+                    except Exception as exc:
+                        _note(name, exc)
         return acquire_basis(self._all_tables(), t, self._basis_schemas())
 
     def _rollback(
@@ -677,8 +714,6 @@ class Engine:
                 if n > self._auto_compact_files:
                     self.optimize(table)
             elif n > advise_at and table not in self._compact_warned:
-                import warnings
-
                 warnings.warn(
                     f"engine table {table!r} holds {n} parquet files; "
                     "reads pay per-file open cost — run "

@@ -181,15 +181,16 @@ def _affected_keys(engine, snap, table, keys, as_of, feed, changed):
             c = _dt.fromisoformat(_json.load(f)["tx_time"])
         if c <= as_of:
             compact_clock = c
+    from core2_spark import temporal as bt
+
     if compact_clock is None:
         return (
-            snap.history(table)
+            bt.without_tombstones(snap.history(table))
             .select("id", *keys)
             .join(F.broadcast(changed), "id", "left_semi")
             .select(*keys)
             .distinct()
         )
-    from core2_spark import temporal as bt
 
     compact_keys = (
         spark.read.parquet(os.path.join(engine.root, "_current", table))
@@ -198,7 +199,9 @@ def _affected_keys(engine, snap, table, keys, as_of, feed, changed):
         .select(*keys)
     )
     between = (
-        snap._versions(table, day_lo=compact_clock.date(), day_hi=as_of.date())
+        bt.without_tombstones(
+            snap._versions(table, day_lo=compact_clock.date(), day_hi=as_of.date())
+        )
         .filter(
             (F.col(bt.SYS_START) > bt._ts(compact_clock))
             & (F.col(bt.SYS_START) <= bt._ts(as_of))
@@ -207,7 +210,11 @@ def _affected_keys(engine, snap, table, keys, as_of, feed, changed):
         .join(F.broadcast(changed), "id", "left_semi")
         .select(*keys)
     )
-    now_keys = feed.select(*keys)
+    # Only put rows contribute now-keys: a delete tombstone's key
+    # columns are NULL, so including them would mark the NULL group
+    # affected on every delete (spurious refresh work); the deleted
+    # row's as-of key is already found by the discovery step above.
+    now_keys = feed.filter(F.col("_change") == "put").select(*keys)
     return compact_keys.unionByName(between).unionByName(now_keys).distinct()
 
 

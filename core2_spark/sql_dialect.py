@@ -335,8 +335,14 @@ def rename_bare_tables(sql: str, name_map: dict[str, str]) -> str:
     references (instead of registering under the bare name) makes two
     concurrent snapshots of the same table collision-free in one
     SparkSession.  CTE names shadow tables per the standard, so any
-    ``name AS (`` definition suppresses renaming of that name."""
+    ``name AS (`` definition suppresses renaming of that name.
+
+    Lookups are case-insensitive (exact case wins): SQL identifiers
+    fold, and Spark resolves case-insensitively by default — so
+    ``FROM MVIEW_REV`` must find the ``mview_rev`` mapping instead of
+    slipping through unrenamed and failing resolution."""
     toks = _tokens(sql)
+    folded_map = {k.lower(): v for k, v in name_map.items()}
 
     # CTE definitions: `name AS (` — those names shadow real tables.
     shadowed = {
@@ -379,7 +385,10 @@ def rename_bare_tables(sql: str, name_map: dict[str, str]) -> str:
         if not at_table_pos or t.kind not in ("word", "qid"):
             continue
         name = _unquote(t)
-        if name not in name_map or name in shadowed:
+        mapped = name_map.get(name, folded_map.get(name.lower()))
+        if mapped is None or name in shadowed or name.lower() in {
+            s.lower() for s in shadowed
+        }:
             continue
         nxt = toks[i + 1] if i + 1 < len(toks) else None
         has_alias = nxt is not None and (
@@ -387,11 +396,7 @@ def rename_bare_tables(sql: str, name_map: dict[str, str]) -> str:
             or nxt.kind == "qid"
             or (nxt.kind == "word" and nxt.text.lower() not in _KEYWORDS)
         )
-        repl = (
-            name_map[name]
-            if has_alias
-            else f"{name_map[name]} AS {t.text}"
-        )
+        repl = mapped if has_alias else f"{mapped} AS {t.text}"
         edits.append((t.start, t.end, repl))
     for s, e, r in reversed(edits):
         sql = sql[:s] + r + sql[e:]

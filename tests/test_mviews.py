@@ -74,8 +74,10 @@ def test_create_refresh_modes_and_equality(spark, engine):
     )
     stats = engine.refresh_materialized_view("agg")
     assert stats["mode"] == "incremental"
-    # touched groups only: g0 (ids 0,3,6 left), g1 (id 100 joined), gX (new)
-    assert stats["refreshed_groups"] == 4  # g0, g1, gX + tombstone NULL key
+    # touched groups only: g0 (ids 0,3,6 left), g1 (id 100 joined),
+    # gX (new).  Delete tombstones contribute NO now-key (their key
+    # columns are NULL): id 6's as-of group g0 comes from discovery.
+    assert stats["refreshed_groups"] == 3  # g0, g1, gX
     assert _stored(engine) == _expected(engine)
 
     # a group whose last member leaves disappears from the view
@@ -451,3 +453,83 @@ def test_approx_count_distinct_agg(spark, engine):
         .collect()
     )
     assert got == want
+
+
+def test_recover_stranded_mview_rewrite(spark, engine):
+    """A crash inside _rewrite_atomic's rename window on
+    _mviews/<name>/data strands the view in _old_data; reopening the
+    engine must repair it (ADVICE r5: _recover_rewrites previously
+    scanned only the table root and _current)."""
+    import os
+
+    engine.submit_tx(
+        [Put("t", _rows(spark, [(i, f"g{i % 2}", float(i)) for i in range(6)]))]
+    )
+    engine.create_materialized_view("agg", "t", ["grp"], AGGS)
+    before = _stored(engine)
+    base = os.path.join(engine.root, "_mviews", "agg")
+    data, old = os.path.join(base, "data"), os.path.join(base, "_old_data")
+    # simulate the mid-swap crash: data renamed away, tmp never renamed in
+    os.rename(data, old)
+    reopened = Engine(spark, engine.root)
+    assert os.path.isdir(data) and not os.path.exists(old)
+    assert (
+        sorted(
+            (tuple(r) for r in reopened.materialized_view("agg").collect()),
+            key=_nkey,
+        )
+        == before
+    )
+    # completed-swap leftover: _old_data alongside a live data dir is dropped
+    import shutil
+
+    shutil.copytree(data, old)
+    Engine(spark, engine.root)
+    assert os.path.isdir(data) and not os.path.exists(old)
+
+
+def test_auto_refresh_failure_does_not_raise_after_commit(spark, tmp_path):
+    """View-refresh failure after a durable commit must NOT raise (a
+    retrying caller would double-apply the tx): the basis returns, the
+    failure lands in engine.last_refresh_errors, and a warning fires."""
+    import os
+    import shutil
+    import warnings as w
+
+    engine = Engine(spark, str(tmp_path / "arf"), auto_refresh_views=True)
+    engine.submit_tx(
+        [Put("t", _rows(spark, [(i, f"g{i % 2}", float(i)) for i in range(6)]))]
+    )
+    engine.create_materialized_view("agg", "t", ["grp"], AGGS)
+    # sabotage the view so its refresh fails: valid meta, but the key
+    # column no longer exists in the table
+    meta_path = os.path.join(engine.root, "_mviews", "agg", "meta.json")
+    import json
+
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["keys"] = ["no_such_column"]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        basis = engine.submit_tx([Put("t", _rows(spark, [(100, "g0", 9.0)]))])
+    assert basis is not None  # tx durable, basis returned
+    assert "agg" in engine.last_refresh_errors
+    assert any("auto-refresh" in str(c.message) for c in caught)
+    # the new row IS committed (no double-apply hazard)
+    assert engine.db(basis).table("t").filter("id = 100").count() == 1
+    shutil.rmtree(os.path.join(engine.root, "_mviews", "agg"))
+
+
+def test_mview_reference_case_insensitive(spark, engine):
+    """FROM MVIEW_AGG resolves like mview_agg (SQL identifiers fold;
+    ADVICE r5: the gate was case-insensitive but the rename was not)."""
+    engine.submit_tx(
+        [Put("t", _rows(spark, [(i, f"g{i % 2}", float(i)) for i in range(4)]))]
+    )
+    engine.create_materialized_view("agg", "t", ["grp"], AGGS)
+    rows = engine.db().sql(
+        "SELECT grp, n FROM MVIEW_AGG ORDER BY grp"
+    ).collect()
+    assert [(r["grp"], r["n"]) for r in rows] == [("g0", 2), ("g1", 2)]
