@@ -276,6 +276,14 @@ class Engine:
                 for d in sorted(os.listdir(mviews_root))
                 if os.path.isdir(os.path.join(mviews_root, d))
             )
+        # table dirs themselves: partition-wise vacuum swaps individual
+        # _sys_day= dirs, leaving _old_/_tmp_ siblings INSIDE the table
+        bases.extend(
+            os.path.join(self.root, d)
+            for d in sorted(os.listdir(self.root))
+            if not d.startswith("_")
+            and os.path.isdir(os.path.join(self.root, d))
+        )
         for base in bases:
             if not os.path.isdir(base):
                 continue
@@ -893,10 +901,22 @@ class Engine:
         successor's rectangle does not cover (partial retroactive
         corrections never shadow periods they don't cover), so naive
         system-axis retention would change answers — bounding that
-        history needs rectangle subtraction, not a cutoff.  Like
-        Erase/optimize this rewrites the table (previously acquired
-        bases for it go stale), and any compact older than the
-        horizon is invalidated."""
+        history needs rectangle subtraction, not a cutoff.
+
+        Scale path (day-partitioned tables): retention is mostly a
+        METADATA operation, not a table rewrite.  Partitions dated
+        after the horizon are untouched file-for-file (every version
+        there starts — hence ends — after the horizon).  For the
+        ≤-horizon slice, one NARROW (id, sys_start [, seqs]) decision
+        scan derives per-day keep counts; a day whose versions all
+        closed before the horizon is dropped with an rmtree (its full-
+        width data is never read), a day whose versions all survive is
+        untouched, and only the horizon-straddling days are rewritten.
+        At 100 TB that is the difference between retention being a
+        directory drop and a full-table rewrite.  Legacy flat tables
+        keep the whole-table rewrite.  Like Erase/optimize, any
+        rewrite/drop makes previously acquired bases for the table
+        stale, and any compact older than the horizon is invalidated."""
         if table in self._app_bounded:
             raise ValueError(
                 f"vacuum({table!r}) unsupported: the table has app-time-"
@@ -904,18 +924,22 @@ class Engine:
                 "win at app instants outside the successor's rectangle"
             )
         horizon = _to_datetime(older_than)
-        raw = self.spark.read.option("mergeSchema", "true").parquet(
-            self._table_path(table)
-        )
-        closed = bt.close_system_versions(
-            raw.drop(bt.SYS_DAY) if bt.SYS_DAY in raw.columns else raw, "id"
-        )
-        kept = closed.filter(
-            F.col(bt.SYS_END) > bt._ts(horizon)
-        ).drop(bt.SYS_END)
-        if bt.SYS_DAY in raw.columns:
-            kept = kept.withColumn(bt.SYS_DAY, F.to_date(F.col(bt.SYS_START)))
-        self._rewrite_atomic(self._table_path(table), kept)
+        path = self._table_path(table)
+        day_dirs = {
+            e.split("=", 1)[1]: os.path.join(path, e)
+            for e in os.listdir(path)
+            if os.path.isdir(os.path.join(path, e))
+            and e.startswith(f"{bt.SYS_DAY}=")
+        }
+        if day_dirs:
+            self._vacuum_partitioned(path, horizon, day_dirs)
+        else:
+            raw = self.spark.read.option("mergeSchema", "true").parquet(path)
+            closed = bt.close_system_versions(raw, "id")
+            kept = closed.filter(
+                F.col(bt.SYS_END) > bt._ts(horizon)
+            ).drop(bt.SYS_END)
+            self._rewrite_atomic(path, kept)
         meta = os.path.join(self.root, "_current", f"{table}.json")
         if os.path.exists(meta):
             with open(meta) as f:
@@ -931,6 +955,100 @@ class Engine:
             (self._last_tx_time or self._epoch).isoformat()
         )
         self._persist_clock()
+
+    def _vacuum_partitioned(
+        self, path: str, horizon: datetime, day_dirs: dict[str, str]
+    ) -> None:
+        """Partition-wise retention for ``_sys_day=`` layouts (see
+        ``vacuum``).  Correctness of the slice restriction: a version's
+        end is its successor's start, and any successor starting at or
+        before the horizon lies in a ≤-horizon day — so closing within
+        the ≤-horizon slice yields exactly the global keep decision
+        for every row in the slice (a successor outside the slice
+        implies end > horizon, same as the in-slice ∞ default)."""
+        import datetime as _dtmod
+
+        horizon_day = horizon.date()
+        slice_days = sorted(
+            d for d in day_dirs
+            if _dtmod.date.fromisoformat(d) <= horizon_day
+        )
+        if not slice_days:
+            return  # whole table is after the horizon: nothing to do
+        seq_cols = []
+        probe = self.spark.read.option("mergeSchema", "true").parquet(path)
+        for c in (bt.TX_SEQ, bt.ROW_SEQ):
+            if c in probe.columns:
+                seq_cols.append(c)
+        narrow = (
+            probe.filter(F.col(bt.SYS_DAY) <= F.lit(horizon_day))
+            .select("id", bt.SYS_START, bt.SYS_DAY, *seq_cols)
+        )
+        closed = bt.close_system_versions(narrow, "id")
+        per_day = {
+            r["day"]: (r["n"], r["n_keep"])
+            for r in closed.groupBy(
+                F.col(bt.SYS_DAY).cast("string").alias("day")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (F.col(bt.SYS_END) > bt._ts(horizon)).cast("long")
+                ).alias("n_keep"),
+            )
+            .collect()
+        }
+        drop_days: list[str] = []
+        mixed: list[str] = []
+        for d in slice_days:
+            n, n_keep = per_day.get(d, (0, 0))
+            if n_keep == 0:
+                drop_days.append(d)
+            elif n_keep < n:
+                mixed.append(d)
+            # else: all kept — partition untouched, file-for-file
+        keys_dir = None
+        if mixed:
+            # snapshot the keep decision BEFORE any mutation: the
+            # lazy `closed` plan re-reads table files, and drops/
+            # rewrites must not shift successor derivation under it
+            keys_dir = os.path.join(path, "_tmp_vacuum_keys")
+            shutil.rmtree(keys_dir, ignore_errors=True)
+            with self._micros_timestamps():
+                closed.filter(
+                    F.col(bt.SYS_DAY).cast("string").isin(mixed)
+                    & (F.col(bt.SYS_END) > bt._ts(horizon))
+                ).select(
+                    "id", bt.SYS_START, bt.SYS_DAY, *seq_cols
+                ).write.parquet(keys_dir)
+        for d in drop_days:
+            # every version in the day closed before the horizon:
+            # drop the partition without reading its contents
+            shutil.rmtree(day_dirs[d], ignore_errors=True)
+        if not mixed:
+            return
+        keep_keys = self.spark.read.parquet(keys_dir)
+        for d in mixed:
+            day_df = self.spark.read.option("mergeSchema", "true").parquet(
+                day_dirs[d]
+            )
+            day_keys = keep_keys.filter(
+                F.col(bt.SYS_DAY).cast("string") == d
+            ).drop(bt.SYS_DAY)
+            # null-safe keys: legacy files may lack seq columns
+            # (mergeSchema nulls), and null = null must still match
+            cond = F.col("l.id").eqNullSafe(F.col("r.id"))
+            for c in (bt.SYS_START, *seq_cols):
+                cond = cond & F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+            kept = (
+                day_df.alias("l")
+                .join(day_keys.alias("r"), cond, "left_semi")
+            )
+            # the swap leaves _old_/_tmp_ siblings inside the table dir:
+            # invisible to Spark scans (underscore prefix) and repaired
+            # by _recover_rewrites at the next open
+            self._rewrite_atomic(day_dirs[d], kept)
+        shutil.rmtree(keys_dir, ignore_errors=True)
 
     # -- §4 materialized current state --------------------------------
     def compact(

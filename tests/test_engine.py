@@ -1159,3 +1159,60 @@ def test_duplicate_ids_within_one_put_read_repeatably(spark, engine):
     assert {
         (r["id"], r["tag"]) for r in reopened.table("trades").collect()
     } == reads[0]
+
+
+def test_vacuum_partition_drop_is_metadata_only(spark, tmp_path):
+    """Partition-wise vacuum (round 6): a _sys_day= partition whose
+    versions ALL closed before the horizon is dropped without a rewrite
+    of anything else — kept partitions' data files are untouched
+    byte-for-byte (same names/sizes/mtimes), only the horizon-straddling
+    day is rewritten, and answers at/after the horizon are unchanged."""
+    import os
+
+    root = str(tmp_path / "vac_pdrop")
+    eng = Engine(spark, root)
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    # day 1: ids 1,2 — both superseded on day 2 → whole partition closes
+    eng.submit_tx([Put("t", mk([(1, "d1a"), (2, "d1b")]))],
+                  tx_time="2024-01-01 00:00:01")
+    # day 2: both ids rewritten; id 1 superseded again SAME day later →
+    # day 2 is the straddling (mixed) partition for a Jan-15 horizon
+    eng.submit_tx([Put("t", mk([(1, "d2a"), (2, "d2b")]))],
+                  tx_time="2024-01-02 00:00:01")
+    eng.submit_tx([Put("t", mk([(1, "d2c")]))],
+                  tx_time="2024-01-02 12:00:01")
+    # day 40: id 2's later version (after the horizon) — partition kept
+    eng.submit_tx([Put("t", mk([(2, "d40")]))],
+                  tx_time="2024-02-10 00:00:01")
+
+    tdir = os.path.join(root, "t")
+    day = lambda d: os.path.join(tdir, f"_sys_day={d}")
+    stat_kept = {
+        f: (os.path.getsize(os.path.join(day("2024-02-10"), f)),
+            os.path.getmtime(os.path.join(day("2024-02-10"), f)))
+        for f in os.listdir(day("2024-02-10"))
+    }
+    before_current = {(r["id"], r["v"]) for r in eng.db().table("t").collect()}
+
+    eng.vacuum("t", older_than="2024-01-15")
+
+    # day 1 dropped wholesale (all versions closed before horizon)
+    assert not os.path.exists(day("2024-01-01"))
+    # day 40 untouched file-for-file (no rewrite, no read needed)
+    assert {
+        f: (os.path.getsize(os.path.join(day("2024-02-10"), f)),
+            os.path.getmtime(os.path.join(day("2024-02-10"), f)))
+        for f in os.listdir(day("2024-02-10"))
+    } == stat_kept
+    # day 2 (straddler) rewritten: d2a dropped (superseded same day
+    # before horizon), d2b and d2c kept
+    left = {r["v"] for r in eng.db().history("t").collect()}
+    assert left == {"d2b", "d2c", "d40"}
+    assert {(r["id"], r["v"]) for r in eng.db().table("t").collect()} == before_current
+    # no vacuum scratch left behind
+    assert not any(e.startswith("_tmp_") or e.startswith("_old_")
+                   for e in os.listdir(tdir))
+    # a reopened engine sees the same answers (recovery scan is clean)
+    assert {
+        (r["id"], r["v"]) for r in Engine(spark, root).db().table("t").collect()
+    } == before_current
