@@ -74,6 +74,15 @@ def _prune_empty_dirs(path: str) -> None:
                 pass
 
 
+class ConcurrentWriterError(RuntimeError):
+    """Another Engine advanced ``_log.json`` past this writer's token.
+
+    Raised before any row is visible (start-of-tx check) or after a
+    full rollback (persist-time check), so retrying the transaction
+    from a refreshed head is always safe — ``submit_tx`` does exactly
+    that when opened with ``writer_retries > 0``."""
+
+
 @dataclass(frozen=True)
 class Put:
     table: str
@@ -121,6 +130,7 @@ class Engine:
         auto_compact_files: int | None = None,
         bloom_filter_columns: tuple[str, ...] = (),
         auto_refresh_views: bool = False,
+        writer_retries: int = 0,
     ):
         self.spark = spark
         self.root = root
@@ -145,6 +155,10 @@ class Engine:
         # each commit, so views track the log without manual refresh
         # calls (incremental — cost follows the delta).
         self._auto_refresh_views = auto_refresh_views
+        # Optimistic concurrency: on ConcurrentWriterError, re-read the
+        # head (refresh) and replay the transaction, up to this many
+        # times.  0 = the classic refuse-and-refresh contract.
+        self._writer_retries = writer_retries
         # View-name → error string for auto-refreshes that failed AFTER
         # the transaction was durable (submit_tx never raises for these
         # — a retry would double-apply the committed tx).
@@ -394,9 +408,15 @@ class Engine:
         another Engine committed in between, the local clock no longer
         reflects the log head and blindly overwriting would silently
         drop that writer's position.  Optimistic check, no lock file:
-        the loser gets a loud error instead of a corrupted log."""
+        the loser gets a loud error instead of a corrupted log.
+
+        The check-then-write pair runs under a best-effort exclusive
+        lock file (``_log.lock``, O_CREAT|O_EXCL) so two writers whose
+        data appends interleaved cannot BOTH pass the token check —
+        the critical section is two tiny file ops, held for
+        milliseconds; a lock older than 30 s is presumed left by a
+        crashed writer and stolen."""
         log = os.path.join(self.root, "_log.json")
-        self._check_sole_writer()
         payload = json.dumps(
             {
                 "last_tx_time": self._last_tx_time.isoformat(),
@@ -406,11 +426,52 @@ class Engine:
                 "rewrites": self._rewrites,
             }
         )
-        tmp = os.path.join(self.root, "_log.json.tmp")
-        with open(tmp, "w") as f:
-            f.write(payload)
-        os.replace(tmp, log)
+        with self._log_lock():
+            self._check_sole_writer()
+            tmp = os.path.join(self.root, "_log.json.tmp")
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.replace(tmp, log)
         self._persisted_clock = payload
+
+    def _log_lock(self):
+        """Exclusive _log.json critical-section lock (see
+        ``_persist_clock``)."""
+        import time
+        from contextlib import contextmanager
+
+        lock = os.path.join(self.root, "_log.lock")
+
+        @contextmanager
+        def scope():
+            deadline = time.monotonic() + 10.0
+            while True:
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    try:
+                        if time.time() - os.path.getmtime(lock) > 30.0:
+                            os.unlink(lock)  # stale: crashed holder
+                            continue
+                    except OSError:
+                        continue  # holder released between checks
+                    if time.monotonic() > deadline:
+                        raise RuntimeError(
+                            f"timed out waiting for {lock}; if no writer "
+                            "is alive, delete the lock file"
+                        )
+                    time.sleep(0.02)
+            try:
+                yield
+            finally:
+                os.close(fd)
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+
+        return scope()
 
     def _check_sole_writer(self) -> None:
         """Optimistic single-writer token check: the on-disk manifest
@@ -418,15 +479,64 @@ class Engine:
         a transaction writes anything (so a detected interloper aborts
         with zero rows appended) and again at persist time."""
         log = os.path.join(self.root, "_log.json")
-        if self._persisted_clock is not None and os.path.exists(log):
+        if os.path.exists(log):
             with open(log) as f:
                 on_disk = f.read()
+            # token None + log on disk: this engine opened over a root
+            # with no log, and another writer has since created it —
+            # that first commit is a conflict too (its clock would
+            # collide with ours)
             if on_disk != self._persisted_clock:
-                raise RuntimeError(
+                raise ConcurrentWriterError(
                     f"concurrent writer detected on {self.root}: the tx log "
-                    "advanced outside this Engine (the log is single-writer; "
-                    "open a fresh Engine to continue from the new head)"
+                    "advanced outside this Engine (refresh() — or open the "
+                    "Engine with writer_retries>0 — to continue from the "
+                    "new head)"
                 )
+
+    def _append_rows(self, path: str, rows: DataFrame) -> list[str]:
+        """Append version rows via write-to-private-staging + publish-
+        by-rename, instead of ``mode("append")`` directly on the table
+        directory.  Two reasons, both about concurrency and scale:
+        concurrent appends to ONE directory share the Hadoop
+        committer's ``_temporary/0`` staging, so a second writer's
+        job commit can delete the first's in-flight task files; and on
+        object stores the same pattern (write-audit-publish) is what
+        makes a multi-writer table safe.  Each transaction writes to a
+        fresh ``_tmp_stage_<n>`` dir (no committer sharing), then
+        publishes by renaming the part files into the day-partition
+        dirs — same filesystem, so renames are metadata ops; part
+        names carry task UUIDs, so writers never collide.  A crash
+        mid-publish leaves some files visible without a log entry —
+        the same exposure as a crashed direct append — and stray
+        ``_tmp_stage_`` dirs are dropped by ``_recover_rewrites``.
+
+        Returns the published file paths — the transaction's explicit
+        ownership list, which is what rollback deletes (a directory
+        diff would claim a concurrent winner's files too)."""
+        import uuid as _uuid
+
+        staging = os.path.join(self.root, f"_tmp_stage_{_uuid.uuid4().hex}")
+        with self._micros_timestamps():
+            self._writer(rows).partitionBy(bt.SYS_DAY).parquet(staging)
+        published: list[str] = []
+        os.makedirs(path, exist_ok=True)
+        try:
+            for root_dir, _dirs, names in os.walk(staging):
+                rel = os.path.relpath(root_dir, staging)
+                for n in names:
+                    if not n.endswith(".parquet"):
+                        continue  # _SUCCESS and committer metadata stay
+                    target_dir = (
+                        path if rel == "." else os.path.join(path, rel)
+                    )
+                    os.makedirs(target_dir, exist_ok=True)
+                    dst = os.path.join(target_dir, n)
+                    os.rename(os.path.join(root_dir, n), dst)
+                    published.append(dst)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return published
 
     def _rewrite_atomic(
         self, path: str, df: DataFrame, defer_cleanup: bool = False
@@ -501,11 +611,42 @@ class Engine:
         self,
         ops: list[Put | Delete | Erase | Call],
         tx_time: str | datetime | None = None,
+        retries: int | None = None,
     ) -> Basis:
         """Apply ops atomically-enough for a single writer (the
         reference's single totally-ordered log) and return the basis
         at which the transaction is visible.  Call ops expand against
-        the pre-transaction snapshot before anything is written."""
+        the pre-transaction snapshot before anything is written.
+
+        Optimistic concurrency (``retries`` overrides the engine's
+        ``writer_retries``): when another writer advanced the log, the
+        loser — whose conflict is detected either before it wrote
+        anything or after a full rollback — refreshes to the new head
+        and REPLAYS the transaction (Call fns re-expand against the
+        refreshed snapshot, the derived tx_time re-advances past the
+        winner's head), so interleaved writers serialize without
+        manual intervention and the log stays a total order.  An
+        explicit tx_time at or before the new head still errors: the
+        caller pinned a position the log has moved past.
+
+        View-refresh failures after durability do NOT raise — see
+        ``last_refresh_errors`` (retrying a durable tx would
+        double-apply it)."""
+        n = self._writer_retries if retries is None else retries
+        for attempt in range(n + 1):
+            try:
+                return self._submit_tx_once(ops, tx_time)
+            except ConcurrentWriterError:
+                if attempt == n:
+                    raise
+                self.refresh()  # adopt the winner's head, then replay
+        raise AssertionError("unreachable")
+
+    def _submit_tx_once(
+        self,
+        ops: list[Put | Delete | Erase | Call],
+        tx_time: str | datetime | None = None,
+    ) -> Basis:
         self._check_sole_writer()  # abort BEFORE any rows are written
         prev_counter, prev_time = self._tx_counter, self._last_tx_time
         t = self._next_tx_time(tx_time)
@@ -529,7 +670,8 @@ class Engine:
         # same guarantee the pre-write check gives) instead of a
         # phantom partially-committed transaction.
         pre_tables = set(self._all_tables())
-        pre_files: dict[str, set[str]] = {}
+        written_files: list[str] = []
+        touched_paths: set[str] = set()
         deferred_old: list[tuple[str, str]] = []
         touched: set[str] = set()
         prev_schemas = dict(self._table_schemas)
@@ -538,8 +680,7 @@ class Engine:
         try:
             for seq, op in enumerate(ops):
                 path = self._table_path(op.table)
-                if path not in pre_files:
-                    pre_files[path] = set(_walk_all_files(path))
+                touched_paths.add(path)
                 # All ops share one tx_time; the op's position in the
                 # transaction is the within-tx order (later write wins).
                 # Appends are partitioned by the system-time day so as-of
@@ -579,10 +720,7 @@ class Engine:
                     self._merge_schema_cache(
                         op.table, rows.drop(bt.SYS_DAY).schema
                     )
-                    with self._micros_timestamps():
-                        self._writer(rows).partitionBy(bt.SYS_DAY).option(
-                            "mergeSchema", "true"
-                        ).mode("append").parquet(path)
+                    written_files.extend(self._append_rows(path, rows))
                 elif isinstance(op, Delete):
                     rows = (
                         bt.delete_tombstone(
@@ -594,10 +732,7 @@ class Engine:
                     self._merge_schema_cache(
                         op.table, rows.drop(bt.SYS_DAY).schema
                     )
-                    with self._micros_timestamps():
-                        self._writer(rows).partitionBy(bt.SYS_DAY).option(
-                            "mergeSchema", "true"
-                        ).mode("append").parquet(path)
+                    written_files.extend(self._append_rows(path, rows))
                 elif isinstance(op, Erase):
                     # mergeSchema: tombstone files carry a narrow schema;
                     # a plain read could silently drop data columns that
@@ -626,7 +761,9 @@ class Engine:
                 touched.add(op.table)
             self._persist_clock()
         except BaseException:
-            self._rollback(pre_tables, pre_files, deferred_old)
+            self._rollback(
+                pre_tables, written_files, touched_paths, deferred_old
+            )
             self._tx_counter, self._last_tx_time = prev_counter, prev_time
             self._table_schemas = prev_schemas
             self._app_bounded = prev_app_bounded
@@ -671,33 +808,38 @@ class Engine:
     def _rollback(
         self,
         pre_tables: set[str],
-        pre_files: dict[str, set[str]],
+        written_files: list[str],
+        touched_paths: set[str],
         deferred_old: list[tuple[str, str]],
     ) -> None:
         """Undo every file a failed transaction wrote.  Erase rewrites
         roll back first (newest-first: rename the kept ``_old_`` dir
         back over the rewritten one — it contains the pre-erase state,
-        including this transaction's earlier appends), then appended
-        files (present now, absent from the pre-write snapshot) are
-        deleted and emptied partition dirs pruned, then tables this
-        transaction created are removed entirely."""
+        including this transaction's earlier appends), then the files
+        THIS transaction published are deleted — an explicit ownership
+        list, never a before/after directory diff, so a concurrent
+        winner's freshly committed files are untouched — and emptied
+        partition dirs pruned.  A table this transaction created is
+        removed only if nothing else wrote to it in the meantime."""
         for path, old in reversed(deferred_old):
             shutil.rmtree(path, ignore_errors=True)
             if os.path.exists(old):
                 os.rename(old, path)
-        for path, before in pre_files.items():
-            if not os.path.exists(path):
-                continue
-            for f in _walk_all_files(path):
-                if f not in before:
-                    try:
-                        os.remove(f)
-                    except OSError:
-                        pass
-            _prune_empty_dirs(path)
+        for f in written_files:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+        for path in touched_paths:
+            if os.path.exists(path):
+                _prune_empty_dirs(path)
         for name in self._all_tables():
             if name not in pre_tables:
-                shutil.rmtree(self._table_path(name), ignore_errors=True)
+                p = self._table_path(name)
+                if not any(
+                    f.endswith(".parquet") for f in _walk_all_files(p)
+                ):
+                    shutil.rmtree(p, ignore_errors=True)
 
     def _maybe_auto_compact(self, touched: set[str]) -> None:
         """Post-commit small-file policy: every transaction appends at
