@@ -285,11 +285,13 @@ class Engine:
         bases = [self.root, os.path.join(self.root, "_current")]
         mviews_root = os.path.join(self.root, "_mviews")
         if os.path.isdir(mviews_root):
-            bases.extend(
-                os.path.join(mviews_root, d)
-                for d in sorted(os.listdir(mviews_root))
-                if os.path.isdir(os.path.join(mviews_root, d))
-            )
+            for d in sorted(os.listdir(mviews_root)):
+                vd = os.path.join(mviews_root, d)
+                if os.path.isdir(vd):
+                    bases.append(vd)
+                    if os.path.isdir(os.path.join(vd, "idkeys")):
+                        # sidecar base swaps happen one level deeper
+                        bases.append(os.path.join(vd, "idkeys"))
         # table dirs themselves: partition-wise vacuum swaps individual
         # _sys_day= dirs, leaving _old_/_tmp_ siblings INSIDE the table
         bases.extend(

@@ -100,6 +100,9 @@ def _validate(name: str, keys: list[str], aggs: dict[str, tuple[str, str]]):
             raise ValueError(f"'*' only valid with count (got {fn!r})")
         if alias in keys:
             raise ValueError(f"aggregate alias {alias!r} collides with a key")
+    for k in keys:
+        if k in ("_mv_seq", "_mv_alive"):
+            raise ValueError(f"key {k!r} is reserved for view maintenance")
 
 
 def _compute(df: DataFrame, keys: list[str], aggs) -> DataFrame:
@@ -222,6 +225,177 @@ def _base(engine, name: str) -> str:
     return os.path.join(engine.root, "_mviews", name)
 
 
+# -- persistent id→keys sidecar (round 6) -----------------------------
+#
+# Group DISCOVERY previously needed the table: keys-at-as_of for a
+# changed id came from a fresh compact or, failing that, an O(table)
+# narrow (id, keys) history scan.  The sidecar removes that last
+# O(table) term: each view maintains its OWN narrow record of "which
+# keys did each live id have at my clock" as a base snapshot plus
+# per-refresh delta files, so discovery reads sidecar-base row groups
+# (id-prunable) + the deltas + the CDC tail — never table history.
+#
+#   _mviews/<name>/idkeys/base           (id, keys…, _mv_alive, _mv_seq)
+#   _mviews/<name>/idkeys/delta/_mv_seq=<n>/   net per-id change of
+#                                              refresh n (partition-dir
+#                                              encoded seq)
+#
+# Crash discipline: the delta for refresh n is written BEFORE meta
+# advances, into its own _mv_seq=n dir (any half-written dir from a
+# crashed refresh is truncated away by seq ≤ meta.idkeys_seq at read
+# time and rewritten wholesale on retry); base swaps go through
+# _rewrite_atomic and are repaired at engine open.  Folding deltas
+# into the base is idempotent (latest-_mv_seq-per-id), so a crash
+# between the base swap and the delta cleanup only costs re-reading
+# already-folded rows.
+
+_IDKEYS_COMPACT_AT = 16  # fold deltas into the base past this many
+
+
+def _idkeys_dir(engine, name: str) -> str:
+    return os.path.join(_base(engine, name), "idkeys")
+
+
+def _idkeys_delta_dirs(engine, name: str, up_to: int) -> list[str]:
+    delta_root = os.path.join(_idkeys_dir(engine, name), "delta")
+    if not os.path.isdir(delta_root):
+        return []
+    out = []
+    for e in sorted(os.listdir(delta_root)):
+        if e.startswith("_mv_seq="):
+            try:
+                seq = int(e.split("=", 1)[1])
+            except ValueError:
+                continue
+            if seq <= up_to:
+                out.append(os.path.join(delta_root, e))
+    return out
+
+
+def _idkeys_write_base(engine, name: str, snap, table, keys, seq: int):
+    """(Re)build the sidecar base from the table's current state at
+    the snapshot's clock — one narrow (id, keys) projection, paid at
+    create / full-refresh / fold time only."""
+    import shutil
+
+    df = (
+        snap.table(table)
+        .select("id", *keys)
+        .withColumn("_mv_alive", F.lit(True))
+        .withColumn("_mv_seq", F.lit(seq).cast("long"))
+    )
+    root = _idkeys_dir(engine, name)
+    os.makedirs(root, exist_ok=True)
+    engine._rewrite_atomic(os.path.join(root, "base"), df)
+    shutil.rmtree(os.path.join(root, "delta"), ignore_errors=True)
+
+
+def _idkeys_append_delta(engine, name: str, keys, feed, seq: int):
+    """Append refresh ``seq``'s net per-id effect: the latest feed row
+    per changed id — its keys if a put, a dead marker if a delete.
+    O(delta) work; the write lands in a seq-named partition dir so a
+    crashed attempt is fully replaced on retry."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from core2_spark import temporal as bt
+
+    order = [
+        F.col(c).desc()
+        for c in (bt.SYS_START, bt.TX_SEQ, bt.ROW_SEQ)
+        if c in feed.columns
+    ]
+    w = Window.partitionBy("id").orderBy(*order)
+    latest = (
+        feed.withColumn("_mv_rn", F.row_number().over(w))
+        .filter(F.col("_mv_rn") == 1)
+    )
+    put = F.col("_change") == F.lit("put")
+    delta = latest.select(
+        "id",
+        *[F.when(put, F.col(k)).alias(k) for k in keys],
+        put.alias("_mv_alive"),
+    )
+    target = os.path.join(
+        _idkeys_dir(engine, name), "delta", f"_mv_seq={seq}"
+    )
+    shutil.rmtree(target, ignore_errors=True)  # crashed prior attempt
+    with engine._micros_timestamps():
+        delta.write.parquet(target)
+
+
+def _idkeys_asof_keys(engine, name: str, keys, seq: int, changed, changed_rows):
+    """Keys each changed id had at the view's clock, from the sidecar
+    alone: base ∪ deltas(≤ seq), restricted to the changed ids FIRST
+    (literal IN pushed into the scan when the set is small — row-group
+    stat + bloom pruning — else a broadcast semi join), then latest
+    record per id.  Returns None when the view predates the sidecar
+    (legacy fallback: table-side discovery)."""
+    from pyspark.sql import Window
+
+    base_dir = os.path.join(_idkeys_dir(engine, name), "base")
+    if not os.path.isdir(base_dir):
+        return None
+    spark = engine.spark
+    parts = [spark.read.parquet(base_dir)]
+    for d in _idkeys_delta_dirs(engine, name, up_to=seq):
+        seq_val = int(d.rsplit("=", 1)[1])
+        parts.append(
+            spark.read.parquet(d).withColumn(
+                "_mv_seq", F.lit(seq_val).cast("long")
+            )
+        )
+    rows = parts[0]
+    for p in parts[1:]:
+        rows = rows.unionByName(p)
+    if changed_rows is not None:
+        ids = [r["id"] for r in changed_rows]
+        rows = rows.filter(F.col("id").isin(ids) if ids else F.lit(False))
+    else:
+        rows = rows.join(F.broadcast(changed), "id", "left_semi")
+    w = Window.partitionBy("id").orderBy(F.col("_mv_seq").desc())
+    latest = (
+        rows.withColumn("_mv_rn", F.row_number().over(w))
+        .filter(F.col("_mv_rn") == 1)
+    )
+    return latest.filter(F.col("_mv_alive")).select(*keys)
+
+
+def _idkeys_maybe_fold(engine, name: str, keys, seq: int):
+    """Fold deltas into the base once enough accumulated — keeps the
+    per-refresh read fan-in bounded; amortized O(sidecar /
+    _IDKEYS_COMPACT_AT) per refresh."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    dirs = _idkeys_delta_dirs(engine, name, up_to=seq)
+    if len(dirs) <= _IDKEYS_COMPACT_AT:
+        return
+    spark = engine.spark
+    base_dir = os.path.join(_idkeys_dir(engine, name), "base")
+    rows = spark.read.parquet(base_dir)
+    for d in dirs:
+        seq_val = int(d.rsplit("=", 1)[1])
+        rows = rows.unionByName(
+            spark.read.parquet(d).withColumn(
+                "_mv_seq", F.lit(seq_val).cast("long")
+            )
+        )
+    w = Window.partitionBy("id").orderBy(F.col("_mv_seq").desc())
+    folded = (
+        rows.withColumn("_mv_rn", F.row_number().over(w))
+        .filter(F.col("_mv_rn") == 1)
+        .filter(F.col("_mv_alive"))
+        .select("id", *keys, "_mv_alive")
+        .withColumn("_mv_seq", F.lit(seq).cast("long"))
+    )
+    engine._rewrite_atomic(base_dir, folded)
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _meta_path(engine, name: str) -> str:
     return os.path.join(_base(engine, name), "meta.json")
 
@@ -256,6 +430,7 @@ def create(
     snap = engine.db()
     view = _compute(snap.table(table), list(keys), aggs)
     clock = engine._last_tx_time or engine._epoch
+    _idkeys_write_base(engine, name, snap, table, list(keys), seq=0)
     _store(
         engine,
         name,
@@ -265,6 +440,7 @@ def create(
             "keys": list(keys),
             "aggs": {a: list(s) for a, s in aggs.items()},
             "as_of": clock.isoformat(),
+            "idkeys_seq": 0,
         },
     )
     return read(engine, name)
@@ -303,17 +479,39 @@ def refresh(engine, name: str) -> dict:
     snap = engine.db()
     meta["as_of"] = head.isoformat()
 
+    prev_seq = int(meta.get("idkeys_seq", -1))
+    seq = prev_seq + 1
+
     rewrite = engine._rewrites.get(table)
     if table in engine._app_bounded or (
         rewrite is not None and datetime.fromisoformat(rewrite) > as_of
     ):
         view = _compute(snap.table(table), keys, aggs)
+        _idkeys_write_base(engine, name, snap, table, keys, seq)
+        meta["idkeys_seq"] = seq
         _store(engine, name, view, meta)
         return {"mode": "full", "as_of": meta["as_of"]}
 
     feed = snap.changes(table, since=as_of)
     changed = feed.select("id").distinct()
-    affected = _affected_keys(engine, snap, table, keys, as_of, feed, changed)
+    changed_rows = changed.limit(_INLIST_CAP + 1).collect()
+    small_delta = len(changed_rows) <= _INLIST_CAP
+    asof_keys = None
+    if prev_seq >= 0:
+        asof_keys = _idkeys_asof_keys(
+            engine, name, keys, prev_seq, changed,
+            changed_rows if small_delta else None,
+        )
+    if asof_keys is not None:
+        # delta-bounded discovery: sidecar + feed only, no table scan
+        now_keys = feed.filter(F.col("_change") == "put").select(*keys)
+        affected = asof_keys.unionByName(now_keys).distinct()
+        discovery = "sidecar"
+    else:
+        affected = _affected_keys(
+            engine, snap, table, keys, as_of, feed, changed
+        )
+        discovery = "table"
     key_rows = affected.limit(_INLIST_CAP + 1).collect()
     cur, old = snap.table(table), read(engine, name)
     if len(key_rows) <= _INLIST_CAP:
@@ -337,9 +535,24 @@ def refresh(engine, name: str) -> dict:
         )
         kept = _keyjoin(old, F.broadcast(affected), keys, "left_anti")
         n_groups = affected.count()
+    # maintain the sidecar BEFORE meta advances: a crash in between
+    # leaves an orphan _mv_seq dir that seq ≤ idkeys_seq truncates
+    # away and the retried refresh rewrites wholesale; the reverse
+    # order would leave the sidecar stale behind the stored view
+    if prev_seq >= 0 and os.path.isdir(
+        os.path.join(_idkeys_dir(engine, name), "base")
+    ):
+        _idkeys_append_delta(engine, name, keys, feed, seq)
+        _idkeys_maybe_fold(engine, name, keys, seq)
+    else:
+        # legacy view (pre-sidecar): bootstrap at the new head — one
+        # narrow (id, keys) projection, paid once
+        _idkeys_write_base(engine, name, snap, table, keys, seq)
+    meta["idkeys_seq"] = seq
     _store(engine, name, kept.unionByName(recomputed), meta)
     return {
         "mode": "incremental",
         "as_of": meta["as_of"],
         "refreshed_groups": n_groups,
+        "discovery": discovery,
     }

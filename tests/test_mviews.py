@@ -533,3 +533,100 @@ def test_mview_reference_case_insensitive(spark, engine):
         "SELECT grp, n FROM MVIEW_AGG ORDER BY grp"
     ).collect()
     assert [(r["grp"], r["n"]) for r in rows] == [("g0", 2), ("g1", 2)]
+
+
+def test_sidecar_discovery_never_reads_table_history(spark, engine):
+    """Round 6: with the id→keys sidecar, group discovery's as-of-keys
+    plan reads ONLY sidecar files — never table history or compact —
+    so refresh cost is delta-bounded even with no fresh compact."""
+    from core2_spark import mviews
+    from datetime import datetime
+
+    for day in (1, 2, 3):  # three history days before the view exists
+        engine.submit_tx(
+            [Put("t", _rows(spark, [(i, f"g{i % 3}", float(i + day)) for i in range(12)]))],
+            tx_time=f"2024-01-0{day} 00:00:01",
+        )
+    engine.create_materialized_view("agg", "t", ["grp"], AGGS)
+    engine.submit_tx(
+        [
+            Put("t", _rows(spark, [(0, "gX", 9.0)])),
+            Delete("t", spark.createDataFrame([(5,)], "id long")),
+        ],
+        tx_time="2024-01-04 00:00:01",
+    )
+    meta = mviews._load_meta(engine, "agg")
+    as_of = datetime.fromisoformat(meta["as_of"])
+    snap = engine.db()
+    feed = snap.changes("t", since=as_of)
+    changed = feed.select("id").distinct()
+    changed_rows = changed.collect()
+    asof_keys = mviews._idkeys_asof_keys(
+        engine, "agg", ["grp"], int(meta["idkeys_seq"]), changed, changed_rows
+    )
+    files = asof_keys.inputFiles()
+    assert files, "as-of discovery should read the sidecar"
+    assert all("/_mviews/agg/idkeys/" in f for f in files), files
+    stats = engine.refresh_materialized_view("agg")
+    assert stats["mode"] == "incremental" and stats["discovery"] == "sidecar"
+    assert _stored(engine) == _expected(engine)
+
+
+def test_sidecar_fold_and_many_refreshes(spark, engine):
+    """Past _IDKEYS_COMPACT_AT deltas the sidecar folds into its base;
+    view equality holds across 20 refreshes including deletes and
+    group moves, and the delta fan-in stays bounded."""
+    import os
+    from core2_spark import mviews
+
+    engine.submit_tx(
+        [Put("t", _rows(spark, [(i, f"g{i % 4}", float(i)) for i in range(16)]))]
+    )
+    engine.create_materialized_view("agg", "t", ["grp"], AGGS)
+    for n in range(20):
+        ops = [Put("t", _rows(spark, [(n % 16, f"g{(n + 1) % 4}", float(n))]))]
+        if n % 5 == 4:
+            ops.append(Delete("t", spark.createDataFrame([((n * 3) % 16,)], "id long")))
+        engine.submit_tx(ops)
+        stats = engine.refresh_materialized_view("agg")
+        assert stats["mode"] == "incremental"
+        assert stats["discovery"] == "sidecar"
+        assert _stored(engine) == _expected(engine)
+    delta_root = os.path.join(engine.root, "_mviews", "agg", "idkeys", "delta")
+    n_deltas = len(
+        [e for e in os.listdir(delta_root) if e.startswith("_mv_seq=")]
+    ) if os.path.isdir(delta_root) else 0
+    assert n_deltas <= mviews._IDKEYS_COMPACT_AT + 1  # folding engaged
+
+
+def test_sidecar_legacy_view_bootstraps(spark, engine):
+    """A pre-round-6 view (no idkeys dir, no idkeys_seq) falls back to
+    table-side discovery once, bootstraps the sidecar, then goes
+    delta-bounded."""
+    import json
+    import os
+    import shutil
+    from core2_spark import mviews
+
+    engine.submit_tx(
+        [Put("t", _rows(spark, [(i, f"g{i % 2}", float(i)) for i in range(8)]))]
+    )
+    engine.create_materialized_view("agg", "t", ["grp"], AGGS)
+    # simulate a legacy view: drop the sidecar + meta key
+    shutil.rmtree(os.path.join(engine.root, "_mviews", "agg", "idkeys"))
+    mp = mviews._meta_path(engine, "agg")
+    with open(mp) as f:
+        meta = json.load(f)
+    meta.pop("idkeys_seq")
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+
+    engine.submit_tx([Put("t", _rows(spark, [(0, "gZ", 5.0)]))])
+    stats = engine.refresh_materialized_view("agg")
+    assert stats["mode"] == "incremental" and stats["discovery"] == "table"
+    assert _stored(engine) == _expected(engine)
+    # bootstrapped: subsequent refreshes use the sidecar
+    engine.submit_tx([Put("t", _rows(spark, [(1, "gZ", 6.0)]))])
+    stats = engine.refresh_materialized_view("agg")
+    assert stats["mode"] == "incremental" and stats["discovery"] == "sidecar"
+    assert _stored(engine) == _expected(engine)
