@@ -531,3 +531,102 @@ def engine_sql_basis_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nations WHERE id < 10 ORDER BY id
         """
     )
+
+
+@query(
+    "engine_vacuum_partition_drop",
+    oracle="""
+    SELECT n_nationkey AS id,
+           CASE WHEN n_nationkey % 3 = 0 THEN n_name || '_v3'
+                WHEN n_nationkey % 2 = 0 THEN n_name || '_v2'
+                ELSE n_name END AS name,
+           CASE WHEN n_nationkey % 6 = 0 THEN 2
+                WHEN n_nationkey % 2 = 0 THEN 1
+                WHEN n_nationkey % 3 = 0 THEN 2
+                ELSE 1 END AS n_versions
+    FROM nation
+    ORDER BY id
+    """,
+)
+def engine_vacuum_partition_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 partition-wise retention: day-1 puts for every id,
+    day-2 corrections for even ids, day-4 corrections for ids % 3 = 0,
+    vacuum at a day-3 horizon.  Dropped: exactly the day-1 versions of
+    even ids (closed on day 2, before the horizon).  Kept: every other
+    day-1 version (closed on day 4 or never — after the horizon) and
+    everything from day 2 on; day-4 rows are untouched file-for-file
+    (post-horizon partition).  Returns per-id current name + surviving
+    version count; the oracle derives both from the fixture."""
+    from core2_spark.engine import Engine, Put
+
+    nation = _nation_rows(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="engine_q_vac_"))
+    eng.submit_tx([Put("nations", nation)], tx_time="2024-01-01 00:00:01")
+    eng.submit_tx(
+        [
+            Put(
+                "nations",
+                nation.filter(F.col("id") % 2 == 0).withColumn(
+                    "name", F.concat(F.col("name"), F.lit("_v2"))
+                ),
+            )
+        ],
+        tx_time="2024-01-02 00:00:01",
+    )
+    eng.submit_tx(
+        [
+            Put(
+                "nations",
+                nation.filter(F.col("id") % 3 == 0).withColumn(
+                    "name", F.concat(F.col("name"), F.lit("_v3"))
+                ),
+            )
+        ],
+        tx_time="2024-01-04 00:00:01",
+    )
+    eng.vacuum("nations", older_than="2024-01-03 00:00:00")
+    db = eng.db()
+    cur = db.table("nations").select("id", "name")
+    counts = (
+        db.history("nations")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_versions"))
+    )
+    return cur.join(counts, "id").orderBy("id")
+
+
+@query(
+    "engine_concurrent_writers",
+    oracle="""
+    SELECT n_nationkey AS id,
+           CASE WHEN n_nationkey % 2 = 0 THEN 'even-writer'
+                ELSE 'odd-writer' END AS written_by
+    FROM nation
+    ORDER BY id
+    """,
+)
+def engine_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 optimistic concurrency: two Engine handles over one root
+    interleave commits with writer_retries — each detects the other's
+    advance, refreshes, and replays, with NO manual coordination.  The
+    final state must equal the serial union (the log is a total
+    order)."""
+    from core2_spark.engine import Engine, Put
+
+    nation = _nation_rows(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="engine_q_occ_")
+    a = Engine(spark, root, writer_retries=5)
+    b = Engine(spark, root, writer_retries=5)
+    evens = nation.filter(F.col("id") % 2 == 0).select(
+        "id", F.lit("even-writer").alias("written_by")
+    )
+    odds = nation.filter(F.col("id") % 2 == 1).select(
+        "id", F.lit("odd-writer").alias("written_by")
+    )
+    # alternate writers: every commit staleness-trips the other handle
+    a.submit_tx([Put("claims", evens.filter(F.col("id") < 10))])
+    b.submit_tx([Put("claims", odds.filter(F.col("id") < 10))])
+    a.submit_tx([Put("claims", evens.filter(F.col("id") >= 10))])
+    b.submit_tx([Put("claims", odds.filter(F.col("id") >= 10))])
+    b.refresh()
+    return b.db().table("claims").select("id", "written_by").orderBy("id")

@@ -604,6 +604,29 @@ def multimodal_image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_jpeg_features")  # rows-only: real JPEG decode stage
+def multimodal_jpeg_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: the format real corpora are in — deterministic JPEG
+    payloads (pure-Python baseline encoder) decoded by the pure-Python
+    baseline decoder (Huffman + IDCT) under mapInPandas, features
+    exploded to scalar columns (driver-canonicalizable)."""
+    from core2_spark import multimodal
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = multimodal.generate_media(
+        d.filter(F.col("doc_id") < 150).select(F.col("doc_id").alias("media_id"))
+    ).filter(F.col("mime") == multimodal.MIME_JPEG)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        *[
+            F.round(F.col("feature")[i], 6).alias(f"f{i}")
+            for i in range(multimodal.FEATURE_WIDTH)
+        ],
+    )
+
+
 @query("multimodal_frame_sampling")  # rows-only: plan-level expansion
 def multimodal_frame_sampling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan: metadata → frame timestamp rows

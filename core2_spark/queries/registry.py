@@ -84,7 +84,12 @@ _PRIORITY: list[str] = [
     "curation_decontaminate_substring",
     "text_repetition_filter",
     "multimodal_feature_extract",
-    # -- new round-6 names insert here --
+    # New in round 6 (never driver-checked by definition): the
+    # partition-drop vacuum, optimistic concurrent writers, and the
+    # JPEG decode leg.
+    "engine_vacuum_partition_drop",
+    "engine_concurrent_writers",
+    "multimodal_jpeg_features",
     # Flagship re-verification: bench headliners + one representative
     # per operator family, rotated back in after their last check.
     "tpch_q3_shipping_priority",

@@ -19,11 +19,12 @@ def test_registry_shape():
 
 
 def test_priority_prefix_rotates_to_unchecked_tail():
-    """The driver's correctness gate truncates at ~50 entries; round 5
-    completes the rotation: an 8-name engine+flagship head that
-    re-verifies every round, then ALL 40 names that never had a driver
-    CORRECTNESS row in r1-r4 — after this gate the independent ledger
-    covers the registry 185/185.  Pin that contract."""
+    """The driver's correctness gate truncates at ~50 entries; round 6
+    closes the ledger: the 8-name engine+flagship head, then the 8
+    round-5 names that never had a driver CORRECTNESS row plus the
+    re-fixed multimodal_feature_extract, then the new round-6 queries
+    — all inside the gate.  Remaining slots re-verify flagships.
+    Pin that contract."""
     import glob
     import json
     import os
@@ -49,21 +50,18 @@ def test_priority_prefix_rotates_to_unchecked_tail():
         "tpch_q1_pricing_summary",
     ]:
         assert n in first50, n
-    # every name never driver-checked through r4 sits inside the gate
+    # every name with NO driver CORRECTNESS row through r5 (incl. the
+    # r5 error row being re-verified, and the new r6 queries) must sit
+    # inside the gate window
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked: set[str] = set()
-    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r0[1234].json")):
-        checked |= set(json.load(open(f)))
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r0[12345].json")):
+        data = json.load(open(f))
+        checked |= {k for k, v in data.items() if not v.get("err") or v.get("err") == "no_oracle"}
     if checked:  # driver artifacts present
-        # the r4-era backlog is the rotation block (slots 9-48); every
-        # one of those names must sit inside the gate.  Queries
-        # REGISTERED in round 5+ (never in any CORRECTNESS file, not
-        # part of that backlog) are exempt — the gate is ~50 slots and
-        # the backlog has priority.
-        backlog = _PRIORITY[8:48]
-        assert not (set(backlog) & checked), "rotation block already checked"
-        outside = [n for n in backlog if n not in first50]
-        assert not outside, f"backlog names outside the gate: {outside}"
+        unchecked = [n for n in names if n not in checked]
+        outside = [n for n in unchecked if n not in first50]
+        assert not outside, f"never-checked names outside the gate: {outside}"
 
 
 def test_entry_smoke(spark):
