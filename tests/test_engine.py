@@ -1216,3 +1216,85 @@ def test_vacuum_partition_drop_is_metadata_only(spark, tmp_path):
     assert {
         (r["id"], r["v"]) for r in Engine(spark, root).db().table("t").collect()
     } == before_current
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _vacuum_scenario(draw):
+    """3-5 transactions at random distinct days over a small id space,
+    plus a horizon day somewhere in range."""
+    n_tx = draw(st.integers(3, 5))
+    days = sorted(
+        draw(
+            st.lists(
+                st.integers(1, 27), min_size=n_tx, max_size=n_tx, unique=True
+            )
+        )
+    )
+    txs = []
+    for d in days:
+        puts = draw(
+            st.lists(st.integers(0, 7), min_size=1, max_size=4, unique=True)
+        )
+        dels = draw(st.lists(st.integers(0, 7), max_size=2, unique=True))
+        txs.append((d, puts, dels))
+    horizon = draw(st.integers(2, 28))
+    return txs, horizon
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(scenario=_vacuum_scenario())
+def test_vacuum_differential_property(spark, tmp_path_factory, scenario):
+    """Partition-wise vacuum (round 6) against the retention contract:
+    for ANY op sequence and ANY horizon, every read with both clocks at
+    or after the horizon answers exactly as before the vacuum — current
+    state, an as-of read pinned at the horizon, and the changes feed
+    from the horizon on."""
+    txs, horizon_day = scenario
+    root = str(tmp_path_factory.mktemp("vacprop") / "eng")
+    eng = Engine(spark, root)
+    for d, puts, dels in txs:
+        ops = [
+            Put(
+                "t",
+                spark.createDataFrame(
+                    [(i, f"d{d}v{i}") for i in puts], "id long, v string"
+                ),
+            )
+        ]
+        if dels:
+            ops.append(
+                Delete(
+                    "t", spark.createDataFrame([(i,) for i in dels], "id long")
+                )
+            )
+        eng.submit_tx(ops, tx_time=f"2024-01-{d:02d} 00:00:01")
+    horizon = f"2024-01-{horizon_day:02d} 00:00:00"
+
+    def observe(db):
+        cur = frozenset(
+            (r["id"], r["v"]) for r in db.table("t").collect()
+        )
+        asof = frozenset(
+            (r["id"], r["v"])
+            for r in db.table("t", system_time=horizon).collect()
+        )
+        feed = frozenset(
+            (r["id"], r["v"], r["_change"])
+            for r in db.changes("t", since=horizon).collect()
+        )
+        return cur, asof, feed
+
+    before = observe(eng.db())
+    eng.vacuum("t", older_than=horizon)
+    after = observe(eng.db())
+    assert after == before
+    # and a reopened engine (recovery path) agrees too
+    assert observe(Engine(spark, root).db()) == before

@@ -251,3 +251,72 @@ def test_lateral_topk_decorrelates_to_window(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_sidecar_discovery_pushes_id_inlist(spark, tmp_path):
+    """Round 6: the sidecar as-of-keys plan must push the changed-id
+    IN-list into the sidecar parquet scan (row-group stat + bloom
+    pruning on id) — the delta-boundedness claim, enforced at the
+    plan level."""
+    from pyspark.sql import functions as FF
+
+    from core2_spark import mviews
+    from core2_spark.engine import Engine, Put
+
+    eng = Engine(spark, str(tmp_path / "scplan"))
+    rows = spark.range(2000).select(
+        FF.col("id"),
+        (FF.col("id") % 50).alias("bucket"),
+        (FF.col("id") * 1.0).alias("v"),
+    )
+    eng.submit_tx([Put("t", rows)])
+    eng.create_materialized_view(
+        "agg", "t", ["bucket"], {"n": ("count", "*")}
+    )
+    changed_rows = [{"id": 3}, {"id": 77}, {"id": 1500}]
+    asof = mviews._idkeys_asof_keys(
+        eng, "agg", ["bucket"], 0, None, changed_rows
+    )
+    plan = plan_of(asof)
+    assert "PushedFilters: [In(id" in plan, plan
+    # and the inputs are sidecar files only, never the table
+    assert all("/_mviews/agg/idkeys/" in f for f in asof.inputFiles())
+
+
+def test_vacuum_decision_scan_is_narrow_and_partition_pruned(spark, tmp_path):
+    """Round 6: the partitioned-vacuum decision scan must read only
+    (id, sys_start, seqs) — never data columns — and prune partitions
+    above the horizon day.  Audited on the same plan the vacuum
+    builds."""
+    from pyspark.sql import functions as FF
+
+    from core2_spark import temporal as bt
+    from core2_spark.engine import Engine, Put
+
+    eng = Engine(spark, str(tmp_path / "vacplan"))
+    mk = lambda tag: spark.createDataFrame(
+        [(i, tag, float(i)) for i in range(50)], "id long, v string, x double"
+    )
+    eng.submit_tx([Put("t", mk("a"))], tx_time="2024-01-01 00:00:01")
+    eng.submit_tx([Put("t", mk("b"))], tx_time="2024-02-01 00:00:01")
+    eng.submit_tx([Put("t", mk("c"))], tx_time="2024-06-01 00:00:01")
+    import datetime as dt
+
+    horizon_day = dt.date(2024, 3, 1)
+    probe = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "vacplan" / "t")
+    )
+    narrow = probe.filter(FF.col(bt.SYS_DAY) <= FF.lit(horizon_day)).select(
+        "id", bt.SYS_START, bt.SYS_DAY, bt.TX_SEQ, bt.ROW_SEQ
+    )
+    plan = plan_of(narrow)
+    # data columns (v, x) never reach the scan schema
+    assert "ReadSchema" in plan and " v:" not in plan and " x:" not in plan
+    import re
+
+    # the day bound lands in PartitionFilters (dir-level pruning —
+    # the June partition is never listed; inputFiles() is relation-
+    # level and can't show this, the plan text does)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None, plan
+    assert bt.SYS_DAY in m.group(1) and "<=" in m.group(1), m.group(1)
