@@ -2,16 +2,18 @@
 
 Images / audio / video ride as opaque ``binary`` columns plus a typed
 metadata struct.  The container has no image/audio libraries, so the
-codecs here are PURE-PYTHON decoders for five self-describing formats
+codecs here are PURE-PYTHON decoders for six self-describing formats
 — binary PPM (P6), uncompressed 24-bit BMP, PNG (8-bit grey/RGB/RGBA,
 non-interlaced, all five filter types; stdlib zlib only), baseline-
 sequential JPEG/JFIF (round 6: Huffman + IDCT, greyscale/4:4:4/4:2:0
 /4:2:2, restart intervals; encoder at 4:4:4 with the public Annex-K
-tables), and PCM-16 WAV/RIFF — plus deterministic generators for the
-same formats, so decode → feature-extract → resize → frame-sample
-pipelines run end-to-end on real (including really-compressed) bytes.
-Remaining formats (MP3/video) raise NotImplementedError at decode
-time (clearly-marked gap: a production deployment swaps the decode
+tables), MJPEG-in-AVI video (round 6: RIFF walk + per-frame JPEG —
+real frame extraction, not a metadata plan), and PCM-16 WAV/RIFF —
+plus deterministic generators for the same formats, so decode →
+feature-extract → resize → frame-sample pipelines run end-to-end on
+real (including really-compressed) bytes.  Remaining formats (MP3,
+non-MJPEG video) raise NotImplementedError at decode time
+(clearly-marked gap: a production deployment swaps the decode
 closures for soundfile/ffmpeg calls — the Spark-side schema,
 partitioning and batch shapes don't change).
 
@@ -62,6 +64,7 @@ MIME_BMP = "image/bmp"
 MIME_WAV = "audio/wav"
 MIME_PNG = "image/png"
 MIME_JPEG = "image/jpeg"
+MIME_AVI = "video/x-msvideo"
 
 
 def _codec_fns():
@@ -655,6 +658,128 @@ def _codec_fns():
             b"\xff\xd8" + jfif + dqt + sof + hts + sos + bytes(out) + b"\xff\xd9"
         )
 
+    # -- MJPEG/AVI (round 6): a real video container ------------------
+
+    def _riff_chunks(buf: bytes, i: int, end: int):
+        while i + 8 <= end:
+            cid = buf[i : i + 4]
+            (size,) = struct.unpack_from("<I", buf, i + 4)
+            yield cid, i + 8, size
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+
+    def decode_avi(payload: bytes):
+        """MJPEG-in-AVI (RIFF): walks hdrl for dimensions + frame
+        rate, movi for ??dc/??db frame chunks, decodes each frame
+        through the baseline JPEG decoder.  Returns
+        (width, height, fps, [HxWx3 RGB frames])."""
+        if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            raise ValueError("not a RIFF/AVI file")
+        w = h = None
+        usec_per_frame = None
+        frames: list[bytes] = []
+        for cid, off, size in _riff_chunks(payload, 12, len(payload)):
+            if cid != b"LIST":
+                continue
+            ltype = payload[off : off + 4]
+            if ltype == b"hdrl":
+                for cid2, off2, _s2 in _riff_chunks(
+                    payload, off + 4, off + size
+                ):
+                    if cid2 == b"avih":
+                        (usec_per_frame,) = struct.unpack_from(
+                            "<I", payload, off2
+                        )
+                        w, h = struct.unpack_from("<II", payload, off2 + 32)
+            elif ltype == b"movi":
+                for cid2, off2, s2 in _riff_chunks(
+                    payload, off + 4, off + size
+                ):
+                    if cid2[2:4] in (b"dc", b"db"):
+                        frames.append(payload[off2 : off2 + s2])
+        if w is None or usec_per_frame in (None, 0):
+            raise ValueError("AVI missing avih header")
+        fps = 1e6 / usec_per_frame
+        return w, h, fps, [decode_jpeg(f)[2] for f in frames]
+
+    def video_features(w, h, fps, frames):
+        """8-dim: [w, h, duration_s, n_frames, mean_luma, std_luma,
+        motion (mean |Δ| between consecutive frames), fps]."""
+        n = len(frames)
+        lumas = [
+            (
+                0.2126 * f[:, :, 0] + 0.7152 * f[:, :, 1] + 0.0722 * f[:, :, 2]
+            )
+            / 255.0
+            for f in frames
+        ]
+        motion = (
+            float(
+                np.mean(
+                    [np.abs(lumas[i + 1] - lumas[i]).mean() for i in range(n - 1)]
+                )
+            )
+            if n > 1
+            else 0.0
+        )
+        all_luma = np.stack(lumas) if lumas else np.zeros((1, 1, 1))
+        return [
+            float(w),
+            float(h),
+            float(n / fps) if fps else 0.0,
+            float(n),
+            float(all_luma.mean()),
+            float(all_luma.std()),
+            motion,
+            float(fps),
+        ]
+
+    def make_avi(width, height, n_frames, fps, seed):
+        """Seeded MJPEG AVI: each frame is the make_ppm pattern with a
+        drifting seed, baseline-JPEG-compressed — a REAL compressed
+        video fixture."""
+        jpegs = [
+            encode_jpeg(
+                decode_ppm(make_ppm(width, height, seed + 7 * f))[2], 85
+            )
+            for f in range(n_frames)
+        ]
+
+        def chunk(cid: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) & 1 else b""
+            return cid + struct.pack("<I", len(body)) + body + pad
+
+        def list_chunk(ltype: bytes, body: bytes) -> bytes:
+            return chunk(b"LIST", ltype + body)
+
+        usec = int(1e6 / fps)
+        avih = struct.pack(
+            "<IIIIIIIIII", usec, 0, 0, 0, n_frames, 0, 1, 0, width, height
+        ) + b"\x00" * 16
+        strh = (
+            b"vids"
+            + b"MJPG"
+            + struct.pack(
+                "<IHHIIIIIIIIhhhh",
+                0, 0, 0, 0,            # flags, priority, language, init frames
+                1, int(fps),           # scale, rate → fps
+                0, n_frames,           # start, length
+                0, 0xFFFFFFFF, 0,      # bufsize, quality, sample size
+                0, 0, width, height,   # rcFrame
+            )
+        )
+        strf = struct.pack(
+            "<IiiHH4sIiiII",
+            40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+        )
+        hdrl = list_chunk(
+            b"hdrl",
+            chunk(b"avih", avih)
+            + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+        )
+        movi = list_chunk(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
     def decode_wav(payload: bytes):
         """PCM-16 WAV: walks RIFF chunks to `fmt ` and `data`.
         Returns (sample_rate, channels, float samples in [-1, 1] shaped
@@ -737,10 +862,13 @@ def _codec_fns():
             return image_features(*decode_jpeg(payload))
         if mime == MIME_WAV:
             return audio_features(*decode_wav(payload))
+        if mime == MIME_AVI:
+            return video_features(*decode_avi(payload))
         raise NotImplementedError(
-            f"no pure-Python decoder for {mime!r}; MP3/video codecs are "
-            "not present in this container — plug soundfile/ffmpeg here in "
-            "a real deployment, or pass fake=True for the histogram stub"
+            f"no pure-Python decoder for {mime!r}; MP3 and non-MJPEG video "
+            "codecs are not present in this container — plug soundfile/"
+            "ffmpeg here in a real deployment, or pass fake=True for the "
+            "histogram stub"
         )
 
     # -- transforms ----------------------------------------------------
@@ -829,9 +957,11 @@ def _codec_fns():
         "decode_bmp": decode_bmp,
         "decode_png": decode_png,
         "decode_jpeg": decode_jpeg,
+        "decode_avi": decode_avi,
         "decode_wav": decode_wav,
         "decode_image": decode_image,
         "features": features,
+        "video_features": video_features,
         "fake_features": fake_features,
         "encode_ppm": encode_ppm,
         "encode_png": encode_png,
@@ -841,6 +971,7 @@ def _codec_fns():
         "make_bmp": make_bmp,
         "make_png": make_png,
         "make_jpeg": make_jpeg,
+        "make_avi": make_avi,
         "make_wav": make_wav,
     }
 
@@ -873,6 +1004,59 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAMES_SCHEMA = (
+    "media_id long, frame_idx int, frame_ts_ms long, width int, height int, "
+    "n_bytes long, frame_md5 string"
+)
+
+
+def extract_frames(df: DataFrame, every_ms: int = 0) -> DataFrame:
+    """REAL video frame extraction (round 6): decode each MJPEG-AVI
+    payload, emit one row per sampled frame with the frame re-encoded
+    as PPM and pinned by md5 — all scalar columns, so the result is
+    driver-canonicalizable and joinable back to the image pipeline by
+    re-generating the PPM.  ``every_ms`` 0 keeps every frame; else the
+    nearest frame at each sampling instant.  mapInPandas: payload
+    bytes never shuffle, one Arrow batch in/out per partition."""
+    fns = _codec_fns()
+    decode_avi, encode_ppm = fns["decode_avi"], fns["encode_ppm"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "frame_idx": [], "frame_ts_ms": [],
+                "width": [], "height": [], "n_bytes": [], "frame_md5": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, fps, frames = decode_avi(payload)
+                step_ms = 1000.0 / fps
+                keep = range(len(frames))
+                if every_ms > 0:
+                    n_samples = max(int(len(frames) * step_ms // every_ms), 1)
+                    keep = sorted(
+                        {
+                            min(int(k * every_ms / step_ms), len(frames) - 1)
+                            for k in range(n_samples)
+                        }
+                    )
+                for idx in keep:
+                    ppm = encode_ppm(frames[idx])
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(idx)
+                    rows["frame_ts_ms"].append(int(idx * step_ms))
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_bytes"].append(len(ppm))
+                    rows["frame_md5"].append(hashlib.md5(ppm).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=FRAMES_SCHEMA
+    )
 
 
 RESIZED_SCHEMA = "media_id long, width int, height int, payload binary"
@@ -909,12 +1093,13 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
 
 def generate_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Deterministic executor-side media fixture: each input id becomes
-    one PPM / BMP / WAV payload (format = id % 3, dimensions/duration
-    seeded by id).  Runs distributed — the generator closures travel by
-    value with the task, like every codec here."""
+    one PPM / BMP / PNG / JPEG / WAV / MJPEG-AVI payload (format =
+    id % 6, dimensions/duration seeded by id).  Runs distributed — the
+    generator closures travel by value with the task, like every codec
+    here."""
     fns = _codec_fns()
     make_ppm, make_bmp, make_wav = fns["make_ppm"], fns["make_bmp"], fns["make_wav"]
-    make_png, make_jpeg = fns["make_png"], fns["make_jpeg"]
+    make_png, make_jpeg, make_avi = fns["make_png"], fns["make_jpeg"], fns["make_avi"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -922,18 +1107,26 @@ def generate_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
             for mid in pdf[id_col]:
                 mid = int(mid)
                 w, h = 16 + mid % 17, 12 + mid % 13
-                if mid % 5 == 0:
+                if mid % 6 == 0:
                     payload, mime = make_ppm(w, h, mid), MIME_PPM
                     meta = {"width": w, "height": h, "duration_ms": None}
-                elif mid % 5 == 1:
+                elif mid % 6 == 1:
                     payload, mime = make_bmp(w, h, mid), MIME_BMP
                     meta = {"width": w, "height": h, "duration_ms": None}
-                elif mid % 5 == 2:
+                elif mid % 6 == 2:
                     payload, mime = make_png(w, h, mid), MIME_PNG
                     meta = {"width": w, "height": h, "duration_ms": None}
-                elif mid % 5 == 3:
+                elif mid % 6 == 3:
                     payload, mime = make_jpeg(w, h, mid), MIME_JPEG
                     meta = {"width": w, "height": h, "duration_ms": None}
+                elif mid % 6 == 5:
+                    n_frames, fps = 3 + mid % 5, 10.0
+                    payload, mime = make_avi(w, h, n_frames, fps, mid), MIME_AVI
+                    meta = {
+                        "width": w,
+                        "height": h,
+                        "duration_ms": int(n_frames * 1000 / fps),
+                    }
                 else:
                     n = 800 + (mid % 7) * 160
                     payload, mime = make_wav(n, 8000, 440, mid), MIME_WAV

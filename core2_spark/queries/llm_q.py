@@ -593,7 +593,7 @@ def multimodal_image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     images = multimodal.generate_media(
         d.filter(F.col("doc_id") < 120).select(F.col("doc_id").alias("media_id"))
-    ).filter(F.col("mime") != multimodal.MIME_WAV)
+    ).filter(F.col("mime").startswith("image/"))
     resized = multimodal.resize_images(images, 8, 8)
     return resized.select(
         "media_id",
@@ -625,6 +625,20 @@ def multimodal_jpeg_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(multimodal.FEATURE_WIDTH)
         ],
     )
+
+
+@query("multimodal_video_frames")  # rows-only: REAL video frame decode
+def multimodal_video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: MJPEG-AVI payloads decoded frame-by-frame (RIFF walk →
+    baseline JPEG per frame) under mapInPandas; each sampled frame is
+    re-encoded as PPM and pinned by md5 — scalar columns only."""
+    from core2_spark import multimodal
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    videos = multimodal.generate_media(
+        d.filter(F.col("doc_id") < 120).select(F.col("doc_id").alias("media_id"))
+    ).filter(F.col("mime") == multimodal.MIME_AVI)
+    return multimodal.extract_frames(videos, every_ms=200)
 
 
 @query("multimodal_frame_sampling")  # rows-only: plan-level expansion

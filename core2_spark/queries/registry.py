@@ -90,6 +90,7 @@ _PRIORITY: list[str] = [
     "engine_vacuum_partition_drop",
     "engine_concurrent_writers",
     "multimodal_jpeg_features",
+    "multimodal_video_frames",
     # Flagship re-verification: bench headliners + one representative
     # per operator family, rotated back in after their last check.
     "tpch_q3_shipping_priority",

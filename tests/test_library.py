@@ -162,10 +162,10 @@ def test_multimodal_real_pipeline(spark):
     for r in feats:
         assert len(r["feature"]) == 8 and r["n_bytes"] > 0
 
-    images = media.filter(media.mime != multimodal.MIME_WAV)
+    images = media.filter(media.mime.startswith("image/"))
     resized = multimodal.resize_images(images, 8, 8).collect()
-    # ids with id % 5 in (0, 1, 2, 3): PPM/BMP/PNG/JPEG
-    assert len(resized) == 10
+    # ids with id % 6 in (0, 1, 2, 3): PPM/BMP/PNG/JPEG
+    assert len(resized) == 8
     fns = multimodal._codec_fns()
     for r in resized:
         rw, rh, _ = fns["decode_ppm"](bytes(r["payload"]))
@@ -364,3 +364,45 @@ def test_jpeg_grayscale_and_subsampled_decode():
     spread = np.abs(out.astype(int) - out[:, :, :1].astype(int)).max()
     assert spread <= 2  # channels stay (nearly) equal through the trip
     assert isinstance(full, bytes) and full[:2] == b"\xff\xd8"
+
+
+def test_avi_mjpeg_codec_and_frame_extraction(spark):
+    """Round 6: MJPEG-AVI is a real decodable container — driver-side
+    round trip (frame count, fps, per-frame pixels within JPEG
+    tolerance) and the distributed extract_frames path (real decode,
+    scalar output columns, deterministic md5s)."""
+    import numpy as np
+
+    fns = multimodal._codec_fns()
+    avi = fns["make_avi"](20, 14, 5, 10.0, 3)
+    w, h, fps, frames = fns["decode_avi"](avi)
+    assert (w, h, fps, len(frames)) == (20, 14, 10.0, 5)
+    for f_idx, frame in enumerate(frames):
+        src = fns["decode_ppm"](fns["make_ppm"](20, 14, 3 + 7 * f_idx))[2]
+        err = np.abs(frame.astype(int) - src.astype(int))
+        assert float(err.mean()) < 2.5, f_idx
+
+    feat = fns["features"](avi, multimodal.MIME_AVI)
+    assert feat[:4] == [20.0, 14.0, 0.5, 5.0] and feat[7] == 10.0
+    assert feat[6] > 0  # drifting pattern → nonzero motion
+
+    # distributed: one row per frame, exact determinism across runs
+    ids = spark.range(0, 24).withColumnRenamed("id", "media_id")
+    videos = multimodal.generate_media(ids).filter(
+        F.col("mime") == multimodal.MIME_AVI
+    )
+    got1 = sorted(
+        tuple(r) for r in multimodal.extract_frames(videos).collect()
+    )
+    got2 = sorted(
+        tuple(r) for r in multimodal.extract_frames(videos).collect()
+    )
+    assert got1 == got2 and len(got1) > 0
+    n_videos = videos.count()
+    assert n_videos == 4  # ids 5, 11, 17, 23
+    # every-other-frame sampling returns fewer rows than full
+    sampled = multimodal.extract_frames(videos, every_ms=200).count()
+    assert 0 < sampled < len(got1)
+
+    with pytest.raises(ValueError, match="RIFF"):
+        fns["decode_avi"](b"nope")
