@@ -1488,3 +1488,67 @@ def text_repetition_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_exact_substring_spans",
+    oracle="""
+    WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+    grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(length(s) - 39, 0)),
+            i -> substr(s, CAST(i AS INT), 40)))) AS g
+        FROM t
+    ),
+    anchored AS (
+        SELECT doc_id, g FROM grams WHERE substr(md5(g), 1, 1) = '0'
+    ),
+    dup AS (
+        SELECT g FROM anchored GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT a.doc_id, COUNT(DISTINCT a.g) AS n_dup_shingles
+    FROM anchored a JOIN dup USING (g)
+    GROUP BY a.doc_id
+    """,
+)
+def dedup_exact_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus exact-substring duplication (round 6) — the
+    Spark-native shape of ExactSubstr dedup ("Deduplicating Training
+    Data Makes Language Models Better": cut exact spans repeated
+    across documents).  Suffix arrays are sequential; the distributed
+    equivalent: every overlapping 40-char shingle, CONTENT-ANCHORED to
+    1/16 volume (keep shingles whose md5 starts '0' — both copies of a
+    shared substring sample the SAME positions, unlike fixed-stride
+    sampling which misses unaligned copies), then one groupBy to find
+    shingles in >= 2 docs and a per-doc count of duplicated anchors.
+
+    Scale shape: one linear explode + two hash aggregations on the
+    shingle — no all-pairs join, no skew (anchor hashes are uniform);
+    at 100 TB this is the standard linear-shuffle job, and the 1/16
+    anchor rate is the volume knob."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = d.select("doc_id", F.lower(F.col("text")).alias("s"))
+    n = F.length(F.col("s"))
+    idx = F.when(n >= 40, F.sequence(F.lit(1), n - 39)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(idx, lambda i: F.col("s").substr(i, F.lit(40)))
+            )
+        ).alias("g"),
+    )
+    anchored = grams.filter(F.substring(F.md5(F.col("g")), 1, 1) == "0")
+    dup = (
+        anchored.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    return (
+        anchored.join(dup, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_dup_shingles"))
+    )

@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     "engine_concurrent_writers",
     "multimodal_jpeg_features",
     "multimodal_video_frames",
+    "dedup_exact_substring_spans",
     # Flagship re-verification: bench headliners + one representative
     # per operator family, rotated back in after their last check.
     "tpch_q3_shipping_priority",

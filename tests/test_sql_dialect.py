@@ -434,3 +434,42 @@ def test_snapshot_sql_now_is_basis_pinned(spark, tmp_path):
     eng.submit_tx([Put("t", rows)], tx_time="2024-06-01 00:00:00")
     r3 = eng.db().sql("SELECT CURRENT_DATE AS d FROM t LIMIT 1").collect()
     assert str(r3[0]["d"]) == "2024-06-01"
+
+
+def test_bare_table_rename_case_insensitive_fuzz(spark, tmp_path):
+    """Round 6 (ADVICE): identifier lookups in rename_bare_tables fold
+    case.  Random case-manglings of table and mview references through
+    Snapshot.sql must return exactly what the lowercase query returns."""
+    import random
+
+    from core2_spark.engine import Engine, Put
+
+    eng = Engine(spark, str(tmp_path / "case_engine"))
+    rows = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(12)],
+        "id long, grp string, v double",
+    )
+    eng.submit_tx([Put("trades", rows)])
+    eng.create_materialized_view(
+        "rev", "trades", ["grp"], {"n": ("count", "*")}
+    )
+    rng = random.Random(606)
+
+    def mangle(word: str) -> str:
+        return "".join(
+            c.upper() if rng.random() < 0.5 else c.lower() for c in word
+        )
+
+    base_queries = [
+        "SELECT id, grp FROM {t} WHERE id < 6 ORDER BY id",
+        "SELECT t.id, m.n FROM {t} t JOIN {m} m ON m.grp = t.grp "
+        "WHERE t.id < 4 ORDER BY t.id",
+        "SELECT grp, n FROM {m} ORDER BY grp",
+    ]
+    for trial in range(12):
+        template = base_queries[trial % len(base_queries)]
+        plain = template.format(t="trades", m="mview_rev")
+        mangled = template.format(t=mangle("trades"), m=mangle("mview_rev"))
+        want = [tuple(r) for r in eng.db().sql(plain).collect()]
+        got = [tuple(r) for r in eng.db().sql(mangled).collect()]
+        assert got == want, mangled
