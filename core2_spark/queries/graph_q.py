@@ -191,3 +191,85 @@ def graph_connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ids.select(F.col("doc_id").alias("b_id")), "b_id", "left_semi")
     )
     return connected_components(edges).orderBy("node")
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 8-iteration PageRank in plain SQL (recursive CTEs
+    can't aggregate in the recursive term, so the oracle unrolls)."""
+    head = """
+    WITH edges AS (
+        SELECT n_nationkey AS src, (n_nationkey * 3 + 1) % 25 AS dst FROM nation
+        UNION ALL
+        SELECT n_nationkey, (n_nationkey * n_nationkey + 2) % 25 FROM nation
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    pr0 AS (SELECT n_nationkey AS node, 1.0 / 25 AS rank FROM nation)"""
+    steps = []
+    for k in range(1, 9):
+        steps.append(f"""
+    pr{k} AS (
+        SELECT n.n_nationkey AS node,
+               0.15 / 25 + 0.85 * COALESCE(SUM(p.rank / deg.d), 0) AS rank
+        FROM nation n
+        LEFT JOIN edges e ON e.dst = n.n_nationkey
+        LEFT JOIN pr{k - 1} p ON p.node = e.src
+        LEFT JOIN deg ON deg.src = e.src
+        GROUP BY n.n_nationkey
+    )""")
+    return (
+        head + "," + ",".join(steps)
+        + """
+    SELECT node, ROUND(rank + 1e-9, 6) AS pagerank
+    FROM pr8 ORDER BY node
+    """
+    )
+
+
+@query("graph_pagerank_fixed_iterations", oracle=_pagerank_oracle())
+def graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (round 6) — the canonical ITERATIVE dataflow the
+    reference-class engines run via recursion: 8 damped power
+    iterations over a deterministic 25-node / 50-edge graph (one bijective and one
+    quadratic — hence non-uniform in-degree — edge map)
+    on nation (fixed across scale factors), driver-loop composing pure
+    DataFrame steps.  Scale shape: each iteration is one equi-join on
+    dst + one aggregation — rank state stays distributed, edges would
+    be pre-partitioned by dst on a cluster; the oracle unrolls the
+    same 8 steps in SQL."""
+    n = load_tables(spark, sf_dir, ("nation",))["nation"]
+    nodes = n.select(F.col("n_nationkey").alias("node"))
+    edges = (
+        n.select(
+            F.col("n_nationkey").alias("src"),
+            ((F.col("n_nationkey") * 3 + 1) % 25).alias("dst"),
+        )
+        .unionAll(
+            n.select(
+                F.col("n_nationkey").alias("src"),
+                ((F.col("n_nationkey") * F.col("n_nationkey") + 2) % 25).alias("dst"),
+            )
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / 25))
+    for _ in range(8):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("d")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15 / 25)
+                    + F.lit(0.85) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        "node", F.round(F.col("rank") + F.lit(1e-9), 6).alias("pagerank")
+    ).orderBy("node")
