@@ -193,6 +193,11 @@ class Engine:
         # fall back to a full recompute when the history they would
         # need may be gone.
         self._rewrites: dict[str, str] = {}
+        # Monotonic maintenance counter: optimize/vacuum bump it when
+        # they CLAIM the table (see _claim_maintenance), so any
+        # concurrent writer's later persist conflicts and replays
+        # instead of silently losing files to the swap.
+        self._maintenance_seq = 0
         os.makedirs(root, exist_ok=True)
         self._recover_rewrites()
         self._recover_clock()
@@ -356,6 +361,7 @@ class Engine:
             self._table_schemas = dict(meta.get("schemas", {}))
             self._app_bounded = set(meta.get("app_bounded", []))
             self._rewrites = dict(meta.get("rewrites", {}))
+            self._maintenance_seq = int(meta.get("maintenance_seq", 0))
             self._persisted_clock = raw
             return
         import pyarrow.compute as pa_compute
@@ -399,7 +405,7 @@ class Engine:
                     ):
                         self._last_tx_time = t
 
-    def _persist_clock(self) -> None:
+    def _persist_clock(self, _locked: bool = False) -> None:
         """Write the tx clock manifest atomically (tmp + rename): a
         crashed writer leaves either the old or the new manifest,
         never a torn one.
@@ -426,14 +432,22 @@ class Engine:
                 "schemas": self._table_schemas,
                 "app_bounded": sorted(self._app_bounded),
                 "rewrites": self._rewrites,
+                "maintenance_seq": self._maintenance_seq,
             }
         )
-        with self._log_lock():
+        if _locked:
             self._check_sole_writer()
             tmp = os.path.join(self.root, "_log.json.tmp")
             with open(tmp, "w") as f:
                 f.write(payload)
             os.replace(tmp, log)
+        else:
+            with self._log_lock():
+                self._check_sole_writer()
+                tmp = os.path.join(self.root, "_log.json.tmp")
+                with open(tmp, "w") as f:
+                    f.write(payload)
+                os.replace(tmp, log)
         self._persisted_clock = payload
 
     def _log_lock(self):
@@ -540,8 +554,32 @@ class Engine:
             shutil.rmtree(staging, ignore_errors=True)
         return published
 
+    def _claim_maintenance(self, rewrite_table: str | None = None) -> None:
+        """Claim an exclusive maintenance window for a swap-based op
+        (optimize / vacuum).  Under the log lock: verify the token,
+        bump the maintenance counter and persist — from this instant
+        any writer whose transaction is in flight will CONFLICT at its
+        own persist (and, with retries, replay against the rewritten
+        table) instead of having its just-published files silently
+        dropped by the swap.  ``rewrite_table`` conservatively
+        pre-stamps the history-rewrite clock (vacuum): if the op then
+        crashes half-applied, incremental view consumers already know
+        to recompute fully."""
+        with self._log_lock():
+            self._check_sole_writer()
+            self._maintenance_seq += 1
+            if rewrite_table is not None:
+                self._rewrites[rewrite_table] = (
+                    (self._last_tx_time or self._epoch).isoformat()
+                )
+            self._persist_clock(_locked=True)
+
     def _rewrite_atomic(
-        self, path: str, df: DataFrame, defer_cleanup: bool = False
+        self,
+        path: str,
+        df: DataFrame,
+        defer_cleanup: bool = False,
+        swap_guard: bool = False,
     ) -> str | None:
         """Rewrite a table directory by writing ``df`` to a sibling
         temp dir and swapping directories — the plan streams from the
@@ -572,9 +610,27 @@ class Engine:
             writer = writer.partitionBy(bt.SYS_DAY)
         with self._micros_timestamps():
             writer.parquet(tmp)
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(tmp, path)
+
+        def _swap():
+            if os.path.exists(path):
+                os.rename(path, old)
+            os.rename(tmp, path)
+
+        if swap_guard:
+            # maintenance swap: re-verify the token UNDER the log lock
+            # right before the renames — a writer that committed since
+            # the claim means the tmp image is missing its files, so
+            # abort (tmp discarded, table untouched) rather than lose
+            # them.  The expensive tmp write happened outside the lock.
+            with self._log_lock():
+                try:
+                    self._check_sole_writer()
+                except ConcurrentWriterError:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    raise
+                _swap()
+        else:
+            _swap()
         if defer_cleanup:
             return old if os.path.exists(old) else None
         shutil.rmtree(old, ignore_errors=True)
@@ -951,6 +1007,7 @@ class Engine:
         acquired Basis manifests for the table — the reference's
         analogue is sealing/compacting chunks at maintenance points.
         Returns the new file count."""
+        self._claim_maintenance()  # conflict-fence concurrent writers
         path = self._table_path(table)
         if target_files is None:
             size = sum(
@@ -980,7 +1037,7 @@ class Engine:
                 .sortWithinPartitions("_z")
                 .drop("_z")
             )
-        self._rewrite_atomic(path, rows)
+        self._rewrite_atomic(path, rows, swap_guard=True)
         return target_files
 
     def apply_changes(self, table: str, changes: DataFrame) -> None:
@@ -1068,6 +1125,12 @@ class Engine:
                 "win at app instants outside the successor's rectangle"
             )
         horizon = _to_datetime(older_than)
+        # claim the maintenance window FIRST: bumps the token (in-
+        # flight writers conflict + replay instead of losing files to
+        # the swaps) and conservatively pre-stamps the history-rewrite
+        # clock, so a half-applied vacuum can never feed an
+        # incremental view stale history.
+        self._claim_maintenance(rewrite_table=table)
         path = self._table_path(table)
         day_dirs = {
             e.split("=", 1)[1]: os.path.join(path, e)
@@ -1090,15 +1153,7 @@ class Engine:
                 tx = datetime.fromisoformat(json.load(f)["tx_time"])
             if tx < horizon:
                 os.remove(meta)
-        # stamp the history-rewrite clock at the CURRENT head: an
-        # incremental view at an older clock may need versions this
-        # vacuum just dropped (a view at exactly this head cannot —
-        # everything it will ever need closes after the head, above
-        # any admissible horizon)
-        self._rewrites[table] = (
-            (self._last_tx_time or self._epoch).isoformat()
-        )
-        self._persist_clock()
+        # (history-rewrite clock already stamped by the claim above)
 
     def _vacuum_partitioned(
         self, path: str, horizon: datetime, day_dirs: dict[str, str]
@@ -1191,7 +1246,7 @@ class Engine:
             # the swap leaves _old_/_tmp_ siblings inside the table dir:
             # invisible to Spark scans (underscore prefix) and repaired
             # by _recover_rewrites at the next open
-            self._rewrite_atomic(day_dirs[d], kept)
+            self._rewrite_atomic(day_dirs[d], kept, swap_guard=True)
         shutil.rmtree(keys_dir, ignore_errors=True)
 
     # -- §4 materialized current state --------------------------------

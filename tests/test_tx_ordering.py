@@ -240,3 +240,46 @@ def test_concurrent_writers_threaded_interleave(spark, tmp_path):
     assert len(rows) == 6  # exactly once each: no double-apply, no loss
     times = [r["system_time_start"] for r in rows]
     assert len(set(times)) == 6  # total order: distinct positions
+
+
+def test_maintenance_claim_fences_concurrent_writers(spark, tmp_path):
+    """Round 6: optimize/vacuum claim a maintenance window.  A stale
+    handle's maintenance op refuses up front (table untouched, no
+    scratch), and after a claim the OTHER writer's commit conflicts
+    and replays — its rows survive the swap instead of being silently
+    dropped."""
+    from core2_spark.engine import ConcurrentWriterError
+
+    root = str(tmp_path / "maint")
+    a = Engine(spark, root)
+    b = Engine(spark, root, writer_retries=5)
+    mk = lambda i: spark.createDataFrame([(i, f"v{i}")], "id long, v string")
+    for i in range(4):
+        a.submit_tx([Put("t", mk(i))])
+    b.refresh()
+
+    # stale handle refuses maintenance up front
+    a.submit_tx([Put("t", mk(99))])  # makes b stale
+    import pytest as _pytest
+
+    with _pytest.raises(ConcurrentWriterError):
+        b.optimize("t")
+    with _pytest.raises(ConcurrentWriterError):
+        b.vacuum("t", older_than="2024-06-01")
+    import os
+
+    assert not any(
+        e.startswith("_tmp_") or e.startswith("_old_")
+        for e in os.listdir(os.path.join(root, "t"))
+    )
+
+    # a's optimize claims the window; b (now refreshed) commits after —
+    # with retries the commit lands ON the optimized table
+    b.refresh()
+    a.optimize("t", target_files=1)
+    b.submit_tx([Put("t", mk(100))])
+    b.refresh()
+    ids = {r["id"] for r in b.db().table("t").collect()}
+    assert ids == {0, 1, 2, 3, 99, 100}
+    # reopened engine agrees (log carries the maintenance seq)
+    assert {r["id"] for r in Engine(spark, root).db().table("t").collect()} == ids
