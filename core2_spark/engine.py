@@ -199,8 +199,13 @@ class Engine:
         # instead of silently losing files to the swap.
         self._maintenance_seq = 0
         os.makedirs(root, exist_ok=True)
-        self._recover_rewrites()
+        # order matters: the clock (log head) decides which pending
+        # manifests are uncommitted; pending rollback must restore
+        # erase _old_ dirs BEFORE the generic swap repair would
+        # classify them
         self._recover_clock()
+        self._recover_pending()
+        self._recover_rewrites()
 
     def _writer(self, df: DataFrame):
         """Engine parquet writer with the standing options applied
@@ -331,8 +336,8 @@ class Engine:
         self._persisted_clock = None
         self._last_tx_time = None
         self._tx_counter = 0
-        self._recover_rewrites()
         self._recover_clock()
+        self._recover_rewrites()
 
     def _recover_clock(self) -> None:
         """A re-opened Engine over an existing root must not reset the
@@ -530,29 +535,149 @@ class Engine:
         Returns the published file paths — the transaction's explicit
         ownership list, which is what rollback deletes (a directory
         diff would claim a concurrent winner's files too)."""
+        staging, moves = self._stage_rows(path, rows)
+        return self._publish_staged(path, staging, moves)
+
+    def _append_manifested(
+        self, path, rows, pending, t, written_files, deferred_old
+    ) -> list[str]:
+        """Stage, record the planned destinations in the pending
+        manifest, then publish — so every file is listed before it
+        becomes visible and a crash at ANY point rolls back cleanly
+        at the next open."""
+        staging, moves = self._stage_rows(path, rows)
+        planned = [dst for _src, dst in moves]
+        self._write_pending(
+            pending, t, list(written_files) + planned, deferred_old
+        )
+        return self._publish_staged(path, staging, moves)
+
+    def _stage_rows(self, path: str, rows: DataFrame):
+        """Write ``rows`` to a private staging dir; return
+        ``(staging_dir, [(src, dst), ...])`` — the planned publish
+        moves, known BEFORE anything becomes visible (so the pending-
+        transaction manifest can list them first; see _write_pending)."""
         import uuid as _uuid
 
         staging = os.path.join(self.root, f"_tmp_stage_{_uuid.uuid4().hex}")
         with self._micros_timestamps():
             self._writer(rows).partitionBy(bt.SYS_DAY).parquet(staging)
+        moves: list[tuple[str, str]] = []
+        for root_dir, _dirs, names in os.walk(staging):
+            rel = os.path.relpath(root_dir, staging)
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue  # _SUCCESS and committer metadata stay
+                target_dir = path if rel == "." else os.path.join(path, rel)
+                moves.append(
+                    (os.path.join(root_dir, n), os.path.join(target_dir, n))
+                )
+        return staging, moves
+
+    def _publish_staged(self, path: str, staging: str, moves) -> list[str]:
         published: list[str] = []
         os.makedirs(path, exist_ok=True)
         try:
-            for root_dir, _dirs, names in os.walk(staging):
-                rel = os.path.relpath(root_dir, staging)
-                for n in names:
-                    if not n.endswith(".parquet"):
-                        continue  # _SUCCESS and committer metadata stay
-                    target_dir = (
-                        path if rel == "." else os.path.join(path, rel)
-                    )
-                    os.makedirs(target_dir, exist_ok=True)
-                    dst = os.path.join(target_dir, n)
-                    os.rename(os.path.join(root_dir, n), dst)
-                    published.append(dst)
+            for src, dst in moves:
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(src, dst)
+                published.append(dst)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return published
+
+    # -- pending-transaction manifests (crash atomicity) ---------------
+    #
+    # A transaction's appends become visible file-by-file; the tx is
+    # COMMITTED only when _log.json advances.  A process crash between
+    # publish and persist used to leave phantom rows (visible files,
+    # unlogged tx).  Now every mutation is preceded by an atomic
+    # update of a per-tx manifest under _pending/ listing the files it
+    # is ABOUT to publish and the erase swaps it is about to perform;
+    # the manifest is deleted once the tx is durable (or rolled back).
+    # Engine open replays surviving manifests: a manifest whose
+    # tx_time is beyond the recovered log head is a crashed,
+    # uncommitted tx — its erase swaps are undone (the _old_ dir is
+    # still present: deferred cleanup only runs post-commit) and its
+    # published files deleted, exactly mirroring _rollback.  Manifests
+    # younger than _PENDING_MIN_AGE_S are skipped: they may belong to
+    # a LIVE concurrent writer mid-transaction (same presumed-crashed
+    # heuristic as the stale _log.lock steal).
+
+    _PENDING_MIN_AGE_S = 60.0
+
+    def _pending_path(self) -> str:
+        import uuid as _uuid
+
+        d = os.path.join(self.root, "_pending")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"tx_{_uuid.uuid4().hex}.json")
+
+    def _write_pending(self, pending: str, t: datetime, files, restores):
+        tmp = pending + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "tx_time": t.isoformat(),
+                    "files": list(files),
+                    "restores": [list(r) for r in restores],
+                },
+                f,
+            )
+        os.replace(tmp, pending)
+
+    def _remove_pending(self, pending: str) -> None:
+        for p in (pending, pending + ".tmp"):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+    def _recover_pending(self) -> None:
+        import time as _time
+
+        pdir = os.path.join(self.root, "_pending")
+        if not os.path.isdir(pdir):
+            return
+        for name in sorted(os.listdir(pdir)):
+            full = os.path.join(pdir, name)
+            try:
+                age = _time.time() - os.path.getmtime(full)
+            except OSError:
+                continue
+            if age < self._PENDING_MIN_AGE_S:
+                continue  # possibly a live writer mid-transaction
+            if name.endswith(".tmp"):
+                os.remove(full)
+                continue
+            try:
+                with open(full) as f:
+                    meta = json.load(f)
+                tx_t = datetime.fromisoformat(meta["tx_time"])
+            except (ValueError, KeyError, json.JSONDecodeError):
+                os.remove(full)
+                continue
+            logged = (
+                self._last_tx_time is not None and tx_t <= self._last_tx_time
+            )
+            if not logged:  # crashed before durability: roll back
+                for pth, old in reversed(meta.get("restores", [])):
+                    if os.path.exists(old):
+                        shutil.rmtree(pth, ignore_errors=True)
+                        os.rename(old, pth)
+                tables = set()
+                for fpath in meta.get("files", []):
+                    try:
+                        os.remove(fpath)
+                    except OSError:
+                        pass
+                    rel = os.path.relpath(fpath, self.root)
+                    if not rel.startswith(".."):
+                        tables.add(os.path.join(self.root, rel.split(os.sep)[0]))
+                for tdir in tables:
+                    if os.path.isdir(tdir):
+                        _prune_empty_dirs(tdir)
+            os.remove(full)
 
     def _claim_maintenance(self, rewrite_table: str | None = None) -> None:
         """Claim an exclusive maintenance window for a swap-based op
@@ -731,6 +856,7 @@ class Engine:
         written_files: list[str] = []
         touched_paths: set[str] = set()
         deferred_old: list[tuple[str, str]] = []
+        pending = self._pending_path()
         touched: set[str] = set()
         prev_schemas = dict(self._table_schemas)
         prev_app_bounded = set(self._app_bounded)
@@ -778,7 +904,11 @@ class Engine:
                     self._merge_schema_cache(
                         op.table, rows.drop(bt.SYS_DAY).schema
                     )
-                    written_files.extend(self._append_rows(path, rows))
+                    written_files.extend(
+                        self._append_manifested(
+                            path, rows, pending, t, written_files, deferred_old
+                        )
+                    )
                 elif isinstance(op, Delete):
                     rows = (
                         bt.delete_tombstone(
@@ -790,7 +920,11 @@ class Engine:
                     self._merge_schema_cache(
                         op.table, rows.drop(bt.SYS_DAY).schema
                     )
-                    written_files.extend(self._append_rows(path, rows))
+                    written_files.extend(
+                        self._append_manifested(
+                            path, rows, pending, t, written_files, deferred_old
+                        )
+                    )
                 elif isinstance(op, Erase):
                     # mergeSchema: tombstone files carry a narrow schema;
                     # a plain read could silently drop data columns that
@@ -799,6 +933,13 @@ class Engine:
                         self.spark.read.option("mergeSchema", "true").parquet(path),
                         op.ids,
                         op.id_col,
+                    )
+                    # manifest the swap BEFORE it happens: a crash
+                    # leaves the _old_ dir for recovery to restore
+                    parent, tname = os.path.split(path.rstrip("/"))
+                    self._write_pending(
+                        pending, t, written_files,
+                        deferred_old + [(path, os.path.join(parent, f"_old_{tname}"))],
                     )
                     old = self._rewrite_atomic(path, remaining, defer_cleanup=True)
                     if old is not None:
@@ -826,7 +967,9 @@ class Engine:
             self._table_schemas = prev_schemas
             self._app_bounded = prev_app_bounded
             self._rewrites = prev_rewrites
+            self._remove_pending(pending)
             raise
+        self._remove_pending(pending)  # tx durable: manifest retires
         for _path, old in deferred_old:
             shutil.rmtree(old, ignore_errors=True)
         self._maybe_auto_compact(touched)
@@ -1069,10 +1212,7 @@ class Engine:
         # cheaply detect — conservatively disable merge-on-read
         self._app_bounded.add(table)
         self._merge_schema_cache(table, rows.drop(bt.SYS_DAY).schema)
-        with self._micros_timestamps():
-            self._writer(rows).partitionBy(bt.SYS_DAY).option(
-                "mergeSchema", "true"
-            ).mode("append").parquet(path)
+        self._append_rows(path, rows)
         newest = rows.agg(F.max(bt.SYS_START)).collect()[0][0]
         if newest is not None:
             if newest.tzinfo is not None:

@@ -1298,3 +1298,120 @@ def test_vacuum_differential_property(spark, tmp_path_factory, scenario):
     assert after == before
     # and a reopened engine (recovery path) agrees too
     assert observe(Engine(spark, root).db()) == before
+
+
+def test_pending_manifest_rolls_back_crashed_tx(spark, tmp_path):
+    """Round 6 crash atomicity: a tx that published files but died
+    before the log advanced is rolled back at the next open — the
+    pending manifest lists every file before it becomes visible, so
+    no phantom rows survive.  Young manifests (a possibly-live writer)
+    are left alone; manifests for committed txs are retired without
+    touching data."""
+    import json
+    import os
+    import time
+    from datetime import datetime
+
+    from pyspark.sql import functions as FF
+    from core2_spark import temporal as btmod
+
+    root = str(tmp_path / "crash")
+    eng = Engine(spark, root)
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    eng.submit_tx([Put("t", mk([(1, "committed")]))],
+                  tx_time="2024-01-01 00:00:01")
+
+    # simulate a crashed tx: stage + manifest + publish, NO log write
+    t_crash = datetime.fromisoformat("2024-01-02 00:00:01")
+    rows = (
+        btmod.put(mk([(2, "phantom")]), tx_time=t_crash)
+        .withColumn(btmod.TOMBSTONE, FF.lit(False))
+        .withColumn(btmod.TX_SEQ, FF.lit(0))
+        .withColumn(btmod.ROW_SEQ, FF.monotonically_increasing_id())
+        .withColumn(btmod.SYS_DAY, FF.to_date(FF.col(btmod.SYS_START)))
+    )
+    pending = eng._pending_path()
+    path = os.path.join(root, "t")
+    staging, moves = eng._stage_rows(path, rows)
+    eng._write_pending(pending, t_crash, [d for _s, d in moves], [])
+    eng._publish_staged(path, staging, moves)
+
+    # the recovered basis clock shields CURRENT reads from the
+    # future-stamped phantom, but history (FOR ALL SYSTEM_TIME) shows
+    # it — and any later committed tx would advance the clock past it,
+    # resurrecting it.  While the manifest is YOUNG (possibly a live
+    # writer mid-tx) recovery must leave it alone:
+    assert Engine(spark, root).db().history("t").count() == 2
+    assert os.path.exists(pending)
+
+    # age the manifest past the crash threshold → next open rolls back
+    time_ago = time.time() - 120
+    os.utime(pending, (time_ago, time_ago))
+    reopened = Engine(spark, root)
+    assert not os.path.exists(pending)
+    assert {r["id"] for r in reopened.db().table("t").collect()} == {1}
+    assert reopened.db().history("t").count() == 1
+
+    # a manifest for a COMMITTED tx retires without touching data
+    basis = reopened.submit_tx([Put("t", mk([(3, "ok")]))],
+                               tx_time="2024-01-03 00:00:01")
+    stale = reopened._pending_path()
+    with open(stale, "w") as f:
+        json.dump({"tx_time": "2024-01-03 00:00:01", "files": [], "restores": []}, f)
+    os.utime(stale, (time_ago, time_ago))
+    again = Engine(spark, root)
+    assert not os.path.exists(stale)
+    assert {r["id"] for r in again.db().table("t").collect()} == {1, 3}
+
+
+def test_pending_manifest_restores_crashed_erase(spark, tmp_path):
+    """A crashed tx whose Erase swap completed (table rewritten, _old_
+    kept for deferred cleanup) is UNDONE at open: the manifest's
+    restore entry renames the pre-erase image back, and the tx's other
+    published files are deleted — full crash rollback, mirroring the
+    in-session _rollback."""
+    import os
+    import time
+    from datetime import datetime
+
+    from pyspark.sql import functions as FF
+    from core2_spark import temporal as btmod
+
+    root = str(tmp_path / "crash_erase")
+    eng = Engine(spark, root)
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    eng.submit_tx([Put("t", mk([(1, "keep"), (2, "target")]))],
+                  tx_time="2024-01-01 00:00:01")
+
+    # simulate: tx published one file, then erased id=2 (swap done,
+    # _old_ retained), then crashed before the log write
+    t_crash = datetime.fromisoformat("2024-01-02 00:00:01")
+    path = os.path.join(root, "t")
+    rows = (
+        btmod.put(mk([(9, "phantom")]), tx_time=t_crash)
+        .withColumn(btmod.TOMBSTONE, FF.lit(False))
+        .withColumn(btmod.TX_SEQ, FF.lit(0))
+        .withColumn(btmod.ROW_SEQ, FF.monotonically_increasing_id())
+        .withColumn(btmod.SYS_DAY, FF.to_date(FF.col(btmod.SYS_START)))
+    )
+    staging, moves = eng._stage_rows(path, rows)
+    published = eng._publish_staged(path, staging, moves)
+    pending = eng._pending_path()
+    old_path = os.path.join(root, "_old_t")
+    eng._write_pending(pending, t_crash, published, [[path, old_path]])
+    remaining = btmod.erase(
+        spark.read.option("mergeSchema", "true").parquet(path),
+        spark.createDataFrame([(2,)], "id long"),
+        "id",
+    )
+    kept_old = eng._rewrite_atomic(path, remaining, defer_cleanup=True)
+    assert kept_old == old_path and os.path.isdir(old_path)
+
+    os.utime(pending, (time.time() - 120, time.time() - 120))
+    reopened = Engine(spark, root)
+    # erase undone, phantom gone, pre-crash state exact
+    assert {(r["id"], r["v"]) for r in reopened.db().table("t").collect()} == {
+        (1, "keep"), (2, "target")
+    }
+    assert not os.path.exists(old_path)
+    assert not os.path.exists(pending)
