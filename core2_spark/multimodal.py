@@ -2,13 +2,15 @@
 
 Images / audio / video ride as opaque ``binary`` columns plus a typed
 metadata struct.  The container has no image/audio libraries, so the
-codecs here are PURE-PYTHON decoders for six self-describing formats
+codecs here are PURE-PYTHON decoders for seven self-describing formats
 — binary PPM (P6), uncompressed 24-bit BMP, PNG (8-bit grey/RGB/RGBA,
 non-interlaced, all five filter types; stdlib zlib only), baseline-
 sequential JPEG/JFIF (round 6: Huffman + IDCT, greyscale/4:4:4/4:2:0
 /4:2:2, restart intervals; encoder at 4:4:4 with the public Annex-K
 tables), MJPEG-in-AVI video (round 6: RIFF walk + per-frame JPEG —
-real frame extraction, not a metadata plan), and PCM-16 WAV/RIFF —
+real frame extraction, not a metadata plan), FLAC (round 6: lossless
+compressed audio — rice-coded fixed/LPC prediction, all four stereo
+modes on decode; fixed-order-2 + rice encoder), and PCM-16 WAV/RIFF —
 plus deterministic generators for the same formats, so decode →
 feature-extract → resize → frame-sample pipelines run end-to-end on
 real (including really-compressed) bytes.  Remaining formats (MP3,
@@ -65,6 +67,7 @@ MIME_WAV = "audio/wav"
 MIME_PNG = "image/png"
 MIME_JPEG = "image/jpeg"
 MIME_AVI = "video/x-msvideo"
+MIME_FLAC = "audio/flac"
 
 
 def _codec_fns():
@@ -658,6 +661,341 @@ def _codec_fns():
             b"\xff\xd8" + jfif + dqt + sof + hts + sos + bytes(out) + b"\xff\xd9"
         )
 
+    # -- FLAC (round 6): real lossless compressed audio ---------------
+    # Decoder: metadata walk (STREAMINFO), frame headers (CRC-8-
+    # checked coded numbers, all block-size/sample-rate codes),
+    # subframes CONSTANT/VERBATIM/FIXED(0-4)/LPC(any order), rice-
+    # partitioned residuals (methods 0 and 1, escape codes), and all
+    # four channel assignments (independent, left/side, right/side,
+    # mid/side).  Encoder: 16-bit mono/stereo-independent FIXED
+    # order-2 prediction + single-partition rice residuals — genuine
+    # compression, losslessly round-tripping through the decoder.
+
+    class _BitReader:
+        __slots__ = ("buf", "pos")
+
+        def __init__(self, buf: bytes, pos_bits: int = 0):
+            self.buf = buf
+            self.pos = pos_bits
+
+        def bits(self, k: int) -> int:
+            v = 0
+            for _ in range(k):
+                byte = self.buf[self.pos >> 3]
+                v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+                self.pos += 1
+            return v
+
+        def signed(self, k: int) -> int:
+            v = self.bits(k)
+            return v - (1 << k) if v >> (k - 1) else v
+
+        def unary(self) -> int:
+            n = 0
+            while self.bits(1) == 0:
+                n += 1
+            return n
+
+        def align(self) -> None:
+            self.pos = (self.pos + 7) & ~7
+
+    def _flac_utf8_number(r) -> int:
+        """Frame numbers use UTF-8-style variable coding (up to 7 B)."""
+        first = r.bits(8)
+        if first < 0x80:
+            return first
+        n_extra = 0
+        mask = 0x40
+        while first & mask:
+            n_extra += 1
+            mask >>= 1
+        v = first & (mask - 1) if mask > 1 else 0
+        for _ in range(n_extra):
+            v = (v << 6) | (r.bits(8) & 0x3F)
+        return v
+
+    def _rice_read(r, param: int) -> int:
+        q = r.unary()
+        u = (q << param) | (r.bits(param) if param else 0)
+        return (u >> 1) ^ -(u & 1)  # unfold zigzag
+
+    def decode_flac(payload: bytes):
+        """Returns (sample_rate, channels, float frames in [-1, 1]
+        shaped (n, channels)) — same contract as decode_wav."""
+        if payload[:4] != b"fLaC":
+            raise ValueError("not a FLAC stream")
+        i = 4
+        sample_rate = channels = bps = None
+        total = 0
+        while True:
+            last = payload[i] >> 7
+            btype = payload[i] & 0x7F
+            (blen,) = struct.unpack(">I", b"\x00" + payload[i + 1 : i + 4])
+            body = payload[i + 4 : i + 4 + blen]
+            if btype == 0:  # STREAMINFO
+                r = _BitReader(body)
+                r.bits(16); r.bits(16); r.bits(24); r.bits(24)
+                sample_rate = r.bits(20)
+                channels = r.bits(3) + 1
+                bps = r.bits(5) + 1
+                total = r.bits(36)
+            i += 4 + blen
+            if last:
+                break
+        if sample_rate is None:
+            raise ValueError("FLAC missing STREAMINFO")
+
+        out = [[] for _ in range(channels)]
+        r = _BitReader(payload, i * 8)
+        n_bits = len(payload) * 8
+        while r.pos + 40 <= n_bits and (total == 0 or len(out[0]) < total):
+            if r.bits(14) != 0x3FFE:
+                raise ValueError("bad FLAC frame sync")
+            r.bits(1)  # reserved
+            r.bits(1)  # blocking strategy
+            bs_code = r.bits(4)
+            sr_code = r.bits(4)
+            ch_code = r.bits(4)
+            ss_code = r.bits(3)
+            r.bits(1)  # reserved
+            _flac_utf8_number(r)
+            if bs_code == 1:
+                bsize = 192
+            elif 2 <= bs_code <= 5:
+                bsize = 576 << (bs_code - 2)
+            elif bs_code == 6:
+                bsize = r.bits(8) + 1
+            elif bs_code == 7:
+                bsize = r.bits(16) + 1
+            else:
+                bsize = 256 << (bs_code - 8)
+            if sr_code == 12:
+                r.bits(8)
+            elif sr_code in (13, 14):
+                r.bits(16)
+            ssize = {0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}[ss_code]
+            r.bits(8)  # header CRC-8
+            if ch_code <= 7:
+                n_ch, assignment = ch_code + 1, "independent"
+            else:
+                n_ch, assignment = 2, {8: "left_side", 9: "right_side", 10: "mid_side"}[ch_code]
+
+            def subframe(extra_bit: int):
+                r.bits(1)  # zero pad
+                stype = r.bits(6)
+                wasted = 0
+                if r.bits(1):
+                    wasted = r.unary() + 1
+                width = ssize + extra_bit - wasted
+                if stype == 0:  # CONSTANT
+                    samples = [r.signed(width)] * bsize
+                elif stype == 1:  # VERBATIM
+                    samples = [r.signed(width) for _ in range(bsize)]
+                elif 8 <= stype <= 12:  # FIXED order 0-4
+                    order = stype - 8
+                    samples = [r.signed(width) for _ in range(order)]
+                    _residual(samples, order)
+                elif stype >= 32:  # LPC
+                    order = (stype & 0x1F) + 1
+                    samples = [r.signed(width) for _ in range(order)]
+                    prec = r.bits(4) + 1
+                    shift = r.signed(5)
+                    coefs = [r.signed(prec) for _ in range(order)]
+                    res = []
+                    _read_residual(res, order)
+                    for k in range(order, bsize):
+                        pred = sum(
+                            coefs[j] * samples[k - 1 - j] for j in range(order)
+                        ) >> shift
+                        samples.append(res[k - order] + pred)
+                else:
+                    raise ValueError(f"reserved FLAC subframe type {stype}")
+                return [s << wasted for s in samples]
+
+            def _read_residual(res, order):
+                method = r.bits(2)
+                if method > 1:
+                    raise ValueError("reserved residual method")
+                pbits = 4 if method == 0 else 5
+                esc = 0xF if method == 0 else 0x1F
+                porder = r.bits(4)
+                n_part = 1 << porder
+                for p in range(n_part):
+                    n = (bsize >> porder) - (order if p == 0 else 0)
+                    param = r.bits(pbits)
+                    if param == esc:
+                        raw = r.bits(5)
+                        res.extend(r.signed(raw) if raw else 0 for _ in range(n))
+                    else:
+                        res.extend(_rice_read(r, param) for _ in range(n))
+
+            def _residual(samples, order):
+                res = []
+                _read_residual(res, order)
+                for k in range(order, bsize):
+                    e = res[k - order]
+                    if order == 0:
+                        v = e
+                    elif order == 1:
+                        v = e + samples[k - 1]
+                    elif order == 2:
+                        v = e + 2 * samples[k - 1] - samples[k - 2]
+                    elif order == 3:
+                        v = e + 3 * samples[k - 1] - 3 * samples[k - 2] + samples[k - 3]
+                    else:
+                        v = (e + 4 * samples[k - 1] - 6 * samples[k - 2]
+                             + 4 * samples[k - 3] - samples[k - 4])
+                    samples.append(v)
+
+            if assignment == "independent":
+                chans = [subframe(0) for _ in range(n_ch)]
+            elif assignment == "left_side":
+                left = subframe(0)
+                side = subframe(1)
+                chans = [left, [l - s for l, s in zip(left, side)]]
+            elif assignment == "right_side":
+                side = subframe(1)
+                right = subframe(0)
+                chans = [[rr + s for rr, s in zip(right, side)], right]
+            else:  # mid_side
+                mid = subframe(0)
+                side = subframe(1)
+                chans = [[], []]
+                for m, sd in zip(mid, side):
+                    l = (m << 1 | (sd & 1)) + sd
+                    chans[0].append(l >> 1)
+                    chans[1].append((l >> 1) - sd)
+            r.align()
+            r.bits(16)  # frame CRC-16
+            for c in range(channels):
+                out[c].extend(chans[c] if c < len(chans) else chans[-1])
+
+        n = min(len(c) for c in out) if out else 0
+        if total:
+            n = min(n, total)
+        frames = np.empty((n, channels))
+        denom = float(1 << (bps - 1))
+        for c in range(channels):
+            frames[:, c] = np.array(out[c][:n], dtype=np.float64) / denom
+        return sample_rate, channels, frames
+
+    class _BitWriter:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def bits(self, v: int, k: int) -> None:
+            self.acc = (self.acc << k) | (v & ((1 << k) - 1))
+            self.n += k
+            while self.n >= 8:
+                self.out.append((self.acc >> (self.n - 8)) & 0xFF)
+                self.n -= 8
+                self.acc &= (1 << self.n) - 1
+
+        def align(self) -> None:
+            if self.n:
+                self.bits(0, 8 - self.n)
+
+    def _crc8(data: bytes) -> int:
+        crc = 0
+        for b in data:
+            crc ^= b
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x07 if crc & 0x80 else crc << 1) & 0xFF
+        return crc
+
+    def _crc16(data: bytes) -> int:
+        crc = 0
+        for b in data:
+            crc ^= b << 8
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1) & 0xFFFF
+        return crc
+
+    def encode_flac(sample_rate: int, frames) -> bytes:
+        """16-bit FLAC: FIXED order-2 subframes, one rice partition per
+        subframe (best 4-bit param by exact cost), 4096-sample blocks.
+        ``frames``: float array shaped (n, channels) in [-1, 1]."""
+        frames = np.asarray(frames, dtype=np.float64)
+        if frames.ndim == 1:
+            frames = frames[:, None]
+        n, channels = frames.shape
+        ints = np.clip(np.round(frames * 32768.0), -32768, 32767).astype(np.int64)
+
+        head = _BitWriter()
+        head.bits(1, 1)  # last metadata block
+        head.bits(0, 7)  # STREAMINFO
+        head.bits(34, 24)
+        head.bits(4096, 16); head.bits(4096, 16)
+        head.bits(0, 24); head.bits(0, 24)
+        head.bits(sample_rate, 20)
+        head.bits(channels - 1, 3)
+        head.bits(15, 5)  # bps - 1
+        head.bits(n, 36)
+        head.out.extend(b"\x00" * 16)  # md5 unset (decoder ignores)
+
+        body = bytearray()
+        frame_no = 0
+        for start in range(0, n, 4096):
+            block = ints[start : start + 4096]
+            bsize = block.shape[0]
+            w = _BitWriter()
+            w.bits(0x3FFE, 14); w.bits(0, 1); w.bits(0, 1)
+            w.bits(7, 4)        # block size: 16-bit value follows
+            w.bits(0, 4)        # sample rate: from STREAMINFO
+            w.bits(channels - 1, 4)  # independent channels
+            w.bits(4, 3)        # 16-bit samples
+            w.bits(0, 1)
+            if frame_no < 0x80:
+                w.bits(frame_no, 8)  # UTF-8 single byte
+            else:
+                w.bits(0xC0 | (frame_no >> 6), 8)
+                w.bits(0x80 | (frame_no & 0x3F), 8)
+            w.bits(bsize - 1, 16)
+            w.align()
+            hdr = bytes(w.out)
+            w.bits(_crc8(hdr), 8)
+            for c in range(channels):
+                x = block[:, c]
+                w.bits(0, 1)
+                order = 2 if bsize > 2 else 0
+                w.bits(8 + order, 6)  # FIXED subframe
+                w.bits(0, 1)          # no wasted bits
+                for k in range(order):
+                    w.bits(int(x[k]), 16)
+                if order == 2:
+                    res = x[2:] - 2 * x[1:-1] + x[:-2]
+                else:
+                    res = x
+                folded = (np.abs(res) << 1) - (res < 0).astype(np.int64)
+                best_p, best_cost = 0, None
+                for p in range(15):
+                    cost = int(np.sum(folded >> p)) + (p + 1) * len(folded)
+                    if best_cost is None or cost < best_cost:
+                        best_p, best_cost = p, cost
+                w.bits(0, 2)       # rice method 0
+                w.bits(0, 4)       # partition order 0
+                w.bits(best_p, 4)
+                for u in folded:
+                    q = int(u) >> best_p
+                    w.bits(0, q) if q else None
+                    w.bits(1, 1)
+                    if best_p:
+                        w.bits(int(u) & ((1 << best_p) - 1), best_p)
+            w.align()
+            payload_wo_crc = bytes(w.out)
+            w.bits(_crc16(payload_wo_crc), 16)
+            body.extend(w.out)
+            frame_no += 1
+        return b"fLaC" + bytes(head.out) + bytes(body)
+
+    def make_flac(n_frames, sample_rate, freq_hz, seed):
+        """Seeded sine (same signal family as make_wav), FLAC-encoded."""
+        t = np.arange(n_frames, dtype=np.float64) / sample_rate
+        signal = np.sin(2 * math.pi * (freq_hz + seed % 50) * t) * 0.5
+        return encode_flac(sample_rate, signal)
+
     # -- MJPEG/AVI (round 6): a real video container ------------------
 
     def _riff_chunks(buf: bytes, i: int, end: int):
@@ -862,6 +1200,8 @@ def _codec_fns():
             return image_features(*decode_jpeg(payload))
         if mime == MIME_WAV:
             return audio_features(*decode_wav(payload))
+        if mime == MIME_FLAC:
+            return audio_features(*decode_flac(payload))
         if mime == MIME_AVI:
             return video_features(*decode_avi(payload))
         raise NotImplementedError(
@@ -958,6 +1298,7 @@ def _codec_fns():
         "decode_png": decode_png,
         "decode_jpeg": decode_jpeg,
         "decode_avi": decode_avi,
+        "decode_flac": decode_flac,
         "decode_wav": decode_wav,
         "decode_image": decode_image,
         "features": features,
@@ -966,12 +1307,14 @@ def _codec_fns():
         "encode_ppm": encode_ppm,
         "encode_png": encode_png,
         "encode_jpeg": encode_jpeg,
+        "encode_flac": encode_flac,
         "resize_nearest": resize_nearest,
         "make_ppm": make_ppm,
         "make_bmp": make_bmp,
         "make_png": make_png,
         "make_jpeg": make_jpeg,
         "make_avi": make_avi,
+        "make_flac": make_flac,
         "make_wav": make_wav,
     }
 
@@ -1093,13 +1436,14 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
 
 def generate_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Deterministic executor-side media fixture: each input id becomes
-    one PPM / BMP / PNG / JPEG / WAV / MJPEG-AVI payload (format =
-    id % 6, dimensions/duration seeded by id).  Runs distributed — the
+    one PPM / BMP / PNG / JPEG / WAV / MJPEG-AVI / FLAC payload
+    (format = id % 7, dimensions/duration seeded by id).  Runs distributed — the
     generator closures travel by value with the task, like every codec
     here."""
     fns = _codec_fns()
     make_ppm, make_bmp, make_wav = fns["make_ppm"], fns["make_bmp"], fns["make_wav"]
     make_png, make_jpeg, make_avi = fns["make_png"], fns["make_jpeg"], fns["make_avi"]
+    make_flac = fns["make_flac"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1107,25 +1451,33 @@ def generate_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
             for mid in pdf[id_col]:
                 mid = int(mid)
                 w, h = 16 + mid % 17, 12 + mid % 13
-                if mid % 6 == 0:
+                if mid % 7 == 0:
                     payload, mime = make_ppm(w, h, mid), MIME_PPM
                     meta = {"width": w, "height": h, "duration_ms": None}
-                elif mid % 6 == 1:
+                elif mid % 7 == 1:
                     payload, mime = make_bmp(w, h, mid), MIME_BMP
                     meta = {"width": w, "height": h, "duration_ms": None}
-                elif mid % 6 == 2:
+                elif mid % 7 == 2:
                     payload, mime = make_png(w, h, mid), MIME_PNG
                     meta = {"width": w, "height": h, "duration_ms": None}
-                elif mid % 6 == 3:
+                elif mid % 7 == 3:
                     payload, mime = make_jpeg(w, h, mid), MIME_JPEG
                     meta = {"width": w, "height": h, "duration_ms": None}
-                elif mid % 6 == 5:
+                elif mid % 7 == 5:
                     n_frames, fps = 3 + mid % 5, 10.0
                     payload, mime = make_avi(w, h, n_frames, fps, mid), MIME_AVI
                     meta = {
                         "width": w,
                         "height": h,
                         "duration_ms": int(n_frames * 1000 / fps),
+                    }
+                elif mid % 7 == 6:
+                    n = 800 + (mid % 5) * 160
+                    payload, mime = make_flac(n, 8000, 440, mid), MIME_FLAC
+                    meta = {
+                        "width": None,
+                        "height": None,
+                        "duration_ms": int(n * 1000 / 8000),
                     }
                 else:
                     n = 800 + (mid % 7) * 160

@@ -641,6 +641,30 @@ def multimodal_video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_frames(videos, every_ms=200)
 
 
+@query("multimodal_audio_features")  # rows-only: real audio decode
+def multimodal_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: audio legs (PCM WAV and losslessly-compressed FLAC)
+    decoded by the pure-Python codecs under mapInPandas — both formats
+    flow through the same audio_features contract, features exploded
+    to scalar columns."""
+    from core2_spark import multimodal
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    audio = multimodal.generate_media(
+        d.filter(F.col("doc_id") < 180).select(F.col("doc_id").alias("media_id"))
+    ).filter(F.col("mime").startswith("audio/"))
+    feats = multimodal.extract_features(audio)
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        *[
+            F.round(F.col("feature")[i], 6).alias(f"f{i}")
+            for i in range(multimodal.FEATURE_WIDTH)
+        ],
+    )
+
+
 @query("multimodal_frame_sampling")  # rows-only: plan-level expansion
 def multimodal_frame_sampling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan: metadata → frame timestamp rows

@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "multimodal_video_frames",
     "dedup_exact_substring_spans",
     "graph_pagerank_fixed_iterations",
+    "multimodal_audio_features",
     # Flagship re-verification: bench headliners + one representative
     # per operator family, rotated back in after their last check.
     "tpch_q3_shipping_priority",
