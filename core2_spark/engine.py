@@ -1105,7 +1105,9 @@ class Engine:
         from core2_spark.sql_dml import (
             _CREATE_MVIEW,
             _DROP_MVIEW,
+            _OPTIMIZE,
             _REFRESH_MVIEW,
+            _VACUUM,
             dml_to_ops,
             maintenance_result,
         )
@@ -1116,10 +1118,11 @@ class Engine:
         for stmt in statements:
             if any(
                 p.match(stmt)
-                for p in (_CREATE_MVIEW, _REFRESH_MVIEW, _DROP_MVIEW)
+                for p in (_CREATE_MVIEW, _REFRESH_MVIEW, _DROP_MVIEW,
+                          _VACUUM, _OPTIMIZE)
             ):
                 raise ValueError(
-                    "materialized-view maintenance statements are not log "
+                    "maintenance statements are not log "
                     "ops and cannot join a multi-statement transaction — "
                     "run them alone"
                 )

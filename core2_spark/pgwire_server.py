@@ -100,7 +100,8 @@ class PgWireServer:
         # create/refresh/drop: materialized-view maintenance — in this
         # dialect those verbs exist only for MATERIALIZED VIEW, and
         # Engine.sql_dml rejects anything else loudly
-        _DML = ("insert", "update", "delete", "erase", "create", "refresh", "drop")
+        _DML = ("insert", "update", "delete", "erase", "create", "refresh",
+                "drop", "vacuum", "optimize")
 
         class Handler(socketserver.BaseRequestHandler):
             def _send(self, data: bytes) -> None:
@@ -206,7 +207,9 @@ class PgWireServer:
                         "delete": "DELETE 0", "erase": "ERASE 0",
                         "create": "CREATE MATERIALIZED VIEW",
                         "refresh": "REFRESH MATERIALIZED VIEW",
-                        "drop": "DROP MATERIALIZED VIEW"}[word]
+                        "drop": "DROP MATERIALIZED VIEW",
+                        "vacuum": "VACUUM",
+                        "optimize": "OPTIMIZE"}[word]
 
             def _run_query(self, sql: str) -> None:
                 sql = sql.strip().rstrip(";")

@@ -31,6 +31,8 @@ their Engine-method counterparts)::
         SELECT k1, k2, COUNT(*) AS n, SUM(c) AS s FROM t GROUP BY k1, k2
     REFRESH MATERIALIZED VIEW v
     DROP MATERIALIZED VIEW v
+    VACUUM t OLDER THAN TIMESTAMP '2024-03-01'
+    OPTIMIZE t [ZORDER BY (c1, c2)]
 
 The CREATE shape is exactly the incrementally-maintainable form
 mviews.py supports: bare key columns (repeated in GROUP BY) plus
@@ -245,6 +247,16 @@ _REFRESH_MVIEW = re.compile(
 _DROP_MVIEW = re.compile(
     r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?P<name>\w+)\s*$", re.IGNORECASE
 )
+_VACUUM = re.compile(
+    r"^\s*VACUUM\s+(?P<table>\w+)\s+OLDER\s+THAN\s+"
+    r"(?:TIMESTAMP\s+)?'(?P<horizon>[^']+)'\s*$",
+    re.IGNORECASE,
+)
+_OPTIMIZE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<table>\w+)"
+    r"(?:\s+ZORDER\s+BY\s+\(?(?P<cols>[\w\s,]+?)\)?)?\s*$",
+    re.IGNORECASE,
+)
 _MVIEW_SELECT = re.compile(
     r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>\w+)\s+"
     r"GROUP\s+BY\s+(?P<keys>[\w\s,]+?)\s*$",
@@ -340,4 +352,19 @@ def maintenance_result(engine, statement: str) -> dict | None:
         mviews._load_meta(engine, m["name"])  # clear error if absent
         shutil.rmtree(base)
         return {"statement": "drop_materialized_view", "name": m["name"]}
+    m = _VACUUM.match(statement)
+    if m:
+        # round 6: retention as a statement (VACUUM t OLDER THAN
+        # TIMESTAMP '...') — partition-wise on day layouts
+        engine.vacuum(m["table"], older_than=m["horizon"])
+        return {"statement": "vacuum", "table": m["table"],
+                "older_than": m["horizon"]}
+    m = _OPTIMIZE.match(statement)
+    if m:
+        cols = tuple(
+            c.strip() for c in (m["cols"] or "").split(",") if c.strip()
+        )
+        n = engine.optimize(m["table"], zorder_by=cols or None)
+        return {"statement": "optimize", "table": m["table"],
+                "target_files": n, "zorder_by": list(cols)}
     return None

@@ -381,3 +381,30 @@ def test_pgwire_mview_maintenance(spark, engine):
         client.close()
     finally:
         server.shutdown()
+
+
+def test_pgwire_vacuum_optimize_statements(spark, engine):
+    """Round 6: VACUUM / OPTIMIZE ride the pgwire DML routing with
+    their own CommandComplete tags; answers at/after the horizon are
+    unchanged over the wire."""
+    from core2_spark.pgwire_server import PgWireServer
+
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    engine.submit_tx([Put("t", mk([(1, "a"), (2, "b")]))],
+                     tx_time="2024-01-01 00:00:01")
+    engine.submit_tx([Put("t", mk([(1, "a2")]))],
+                     tx_time="2024-02-01 00:00:01")
+    server = PgWireServer(lambda sql: engine.db().sql(sql), engine=engine)
+    try:
+        client = MiniPgClient(server.port)
+        _, _, err = client.query("VACUUM t OLDER THAN TIMESTAMP '2024-03-01'")
+        assert err is None
+        _, _, err = client.query("OPTIMIZE t")
+        assert err is None
+        cols, rows, err = client.query(
+            "SELECT id, v FROM t ORDER BY id"
+        )
+        assert err is None and rows == [["1", "a2"], ["2", "b"]]
+        client.close()
+    finally:
+        server.shutdown()

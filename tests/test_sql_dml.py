@@ -214,3 +214,38 @@ def test_erase_rejects_portion_clause(spark, tmp_path):
             "ERASE FROM t FOR PORTION OF APPLICATION_TIME "
             "FROM '2024-01-01' TO '2024-02-01' WHERE id = 1"
         )
+
+
+def test_vacuum_and_optimize_statements(spark, tmp_path):
+    """Round 6: retention and compaction as SQL statements (the shape
+    DuckDB/Delta users expect) — VACUUM t OLDER THAN drops closed
+    history partition-wise, OPTIMIZE t [ZORDER BY] compacts files;
+    both return result dicts and answers are unchanged at/after the
+    horizon."""
+    from core2_spark.engine import Engine, Put
+    from core2_spark.sql_dml import maintenance_result
+
+    eng = Engine(spark, str(tmp_path / "sqlmaint"))
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    eng.submit_tx([Put("t", mk([(1, "a"), (2, "b")]))],
+                  tx_time="2024-01-01 00:00:01")
+    eng.submit_tx([Put("t", mk([(1, "a2"), (2, "b2")]))],
+                  tx_time="2024-02-01 00:00:01")
+
+    res = maintenance_result(eng, "VACUUM t OLDER THAN TIMESTAMP '2024-03-01'")
+    assert res == {"statement": "vacuum", "table": "t",
+                   "older_than": "2024-03-01"}
+    assert eng.db().history("t").count() == 2  # both v1 rows dropped
+    assert {(r["id"], r["v"]) for r in eng.db().table("t").collect()} == {
+        (1, "a2"), (2, "b2")
+    }
+
+    res = maintenance_result(eng, "OPTIMIZE t")
+    assert res["statement"] == "optimize" and res["target_files"] >= 1
+    assert {(r["id"], r["v"]) for r in eng.db().table("t").collect()} == {
+        (1, "a2"), (2, "b2")
+    }
+    res = maintenance_result(eng, "OPTIMIZE t ZORDER BY (id)")
+    assert res["zorder_by"] == ["id"]
+    # ordinary DML still routes through as None
+    assert maintenance_result(eng, "DELETE FROM t WHERE id = 1") is None
