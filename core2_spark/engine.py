@@ -131,6 +131,7 @@ class Engine:
         bloom_filter_columns: tuple[str, ...] = (),
         auto_refresh_views: bool = False,
         writer_retries: int = 0,
+        reclaim_after_s: float = 900.0,
     ):
         self.spark = spark
         self.root = root
@@ -159,6 +160,12 @@ class Engine:
         # head (refresh) and replay the transaction, up to this many
         # times.  0 = the classic refuse-and-refresh contract.
         self._writer_retries = writer_retries
+        # How old crash leftovers (pending-tx manifests, _old_/_tmp_
+        # swap scratch) must be before open-time recovery reclaims
+        # them.  Must exceed the longest single op write a LIVE
+        # concurrent writer can be mid-way through — reclaiming a live
+        # peer's in-flight state corrupts its transaction.
+        self._reclaim_after_s = reclaim_after_s
         # View-name → error string for auto-refreshes that failed AFTER
         # the transaction was durable (submit_tx never raises for these
         # — a retry would double-apply the committed tx).
@@ -310,12 +317,44 @@ class Engine:
             if not d.startswith("_")
             and os.path.isdir(os.path.join(self.root, d))
         )
+        # scratch referenced by ANY pending-tx manifest is protected:
+        # a young (possibly live) crashed-erase manifest needs its
+        # _old_ image intact for the eventual rollback — classifying
+        # it as a completed swap's leftover would make the uncommitted
+        # erase permanent
+        protected: set[str] = set()
+        pdir = os.path.join(self.root, "_pending")
+        if os.path.isdir(pdir):
+            for name in os.listdir(pdir):
+                if not name.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(pdir, name)) as f:
+                        meta = json.load(f)
+                    for _pth, old_dir in meta.get("restores", []):
+                        protected.add(os.path.abspath(old_dir))
+                except (OSError, ValueError, json.JSONDecodeError):
+                    continue
+        import time as _time
+
+        now = _time.time()
         for base in bases:
             if not os.path.isdir(base):
                 continue
             for entry in sorted(os.listdir(base)):
                 full = os.path.join(base, entry)
                 if not os.path.isdir(full):
+                    continue
+                if os.path.abspath(full) in protected:
+                    continue
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age < self._reclaim_after_s:
+                    # possibly a LIVE peer's in-flight swap scratch
+                    # (writer_retries makes concurrent engines a
+                    # supported configuration); a later open reclaims
                     continue
                 if entry.startswith("_tmp_"):
                     shutil.rmtree(full, ignore_errors=True)
@@ -440,19 +479,14 @@ class Engine:
                 "maintenance_seq": self._maintenance_seq,
             }
         )
-        if _locked:
+        from contextlib import nullcontext
+
+        with nullcontext() if _locked else self._log_lock():
             self._check_sole_writer()
             tmp = os.path.join(self.root, "_log.json.tmp")
             with open(tmp, "w") as f:
                 f.write(payload)
             os.replace(tmp, log)
-        else:
-            with self._log_lock():
-                self._check_sole_writer()
-                tmp = os.path.join(self.root, "_log.json.tmp")
-                with open(tmp, "w") as f:
-                    f.write(payload)
-                os.replace(tmp, log)
         self._persisted_clock = payload
 
     def _log_lock(self):
@@ -473,10 +507,17 @@ class Engine:
                 except FileExistsError:
                     try:
                         if time.time() - os.path.getmtime(lock) > 30.0:
-                            os.unlink(lock)  # stale: crashed holder
+                            # steal by RENAME: of N waiters that saw the
+                            # stale lock, exactly one rename succeeds —
+                            # an unlink race would admit two stealers
+                            import uuid as _uuid
+
+                            claimed = f"{lock}.stale.{_uuid.uuid4().hex}"
+                            os.rename(lock, claimed)
+                            os.unlink(claimed)
                             continue
                     except OSError:
-                        continue  # holder released between checks
+                        continue  # holder released / another stealer won
                     if time.monotonic() > deadline:
                         raise RuntimeError(
                             f"timed out waiting for {lock}; if no writer "
@@ -540,7 +581,7 @@ class Engine:
 
     def _append_manifested(
         self, path, rows, pending, t, written_files, deferred_old
-    ) -> list[str]:
+    ) -> None:
         """Stage, record the planned destinations in the pending
         manifest, then publish — so every file is listed before it
         becomes visible and a crash at ANY point rolls back cleanly
@@ -550,7 +591,11 @@ class Engine:
         self._write_pending(
             pending, t, list(written_files) + planned, deferred_old
         )
-        return self._publish_staged(path, staging, moves)
+        # publish appends into written_files IN PLACE: if rename #k
+        # fails, files 1..k-1 are already recorded and _rollback
+        # deletes them (returning the list only on success would leave
+        # them visible forever once the manifest retires)
+        self._publish_staged(path, staging, moves, out=written_files)
 
     def _stage_rows(self, path: str, rows: DataFrame):
         """Write ``rows`` to a private staging dir; return
@@ -574,8 +619,13 @@ class Engine:
                 )
         return staging, moves
 
-    def _publish_staged(self, path: str, staging: str, moves) -> list[str]:
-        published: list[str] = []
+    def _publish_staged(
+        self, path: str, staging: str, moves, out: list[str] | None = None
+    ) -> list[str]:
+        """Rename staged files in.  ``out`` (when given) receives each
+        destination AS IT IS PUBLISHED, so a failure mid-loop leaves
+        the caller holding the exact visible set for rollback."""
+        published = out if out is not None else []
         os.makedirs(path, exist_ok=True)
         try:
             for src, dst in moves:
@@ -600,11 +650,9 @@ class Engine:
     # uncommitted tx — its erase swaps are undone (the _old_ dir is
     # still present: deferred cleanup only runs post-commit) and its
     # published files deleted, exactly mirroring _rollback.  Manifests
-    # younger than _PENDING_MIN_AGE_S are skipped: they may belong to
-    # a LIVE concurrent writer mid-transaction (same presumed-crashed
-    # heuristic as the stale _log.lock steal).
-
-    _PENDING_MIN_AGE_S = 60.0
+    # younger than reclaim_after_s are skipped: they may belong to a
+    # LIVE concurrent writer mid-transaction (same presumed-crashed
+    # heuristic as the stale _log.lock steal, sized for long writes).
 
     def _pending_path(self) -> str:
         import uuid as _uuid
@@ -645,7 +693,7 @@ class Engine:
                 age = _time.time() - os.path.getmtime(full)
             except OSError:
                 continue
-            if age < self._PENDING_MIN_AGE_S:
+            if age < self._reclaim_after_s:
                 continue  # possibly a live writer mid-transaction
             if name.endswith(".tmp"):
                 os.remove(full)
@@ -904,10 +952,8 @@ class Engine:
                     self._merge_schema_cache(
                         op.table, rows.drop(bt.SYS_DAY).schema
                     )
-                    written_files.extend(
-                        self._append_manifested(
-                            path, rows, pending, t, written_files, deferred_old
-                        )
+                    self._append_manifested(
+                        path, rows, pending, t, written_files, deferred_old
                     )
                 elif isinstance(op, Delete):
                     rows = (
@@ -920,10 +966,8 @@ class Engine:
                     self._merge_schema_cache(
                         op.table, rows.drop(bt.SYS_DAY).schema
                     )
-                    written_files.extend(
-                        self._append_manifested(
-                            path, rows, pending, t, written_files, deferred_old
-                        )
+                    self._append_manifested(
+                        path, rows, pending, t, written_files, deferred_old
                     )
                 elif isinstance(op, Erase):
                     # mergeSchema: tombstone files carry a narrow schema;
@@ -972,7 +1016,18 @@ class Engine:
         self._remove_pending(pending)  # tx durable: manifest retires
         for _path, old in deferred_old:
             shutil.rmtree(old, ignore_errors=True)
-        self._maybe_auto_compact(touched)
+        try:
+            self._maybe_auto_compact(touched)
+        except Exception as exc:
+            # the tx is durable: letting ConcurrentWriterError (or any
+            # compaction failure) escape here would make the retry
+            # loop REPLAY a committed transaction (double-apply) — a
+            # skipped auto-compact only costs a later compaction
+            warnings.warn(
+                f"transaction committed; auto-compact skipped: {exc}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         self.last_refresh_errors = {}
         if self._auto_refresh_views:
             from core2_spark import mviews
@@ -1289,7 +1344,7 @@ class Engine:
             kept = closed.filter(
                 F.col(bt.SYS_END) > bt._ts(horizon)
             ).drop(bt.SYS_END)
-            self._rewrite_atomic(path, kept)
+            self._rewrite_atomic(path, kept, swap_guard=True)
         meta = os.path.join(self.root, "_current", f"{table}.json")
         if os.path.exists(meta):
             with open(meta) as f:

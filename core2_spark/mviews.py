@@ -272,10 +272,32 @@ def _idkeys_delta_dirs(engine, name: str, up_to: int) -> list[str]:
     return out
 
 
+def _idkeys_base_seq(engine, name: str) -> int:
+    """The seq whose state the base REFLECTS (marker file written just
+    before every base swap).  -1 = no marker (pre-marker sidecar or no
+    base)."""
+    marker = os.path.join(_idkeys_dir(engine, name), "base_seq")
+    try:
+        with open(marker) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def _idkeys_stamp_base_seq(engine, name: str, seq: int) -> None:
+    marker = os.path.join(_idkeys_dir(engine, name), "base_seq")
+    with open(marker + ".tmp", "w") as f:
+        f.write(str(seq))
+    os.replace(marker + ".tmp", marker)
+
+
 def _idkeys_write_base(engine, name: str, snap, table, keys, seq: int):
     """(Re)build the sidecar base from the table's current state at
     the snapshot's clock — one narrow (id, keys) projection, paid at
-    create / full-refresh / fold time only."""
+    create / full-refresh / fold time only.  The seq marker is stamped
+    BEFORE the swap: a crash in between makes the marker run ahead of
+    meta.idkeys_seq, which discovery treats as sidecar-invalid (safe:
+    one legacy discovery + rebuild), never as stale-keys-trusted."""
     import shutil
 
     df = (
@@ -286,6 +308,7 @@ def _idkeys_write_base(engine, name: str, snap, table, keys, seq: int):
     )
     root = _idkeys_dir(engine, name)
     os.makedirs(root, exist_ok=True)
+    _idkeys_stamp_base_seq(engine, name, seq)
     engine._rewrite_atomic(os.path.join(root, "base"), df)
     shutil.rmtree(os.path.join(root, "delta"), ignore_errors=True)
 
@@ -336,6 +359,13 @@ def _idkeys_asof_keys(engine, name: str, keys, seq: int, changed, changed_rows):
 
     base_dir = os.path.join(_idkeys_dir(engine, name), "base")
     if not os.path.isdir(base_dir):
+        return None
+    if _idkeys_base_seq(engine, name) > seq:
+        # the base was folded/rebuilt PAST the view's recorded seq (a
+        # crash between a base swap and the meta write): its rows are
+        # post-as_of state — using them would miss moved-away groups.
+        # Invalid ⇒ caller falls back to table-side discovery and the
+        # refresh rebuilds the sidecar wholesale.
         return None
     spark = engine.spark
     parts = [spark.read.parquet(base_dir)]
@@ -391,6 +421,7 @@ def _idkeys_maybe_fold(engine, name: str, keys, seq: int):
         .select("id", *keys, "_mv_alive")
         .withColumn("_mv_seq", F.lit(seq).cast("long"))
     )
+    _idkeys_stamp_base_seq(engine, name, seq)
     engine._rewrite_atomic(base_dir, folded)
     for d in dirs:
         shutil.rmtree(d, ignore_errors=True)
@@ -539,14 +570,14 @@ def refresh(engine, name: str) -> dict:
     # leaves an orphan _mv_seq dir that seq ≤ idkeys_seq truncates
     # away and the retried refresh rewrites wholesale; the reverse
     # order would leave the sidecar stale behind the stored view
-    if prev_seq >= 0 and os.path.isdir(
-        os.path.join(_idkeys_dir(engine, name), "base")
-    ):
+    if asof_keys is not None:
+        # discovery trusted the sidecar ⇒ safe to extend it by delta
         _idkeys_append_delta(engine, name, keys, feed, seq)
         _idkeys_maybe_fold(engine, name, keys, seq)
     else:
-        # legacy view (pre-sidecar): bootstrap at the new head — one
-        # narrow (id, keys) projection, paid once
+        # legacy view (pre-sidecar) or sidecar in doubt (crashed fold:
+        # marker ahead of meta): rebuild wholesale at the new head —
+        # one narrow (id, keys) projection
         _idkeys_write_base(engine, name, snap, table, keys, seq)
     meta["idkeys_seq"] = seq
     _store(engine, name, kept.unionByName(recomputed), meta)

@@ -436,7 +436,9 @@ def test_crash_mid_rewrite_recovered_on_open(spark, engine):
     os.rename(path, os.path.join(ROOT, "_old_t"))
     assert not os.path.exists(path)
 
-    recovered = Engine(spark, ROOT)
+    # recovery is age-gated (a young strand may be a live peer's
+    # in-flight swap): reclaim immediately for the test
+    recovered = Engine(spark, ROOT, reclaim_after_s=0.0)
     assert os.path.exists(path)
     assert not os.path.exists(os.path.join(ROOT, "_old_t"))
     assert {r["id"] for r in recovered.db().table("t").collect()} == {1, 2}
@@ -1345,7 +1347,7 @@ def test_pending_manifest_rolls_back_crashed_tx(spark, tmp_path):
     assert os.path.exists(pending)
 
     # age the manifest past the crash threshold → next open rolls back
-    time_ago = time.time() - 120
+    time_ago = time.time() - 1200  # past the 900s reclaim threshold
     os.utime(pending, (time_ago, time_ago))
     reopened = Engine(spark, root)
     assert not os.path.exists(pending)
@@ -1407,7 +1409,7 @@ def test_pending_manifest_restores_crashed_erase(spark, tmp_path):
     kept_old = eng._rewrite_atomic(path, remaining, defer_cleanup=True)
     assert kept_old == old_path and os.path.isdir(old_path)
 
-    os.utime(pending, (time.time() - 120, time.time() - 120))
+    os.utime(pending, (time.time() - 1200, time.time() - 1200))
     reopened = Engine(spark, root)
     # erase undone, phantom gone, pre-crash state exact
     assert {(r["id"], r["v"]) for r in reopened.db().table("t").collect()} == {

@@ -469,9 +469,11 @@ def test_recover_stranded_mview_rewrite(spark, engine):
     before = _stored(engine)
     base = os.path.join(engine.root, "_mviews", "agg")
     data, old = os.path.join(base, "data"), os.path.join(base, "_old_data")
-    # simulate the mid-swap crash: data renamed away, tmp never renamed in
+    # simulate the mid-swap crash: data renamed away, tmp never renamed
+    # in.  Recovery is age-gated (a young strand may be a LIVE peer's
+    # in-flight swap), so open with reclaim_after_s=0 to reclaim now.
     os.rename(data, old)
-    reopened = Engine(spark, engine.root)
+    reopened = Engine(spark, engine.root, reclaim_after_s=0.0)
     assert os.path.isdir(data) and not os.path.exists(old)
     assert (
         sorted(
@@ -484,7 +486,7 @@ def test_recover_stranded_mview_rewrite(spark, engine):
     import shutil
 
     shutil.copytree(data, old)
-    Engine(spark, engine.root)
+    Engine(spark, engine.root, reclaim_after_s=0.0)
     assert os.path.isdir(data) and not os.path.exists(old)
 
 
@@ -629,4 +631,31 @@ def test_sidecar_legacy_view_bootstraps(spark, engine):
     engine.submit_tx([Put("t", _rows(spark, [(1, "gZ", 6.0)]))])
     stats = engine.refresh_materialized_view("agg")
     assert stats["mode"] == "incremental" and stats["discovery"] == "sidecar"
+    assert _stored(engine) == _expected(engine)
+
+
+def test_sidecar_crashed_fold_invalidates_and_rebuilds(spark, engine):
+    """Self-review r6: a crash between the fold's base swap and the
+    meta write leaves the base seq-marker AHEAD of meta.idkeys_seq —
+    its rows are post-as_of state.  Discovery must refuse the sidecar
+    (else a moved-away group is never refreshed), fall back to
+    table-side discovery, and rebuild the sidecar wholesale."""
+    from core2_spark import mviews
+
+    engine.submit_tx(
+        [Put("t", _rows(spark, [(i, f"g{i % 2}", float(i)) for i in range(8)]))]
+    )
+    engine.create_materialized_view("agg", "t", ["grp"], AGGS)
+    # group move that the crashed-ahead base would hide
+    engine.submit_tx([Put("t", _rows(spark, [(0, "gZ", 9.0)]))])
+    # simulate the crashed fold: marker ahead of meta
+    mviews._idkeys_stamp_base_seq(engine, "agg", 99)
+    stats = engine.refresh_materialized_view("agg")
+    assert stats["mode"] == "incremental"
+    assert stats["discovery"] == "table"  # sidecar refused
+    assert _stored(engine) == _expected(engine)
+    # rebuilt: the next refresh trusts the sidecar again
+    engine.submit_tx([Put("t", _rows(spark, [(1, "gZ", 5.0)]))])
+    stats = engine.refresh_materialized_view("agg")
+    assert stats["discovery"] == "sidecar"
     assert _stored(engine) == _expected(engine)

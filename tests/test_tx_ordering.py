@@ -283,3 +283,37 @@ def test_maintenance_claim_fences_concurrent_writers(spark, tmp_path):
     assert ids == {0, 1, 2, 3, 99, 100}
     # reopened engine agrees (log carries the maintenance seq)
     assert {r["id"] for r in Engine(spark, root).db().table("t").collect()} == ids
+
+
+def test_auto_compact_conflict_never_replays_durable_tx(spark, tmp_path):
+    """Self-review r6: a ConcurrentWriterError raised by POST-commit
+    auto-compaction must not escape into submit_tx's retry loop — the
+    tx is durable, and a replay would double-apply it.  The commit
+    returns with a warning; rows land exactly once."""
+    import warnings as w
+
+    root = str(tmp_path / "acfix")
+    a = Engine(spark, root, writer_retries=3, auto_compact_files=1)
+    b = Engine(spark, root, writer_retries=3)
+    mk = lambda i: spark.createDataFrame([(i, "x")], "id long, v string")
+    a.submit_tx([Put("t", mk(1))])
+    a.submit_tx([Put("t", mk(2))])
+
+    # make a's auto-compact conflict AFTER its next commit persists:
+    # patch optimize to simulate the interleaved winner
+    real_optimize = a.optimize
+
+    def racing_optimize(table, **kw):
+        b.refresh()
+        b.submit_tx([Put("t", mk(99))])  # winner lands mid-maintenance
+        return real_optimize(table, **kw)
+
+    a.optimize = racing_optimize
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        a.submit_tx([Put("t", mk(3))])
+    assert any("auto-compact skipped" in str(c.message) for c in caught)
+    final = Engine(spark, root)
+    rows = final.db().history("t").collect()
+    ids = sorted(r["id"] for r in rows)
+    assert ids == [1, 2, 3, 99]  # exactly once each: no double-apply
