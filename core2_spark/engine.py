@@ -205,6 +205,17 @@ class Engine:
         # concurrent writer's later persist conflicts and replays
         # instead of silently losing files to the swap.
         self._maintenance_seq = 0
+        # Committed-transaction ids (the uuid in each pending
+        # manifest's filename), persisted IN _log.json at the commit
+        # point so recovery can verify actual commitment instead of
+        # comparing clocks: with concurrent writers, a crashed loser's
+        # tx_time can sit at-or-before the winner's advanced head, and
+        # the old `tx_time <= head` test would retire its manifest
+        # without rollback, leaving phantom rows.  The set is pruned
+        # at every persist to ids whose manifest still survives, so it
+        # stays O(live manifests).  None = legacy log without the
+        # field (pre-upgrade roots fall back to the clock heuristic).
+        self._committed_txids: set[str] | None = set()
         os.makedirs(root, exist_ok=True)
         # order matters: the clock (log head) decides which pending
         # manifests are uncommitted; pending rollback must restore
@@ -406,6 +417,10 @@ class Engine:
             self._app_bounded = set(meta.get("app_bounded", []))
             self._rewrites = dict(meta.get("rewrites", {}))
             self._maintenance_seq = int(meta.get("maintenance_seq", 0))
+            raw_committed = meta.get("committed_txids")
+            self._committed_txids = (
+                None if raw_committed is None else set(raw_committed)
+            )
             self._persisted_clock = raw
             return
         import pyarrow.compute as pa_compute
@@ -449,7 +464,9 @@ class Engine:
                     ):
                         self._last_tx_time = t
 
-    def _persist_clock(self, _locked: bool = False) -> None:
+    def _persist_clock(
+        self, _locked: bool = False, commit_txid: str | None = None
+    ) -> None:
         """Write the tx clock manifest atomically (tmp + rename): a
         crashed writer leaves either the old or the new manifest,
         never a torn one.
@@ -469,6 +486,36 @@ class Engine:
         milliseconds; a lock older than 30 s is presumed left by a
         crashed writer and stolen."""
         log = os.path.join(self.root, "_log.json")
+        # Committed-txid bookkeeping (see _recover_pending): include
+        # the committing tx's id so "is THIS manifest's tx in the
+        # log?" is answered by membership, atomically with the commit
+        # itself; prune ids whose manifest no longer exists (cleanly
+        # retired) so the set stays bounded by live manifests.
+        pdir = os.path.join(self.root, "_pending")
+        try:
+            surviving = {
+                n[3:-5]
+                for n in os.listdir(pdir)
+                if n.startswith("tx_") and n.endswith(".json")
+            }
+        except OSError:
+            surviving = set()
+        prior = self._committed_txids
+        if prior is None:
+            # legacy log upgrade: grandfather surviving pre-upgrade
+            # manifests under the old clock heuristic, once
+            prior = set()
+            for tid in surviving:
+                try:
+                    with open(os.path.join(pdir, f"tx_{tid}.json")) as f:
+                        t = datetime.fromisoformat(json.load(f)["tx_time"])
+                    if self._last_tx_time is not None and t < self._last_tx_time:
+                        prior.add(tid)
+                except (OSError, ValueError, KeyError, json.JSONDecodeError):
+                    continue
+        committed = prior & surviving
+        if commit_txid is not None:
+            committed.add(commit_txid)
         payload = json.dumps(
             {
                 "last_tx_time": self._last_tx_time.isoformat(),
@@ -477,6 +524,7 @@ class Engine:
                 "app_bounded": sorted(self._app_bounded),
                 "rewrites": self._rewrites,
                 "maintenance_seq": self._maintenance_seq,
+                "committed_txids": sorted(committed),
             }
         )
         from contextlib import nullcontext
@@ -488,6 +536,7 @@ class Engine:
                 f.write(payload)
             os.replace(tmp, log)
         self._persisted_clock = payload
+        self._committed_txids = committed
 
     def _log_lock(self):
         """Exclusive _log.json critical-section lock (see
@@ -499,14 +548,28 @@ class Engine:
 
         @contextmanager
         def scope():
-            deadline = time.monotonic() + 10.0
+            # the wait deadline must OUTLIVE the stale-steal threshold:
+            # after a holder crashes, no waiter becomes steal-eligible
+            # until the lock is 30 s old, so a shorter deadline would
+            # make every waiter error out during exactly the window the
+            # steal exists to cover
+            stale_after = 30.0
+            deadline = time.monotonic() + stale_after + 15.0
             while True:
                 try:
                     fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                     break
                 except FileExistsError:
+                    # deadline is checked on EVERY iteration (including
+                    # the holder-released/stealer-won OSError path) so
+                    # no branch can loop past it
+                    if time.monotonic() > deadline:
+                        raise RuntimeError(
+                            f"timed out waiting for {lock}; if no writer "
+                            "is alive, delete the lock file"
+                        )
                     try:
-                        if time.time() - os.path.getmtime(lock) > 30.0:
+                        if time.time() - os.path.getmtime(lock) > stale_after:
                             # steal by RENAME: of N waiters that saw the
                             # stale lock, exactly one rename succeeds —
                             # an unlink race would admit two stealers
@@ -518,11 +581,6 @@ class Engine:
                             continue
                     except OSError:
                         continue  # holder released / another stealer won
-                    if time.monotonic() > deadline:
-                        raise RuntimeError(
-                            f"timed out waiting for {lock}; if no writer "
-                            "is alive, delete the lock file"
-                        )
                     time.sleep(0.02)
             try:
                 yield
@@ -607,6 +665,9 @@ class Engine:
         staging = os.path.join(self.root, f"_tmp_stage_{_uuid.uuid4().hex}")
         with self._micros_timestamps():
             self._writer(rows).partitionBy(bt.SYS_DAY).parquet(staging)
+        # stamp stage time: the scavenger's live-peer age gate must
+        # measure time-since-staging, not last content write
+        os.utime(staging)
         moves: list[tuple[str, str]] = []
         for root_dir, _dirs, names in os.walk(staging):
             rel = os.path.relpath(root_dir, staging)
@@ -705,9 +766,26 @@ class Engine:
             except (ValueError, KeyError, json.JSONDecodeError):
                 os.remove(full)
                 continue
-            logged = (
-                self._last_tx_time is not None and tx_t <= self._last_tx_time
+            # Commitment is verified by txid membership in the log's
+            # committed set, never by comparing clocks: with
+            # concurrent writers a crashed LOSER's tx_time can be at
+            # or before the winner's advanced head, and a clock test
+            # would retire its manifest without rollback — its
+            # published-but-never-logged files would survive as
+            # permanent phantom rows.  (Clock fallback only for
+            # legacy roots whose log predates the committed set.)
+            txid = (
+                name[3:-5]
+                if name.startswith("tx_") and name.endswith(".json")
+                else None
             )
+            if self._committed_txids is not None and txid is not None:
+                logged = txid in self._committed_txids
+            else:
+                logged = (
+                    self._last_tx_time is not None
+                    and tx_t <= self._last_tx_time
+                )
             if not logged:  # crashed before durability: roll back
                 for pth, old in reversed(meta.get("restores", [])):
                     if os.path.exists(old):
@@ -753,6 +831,7 @@ class Engine:
         df: DataFrame,
         defer_cleanup: bool = False,
         swap_guard: bool = False,
+        preserve_old: str | None = None,
     ) -> str | None:
         """Rewrite a table directory by writing ``df`` to a sibling
         temp dir and swapping directories — the plan streams from the
@@ -767,7 +846,15 @@ class Engine:
         ``defer_cleanup=True`` keeps the ``_old_<name>`` directory and
         returns its path: the caller (a transaction) can roll the
         rewrite back by renaming it over ``path``, and must delete it
-        once the transaction commits."""
+        once the transaction commits.
+
+        ``preserve_old`` (path of an existing deferred ``_old_`` dir)
+        handles a REPEATED rewrite of the same table within one
+        transaction (two ERASE statements on one table): the rollback
+        image is the FIRST rewrite's old dir — pre-transaction state —
+        so this rewrite must not touch it.  The swap then parks the
+        current (intermediate) image under a unique ``_tmp_`` name and
+        discards it, instead of renaming it over the preserved dir."""
         parent, name = os.path.split(path.rstrip("/"))
         tmp = os.path.join(parent, f"_tmp_{name}")
         old = os.path.join(parent, f"_old_{name}")
@@ -776,17 +863,38 @@ class Engine:
             # only copy — restore it before touching anything
             os.rename(old, path)
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
+        if preserve_old is None:
+            shutil.rmtree(old, ignore_errors=True)
         writer = self._writer(df)
         if bt.SYS_DAY in df.columns:
             # preserve the day-partitioned layout across rewrites
             writer = writer.partitionBy(bt.SYS_DAY)
         with self._micros_timestamps():
             writer.parquet(tmp)
+        # scratch dirs are age-gated by _recover_rewrites against LIVE
+        # peers' in-flight swaps, and os.rename preserves the renamed
+        # dir's mtime (= last content write, which on a cold table can
+        # already be older than the gate) — so stamp swap/stage time
+        # explicitly; the gate must measure the event it guards
+        os.utime(tmp)
 
         def _swap():
+            if preserve_old is not None:
+                if os.path.exists(path):
+                    import uuid as _uuid
+
+                    doomed = os.path.join(
+                        parent, f"_tmp_discard_{_uuid.uuid4().hex}"
+                    )
+                    os.rename(path, doomed)
+                    os.rename(tmp, path)
+                    shutil.rmtree(doomed, ignore_errors=True)
+                else:
+                    os.rename(tmp, path)
+                return
             if os.path.exists(path):
                 os.rename(path, old)
+                os.utime(old)
             os.rename(tmp, path)
 
         if swap_guard:
@@ -804,6 +912,10 @@ class Engine:
                 _swap()
         else:
             _swap()
+        if preserve_old is not None:
+            # the preserved first-rewrite old dir is the (only)
+            # rollback image; nothing new to defer or clean
+            return None
         if defer_cleanup:
             return old if os.path.exists(old) else None
         shutil.rmtree(old, ignore_errors=True)
@@ -981,13 +1093,30 @@ class Engine:
                     # manifest the swap BEFORE it happens: a crash
                     # leaves the _old_ dir for recovery to restore
                     parent, tname = os.path.split(path.rstrip("/"))
-                    self._write_pending(
-                        pending, t, written_files,
-                        deferred_old + [(path, os.path.join(parent, f"_old_{tname}"))],
+                    prior_old = next(
+                        (o for p, o in deferred_old if p == path), None
                     )
-                    old = self._rewrite_atomic(path, remaining, defer_cleanup=True)
-                    if old is not None:
-                        deferred_old.append((path, old))
+                    if prior_old is not None:
+                        # second Erase on this table within one tx:
+                        # the rollback image stays the FIRST erase's
+                        # _old_ dir (pre-tx state) — rewrite without
+                        # creating (or clobbering) a deferred dir
+                        self._write_pending(
+                            pending, t, written_files, deferred_old
+                        )
+                        self._rewrite_atomic(
+                            path, remaining, preserve_old=prior_old
+                        )
+                    else:
+                        self._write_pending(
+                            pending, t, written_files,
+                            deferred_old + [(path, os.path.join(parent, f"_old_{tname}"))],
+                        )
+                        old = self._rewrite_atomic(
+                            path, remaining, defer_cleanup=True
+                        )
+                        if old is not None:
+                            deferred_old.append((path, old))
                     # an erase removes history WITHOUT leaving a version
                     # marker, so a stale compact can no longer be
                     # delta-merged — invalidate it (conservative under
@@ -1002,7 +1131,9 @@ class Engine:
                     # refreshes older than this tx recompute fully
                     self._rewrites[op.table] = t.isoformat()
                 touched.add(op.table)
-            self._persist_clock()
+            self._persist_clock(
+                commit_txid=os.path.basename(pending)[3:-5]
+            )
         except BaseException:
             self._rollback(
                 pre_tables, written_files, touched_paths, deferred_old
@@ -1078,8 +1209,11 @@ class Engine:
         partition dirs pruned.  A table this transaction created is
         removed only if nothing else wrote to it in the meantime."""
         for path, old in reversed(deferred_old):
-            shutil.rmtree(path, ignore_errors=True)
+            # the existence check guards the rewritten table: if the
+            # old dir is gone (already restored, or never created),
+            # blowing away `path` would destroy the only copy
             if os.path.exists(old):
+                shutil.rmtree(path, ignore_errors=True)
                 os.rename(old, path)
         for f in written_files:
             try:

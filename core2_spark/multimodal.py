@@ -773,12 +773,16 @@ def _codec_fns():
                 r.bits(8)
             elif sr_code in (13, 14):
                 r.bits(16)
+            if ss_code == 3:
+                raise ValueError("reserved FLAC sample size code 3")
             ssize = {0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}[ss_code]
             r.bits(8)  # header CRC-8
             if ch_code <= 7:
                 n_ch, assignment = ch_code + 1, "independent"
-            else:
+            elif ch_code <= 10:
                 n_ch, assignment = 2, {8: "left_side", 9: "right_side", 10: "mid_side"}[ch_code]
+            else:
+                raise ValueError(f"reserved FLAC channel assignment {ch_code}")
 
             def subframe(extra_bit: int):
                 r.bits(1)  # zero pad
@@ -800,6 +804,8 @@ def _codec_fns():
                     samples = [r.signed(width) for _ in range(order)]
                     prec = r.bits(4) + 1
                     shift = r.signed(5)
+                    if shift < 0:
+                        raise ValueError("negative FLAC LPC shift")
                     coefs = [r.signed(prec) for _ in range(order)]
                     res = []
                     _read_residual(res, order)

@@ -1417,3 +1417,162 @@ def test_pending_manifest_restores_crashed_erase(spark, tmp_path):
     }
     assert not os.path.exists(old_path)
     assert not os.path.exists(pending)
+
+
+def test_double_erase_one_table_single_tx(spark, tmp_path):
+    """Round 7 (ADVICE): two Erase ops on ONE table within a single
+    transaction used to share the `_old_<table>` deferred-cleanup
+    path — the second rewrite rmtree'd the first's rollback image, so
+    a rollback destroyed the pre-tx table.  Now repeated erases
+    preserve the FIRST old dir (the pre-tx state) and both the commit
+    and the rollback paths are exact."""
+    import os
+
+    root = str(tmp_path / "dd")
+    eng = Engine(spark, root)
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    eng.submit_tx(
+        [Put("t", mk([(1, "a"), (2, "b"), (3, "c")]))],
+        tx_time="2024-01-01 00:00:01",
+    )
+    pre = {(r["id"], r["v"]) for r in eng.db().table("t").collect()}
+
+    # rollback path: two erases succeed, then a third op fails →
+    # the pre-tx table (all three rows, full history) must survive
+    with pytest.raises(ValueError, match="unknown table"):
+        eng.submit_tx(
+            [
+                Erase("t", spark.createDataFrame([(1,)], "id long")),
+                Erase("t", spark.createDataFrame([(2,)], "id long")),
+                Erase("never_existed", spark.createDataFrame([(9,)], "id long")),
+            ],
+            tx_time="2024-01-02 00:00:01",
+        )
+    assert {(r["id"], r["v"]) for r in eng.db().table("t").collect()} == pre
+    assert eng.db().history("t").count() == 3
+    assert not os.path.exists(os.path.join(root, "_old_t"))
+
+    # commit path: both erases land in one tx
+    eng.submit_tx(
+        [
+            Erase("t", spark.createDataFrame([(1,)], "id long")),
+            Erase("t", spark.createDataFrame([(2,)], "id long")),
+        ],
+        tx_time="2024-01-03 00:00:01",
+    )
+    assert {(r["id"], r["v"]) for r in eng.db().table("t").collect()} == {
+        (3, "c")
+    }
+    assert eng.db().history("t").count() == 1
+    assert not os.path.exists(os.path.join(root, "_old_t"))
+    # and a reopened engine (recovery path) agrees
+    assert Engine(spark, root).db().history("t").count() == 1
+
+
+def test_crashed_loser_manifest_rolls_back_despite_past_tx_time(spark, tmp_path):
+    """Round 7 (ADVICE): commitment is verified by txid membership in
+    the log's committed set, not by clock comparison.  A crashed
+    concurrent LOSER whose tx_time sits at-or-before the winner's
+    advanced head used to be classified committed (manifest retired,
+    phantom files kept); now it rolls back."""
+    import os
+    import time
+    from datetime import datetime
+
+    from pyspark.sql import functions as FF
+    from core2_spark import temporal as btmod
+
+    root = str(tmp_path / "loser")
+    eng = Engine(spark, root)
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    eng.submit_tx([Put("t", mk([(1, "w1")]))], tx_time="2024-01-01 00:00:01")
+    # the WINNER's head is far ahead of the crashed loser's tx_time
+    eng.submit_tx([Put("t", mk([(2, "w2")]))], tx_time="2024-06-01 00:00:01")
+
+    # simulate the loser: published files + manifest at a PAST
+    # tx_time, never logged (its txid is not in committed_txids)
+    t_loser = datetime.fromisoformat("2024-03-01 00:00:01")
+    rows = (
+        btmod.put(mk([(9, "phantom")]), tx_time=t_loser)
+        .withColumn(btmod.TOMBSTONE, FF.lit(False))
+        .withColumn(btmod.TX_SEQ, FF.lit(0))
+        .withColumn(btmod.ROW_SEQ, FF.monotonically_increasing_id())
+        .withColumn(btmod.SYS_DAY, FF.to_date(FF.col(btmod.SYS_START)))
+    )
+    path = os.path.join(root, "t")
+    pending = eng._pending_path()
+    staging, moves = eng._stage_rows(path, rows)
+    eng._write_pending(pending, t_loser, [d for _s, d in moves], [])
+    eng._publish_staged(path, staging, moves)
+    assert eng.db().history("t").count() == 3  # phantom visible pre-recovery
+
+    os.utime(pending, (time.time() - 1200, time.time() - 1200))
+    reopened = Engine(spark, root)
+    assert not os.path.exists(pending)
+    assert {r["id"] for r in reopened.db().table("t").collect()} == {1, 2}
+    assert reopened.db().history("t").count() == 2  # phantom rolled back
+
+    # and a COMMITTED tx's surviving manifest (crash after persist,
+    # before retire) is retired WITHOUT rollback: re-create the last
+    # tx's manifest under its committed txid
+    import json
+
+    committed = json.load(open(os.path.join(root, "_log.json")))[
+        "committed_txids"
+    ]
+    # bounded: at most the LAST commit's id survives (its manifest
+    # was live at its own persist; the next persist prunes it)
+    assert len(committed) <= 1
+    basis = reopened.submit_tx(
+        [Put("t", mk([(3, "w3")]))], tx_time="2024-07-01 00:00:01"
+    )
+    log_meta = json.load(open(os.path.join(root, "_log.json")))
+    # the committing txid was recorded at the commit point
+    # (pruned only at the NEXT persist, after clean retire)
+    assert len(log_meta["committed_txids"]) == 1
+    tid = log_meta["committed_txids"][0]
+    day_dirs = [
+        os.path.join(dp, f)
+        for dp, dns, fns in os.walk(path)
+        for f in fns
+        if f.endswith(".parquet")
+    ]
+    manifest = os.path.join(root, "_pending", f"tx_{tid}.json")
+    with open(manifest, "w") as f:
+        json.dump(
+            {
+                "tx_time": "2024-07-01 00:00:01",
+                "files": day_dirs,  # superset is fine: committed → untouched
+                "restores": [],
+            },
+            f,
+        )
+    os.utime(manifest, (time.time() - 1200, time.time() - 1200))
+    again = Engine(spark, root)
+    assert not os.path.exists(manifest)
+    assert {r["id"] for r in again.db().table("t").collect()} == {1, 2, 3}
+
+
+def test_scratch_dir_age_measures_swap_time(spark, tmp_path):
+    """Round 7 (ADVICE): os.rename preserves mtime, so a cold table's
+    `_old_` dir used to age past the live-peer reclaim gate the
+    instant it was created.  The swap now utimes scratch dirs so the
+    gate measures time-since-swap."""
+    import os
+    import time
+
+    root = str(tmp_path / "utime")
+    eng = Engine(spark, root)
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    eng.submit_tx([Put("t", mk([(1, "a"), (2, "b")]))],
+                  tx_time="2024-01-01 00:00:01")
+    path = os.path.join(root, "t")
+    # cold table: last content write was two days ago
+    two_days = time.time() - 2 * 86400
+    os.utime(path, (two_days, two_days))
+
+    remaining = spark.read.option("mergeSchema", "true").parquet(path)
+    old = eng._rewrite_atomic(path, remaining, defer_cleanup=True)
+    assert old is not None and os.path.isdir(old)
+    # the _old_ dir's age reflects the SWAP, not the cold content
+    assert time.time() - os.path.getmtime(old) < 120

@@ -448,3 +448,36 @@ def test_flac_codec_lossless_roundtrip():
 
     with pytest.raises(ValueError, match="FLAC"):
         fns["decode_flac"](b"nope")
+
+
+def test_flac_reserved_codes_raise_valueerror():
+    """Round 7 (ADVICE): malformed FLAC payloads follow the ValueError
+    contract everywhere — reserved sample-size code 3 and reserved
+    channel assignments must not escape as bare KeyError."""
+    import numpy as np
+
+    fns = multimodal._codec_fns()
+    sig = np.sin(np.arange(800) / 11.0) * 0.3
+    flac = bytearray(fns["encode_flac"](8000, sig))
+
+    # walk the metadata blocks to the first frame header
+    assert flac[:4] == b"fLaC"
+    i = 4
+    while True:
+        last = flac[i] & 0x80
+        length = int.from_bytes(flac[i + 1:i + 4], "big")
+        i += 4 + length
+        if last:
+            break
+    assert flac[i] == 0xFF  # frame sync
+
+    # byte 3 of the frame header: ch_code<<4 | ss_code<<1 | reserved
+    patched = bytearray(flac)
+    patched[i + 3] = (patched[i + 3] & 0xF0) | (3 << 1)  # ss_code=3
+    with pytest.raises(ValueError, match="sample size"):
+        fns["decode_flac"](bytes(patched))
+
+    patched = bytearray(flac)
+    patched[i + 3] = (11 << 4) | (patched[i + 3] & 0x0F)  # ch_code=11
+    with pytest.raises(ValueError, match="channel"):
+        fns["decode_flac"](bytes(patched))
