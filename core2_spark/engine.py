@@ -1972,22 +1972,40 @@ class Snapshot:
             rewritten = rename_bare_tables(
                 rewrite_temporal_sql(query, table_map), bare_map
             )
-            # spark.sql analyzes eagerly, so the views are resolvable
-            # garbage once this returns
-            try:
-                return spark.sql(rewritten)
-            except Exception:
-                # Catalyst cannot decorrelate EXISTS with correlation
-                # inside a disjunction; distributing EXISTS over the
-                # OR (an exact identity) makes each branch
-                # conjunctive.  Retry-only so decorrelatable queries
-                # keep their single semi-join plan.
-                from core2_spark.sql_dialect import split_exists_disjunctions
 
-                split = split_exists_disjunctions(rewritten)
-                if split == rewritten:
-                    raise
-                return spark.sql(split)
+            def _run(s: str) -> DataFrame:
+                # spark.sql analyzes eagerly, so the views are
+                # resolvable garbage once this returns
+                try:
+                    return spark.sql(s)
+                except Exception:
+                    # Catalyst cannot decorrelate EXISTS with
+                    # correlation inside a disjunction; distributing
+                    # EXISTS over the OR (an exact identity) makes
+                    # each branch conjunctive.  Retry-only so
+                    # decorrelatable queries keep their single
+                    # semi-join plan.
+                    from core2_spark.sql_dialect import (
+                        split_exists_disjunctions,
+                    )
+
+                    split = split_exists_disjunctions(s)
+                    if split == s:
+                        raise
+                    return spark.sql(split)
+
+            # WITH RECURSIVE compiles to the fixpoint operator over
+            # the already-rewritten references (temporal clauses and
+            # basis views resolve inside CTE bodies too)
+            from core2_spark.sql_dialect import expand_recursive_ctes
+
+            def _fresh(tag: str) -> str:
+                v = f"{tag}_{uid}"
+                registered.append(v)
+                return v
+
+            expanded = expand_recursive_ctes(rewritten, _run, _fresh)
+            return _run(rewritten if expanded is None else expanded)
         finally:
             for v in registered:
                 spark.catalog.dropTempView(v)

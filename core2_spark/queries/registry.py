@@ -54,164 +54,80 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order for the tail.  Any prefix of the returned dict is then a
 # maximally-informative correctness sample.
 _PRIORITY: list[str] = [
-    # Head: the engine rows re-verified every round (the full DML/
-    # time-travel/CDC surface goes through the real write path), plus
-    # the bitemporal and TPC-H flagships.  Trimmed from 12 to 8 this
-    # round so the whole never-checked tail fits inside the driver's
-    # ~50-entry truncation window.
-    "engine_sql_time_travel",
-    "engine_dml_roundtrip",
-    "engine_sql_period_overlaps",
-    "engine_dml_portion_of_app_time",
-    "engine_dml_delete_portion",
-    "engine_changes_feed",
-    "temporal_asof_bitemporal",
-    "tpch_q1_pricing_summary",
-    # Rotation (round 6): close the ledger.  Slots 9-17 are the 8
-    # round-5 names that have never had a driver CORRECTNESS row
-    # (cross-checked against CORRECTNESS_r01..r05) plus the re-fixed
-    # `multimodal_feature_extract` (the r5 red row, now emitting scalar
-    # feature columns).  Green on all nine → every registered query has
-    # independent driver evidence.  New round-6 queries follow
-    # immediately (never checked by definition), then ~30 slots of
-    # flagship re-verification fill the driver's ~50-row window.
-    "engine_mview_incremental",
-    "engine_speculative_with_tx",
-    "engine_sql_basis_now",
-    "join_lateral_topk",
-    "external_orc_source",
-    "curation_pii_detect",
-    "curation_decontaminate_substring",
-    "text_repetition_filter",
-    "multimodal_feature_extract",
-    # New in round 6 (never driver-checked by definition): the
-    # partition-drop vacuum, optimistic concurrent writers, and the
-    # JPEG decode leg.
-    "engine_vacuum_partition_drop",
-    "engine_concurrent_writers",
-    "multimodal_jpeg_features",
-    "multimodal_video_frames",
-    "dedup_exact_substring_spans",
-    "graph_pagerank_fixed_iterations",
-    "multimodal_audio_features",
-    # Flagship re-verification: bench headliners + one representative
-    # per operator family, rotated back in after their last check.
-    "tpch_q3_shipping_priority",
-    "tpch_q5_region_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_volume",
-    "tpch_q21_waiting_suppliers",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "window_topk_per_group",
-    "window_rank_dense",
-    "join_full_outer",
-    "join_anti",
-    "join_interval_overlap_binned",
-    "asof_join_enrichment",
-    "temporal_latest_versions",
-    "temporal_rectangle_resolution",
-    "period_predicates",
-    "recursion_fixpoint_ancestors",
-    "datalog_rules_recursive",
-    "unwind_with_ordinality",
-    "json_dynamic_access",
-    "dynamic_variant_union_legs",
-    "subquery_not_in_3vl",
-    "set_except_all",
-    "stream_tumbling_window",
-    "stream_session_window",
-    "dedup_exact_survivors",
-    "dedup_minhash_lsh",
-    "dedup_cluster_canonical",
-    "knn_brute_force_cosine",
-    "embedding_quantize_int8",
-    "corpus_curation_pipeline",
-    "curation_decontaminate_ngram",
-    "curation_pii_redact",
-    "split_train_val_test",
-    "pack_sequences_boundaries",
-    "text_tfidf_distinctive_term_per_doc",
-    "skew_salted_hot_key_agg",
-    "grouped_map_pandas",
+    # Round 7: freshness rotation (VERDICT r6 task 3).  75 names were
+    # last driver-checked in r1-r3, BEFORE the _row_seq repeatable-read
+    # fix, day-partitioning, and the staging/manifest write path landed.
+    # The gate window (~50 rows) is headed by the new r7 queries (never
+    # checked by definition), then every r1-checked name (42), every
+    # r2-checked name (4), and the oldest r3 names to fill; remaining
+    # r3 names queue here in order for the r8 window.  The engine/DML
+    # surface (checked r6) is covered every pytest run by the local
+    # driver-identical parity harness.
+    # -- new in round 7 --
+    "engine_sql_with_recursive",
+    # -- last checked round 1 (42) --
+    "agg_approx_sketches",
+    "agg_array_agg",
+    "agg_bool",
+    "agg_count_if_filtered",
+    "agg_cube",
+    "agg_having",
+    "agg_min_by_max_by",
+    "agg_percentile_exact",
+    "agg_stats",
+    "apply_correlated_exists",
+    "apply_correlated_scalar",
+    "arithmetic_safe",
+    "asof_join_forward_tolerance",
+    "bitwise_operations",
+    "datalog_aggregate",
+    "datalog_in_bindings",
+    "datalog_join_filter",
+    "datalog_not_exists",
+    "datalog_rules_union",
+    "datalog_two_hop_graph",
+    "datetime_construction",
+    "datetime_extract_extended",
+    "decimal_exact_arithmetic",
+    "external_arrow_source",
     "external_csv_source",
-    "engine_replica_cdc_roundtrip",
-    # Previously driver-verified queries (r1-r5 green) follow.
-    "map_construct_access",
-    "project_compute",
-    "select_compound_predicate",
-    "rename_columns",
-    "distinct_rows",
-    "case_when",
-    "conditional_functions",
-    "string_functions",
-    "math_functions",
-    "orderby_nulls_first",
-    "limit_offset",
-    "set_intersect_all",
-    "set_intersect_distinct",
-    "set_except_distinct",
-    "set_union_by_name_missing",
-    "set_union_distinct",
-    "stream_sliding_window",
-    "stream_interval_join_batch_twin",
-    "datetime_extract",
-    "date_trunc_monthly_revenue",
-    "ts_gap_fill_locf",
-    "ts_device_delta_stats",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_statistics",
-    "window_range_frame",
-    "window_moving_avg",
-    "dedup_simhash",
-    "knn_lsh_bucketed",
-    "knn_ivf_probe",
-    "knn_ivf_partitioned_layout",
-    "multimodal_image_resize",
-    "multimodal_frame_sampling",
-    "embedding_cosine_near_dup",
-    "knn_quantized_lsh",
-    "stream_structured_tumbling",
-    "stream_kafka_log_transport",
-    "stream_cdc_log_tail",
-    "corpus_weighted_mixture",
-    "orderby_multi_key_limit",
-    "unwind_explode",
-    "array_higher_order",
-    "null_three_valued_logic",
-    "cast_functions",
-    "interval_arithmetic",
-    "ts_last_point_per_device",
-    "text_quality_stats",
-    "ts_hourly_rollup_daily_peak",
-    "graph_copurchase_pairs",
-    "graph_connected_components",
-    "subquery_scalar",
-    "subquery_in",
-    "exists_flag_projection",
-    "dedup_exact_groups",
-    "dedup_ngram_jaccard",
-    "text_language_id",
-    "text_fingerprint",
-    "knn_top3_per_label",
-    "embedding_norm_stats",
-    "embedding_label_near_dup",
-    "text_doc_frequency_idf",
-    "text_unigram_logprob_score",
-    "text_chunk_windows_udtf",
-    "unwind_outer_empty",
-    "array_functions",
-    "json_from_json_struct",
-    "struct_construct_access",
-    "set_semantics_arrays",
-    "tagged_identifier_types",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
+    "external_json_source",
+    "graph_linear_path_4hop",
+    "graph_star_supplier_profile",
+    "grouped_map_pandas",
+    "grouping_sets_sql",
+    "hash_functions",
+    "like_variants",
+    "multi_column_in_subquery",
+    "pivot_status_by_priority",
+    "pivot_sum_values",
+    "skew_salted_hot_key_agg",
+    "string_functions_extended",
+    "string_regex_functions",
+    "table_literal_values",
+    "time_of_day_encoding",
+    "unpivot_stack",
+    "with_cte_reuse",
+    # -- last checked round 2 (4) --
+    "agg_basic",
+    "agg_rollup",
+    "set_union_all",
+    "window_distribution",
+    # -- last checked round 3 (29): head fills the r7 window, tail
+    # queues for r8 --
+    "corpus_curation_pipeline",
+    "dedup_cluster_canonical",
+    "dedup_ngram_jaccard_lsh",
+    "embedding_quantize_int8",
+    "join_cross",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_nullsafe_equal",
+    "join_semi",
+    "join_theta_nonequi",
+    "temporal_app_from_to",
+    "temporal_asof_system",
+    "temporal_system_from_to",
     "tpch_q11_important_stock",
     "tpch_q12_shipmode_priority",
     "tpch_q13_customer_distribution",
@@ -222,59 +138,29 @@ _PRIORITY: list[str] = [
     "tpch_q19_disjunctive_predicate",
     "tpch_q20_potential_promotion",
     "tpch_q22_global_sales_opportunity",
-    "join_inner_equi",
-    "join_left_outer",
-    "join_semi",
-    "join_cross",
-    "join_theta_nonequi",
-    "join_nullsafe_equal",
-    "temporal_asof_system",
-    "temporal_system_from_to",
-    "temporal_app_from_to",
-    "dedup_ngram_jaccard_lsh",
-    "window_distribution",
-    "agg_basic",
-    "agg_rollup",
-    "set_union_all",
-    "apply_correlated_scalar",
-    "string_regex_functions",
-    "datetime_construction",
-    "pivot_sum_values",
-    "table_literal_values",
-    "graph_linear_path_4hop",
-    "agg_stats",
-    "agg_bool",
-    "agg_array_agg",
-    "agg_count_if_filtered",
-    "agg_having",
-    "agg_cube",
-    "agg_percentile_exact",
-    "agg_min_by_max_by",
-    "agg_approx_sketches",
-    "apply_correlated_exists",
-    "multi_column_in_subquery",
-    "pivot_status_by_priority",
-    "unpivot_stack",
-    "external_json_source",
-    "datalog_join_filter",
-    "datalog_aggregate",
-    "datalog_not_exists",
-    "datalog_two_hop_graph",
-    "datalog_in_bindings",
-    "datalog_rules_union",
-    "external_arrow_source",
-    "asof_join_forward_tolerance",
-    "string_functions_extended",
-    "decimal_exact_arithmetic",
-    "bitwise_operations",
-    "hash_functions",
-    "arithmetic_safe",
-    "datetime_extract_extended",
-    "like_variants",
-    "time_of_day_encoding",
-    "with_cte_reuse",
-    "grouping_sets_sql",
-    "graph_star_supplier_profile",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    # -- fresher flagships (r4+) re-verify beyond the stale backlog --
+    "engine_sql_time_travel",
+    "engine_dml_roundtrip",
+    "engine_sql_period_overlaps",
+    "engine_dml_portion_of_app_time",
+    "engine_dml_delete_portion",
+    "engine_changes_feed",
+    "temporal_asof_bitemporal",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_region_revenue",
+    "tpch_q10_returned_items",
+    "agg_distinct",
+    "window_topk_per_group",
+    "stream_tumbling_window",
+    "dedup_exact_survivors",
+    "knn_brute_force_cosine",
 ]
 
 

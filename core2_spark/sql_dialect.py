@@ -759,6 +759,189 @@ def pin_now(sql: str, at) -> str:
     return "".join(out)
 
 
+def _split_union_terms(body: str) -> tuple[list[str], str | None]:
+    """Split a CTE body at top-level ``UNION [ALL]`` boundaries.
+    Returns ``(term_texts, combinator)`` where combinator is
+    ``"UNION"`` / ``"UNION ALL"`` / None (single term).  INTERSECT /
+    EXCEPT bind tighter than UNION, so splitting only on UNION keeps
+    them inside their term.  Mixed combinators are rejected — the
+    recursive-CTE iteration needs one accumulation semantics."""
+    toks = _tokens(body)
+    depth = 0
+    cuts: list[tuple[int, int, str]] = []  # (start, end, combinator)
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.word() == "UNION":
+            j = i + 1
+            while j < len(toks) and toks[j].kind == "ws":
+                j += 1
+            if j < len(toks) and toks[j].word() == "ALL":
+                cuts.append((t.start, toks[j].end, "UNION ALL"))
+                i = j
+            elif j < len(toks) and toks[j].word() == "DISTINCT":
+                cuts.append((t.start, toks[j].end, "UNION"))
+                i = j
+            else:
+                cuts.append((t.start, t.end, "UNION"))
+        i += 1
+    if not cuts:
+        return [body], None
+    combos = {c for _s, _e, c in cuts}
+    if len(combos) > 1:
+        raise ValueError(
+            "recursive CTE mixes UNION and UNION ALL; one accumulation "
+            "semantics per CTE is supported"
+        )
+    terms, pos = [], 0
+    for s, e, _c in cuts:
+        terms.append(body[pos:s])
+        pos = e
+    terms.append(body[pos:])
+    return terms, cuts[0][2]
+
+
+def expand_recursive_ctes(sql, run_sql, fresh_name):
+    """Compile a statement-head ``WITH RECURSIVE`` into semi-naive
+    fixpoint iteration (SURVEY §2.7 `:fixpoint` reachable from the SQL
+    frontend, matching core2's algebra; Spark SQL has no recursive
+    CTE).  Each CTE body splits at its top-level UNION: terms that
+    reference the CTE name in table position are recursive, the rest
+    form the base.  ``UNION`` iterates under set semantics (the
+    `operators.recursion.fixpoint` semi-naive loop: dedup + anti-join
+    against everything seen); ``UNION ALL`` accumulates bags and stops
+    when an iteration derives nothing.  The recursive reference sees
+    the previous iteration's rows (the standard's working table), and
+    only LINEAR recursion (one self-reference per term) is accepted.
+
+    Scale: each iteration is one distributed join over the frontier
+    only — never the accumulated set — and the accumulator is
+    localCheckpoint'd periodically so plan depth stays bounded.
+
+    ``run_sql`` executes a SQL fragment (references already resolved
+    by the caller's earlier rewrite passes); ``fresh_name(tag)``
+    returns a unique temp-view name the caller will drop.  Returns the
+    rewritten main query with CTE references renamed to the computed
+    views, or None when the statement has no ``WITH RECURSIVE`` head.
+    """
+    toks = [t for t in _tokens(sql) if t.kind != "ws"]
+    if len(toks) < 2 or toks[0].word() != "WITH" or toks[1].word() != "RECURSIVE":
+        return None
+    from core2_spark.operators.recursion import fixpoint
+
+    n = len(toks)
+    i = 2
+    ctes: list[tuple[str, list[str] | None, str]] = []
+    while i < n:
+        if toks[i].kind not in ("word", "qid"):
+            raise ValueError("WITH RECURSIVE: expected a CTE name")
+        name = _unquote(toks[i])
+        i += 1
+        cols: list[str] | None = None
+        if i < n and toks[i].text == "(":
+            cols = []
+            i += 1
+            while i < n and toks[i].text != ")":
+                if toks[i].kind in ("word", "qid"):
+                    cols.append(_unquote(toks[i]))
+                i += 1
+            i += 1  # past ')'
+        if i >= n or toks[i].word() != "AS":
+            raise ValueError(f"WITH RECURSIVE {name}: expected AS")
+        i += 1
+        if i >= n or toks[i].text != "(":
+            raise ValueError(f"WITH RECURSIVE {name}: expected ( after AS")
+        depth, j = 1, i + 1
+        while j < n and depth:
+            if toks[j].text == "(":
+                depth += 1
+            elif toks[j].text == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ValueError(f"WITH RECURSIVE {name}: unbalanced parentheses")
+        body = sql[toks[i].end : toks[j - 1].start]
+        ctes.append((name, cols, body))
+        i = j
+        if i < n and toks[i].text == ",":
+            i += 1
+            continue
+        break
+    if i >= n:
+        raise ValueError("WITH RECURSIVE: missing main query")
+    main = sql[toks[i].start :]
+
+    view_map: dict[str, str] = {}
+    for name, cols, body in ctes:
+        body = rename_bare_tables(body, view_map)  # earlier CTEs resolve
+        terms, combinator = _split_union_terms(body)
+        fr_view = fresh_name(f"rcte_frontier_{name}")
+        base_terms: list[str] = []
+        rec_terms: list[str] = []
+        for t in terms:
+            rt = rename_bare_tables(t, {name: fr_view})
+            if rt == t:
+                base_terms.append(t)
+            elif rt.count(fr_view) > 1:
+                raise ValueError(
+                    f"recursive CTE {name}: non-linear recursion (multiple "
+                    "self-references in one term) is not supported"
+                )
+            else:
+                rec_terms.append(rt)
+        if not rec_terms:
+            df = run_sql(body)
+        else:
+            if not base_terms:
+                raise ValueError(
+                    f"recursive CTE {name}: every UNION term references "
+                    "the CTE; a non-recursive base term is required"
+                )
+            base_df = None
+            for t in base_terms:
+                d = run_sql(t)
+                base_df = d if base_df is None else base_df.union(d)
+            out_cols = cols or base_df.columns
+            base_df = base_df.toDF(*out_cols)
+
+            def step(frontier, _rec=tuple(rec_terms), _fr=fr_view, _cols=out_cols):
+                frontier.createOrReplaceTempView(_fr)
+                d = None
+                for rt in _rec:
+                    p = run_sql(rt)
+                    d = p if d is None else d.union(p)
+                return d.toDF(*_cols)
+
+            if combinator == "UNION":
+                df = fixpoint(base_df, step, max_iterations=200)
+            else:  # UNION ALL: bag accumulation, stop on empty frontier
+                acc, frontier = base_df, base_df
+                for it in range(200):
+                    derived = step(frontier).localCheckpoint(eager=True)
+                    if derived.isEmpty():
+                        break
+                    acc = acc.union(derived)
+                    frontier = derived
+                    if (it + 1) % 8 == 0:
+                        acc = acc.localCheckpoint(eager=True)
+                else:
+                    raise RuntimeError(
+                        f"recursive CTE {name} did not converge in 200 "
+                        "iterations (UNION ALL over cyclic data?)"
+                    )
+                df = acc
+        if cols:
+            df = df.toDF(*cols)
+        vname = fresh_name(f"rcte_{name}")
+        df.createOrReplaceTempView(vname)
+        view_map[name] = vname
+    return rename_bare_tables(main, view_map)
+
+
 def sql_with_temporal(
     spark: SparkSession,
     sql: str,
@@ -766,8 +949,24 @@ def sql_with_temporal(
 ) -> DataFrame:
     """Run SQL with the temporal dialect enabled.  ``version_views``
     registers version tables (with the four temporal columns and
-    system_time_end already derived) as temp views first."""
+    system_time_end already derived) as temp views first.  The
+    ``WITH RECURSIVE`` frontend is available here too."""
+    import uuid as _uuid
+
     if version_views:
         for name, df in version_views.items():
             df.createOrReplaceTempView(name)
-    return spark.sql(rewrite_temporal_sql(sql))
+    rewritten = rewrite_temporal_sql(sql)
+    scratch: list[str] = []
+
+    def _fresh(tag: str) -> str:
+        v = f"{tag}_{_uuid.uuid4().hex[:8]}"
+        scratch.append(v)
+        return v
+
+    try:
+        expanded = expand_recursive_ctes(rewritten, spark.sql, _fresh)
+        return spark.sql(rewritten if expanded is None else expanded)
+    finally:
+        for v in scratch:
+            spark.catalog.dropTempView(v)

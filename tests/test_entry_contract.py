@@ -19,15 +19,16 @@ def test_registry_shape():
 
 
 def test_priority_prefix_rotates_to_unchecked_tail():
-    """The driver's correctness gate truncates at ~50 entries; round 6
-    closes the ledger: the 8-name engine+flagship head, then the 8
-    round-5 names that never had a driver CORRECTNESS row plus the
-    re-fixed multimodal_feature_extract, then the new round-6 queries
-    — all inside the gate.  Remaining slots re-verify flagships.
-    Pin that contract."""
+    """The driver's correctness gate truncates at ~50 entries; round 7
+    rotates for FRESHNESS: the window is headed by the new r7 queries
+    (never driver-checked), then every name whose latest driver
+    CORRECTNESS row predates round 3 — evidence that predates the
+    _row_seq fix, day-partitioning, and the staging/manifest write
+    path.  Pin that contract."""
     import glob
     import json
     import os
+    import re
 
     from core2_spark.queries.registry import _PRIORITY, all_queries
 
@@ -38,30 +39,22 @@ def test_priority_prefix_rotates_to_unchecked_tail():
     # and the priority list is exactly the head of the ordering
     assert names[: len(_PRIORITY)] == _PRIORITY
     first50 = names[:50]
-    # engine rows re-verify every round (the r2 regression class)
-    for n in [
-        "engine_sql_time_travel",
-        "engine_dml_roundtrip",
-        "engine_sql_period_overlaps",
-        "engine_dml_portion_of_app_time",
-        "engine_dml_delete_portion",
-        "engine_changes_feed",
-        "temporal_asof_bitemporal",
-        "tpch_q1_pricing_summary",
-    ]:
-        assert n in first50, n
-    # every name with NO driver CORRECTNESS row through r5 (incl. the
-    # r5 error row being re-verified, and the new r6 queries) must sit
-    # inside the gate window
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked: set[str] = set()
-    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r0[12345].json")):
-        data = json.load(open(f))
-        checked |= {k for k, v in data.items() if not v.get("err") or v.get("err") == "no_oracle"}
-    if checked:  # driver artifacts present
-        unchecked = [n for n in names if n not in checked]
+    latest: dict[str, int] = {}
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")):
+        rnd = int(re.search(r"_r(\d+)", f).group(1))
+        for k, v in json.load(open(f)).items():
+            if not v.get("err") or v.get("err") == "no_oracle":
+                latest[k] = max(latest.get(k, 0), rnd)
+    if latest:  # driver artifacts present
+        # never-checked names (new this round) head the gate window
+        unchecked = [n for n in names if n not in latest]
         outside = [n for n in unchecked if n not in first50]
         assert not outside, f"never-checked names outside the gate: {outside}"
+        # every name whose latest evidence is r1/r2 sits in the window
+        stale = [n for n, r in latest.items() if r <= 2 and n in names]
+        outside = [n for n in stale if n not in first50]
+        assert not outside, f"r1/r2-stale names outside the gate: {outside}"
 
 
 def test_entry_smoke(spark):

@@ -408,3 +408,42 @@ def test_pgwire_vacuum_optimize_statements(spark, engine):
         client.close()
     finally:
         server.shutdown()
+
+
+def test_pgwire_with_recursive(spark, engine):
+    """Round 7: `WITH RECURSIVE` works over the wire — the dialect
+    pre-pass compiles it to the fixpoint operator inside
+    Snapshot.sql, so every frontend (pgwire included) gets it."""
+    from core2_spark.pgwire_server import PgWireServer
+
+    edges = spark.createDataFrame(
+        [(1, 1, 2), (2, 2, 3), (3, 3, 4), (4, 7, 8)],
+        "id long, parent long, child long",
+    )
+    engine.submit_tx([Put("edges", edges)], tx_time="2024-01-01 00:00:01")
+
+    server = PgWireServer(lambda sql: engine.db().sql(sql))
+    try:
+        client = MiniPgClient(server.port)
+        cols, rows, err = client.query(
+            """
+            WITH RECURSIVE anc AS (
+                SELECT parent AS a, child AS d FROM edges
+                UNION ALL
+                SELECT x.a, e.child FROM anc x
+                JOIN edges e ON e.parent = x.d
+            )
+            SELECT a, d FROM anc ORDER BY a, d
+            """
+        )
+        assert err is None
+        assert cols == ["a", "d"]
+        assert [tuple(map(int, r)) for r in rows] == [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (7, 8)
+        ]
+        # session still usable afterwards (scratch views cleaned up)
+        _, rows, err = client.query("SELECT COUNT(*) AS n FROM edges")
+        assert err is None and rows == [["4"]]
+        client.close()
+    finally:
+        server.shutdown()

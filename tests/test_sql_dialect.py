@@ -473,3 +473,144 @@ def test_bare_table_rename_case_insensitive_fuzz(spark, tmp_path):
         want = [tuple(r) for r in eng.db().sql(plain).collect()]
         got = [tuple(r) for r in eng.db().sql(mangled).collect()]
         assert got == want, mangled
+
+
+def test_with_recursive_shapes(spark):
+    """Round 7: the WITH RECURSIVE frontend — UNION vs UNION ALL
+    semantics, declared column lists, mixed plain+recursive CTEs,
+    temporal clauses inside CTE bodies, and the rejection shapes
+    (non-linear recursion, mixed combinators, no base term)."""
+    import pytest
+
+    from core2_spark.sql_dialect import sql_with_temporal
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 5), (7, 8)], "parent long, child long"
+    )
+    edges.createOrReplaceTempView("e_rcte")
+
+    # UNION ALL accumulates every derivation path
+    got = sql_with_temporal(
+        spark,
+        """
+        WITH RECURSIVE anc AS (
+            SELECT parent AS a, child AS d FROM e_rcte
+            UNION ALL
+            SELECT x.a, e.child FROM anc x JOIN e_rcte e ON e.parent = x.d
+        )
+        SELECT a, d FROM anc ORDER BY a, d
+        """,
+    ).collect()
+    assert [(r[0], r[1]) for r in got] == [
+        (1, 2), (1, 3), (1, 4), (1, 5), (2, 3), (2, 4), (2, 5), (3, 4), (7, 8)
+    ]
+
+    # UNION (distinct) terminates on cyclic data; declared column list
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "a long, b long")
+    cyc.createOrReplaceTempView("cyc_rcte")
+    got = sql_with_temporal(
+        spark,
+        """
+        WITH RECURSIVE reach (src, dst) AS (
+            SELECT a, b FROM cyc_rcte
+            UNION
+            SELECT r.src, c.b FROM reach r JOIN cyc_rcte c ON c.a = r.dst
+        )
+        SELECT src, dst FROM reach ORDER BY src, dst
+        """,
+    ).collect()
+    assert [(r[0], r[1]) for r in got] == [(1, 1), (1, 2), (2, 1), (2, 2)]
+
+    # plain CTE before AND after a recursive one; references chain
+    got = sql_with_temporal(
+        spark,
+        """
+        WITH RECURSIVE seed AS (
+            SELECT parent FROM e_rcte WHERE parent = 1
+        ),
+        walk AS (
+            SELECT parent AS node FROM seed
+            UNION
+            SELECT e.child FROM walk w JOIN e_rcte e ON e.parent = w.node
+        ),
+        top2 AS (SELECT node FROM walk ORDER BY node DESC LIMIT 2)
+        SELECT node FROM top2 ORDER BY node
+        """,
+    ).collect()
+    assert [r[0] for r in got] == [4, 5]
+
+    # rejection shapes
+    with pytest.raises(ValueError, match="non-linear"):
+        sql_with_temporal(
+            spark,
+            """
+            WITH RECURSIVE r AS (
+                SELECT parent AS a, child AS b FROM e_rcte
+                UNION ALL
+                SELECT x.a, y.b FROM r x JOIN r y ON y.a = x.b
+            )
+            SELECT * FROM r
+            """,
+        )
+    with pytest.raises(ValueError, match="base term"):
+        sql_with_temporal(
+            spark,
+            """
+            WITH RECURSIVE r AS (
+                SELECT x.a, x.b FROM r x
+                UNION ALL
+                SELECT x.a, x.b FROM r x
+            )
+            SELECT * FROM r
+            """,
+        )
+    with pytest.raises(ValueError, match="UNION"):
+        sql_with_temporal(
+            spark,
+            """
+            WITH RECURSIVE r AS (
+                SELECT parent AS a FROM e_rcte
+                UNION
+                SELECT a + 1 FROM r WHERE a < 3
+                UNION ALL
+                SELECT a + 2 FROM r WHERE a < 3
+            )
+            SELECT * FROM r
+            """,
+        )
+    # a string literal containing 'WITH RECURSIVE' is not a frontend hit
+    got = sql_with_temporal(
+        spark, "SELECT 'WITH RECURSIVE x AS y' AS s"
+    ).collect()
+    assert got[0][0] == "WITH RECURSIVE x AS y"
+
+
+def test_with_recursive_temporal_inside_cte(spark, tmp_path):
+    """A FOR SYSTEM_TIME clause inside a recursive CTE body resolves
+    against the basis history — the temporal rewrite runs before the
+    recursion compiles."""
+    from core2_spark.engine import Engine, Put
+
+    eng = Engine(spark, str(tmp_path / "rcte_t"))
+    e1 = spark.createDataFrame([(1, 1, 2), (2, 2, 3)], "id long, p long, c long")
+    eng.submit_tx([Put("ed", e1)], tx_time="2024-01-01 00:00:01")
+    # later: reroute 2->9 (same id overwritten)
+    e2 = spark.createDataFrame([(2, 2, 9)], "id long, p long, c long")
+    eng.submit_tx([Put("ed", e2)], tx_time="2024-02-01 00:00:01")
+
+    got = eng.db().sql(
+        """
+        WITH RECURSIVE w AS (
+            SELECT p AS node, c AS nxt
+            FROM ed FOR SYSTEM_TIME AS OF TIMESTAMP '2024-01-15 00:00:00'
+            WHERE p = 1
+            UNION
+            SELECT x.nxt, e.c
+            FROM w x JOIN ed FOR SYSTEM_TIME AS OF
+                 TIMESTAMP '2024-01-15 00:00:00' e ON e.p = x.nxt
+        )
+        SELECT node, nxt FROM w ORDER BY node, nxt
+        """
+    ).collect()
+    # at the pinned time the chain is 1->2->3 (not ->9)
+    assert [(r[0], r[1]) for r in got] == [(1, 2), (2, 3)]
