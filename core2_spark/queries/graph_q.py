@@ -250,26 +250,9 @@ def graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / 25))
-    for _ in range(8):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
-            .select("dst", (F.col("rank") / F.col("d")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(0.15 / 25)
-                    + F.lit(0.85) * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("rank"),
-            )
-        )
+    from core2_spark.operators.pagerank import pagerank
+
+    ranks = pagerank(nodes, edges, iterations=8)
     return ranks.select(
         "node", F.round(F.col("rank") + F.lit(1e-9), 6).alias("pagerank")
     ).orderBy("node")

@@ -1549,19 +1549,55 @@ def dedup_exact_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale shape: one linear explode + two hash aggregations on the
     shingle — no all-pairs join, no skew (anchor hashes are uniform);
     at 100 TB this is the standard linear-shuffle job, and the 1/16
-    anchor rate is the volume knob."""
+    anchor rate is the volume knob.  Per-task memory is bounded by the
+    CHUNK size, not the document size (see _exact_substring_spans)."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return _exact_substring_spans(d)
+
+
+def _exact_substring_spans(
+    d: DataFrame, chunk: int = 256, k: int = 40
+) -> DataFrame:
+    """Count content-anchored duplicated k-gram shingles per document.
+
+    Round 7 fix (memory AND time): the r6 shape materialized the FULL
+    per-doc shingle array (``transform(sequence(1, n-k+1), substr)``)
+    before the anchor filter — ~k× document length in one task
+    allocation (a 1 GB document peaked at ~40 GB), and worse,
+    ``substr(s, i, k)`` walks bytes from position 0 to find the i-th
+    code point (UTF8String is variable-width), so whole-document
+    shingling is O(doc²) CPU — measured 10× slower at 65 KB windows
+    than at 256.  Documents now split into overlapping windows of
+    ``chunk`` shingle-start positions FIRST (the window text is
+    ``chunk + k - 1`` chars, so every global shingle start lands in
+    exactly one window and no shingle is lost at a boundary), and the
+    shingle array materializes per-window: peak per-row allocation is
+    ~k×chunk (~10 KB at the defaults) and substr offsets stay small,
+    so CPU is linear in document size.  Within-doc duplicate shingles
+    need no dedup — both downstream aggregations are DISTINCT."""
     t = d.select("doc_id", F.lower(F.col("text")).alias("s"))
     n = F.length(F.col("s"))
-    idx = F.when(n >= 40, F.sequence(F.lit(1), n - 39)).otherwise(
-        F.array().cast("array<int>")
+    # one entry per window of `chunk` consecutive shingle starts; the
+    # transform output totals ~|s| + (k-1)*n_windows chars — O(doc),
+    # never O(k*doc)
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1), F.lit(chunk)))
+    windows = F.transform(
+        starts, lambda cs: F.col("s").substr(cs, F.lit(chunk + k - 1))
     )
-    grams = t.select(
+    chunks = t.select(
         "doc_id",
         F.explode(
-            F.array_distinct(
-                F.transform(idx, lambda i: F.col("s").substr(i, F.lit(40)))
-            )
+            F.coalesce(windows, F.array().cast("array<string>"))
+        ).alias("w"),
+    )
+    wn = F.length(F.col("w"))
+    idx = F.when(wn >= k, F.sequence(F.lit(1), wn - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = chunks.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.col("w").substr(i, F.lit(k)))
         ).alias("g"),
     )
     anchored = grams.filter(F.substring(F.md5(F.col("g")), 1, 1) == "0")

@@ -224,3 +224,72 @@ def test_ivf_partitioned_layout_prunes_and_matches_inline(spark, tmp_path):
     assert [tuple(r) for r in probed.collect()] == [
         tuple(r) for r in inline.collect()
     ]
+
+
+def test_exact_substring_spans_chunked_boundaries(spark):
+    """Round 7 memory fix: documents shingle per-WINDOW (bounded task
+    memory), and a tiny chunk size must give byte-identical results to
+    whole-document shingling — including duplicates planted exactly
+    across window boundaries and a large document (the shape whose
+    single-task allocation was ~40x document size — and whose substr
+    offsets made CPU quadratic — before the fix)."""
+    import hashlib
+    import random
+
+    from core2_spark.queries.llm_q import _exact_substring_spans
+
+    rng = random.Random(421)
+    alpha = "abcdefghijklmnopqrstuvwxyz 0123456789"
+    mk = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+
+    shared_a = mk(120)
+    shared_b = mk(200)
+    docs = [
+        # shared_a straddles doc 1's first window boundary (chunk=257)
+        (1, mk(230) + shared_a + mk(150)),
+        (2, mk(80) + shared_a + mk(40)),
+        (3, mk(500) + shared_b),
+        (4, shared_b + mk(313)),
+        (5, mk(700)),       # no duplication
+        (6, "short"),       # < k chars
+        # large doc (1600 windows at chunk=257) sharing a span with docs 1/2
+        (7, mk(400_000) + shared_a + mk(999)),
+    ]
+
+    def reference(docs, k=40):
+        anchored = {}
+        for doc_id, text in docs:
+            s = text.lower()
+            anchored[doc_id] = {
+                g
+                for i in range(len(s) - k + 1)
+                for g in [s[i : i + k]]
+                if hashlib.md5(g.encode()).hexdigest()[0] == "0"
+            }
+        want = {}
+        for doc_id, mine in anchored.items():
+            n = sum(
+                1
+                for g in mine
+                if any(g in other for d, other in anchored.items() if d != doc_id)
+            )
+            if n:
+                want[doc_id] = n
+        return want
+
+    want = reference(docs)
+    assert want.get(1, 0) > 0 and want.get(7, 0) > 0  # planted pairs anchored
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    # tiny chunk: doc 7 alone splits into ~1600 windows
+    got = {
+        r["doc_id"]: r["n_dup_shingles"]
+        for r in _exact_substring_spans(sdf, chunk=257).collect()
+    }
+    assert got == want
+    # default (production) chunk agrees too
+    got_default = {
+        r["doc_id"]: r["n_dup_shingles"]
+        for r in _exact_substring_spans(sdf).collect()
+    }
+    assert got_default == want

@@ -242,3 +242,42 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
     df = spark.createDataFrame(edges, "a_id long, b_id long")
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == expected
+
+
+def test_pagerank_parameterized_bounded_plan(spark):
+    """Round 7: PageRank iterations are a parameter; localCheckpoint
+    every k steps keeps the standing Catalyst plan bounded, so plan
+    size — and analysis cost — is flat in the iteration count (the
+    fixpoint operator's discipline).  Values must be unaffected by
+    where checkpoints land."""
+    from pyspark.sql import functions as F
+
+    from core2_spark.operators.pagerank import pagerank
+
+    nodes = spark.range(25).select(F.col("id").alias("node"))
+    edges = nodes.select(
+        F.col("node").alias("src"), ((F.col("node") * 3 + 1) % 25).alias("dst")
+    ).unionAll(
+        nodes.select(
+            F.col("node").alias("src"),
+            ((F.col("node") * F.col("node") + 2) % 25).alias("dst"),
+        )
+    )
+
+    # checkpoint cadence does not change the numbers
+    a = pagerank(nodes, edges, iterations=8, checkpoint_every=3)
+    b = pagerank(nodes, edges, iterations=8, checkpoint_every=100)
+    ra = {r["node"]: r["rank"] for r in a.collect()}
+    rb = {r["node"]: r["rank"] for r in b.collect()}
+    assert ra.keys() == rb.keys()
+    assert all(abs(ra[k] - rb[k]) < 1e-12 for k in ra)
+    assert abs(sum(ra.values()) - 1.0) < 1e-6  # mass conserved (no dangling)
+
+    # plan-size probe: 30 iterations must not plan deeper than 12 —
+    # lineage is truncated at each checkpoint
+    def plan_chars(df):
+        return len(df._jdf.queryExecution().analyzed().toString())
+
+    p12 = plan_chars(pagerank(nodes, edges, iterations=12))
+    p30 = plan_chars(pagerank(nodes, edges, iterations=30))
+    assert p30 <= 1.5 * p12, (p12, p30)
