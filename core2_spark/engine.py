@@ -1972,6 +1972,10 @@ class Snapshot:
             rewritten = rename_bare_tables(
                 rewrite_temporal_sql(query, table_map), bare_map
             )
+            if "asof" in rewritten.lower():  # zero overhead otherwise
+                from core2_spark.sql_dialect import rewrite_asof_joins
+
+                rewritten = rewrite_asof_joins(rewritten)
 
             def _run(s: str) -> DataFrame:
                 # spark.sql analyzes eagerly, so the views are

@@ -404,3 +404,83 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey % 5 = 0
         """
     )
+
+
+@query(
+    "sql_asof_join_dialect",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+           ROUND(c.value, 4) AS click_value
+    FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def sql_asof_join_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ASOF JOIN`` as SQL syntax (SURVEY §2.3/§3.1 extension; the
+    oracle is DuckDB's NATIVE ASOF JOIN, so the dialect's semantics
+    are checked against an independent implementation).  Each purchase
+    event is enriched with the user's most recent click at-or-before
+    it.  The rewrite (`sql_dialect.rewrite_asof_joins`) compiles the
+    join to a union+window matcher plus two hash equi-joins — no range
+    join / nested loop appears in the plan, so key-group size never
+    goes quadratic at scale."""
+    from core2_spark.sql_dialect import sql_with_temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    ).createOrReplaceTempView("_asof_purchases")
+    ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    ).createOrReplaceTempView("_asof_clicks")
+    return sql_with_temporal(
+        spark,
+        """
+        SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+               ROUND(c.value, 4) AS click_value
+        FROM _asof_purchases p ASOF JOIN _asof_clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+    )
+
+
+@query(
+    "sql_asof_left_join_forward",
+    oracle="""
+    WITH s AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'signup'),
+         p AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase')
+    SELECT s.event_id, s.user_id, s.ts, p.ts AS next_purchase_ts,
+           ROUND(p.value, 4) AS purchase_value
+    FROM s ASOF LEFT JOIN p ON s.user_id = p.user_id AND s.ts <= p.ts
+    """,
+)
+def sql_asof_left_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ASOF LEFT JOIN`` with a forward (``<=``) match condition:
+    each signup gets the user's EARLIEST purchase at-or-after it, or
+    NULLs when none follows (left rows survive).  Exercises both the
+    forward window direction (first/FOLLOWING frame) and the
+    outer-join leg of the rewrite against DuckDB's native ASOF LEFT
+    JOIN."""
+    from core2_spark.sql_dialect import sql_with_temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    ).createOrReplaceTempView("_asof_signups")
+    ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    ).createOrReplaceTempView("_asof_fwd_purchases")
+    return sql_with_temporal(
+        spark,
+        """
+        SELECT s.event_id, s.user_id, s.ts, p.ts AS next_purchase_ts,
+               ROUND(p.value, 4) AS purchase_value
+        FROM _asof_signups s ASOF LEFT JOIN _asof_fwd_purchases p
+          ON s.user_id = p.user_id AND s.ts <= p.ts
+        """,
+    )

@@ -65,6 +65,8 @@ _PRIORITY: list[str] = [
     # driver-identical parity harness.
     # -- new in round 7 --
     "engine_sql_with_recursive",
+    "sql_asof_join_dialect",
+    "sql_asof_left_join_forward",
     # -- last checked round 1 (42) --
     "agg_approx_sketches",
     "agg_array_agg",

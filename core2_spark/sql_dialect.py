@@ -942,6 +942,278 @@ def expand_recursive_ctes(sql, run_sql, fresh_name):
     return rename_bare_tables(main, view_map)
 
 
+_ASOF_CLAUSE_END = {
+    "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "WINDOW", "QUALIFY",
+    "UNION", "INTERSECT", "EXCEPT", "JOIN", "LEFT", "RIGHT", "FULL",
+    "INNER", "CROSS", "ASOF", "SEMI", "ANTI",
+}
+
+
+def rewrite_asof_joins(sql: str) -> str:
+    """Compile DuckDB-style ``ASOF [LEFT] JOIN`` into a union+window
+    matcher plus two equi-joins — pure text→text, no temp views.
+
+    Syntax (the DuckDB surface; core2 itself reaches as-of semantics
+    through scan-side temporal clauses, reference README.adoc:1-16):
+
+        FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts
+
+    matches each ``l`` row with the single ``r`` row having the
+    greatest ``r.ts <= l.ts`` within equal keys (``<=`` flips the
+    direction: smallest ``r.ts >= l.ts``).  ``ASOF LEFT JOIN`` keeps
+    unmatched left rows with NULL right columns.  Both relations stay
+    referenceable by their aliases — the rewrite only replaces the
+    join expression, never touching the select list or later clauses.
+
+    Scale: the naive reading of ASOF JOIN is a range join (quadratic
+    per key group under Spark's nested-loop fallback).  The emitted
+    plan is the same union+window trick as ``operators.asof_join``:
+    one shuffle on the keys computes, per left (keys, ts), the
+    matched right ts; two hash equi-joins then attach the full rows.
+    No range join appears anywhere in the plan.
+
+    V1 limits (loud errors, never silent wrong answers): both sides
+    must be plain table/view references with optional aliases; the ON
+    clause must be a conjunction of column equalities plus exactly one
+    ``>=``/``<=`` timestamp comparison; right rows must be unique per
+    (keys, ts) for a deterministic match (same precondition as
+    ``operators.asof_join``).  NULL timestamps never match (SQL
+    comparison semantics), and NULL keys never match (equi-join).
+    """
+    out = sql
+    for _ in range(16):  # one ASOF join rewritten per pass
+        rewritten = _rewrite_one_asof(out)
+        if rewritten is None:
+            return out
+        out = rewritten
+    raise ValueError("more than 16 ASOF JOINs in one statement")
+
+
+def _rewrite_one_asof(sql: str) -> str | None:
+    toks = _tokens(sql)
+    n = len(toks)
+    pos = None
+    for i, t in enumerate(toks):
+        if t.word() == "ASOF":
+            j = i + 1
+            left_kind = False
+            if j < n and toks[j].word() == "LEFT":
+                left_kind = True
+                j += 1
+            if j < n and toks[j].word() == "JOIN":
+                pos = (i, j, left_kind)
+                break
+    if pos is None:
+        return None
+    asof_i, join_i, left_kind = pos
+
+    def _table_ref(i: int) -> tuple[str, str, int] | None:
+        """Parse ``name [AS] [alias]`` at token i → (name_sql, alias,
+        next_index); None if not a plain reference."""
+        if i >= n or toks[i].kind not in ("word", "qid"):
+            return None
+        name_tok = toks[i]
+        i += 1
+        if i < n and toks[i].word() == "AS":
+            i += 1
+        alias = None
+        if (
+            i < n
+            and toks[i].kind in ("word", "qid")
+            and toks[i].word() not in _ASOF_CLAUSE_END | {"ON", "AS"}
+        ):
+            alias = _unquote(toks[i])
+            i += 1
+        return name_tok.text, alias or _unquote(name_tok), i
+
+    # left relation: `name`, `name alias`, or `name AS alias` ending
+    # exactly at ASOF — pick the longest form that parses
+    l_name = l_alias = None
+    l_span_start = -1
+    for cand in (asof_i - 3, asof_i - 2, asof_i - 1):
+        if cand < 0:
+            continue
+        prev = cand - 1
+        if prev >= 0 and toks[prev].text == ".":
+            continue  # qualified ref fragment, not a table name
+        if toks[cand].word() in _ASOF_CLAUSE_END | {"FROM", "ON", "AND", "AS"}:
+            continue  # keyword, not a table name
+        got = _table_ref(cand)
+        if got is not None and got[2] == asof_i:
+            if prev >= 0 and toks[prev].text == ")":
+                raise ValueError(
+                    "ASOF JOIN: left side must be a plain table "
+                    "reference (wrap subqueries in a CTE)"
+                )
+            l_name, l_alias, _ = got
+            l_span_start = toks[cand].start
+            break
+    if l_name is None:
+        raise ValueError(
+            "ASOF JOIN: left side must be a plain table reference "
+            "(wrap subqueries in a CTE)"
+        )
+
+    got = _table_ref(join_i + 1)
+    if got is None:
+        raise ValueError(
+            "ASOF JOIN: right side must be a plain table reference "
+            "(wrap subqueries in a CTE)"
+        )
+    r_name, r_alias, after_r = got
+    if after_r >= n or toks[after_r].word() != "ON":
+        raise ValueError("ASOF JOIN requires an ON clause")
+
+    # ON conjunct list ends at the next top-level clause keyword,
+    # unbalanced ')', or end of statement
+    depth = 0
+    end_i = n
+    k = after_r + 1
+    while k < n:
+        t = toks[k]
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            if depth == 0:
+                end_i = k
+                break
+            depth -= 1
+        elif depth == 0 and t.word() in _ASOF_CLAUSE_END:
+            end_i = k
+            break
+        k += 1
+    on_toks = toks[after_r + 1 : end_i]
+
+    # split at AND; each conjunct must be  qual.col OP qual.col
+    conjuncts: list[list[_Tok]] = [[]]
+    for t in on_toks:
+        if t.word() == "AND":
+            conjuncts.append([])
+        else:
+            conjuncts[-1].append(t)
+
+    def _qualified(ts: list[_Tok], i: int):
+        if (
+            i + 2 < len(ts)
+            and ts[i].kind in ("word", "qid")
+            and ts[i + 1].text == "."
+            and ts[i + 2].kind in ("word", "qid")
+        ):
+            return _unquote(ts[i]), ts[i + 2].text, i + 3
+        return None
+
+    eq_pairs: list[tuple[str, str]] = []  # (left col sql, right col sql)
+    match_cond = None  # (l_ts, r_ts, direction)
+    for c in conjuncts:
+        strip = [t for t in c if t.text not in ("(", ")")]
+        q1 = _qualified(strip, 0)
+        if q1 is None:
+            raise ValueError(
+                "ASOF JOIN ON: each conjunct must compare qualified "
+                f"columns, got {' '.join(t.text for t in c)!r}"
+            )
+        a_qual, a_col, i2 = q1
+        # the tokenizer emits single chars: >= / <= arrive as two toks
+        op = None
+        if i2 < len(strip) and strip[i2].text in (">", "<", "="):
+            if (
+                strip[i2].text in (">", "<")
+                and i2 + 1 < len(strip)
+                and strip[i2 + 1].text == "="
+            ):
+                op = strip[i2].text + "="
+                i2 += 2
+            elif strip[i2].text == "=":
+                op = "="
+                i2 += 1
+        if op is None:
+            raise ValueError(
+                "ASOF JOIN ON supports only =, >= and <= comparisons "
+                f"(got {' '.join(t.text for t in c)!r}); strict </> "
+                "variants are not implemented"
+            )
+        q2 = _qualified(strip, i2)
+        if q2 is None or q2[2] != len(strip):
+            raise ValueError(
+                "ASOF JOIN ON: each conjunct must be qual.col OP "
+                f"qual.col, got {' '.join(t.text for t in c)!r}"
+            )
+        b_qual, b_col, _ = q2
+        quals = {a_qual.lower(), b_qual.lower()}
+        if quals != {l_alias.lower(), r_alias.lower()}:
+            raise ValueError(
+                f"ASOF JOIN ON references {sorted(quals)}; expected the "
+                f"join's own aliases {[l_alias, r_alias]}"
+            )
+        a_is_left = a_qual.lower() == l_alias.lower()
+        lcol, rcol = (a_col, b_col) if a_is_left else (b_col, a_col)
+        if op == "=":
+            eq_pairs.append((lcol, rcol))
+        else:
+            if match_cond is not None:
+                raise ValueError(
+                    "ASOF JOIN ON: exactly one >=/<= match condition "
+                    "is required (found two)"
+                )
+            # normalize to the LEFT operand's perspective
+            if not a_is_left:
+                op = ">=" if op == "<=" else "<="
+            match_cond = (lcol, rcol, "backward" if op == ">=" else "forward")
+    if match_cond is None:
+        raise ValueError(
+            "ASOF JOIN ON: a >= or <= match condition is required"
+        )
+    l_ts, r_ts, direction = match_cond
+
+    import uuid as _uuid
+
+    mm = f"__asof_m_{_uuid.uuid4().hex[:8]}"
+    keys = [f"__asof_k{i}" for i in range(len(eq_pairs))]
+    l_keys_sel = ", ".join(
+        f"{lc} AS {k}" for (lc, _rc), k in zip(eq_pairs, keys)
+    )
+    r_keys_sel = ", ".join(rc for (_lc, rc) in eq_pairs)
+    part = f"PARTITION BY {', '.join(keys)} " if keys else ""
+    if direction == "backward":
+        order = "ORDER BY __asof_t ASC, __asof_side ASC"
+        frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        pick = "last"
+    else:
+        order = "ORDER BY __asof_t ASC, __asof_side DESC"
+        frame = "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+        pick = "first"
+    key_cols = (", ".join(keys) + ", ") if keys else ""
+    matcher = (
+        f"(SELECT DISTINCT {key_cols}__asof_t AS __asof_lt, __asof_rt "
+        f"FROM (SELECT {key_cols}__asof_t, __asof_side, "
+        f"{pick}(CASE WHEN __asof_side = 0 THEN __asof_t END, true) "
+        f"OVER ({part}{order} {frame}) AS __asof_rt "
+        f"FROM (SELECT {l_keys_sel}{', ' if l_keys_sel else ''}"
+        f"{l_ts} AS __asof_t, 1 AS __asof_side FROM {l_name} "
+        f"WHERE {l_ts} IS NOT NULL "
+        f"UNION ALL SELECT {r_keys_sel}{', ' if r_keys_sel else ''}"
+        f"{r_ts}, 0 FROM {r_name} WHERE {r_ts} IS NOT NULL)) "
+        f"WHERE __asof_side = 1"
+        f"{'' if left_kind else ' AND __asof_rt IS NOT NULL'}) {mm}"
+    )
+    jkind = "LEFT JOIN" if left_kind else "JOIN"
+    mm_on = " AND ".join(
+        [f"{l_alias}.{lc} = {mm}.{k}" for (lc, _rc), k in zip(eq_pairs, keys)]
+        + [f"{l_alias}.{l_ts} = {mm}.__asof_lt"]
+    )
+    r_on = " AND ".join(
+        [f"{r_alias}.{rc} = {mm}.{k}" for (_lc, rc), k in zip(eq_pairs, keys)]
+        + [f"{r_alias}.{r_ts} = {mm}.__asof_rt"]
+    )
+    l_text = sql[l_span_start : toks[asof_i].start].rstrip()
+    replacement = (
+        f"{l_text} {jkind} {matcher} ON {mm_on} "
+        f"{jkind} {r_name} {r_alias} ON {r_on}"
+    )
+    tail_start = toks[end_i].start if end_i < n else len(sql)
+    return sql[:l_span_start] + replacement + " " + sql[tail_start:]
+
+
 def sql_with_temporal(
     spark: SparkSession,
     sql: str,
@@ -957,6 +1229,8 @@ def sql_with_temporal(
         for name, df in version_views.items():
             df.createOrReplaceTempView(name)
     rewritten = rewrite_temporal_sql(sql)
+    if "asof" in rewritten.lower():  # zero overhead otherwise
+        rewritten = rewrite_asof_joins(rewritten)
     scratch: list[str] = []
 
     def _fresh(tag: str) -> str:

@@ -614,3 +614,125 @@ def test_with_recursive_temporal_inside_cte(spark, tmp_path):
     ).collect()
     # at the pinned time the chain is 1->2->3 (not ->9)
     assert [(r[0], r[1]) for r in got] == [(1, 2), (2, 3)]
+
+
+# ---------------------------------------------------------------- ASOF JOIN
+
+
+def test_asof_join_rewrite_backward(spark):
+    """ASOF JOIN compiles to union+window + equi-joins; no range join
+    (BroadcastNestedLoop / CartesianProduct) may appear in the plan."""
+    from core2_spark.sql_dialect import sql_with_temporal
+
+    l = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c"), (3, 5, "d")],
+        "k long, t long, lv string",
+    )
+    r = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 18, 200.0), (2, 15, 300.0), (9, 1, 0.0)],
+        "k long, t long, rv double",
+    )
+    l.createOrReplaceTempView("_asof_tl")
+    r.createOrReplaceTempView("_asof_tr")
+    df = sql_with_temporal(
+        spark,
+        "SELECT l.k, l.t, l.lv, r.t AS rt, r.rv FROM _asof_tl l "
+        "ASOF JOIN _asof_tr r ON l.k = r.k AND l.t >= r.t",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    got = sorted((r2[0], r2[1], r2[3], r2[4]) for r2 in df.collect())
+    # k=1 t=10 -> r@8; k=1 t=20 -> r@18; k=2 t=15 -> r@15 (inclusive);
+    # k=3 has no right rows -> dropped (inner)
+    assert got == [(1, 10, 8, 100.0), (1, 20, 18, 200.0), (2, 15, 15, 300.0)]
+
+
+def test_asof_left_join_forward(spark):
+    from core2_spark.sql_dialect import sql_with_temporal
+
+    l = spark.createDataFrame([(1, 10), (1, 99), (2, 5)], "k long, t long")
+    r = spark.createDataFrame([(1, 12), (1, 30), (2, 5)], "k long, t long")
+    l.createOrReplaceTempView("_asoff_l")
+    r.createOrReplaceTempView("_asoff_r")
+    got = sorted(
+        (x[0], x[1], x[2])
+        for x in sql_with_temporal(
+            spark,
+            "SELECT l.k, l.t, r.t AS rt FROM _asoff_l l "
+            "ASOF LEFT JOIN _asoff_r r ON l.k = r.k AND l.t <= r.t",
+        ).collect()
+    )
+    # earliest right at-or-after; t=99 has none -> NULL survives (left)
+    assert got == [(1, 10, 12), (1, 99, None), (2, 5, 5)]
+
+
+def test_asof_join_null_keys_and_ts(spark):
+    """NULL keys and NULL timestamps never match (SQL comparison
+    semantics, matching DuckDB's native ASOF JOIN)."""
+    from core2_spark.sql_dialect import sql_with_temporal
+
+    l = spark.createDataFrame(
+        [(None, 10), (1, None), (1, 10)], "k long, t long"
+    )
+    r = spark.createDataFrame([(None, 5), (1, 5), (1, None)], "k long, t long")
+    l.createOrReplaceTempView("_asofn_l")
+    r.createOrReplaceTempView("_asofn_r")
+    inner = sql_with_temporal(
+        spark,
+        "SELECT l.k, l.t, r.t AS rt FROM _asofn_l l "
+        "ASOF JOIN _asofn_r r ON l.k = r.k AND l.t >= r.t",
+    ).collect()
+    assert [(x[0], x[1], x[2]) for x in inner] == [(1, 10, 5)]
+    left = sql_with_temporal(
+        spark,
+        "SELECT l.k, l.t, r.t AS rt FROM _asofn_l l "
+        "ASOF LEFT JOIN _asofn_r r ON l.k = r.k AND l.t >= r.t",
+    ).collect()
+    key = lambda t: tuple(-1 if v is None else v for v in t)  # noqa: E731
+    assert sorted(((x[0], x[1], x[2]) for x in left), key=key) == sorted(
+        [(None, 10, None), (1, None, None), (1, 10, 5)], key=key
+    )
+
+
+def test_asof_join_engine_sql(spark, tmp_path):
+    """ASOF JOIN through Engine.sql: basis views + the dialect rewrite
+    compose (the rewrite runs after bare-table renaming)."""
+    from core2_spark.engine import Engine, Put
+
+    eng = Engine(spark, str(tmp_path / "asof_e"))
+    q = spark.createDataFrame(
+        [(1, 1, 100, 9.0), (2, 1, 200, 8.0)], "id long, k long, t long, px double"
+    )
+    tr = spark.createDataFrame([(1, 1, 150)], "id long, k long, t long")
+    eng.submit_tx([Put("quotes", q), Put("trades", tr)])
+    got = (
+        eng.db()
+        .sql(
+            "SELECT trades.k, trades.t, quotes.t AS qt, quotes.px "
+            "FROM trades ASOF JOIN quotes "
+            "ON trades.k = quotes.k AND trades.t >= quotes.t"
+        )
+        .collect()
+    )
+    assert [(r[0], r[1], r[2], r[3]) for r in got] == [(1, 150, 100, 9.0)]
+
+
+def test_asof_join_errors(spark):
+    import pytest as _pytest
+
+    from core2_spark.sql_dialect import rewrite_asof_joins
+
+    with _pytest.raises(ValueError, match="match condition"):
+        rewrite_asof_joins("SELECT * FROM a ASOF JOIN b ON a.k = b.k")
+    with _pytest.raises(ValueError, match="strict"):
+        rewrite_asof_joins("SELECT * FROM a ASOF JOIN b ON a.t > b.t")
+    with _pytest.raises(ValueError, match="found two"):
+        rewrite_asof_joins(
+            "SELECT * FROM a ASOF JOIN b ON a.t >= b.t AND a.u <= b.u"
+        )
+    with _pytest.raises(ValueError, match="plain table"):
+        rewrite_asof_joins(
+            "SELECT * FROM (SELECT 1 AS t) x ASOF JOIN b ON x.t >= b.t"
+        )
+    # no ASOF JOIN -> untouched text
+    assert rewrite_asof_joins("SELECT asof FROM t") == "SELECT asof FROM t"
