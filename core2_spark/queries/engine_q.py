@@ -686,3 +686,57 @@ def engine_sql_with_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM anc GROUP BY node ORDER BY node
         """
     )
+
+
+@query(
+    "engine_dml_merge",
+    oracle="""
+    WITH base AS (
+        SELECT n_nationkey AS id, n_name AS name, n_regionkey AS regionkey
+        FROM nation
+    ),
+    s AS (
+        SELECT id + 10 AS id, lower(name) AS name, regionkey FROM base
+    )
+    SELECT b.id,
+           CASE WHEN s.id IS NOT NULL AND s.regionkey <> 2
+                THEN s.name ELSE b.name END AS name,
+           b.regionkey
+    FROM base b LEFT JOIN s ON b.id = s.id
+    WHERE s.id IS NULL OR s.regionkey <> 2
+    UNION ALL
+    SELECT s.id, s.name, s.regionkey
+    FROM s LEFT JOIN base b ON b.id = s.id
+    WHERE b.id IS NULL AND s.regionkey <> 4
+    ORDER BY id
+    """,
+)
+def engine_dml_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO through the engine log: the source is a shifted
+    projection of the target itself (read from the pre-tx snapshot),
+    with a conditional DELETE, a catch-all UPDATE, and a conditional
+    INSERT — all three WHEN kinds in one atomic transaction.  The
+    oracle replays the same first-match-wins semantics as plain
+    SELECTs over nation (DuckDB 1.0 has no MERGE, so this is a true
+    independent derivation, not the same code path)."""
+    from core2_spark.engine import Engine, Put
+
+    nation = _nation_rows(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="engine_q_merge_"))
+    eng.submit_tx([Put("nations", nation)], tx_time="2024-01-01 00:00:01")
+    eng.sql_dml(
+        """
+        MERGE INTO nations USING (
+            SELECT id + 10 AS id, lower(name) AS name, regionkey
+            FROM nations
+        ) s ON nations.id = s.id
+        WHEN MATCHED AND s.regionkey = 2 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET name = s.name
+        WHEN NOT MATCHED AND s.regionkey <> 4 THEN
+            INSERT (id, name, regionkey) VALUES (s.id, s.name, s.regionkey)
+        """,
+        tx_time="2024-01-01 00:00:02",
+    )
+    return eng.db().sql(
+        "SELECT id, name, regionkey FROM nations ORDER BY id"
+    )

@@ -67,6 +67,7 @@ _PRIORITY: list[str] = [
     "engine_sql_with_recursive",
     "sql_asof_join_dialect",
     "sql_asof_left_join_forward",
+    "engine_dml_merge",
     # -- last checked round 1 (42) --
     "agg_approx_sketches",
     "agg_array_agg",

@@ -23,6 +23,11 @@ Supported statements::
     DELETE FROM t [FOR PORTION OF APPLICATION_TIME FROM 'a' TO 'b']
         [WHERE pred]
     ERASE FROM t [WHERE pred]
+    MERGE INTO t [AS] a USING (src_table | (SELECT ...)) [AS] s
+        ON a.id = s.id
+        [WHEN MATCHED [AND cond] THEN UPDATE SET c = expr, ...]
+        [WHEN MATCHED [AND cond] THEN DELETE]
+        [WHEN NOT MATCHED [AND cond] THEN INSERT (c1, ...) VALUES (e1, ...)]
 
 Maintenance statements (NOT log ops — they execute immediately, like
 their Engine-method counterparts)::
@@ -100,6 +105,124 @@ def _split_set_clauses(sets: str) -> list[tuple[str, str]]:
     return out
 
 
+_MERGE_HEAD = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<table>\w+)(?:\s+AS)?(?:\s+(?P<talias>(?!USING\b)\w+))?"
+    r"\s+USING\s+(?P<source>\w+|\((?:[^()]|\([^()]*\))*\))(?:\s+AS)?"
+    r"\s+(?P<salias>\w+)\s+ON\s+(?P<on>.+?)"
+    r"(?P<whens>\s+WHEN\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_WHEN = re.compile(
+    r"^\s*(?P<notm>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?P<action>UPDATE\s+SET\s+.+|DELETE|INSERT\s*\([^)]*\)\s*VALUES\s*\(.+\))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_whens(whens: str) -> list[str]:
+    """Split the WHEN-clause tail at top-level ``WHEN`` keywords
+    (quote- and paren-aware: a string literal or subquery containing
+    the word WHEN must not split — and CASE..WHEN..END inside a THEN
+    expression stays intact because CASE raises a depth-like guard)."""
+    upper = whens.upper()
+    parts: list[str] = []
+    depth = 0
+    in_str = False
+    case_depth = 0
+    starts: list[int] = []
+    i = 0
+    while i < len(whens):
+        ch = whens[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif upper[i : i + 4] == "CASE" and _is_word(upper, i, 4):
+                case_depth += 1
+            elif upper[i : i + 3] == "END" and _is_word(upper, i, 3):
+                case_depth = max(0, case_depth - 1)
+            elif (
+                depth == 0
+                and case_depth == 0
+                and upper[i : i + 4] == "WHEN"
+                and _is_word(upper, i, 4)
+            ):
+                starts.append(i)
+        i += 1
+    for j, s in enumerate(starts):
+        e = starts[j + 1] if j + 1 < len(starts) else len(whens)
+        parts.append(whens[s + 4 : e])  # drop the WHEN keyword itself
+    return parts
+
+
+def _is_word(upper: str, i: int, ln: int) -> bool:
+    before_ok = i == 0 or not (upper[i - 1].isalnum() or upper[i - 1] == "_")
+    j = i + ln
+    after_ok = j >= len(upper) or not (upper[j].isalnum() or upper[j] == "_")
+    return before_ok and after_ok
+
+
+def parse_merge(statement: str) -> "_ParsedDml | None":
+    m = _MERGE_HEAD.match(statement)
+    if not m:
+        return None
+    clauses = []
+    for w in _split_whens(m["whens"]):
+        cm = _MERGE_WHEN.match(w)
+        if not cm:
+            raise ValueError(f"unsupported MERGE WHEN clause: WHEN {w[:80]}")
+        action = cm["action"].strip()
+        au = action.upper()
+        if au.startswith("UPDATE"):
+            kind, detail = "update", {
+                "sets": _split_set_clauses(re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.IGNORECASE))
+            }
+        elif au == "DELETE":
+            kind, detail = "delete", {}
+        else:
+            im = re.match(
+                r"^INSERT\s*\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.+)\)\s*$",
+                action,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not im:
+                raise ValueError(f"unsupported MERGE INSERT action: {action[:80]}")
+            kind = "insert"
+            detail = {
+                "cols": [c.strip() for c in im["cols"].split(",")],
+                "vals": _split_top_level(im["vals"]),
+            }
+            if len(detail["cols"]) != len(detail["vals"]):
+                raise ValueError(
+                    "MERGE INSERT column/value count mismatch: "
+                    f"{len(detail['cols'])} columns, {len(detail['vals'])} values"
+                )
+        matched = cm["notm"] is None
+        if not matched and kind != "insert":
+            raise ValueError("WHEN NOT MATCHED supports only INSERT")
+        if matched and kind == "insert":
+            raise ValueError("WHEN MATCHED supports UPDATE or DELETE, not INSERT")
+        clauses.append(
+            {"matched": matched, "cond": cm["cond"], "kind": kind, **detail}
+        )
+    if not clauses:
+        raise ValueError("MERGE requires at least one WHEN clause")
+    return _ParsedDml(
+        "merge",
+        m["table"],
+        {
+            "talias": m["talias"] or m["table"],
+            "source": m["source"],
+            "salias": m["salias"],
+            "on": m["on"].strip(),
+            "clauses": clauses,
+        },
+    )
+
+
 @dataclass(frozen=True)
 class _ParsedDml:
     verb: str
@@ -108,6 +231,9 @@ class _ParsedDml:
 
 
 def parse_dml(statement: str) -> _ParsedDml:
+    merged = parse_merge(statement)
+    if merged is not None:
+        return merged
     m = _INSERT_VALUES.match(statement)
     if m:
         return _ParsedDml(
@@ -158,6 +284,9 @@ def dml_to_ops(engine, statement: str, id_col: str = "id") -> list:
     spark = engine.spark
     p = parse_dml(statement)
     snap = engine.db()
+
+    if p.verb == "merge":
+        return _merge_to_ops(engine, snap, p, id_col)
 
     if p.verb == "insert_values":
         cols = ", ".join(p.detail["cols"])
@@ -232,6 +361,104 @@ def dml_to_ops(engine, statement: str, id_col: str = "id") -> list:
             )
         ]
     return [Erase(p.table, ids, id_col)]
+
+
+def _merge_to_ops(engine, snap, p: _ParsedDml, id_col: str) -> list:
+    """Compile MERGE INTO to engine ops against the pre-tx snapshot.
+
+    Semantics follow SQL:2003 MERGE (core2 exposes the same
+    upsert-shaped writes through put-with-valid-time; the SQL spelling
+    is the ergonomic upgrade): source rows join the CURRENT target
+    state on the ON condition; matched targets flow to the first
+    WHEN MATCHED clause whose AND-condition holds (3VL: NULL = no),
+    unmatched source rows to the first WHEN NOT MATCHED clause.  A
+    target row matched by MORE THAN ONE source row is a cardinality
+    violation and raises — the standard's rule, and the only way the
+    result stays deterministic.
+
+    Scale: one equi-shaped join source⋈target for the matched set, one
+    anti-join for the not-matched set, one count-per-id aggregation for
+    the violation check — all shuffle on the ON keys; nothing is
+    collected to the driver."""
+    from core2_spark.engine import Delete, Put
+
+    spark = engine.spark
+    d = p.detail
+    tal, sal, on = d["talias"], d["salias"], d["on"]
+    cur = snap.table(p.table)
+    cur.createOrReplaceTempView("_merge_t")
+    src = d["source"]
+    if src.startswith("("):
+        src_df = snap.sql(src[1:-1])
+    else:
+        src_df = snap.table(src)
+    src_df.localCheckpoint(eager=True).createOrReplaceTempView("_merge_s")
+
+    # cardinality violation: >1 source rows matching one target row
+    dup = spark.sql(
+        f"SELECT {tal}.{id_col} FROM _merge_t {tal} JOIN _merge_s {sal} "
+        f"ON {on} GROUP BY {tal}.{id_col} HAVING COUNT(*) > 1 LIMIT 1"
+    ).take(1)
+    if dup:
+        raise ValueError(
+            f"MERGE cardinality violation: target id {dup[0][0]!r} is "
+            "matched by more than one source row"
+        )
+
+    types = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
+    ops: list = []
+    matched_clauses = [c for c in d["clauses"] if c["matched"]]
+    unmatched_clauses = [c for c in d["clauses"] if not c["matched"]]
+
+    def _clause_filter(clauses, idx) -> str:
+        """First-match-wins: this clause's condition AND NOT any
+        earlier clause's (NULL condition values count as false)."""
+        conds = [
+            f"COALESCE(({c['cond']}), FALSE)" if c["cond"] else "TRUE"
+            for c in clauses
+        ]
+        parts = [conds[idx]] + [f"NOT {c}" for c in conds[:idx]]
+        return " AND ".join(parts)
+
+    for i, c in enumerate(matched_clauses):
+        flt = _clause_filter(matched_clauses, i)
+        if c["kind"] == "update":
+            set_map = dict(c["sets"])
+            proj = []
+            for name in cur.columns:
+                if name in set_map:
+                    proj.append(
+                        f"CAST(({set_map[name]}) AS {types[name]}) AS {name}"
+                    )
+                else:
+                    proj.append(f"{tal}.{name}")
+            updated = spark.sql(
+                f"SELECT {', '.join(proj)} FROM _merge_t {tal} "
+                f"JOIN _merge_s {sal} ON {on} WHERE {flt}"
+            ).localCheckpoint(eager=True)
+            ops.append(Put(p.table, updated))
+        else:  # delete
+            ids = spark.sql(
+                f"SELECT {tal}.{id_col} AS {id_col} FROM _merge_t {tal} "
+                f"JOIN _merge_s {sal} ON {on} WHERE {flt}"
+            ).localCheckpoint(eager=True)
+            ops.append(Delete(p.table, ids, id_col))
+
+    for i, c in enumerate(unmatched_clauses):
+        flt = _clause_filter(unmatched_clauses, i)
+        proj = []
+        for col, val in zip(c["cols"], c["vals"]):
+            cast = f" AS {types[col]}" if col in types else ""
+            proj.append(
+                f"CAST(({val}){cast}) AS {col}" if cast else f"({val}) AS {col}"
+            )
+        inserted = spark.sql(
+            f"SELECT {', '.join(proj)} FROM _merge_s {sal} "
+            f"WHERE NOT EXISTS (SELECT 1 FROM _merge_t {tal} WHERE {on}) "
+            f"AND ({flt})"
+        ).localCheckpoint(eager=True)
+        ops.append(Put(p.table, inserted))
+    return ops
 
 
 # -- materialized-view maintenance statements -------------------------

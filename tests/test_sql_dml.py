@@ -249,3 +249,101 @@ def test_vacuum_and_optimize_statements(spark, tmp_path):
     assert res["zorder_by"] == ["id"]
     # ordinary DML still routes through as None
     assert maintenance_result(eng, "DELETE FROM t WHERE id = 1") is None
+
+
+# ------------------------------------------------------------- MERGE INTO
+
+
+def _merge_engine(spark, tmp_path, tag):
+    from core2_spark.engine import Engine, Put
+
+    eng = Engine(spark, str(tmp_path / f"merge_{tag}"))
+    t = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, v double",
+    )
+    eng.submit_tx([Put("tgt", t)], tx_time="2024-01-01 00:00:01")
+    return eng
+
+
+def test_merge_update_delete_insert(spark, tmp_path):
+    """All three WHEN clauses in one statement, first-match-wins:
+    s.v < 0 deletes, other matches update, non-matches insert."""
+    from core2_spark.engine import Put
+
+    eng = _merge_engine(spark, tmp_path, "udi")
+    s = spark.createDataFrame(
+        [(2, "B", 99.0), (3, None, -1.0), (4, "d", 40.0)],
+        "id long, name string, v double",
+    )
+    eng.submit_tx([Put("src", s)], tx_time="2024-01-01 00:00:02")
+    eng.sql_dml(
+        """
+        MERGE INTO tgt USING src s ON tgt.id = s.id
+        WHEN MATCHED AND s.v < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET name = s.name, v = s.v + tgt.v
+        WHEN NOT MATCHED THEN INSERT (id, name, v) VALUES (s.id, s.name, s.v)
+        """,
+        tx_time="2024-01-01 00:00:03",
+    )
+    got = sorted(
+        tuple(r) for r in eng.db().sql("SELECT id, name, v FROM tgt").collect()
+    )
+    assert got == [(1, "a", 10.0), (2, "B", 119.0), (4, "d", 40.0)]
+    # history: the pre-merge versions are still visible AS OF the put
+    hist = eng.db().sql(
+        "SELECT id, name FROM tgt FOR SYSTEM_TIME AS OF "
+        "TIMESTAMP '2024-01-01 00:00:02' ORDER BY id"
+    ).collect()
+    assert [tuple(r) for r in hist] == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_merge_cardinality_violation(spark, tmp_path):
+    eng = _merge_engine(spark, tmp_path, "card")
+    with pytest.raises(ValueError, match="cardinality violation"):
+        eng.sql_dml(
+            "MERGE INTO tgt USING (SELECT 1 AS id UNION ALL SELECT 1 AS id) s "
+            "ON tgt.id = s.id WHEN MATCHED THEN DELETE"
+        )
+    # the failed MERGE left no trace
+    assert eng.db().sql("SELECT COUNT(*) c FROM tgt").collect()[0][0] == 3
+
+
+def test_merge_conditional_insert_subquery_source(spark, tmp_path):
+    eng = _merge_engine(spark, tmp_path, "cond")
+    eng.sql_dml(
+        "MERGE INTO tgt USING (SELECT 5 AS id, 'e' AS name, 50.0 AS v "
+        "UNION ALL SELECT 6, 'f', -6.0) s ON tgt.id = s.id "
+        "WHEN NOT MATCHED AND s.v > 0 THEN INSERT (id, name, v) "
+        "VALUES (s.id, s.name, s.v)"
+    )
+    got = sorted(
+        tuple(r) for r in eng.db().sql("SELECT id, v FROM tgt").collect()
+    )
+    assert got == [(1, 10.0), (2, 20.0), (3, 30.0), (5, 50.0)]
+
+
+def test_merge_parse_errors(spark):
+    from core2_spark.sql_dml import parse_dml
+
+    with pytest.raises(ValueError, match="NOT MATCHED supports only INSERT"):
+        parse_dml(
+            "MERGE INTO t USING s x ON t.id = x.id "
+            "WHEN NOT MATCHED THEN UPDATE SET a = 1"
+        )
+    with pytest.raises(ValueError, match="UPDATE or DELETE"):
+        parse_dml(
+            "MERGE INTO t USING s x ON t.id = x.id "
+            "WHEN MATCHED THEN INSERT (a) VALUES (1)"
+        )
+    with pytest.raises(ValueError, match="count mismatch"):
+        parse_dml(
+            "MERGE INTO t USING s x ON t.id = x.id "
+            "WHEN NOT MATCHED THEN INSERT (a, b) VALUES (1)"
+        )
+    # a CASE..WHEN inside a SET expression must not split the clause
+    p = parse_dml(
+        "MERGE INTO t USING s x ON t.id = x.id WHEN MATCHED THEN UPDATE "
+        "SET a = CASE WHEN x.v > 0 THEN 1 ELSE 0 END"
+    )
+    assert p.verb == "merge" and len(p.detail["clauses"]) == 1
