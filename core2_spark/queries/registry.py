@@ -68,6 +68,7 @@ _PRIORITY: list[str] = [
     "sql_asof_join_dialect",
     "sql_asof_left_join_forward",
     "engine_dml_merge",
+    "dedup_semantic_embedding_clusters",
     # -- last checked round 1 (42) --
     "agg_approx_sketches",
     "agg_array_agg",

@@ -293,3 +293,38 @@ def test_exact_substring_spans_chunked_boundaries(spark):
         for r in _exact_substring_spans(sdf).collect()
     }
     assert got_default == want
+
+
+def test_semdedup_drops_planted_semantic_dup(spark):
+    """A vector that is a tiny perturbation of another (cosine ~1,
+    disjoint from any n-gram signal) must be dropped; the survivor is
+    the one closer to its cluster seed.  Plan audit: the pairwise
+    stage must be an equi-join on the cluster id, never a cartesian
+    product over the whole corpus."""
+    import numpy as np
+
+    from core2_spark.queries.registry import all_queries
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        v = rng.normal(size=64)
+        rows.append((i, [float(x) for x in v], 0))
+    # plant a near-identical copy of vec 12 (id far from the original)
+    base = np.array(rows[12][1])
+    rows.append((99, [float(x) for x in base + rng.normal(scale=1e-4, size=64)], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="semdedup_t_")
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    q = all_queries()["dedup_semantic_embedding_clusters"]
+    res = q(spark, d)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    kept = {r[0] for r in res.collect()}
+    # exactly one of the planted pair survives (both are bit-near-equal
+    # so they land in the same Voronoi cell and cosine ~1 > 0.4)
+    assert (12 in kept) != (99 in kept)
+    assert len(kept) < 41
