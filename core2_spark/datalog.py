@@ -225,6 +225,62 @@ def _compile_invocation(
     return df.select(*keep)
 
 
+def _attach_pull(resolver, rel: DataFrame, var: str, spec: dict) -> DataFrame:
+    """core2/xtdb Datalog ``pull`` (reference README.adoc:15 — the
+    EDN-Datalog surface; Datomic-style document projection): for each
+    bound entity variable, assemble a nested document — scalar
+    attributes plus one sorted ``array<struct>`` per declared
+    relationship — as a single struct column.
+
+    Spec::
+
+        {"from": "customer", "id": "c_custkey",
+         "attrs": ["c_name", "c_mktsegment"],
+         "rels": [{"table": "orders", "fk": "o_custkey",
+                   "attrs": ["o_orderkey", "o_totalprice"],
+                   "order": "o_orderkey", "as": "orders"}],
+         "as": "customer_doc"}
+
+    Scale shape: each rel is ONE groupBy(fk) + collect_list (shuffle
+    on the fk, map-side partial lists), then an equi-join back on the
+    entity id — never a per-entity subquery.  The order key leads the
+    struct so ``sort_array`` yields a deterministic member order;
+    entities with no related rows get an empty array."""
+    if var not in rel.columns:
+        raise ValueError(f"pull variable ?{var} is not bound by :where")
+    ent = resolver(spec["from"])
+    doc = ent.select(
+        F.col(spec["id"]).alias(var),
+        *[F.col(a) for a in spec.get("attrs", [])],
+    )
+    rel_names = []
+    for r_spec in spec.get("rels", []):
+        r = resolver(r_spec["table"])
+        order = r_spec.get("order", r_spec["attrs"][0])
+        struct_cols = [F.col(order)] + [
+            F.col(a) for a in r_spec["attrs"] if a != order
+        ]
+        as_name = r_spec.get("as", r_spec["table"])
+        nested = r.groupBy(F.col(r_spec["fk"]).alias(var)).agg(
+            F.sort_array(F.collect_list(F.struct(*struct_cols))).alias(as_name)
+        )
+        doc = doc.join(nested, var, "left")
+        elem_type = dict(zip(nested.columns, nested.schema))[
+            as_name
+        ].dataType.simpleString()
+        doc = doc.withColumn(
+            as_name,
+            F.coalesce(F.col(as_name), F.expr(f"CAST(array() AS {elem_type})")),
+        )
+        rel_names.append(as_name)
+    doc_col = F.struct(
+        *[F.col(a) for a in spec.get("attrs", [])],
+        *[F.col(n) for n in rel_names],
+    ).alias(spec.get("as", f"{var}_doc"))
+    pulled = doc.select(var, doc_col)
+    return rel.join(pulled, var, "left")
+
+
 def q_with_resolver(
     resolver,
     query: dict,
@@ -312,7 +368,21 @@ def q_with_resolver(
 
     find = query["find"]
     group_vars = [_var_name(f) for f in find if _is_var(f)]
-    agg_specs = [f for f in find if not _is_var(f)]
+    pull_specs = [f for f in find if not _is_var(f) and f[0] == "pull"]
+    agg_specs = [f for f in find if not _is_var(f) and f[0] != "pull"]
+    if pull_specs:
+        if agg_specs:
+            raise ValueError("pull and aggregates cannot mix in one :find")
+        out = rel.select(*sorted(set(group_vars) | {
+            _var_name(p[1]) for p in pull_specs
+        }))
+        for _tag, var, spec in pull_specs:
+            out = _attach_pull(resolver, out, _var_name(var), spec)
+        keep = group_vars + [
+            spec.get("as", f"{_var_name(var)}_doc")
+            for _tag, var, spec in pull_specs
+        ]
+        return out.select(*keep)
     if not agg_specs:
         return rel.select(*group_vars)
     aggs = []

@@ -894,3 +894,77 @@ def asof_join_forward_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame
         direction="forward",
         tolerance=F.expr("INTERVAL 1 HOUR"),
     )
+
+
+@query(
+    "datalog_pull_nested",
+    oracle="""
+    SELECT c.c_custkey AS cust, c.c_name AS name,
+           c.c_mktsegment AS mktsegment,
+           COALESCE(o.n, 0) AS n_orders, COALESCE(o.s, '') AS orders_str
+    FROM customer c LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n,
+               string_agg(o_orderkey || ':' ||
+                          CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                          '|' ORDER BY o_orderkey) AS s
+        FROM orders GROUP BY o_custkey
+    ) o ON o.o_custkey = c.c_custkey
+    WHERE c.c_nationkey = 3
+    ORDER BY cust
+    """,
+)
+def datalog_pull_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datalog ``pull`` (SURVEY §3.2; core2's EDN-Datalog document
+    projection, reference README.adoc:15): nation-3 customers pulled
+    as nested documents — scalar attrs plus a sorted array<struct> of
+    their orders, built by one groupBy+collect_list and an equi-join
+    (never a per-entity subquery).  The nested doc is then flattened
+    to a canonical string so DuckDB can hash-verify the full nested
+    CONTENT (member order included); FLOOR not ROUND on the price so
+    both engines stringify bit-identical integers."""
+    from core2_spark.datalog import q as datalog_q
+
+    res = datalog_q(
+        spark,
+        sf_dir,
+        {
+            "find": [
+                "?cust",
+                (
+                    "pull",
+                    "?cust",
+                    {
+                        "from": "customer",
+                        "id": "c_custkey",
+                        "attrs": ["c_name", "c_mktsegment"],
+                        "rels": [
+                            {
+                                "table": "orders",
+                                "fk": "o_custkey",
+                                "attrs": ["o_orderkey", "o_totalprice"],
+                                "order": "o_orderkey",
+                                "as": "orders",
+                            }
+                        ],
+                        "as": "doc",
+                    },
+                ),
+            ],
+            "where": [
+                ("customer", {"c_custkey": "?cust", "c_nationkey": "?nat"}),
+                ("=", "?nat", 3),
+            ],
+        },
+    )
+    entry = lambda o: F.concat(  # noqa: E731
+        o["o_orderkey"].cast("string"),
+        F.lit(":"),
+        F.floor(o["o_totalprice"]).cast("bigint").cast("string"),
+    )
+    return res.select(
+        F.col("cust"),
+        F.col("doc.c_name").alias("name"),
+        F.col("doc.c_mktsegment").alias("mktsegment"),
+        F.size("doc.orders").cast("long").alias("n_orders"),
+        F.concat_ws("|", F.transform("doc.orders", entry)).alias("orders_str"),
+    ).orderBy("cust")

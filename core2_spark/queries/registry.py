@@ -69,6 +69,7 @@ _PRIORITY: list[str] = [
     "sql_asof_left_join_forward",
     "engine_dml_merge",
     "dedup_semantic_embedding_clusters",
+    "datalog_pull_nested",
     # -- last checked round 1 (42) --
     "agg_approx_sketches",
     "agg_array_agg",

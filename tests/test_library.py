@@ -481,3 +481,42 @@ def test_flac_reserved_codes_raise_valueerror():
     patched[i + 3] = (11 << 4) | (patched[i + 3] & 0x0F)  # ch_code=11
     with pytest.raises(ValueError, match="channel"):
         fns["decode_flac"](bytes(patched))
+
+
+def test_datalog_pull_empty_rels_and_errors(spark):
+    """An entity with no related rows pulls an EMPTY array (not NULL);
+    pull cannot mix with aggregates in one :find."""
+    import pytest as _pytest
+
+    from core2_spark.datalog import q_with_resolver
+
+    c = spark.createDataFrame([(1, "a"), (2, "b")], "ck long, nm string")
+    o = spark.createDataFrame([(10, 1, 5.0)], "ok long, fk long, amt double")
+    res = q_with_resolver(
+        lambda t: {"cust": c, "ords": o}[t],
+        {
+            "find": [
+                "?e",
+                ("pull", "?e", {
+                    "from": "cust", "id": "ck", "attrs": ["nm"],
+                    "rels": [{"table": "ords", "fk": "fk",
+                              "attrs": ["ok", "amt"], "order": "ok",
+                              "as": "ords"}],
+                    "as": "doc",
+                }),
+            ],
+            "where": [("cust", {"ck": "?e"})],
+        },
+    ).orderBy("e").collect()
+    assert res[0]["doc"]["nm"] == "a"
+    assert [(x["ok"], x["amt"]) for x in res[0]["doc"]["ords"]] == [(10, 5.0)]
+    assert res[1]["doc"]["ords"] == []  # empty array, not NULL
+    with _pytest.raises(ValueError, match="cannot mix"):
+        q_with_resolver(
+            lambda t: {"cust": c}[t],
+            {
+                "find": [("count", "?e", "n"),
+                         ("pull", "?e", {"from": "cust", "id": "ck"})],
+                "where": [("cust", {"ck": "?e"})],
+            },
+        )
