@@ -61,3 +61,81 @@ def stream_into_engine(
         committed.add(batch_id)
 
     return stream.writeStream.foreachBatch(commit_batch).start()
+
+
+def stream_upsert_into_engine(
+    stream: DataFrame,
+    engine,
+    table: str,
+    epoch: str = "2024-06-01",
+    delete_col: str | None = None,
+):
+    """CDC-apply: commit each micro-batch as one MERGE-shaped engine
+    transaction — rows whose id exists in the target become new
+    versions (UPDATE), unseen ids append (INSERT), and rows flagged in
+    ``delete_col`` (when given) become tombstones (DELETE).  This is
+    the streaming twin of the SQL MERGE INTO statement: a change feed
+    from an OLTP system replays into the bitemporal table with every
+    batch atomic, clock-ordered, and redelivery-safe.
+
+    Duplicate ids WITHIN one batch are collapsed to the batch's last
+    occurrence by ``_seq`` when present, else refused — the engine's
+    within-tx row_seq would otherwise pick an arbitrary survivor under
+    distributed ordering, and silent nondeterminism is the one thing a
+    CDC apply must never do.
+
+    Scale: the upsert needs no read of the target at all — the
+    engine's version semantics make Put-on-existing-id an update BY
+    CONSTRUCTION (latest version wins), so each batch is one append +
+    one optional tombstone write; no join against a 100 TB table on
+    the hot path."""
+    from datetime import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from core2_spark.engine import Delete, Put
+
+    base = datetime.fromisoformat(epoch)
+    committed: set[int] = set()
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed:
+            return
+        if batch_df.isEmpty():
+            return
+        df = batch_df
+        if "_seq" in df.columns:
+            w = Window.partitionBy("id").orderBy(F.col("_seq").desc())
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_seq")
+            )
+        else:
+            dup = df.groupBy("id").count().filter(F.col("count") > 1).take(1)
+            if dup:
+                raise ValueError(
+                    f"stream_upsert batch {batch_id}: duplicate id "
+                    f"{dup[0][0]!r} within one batch and no _seq column "
+                    "to order them — refusing a nondeterministic apply"
+                )
+        ops = []
+        if delete_col is not None:
+            dels = df.filter(F.col(delete_col)).select("id")
+            ups = df.filter(~F.col(delete_col)).drop(delete_col)
+            dels = dels.localCheckpoint(eager=True)
+            ups = ups.localCheckpoint(eager=True)
+            if not ups.isEmpty():
+                ops.append(Put(table, ups))
+            if not dels.isEmpty():
+                ops.append(Delete(table, dels, "id"))
+        else:
+            ops.append(Put(table, df))
+        if ops:
+            engine.submit_tx(
+                ops, tx_time=base + timedelta(seconds=int(batch_id) + 1)
+            )
+        committed.add(batch_id)
+
+    return stream.writeStream.foreachBatch(commit_batch).start()
