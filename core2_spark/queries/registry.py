@@ -70,6 +70,7 @@ _PRIORITY: list[str] = [
     "engine_dml_merge",
     "dedup_semantic_embedding_clusters",
     "datalog_pull_nested",
+    "ts_gap_fill_interpolate",
     # -- last checked round 1 (42) --
     "agg_approx_sketches",
     "agg_array_agg",

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from core2_spark.catalog import load_tables
 from core2_spark.queries.registry import query
-from core2_spark.queries.util import davg, fround, sql_davg
+from core2_spark.queries.util import davg, fround, sql_davg, sql_pround
 
 
 @query(
@@ -226,3 +226,122 @@ def ts_device_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "ts_gap_fill_interpolate",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               {sql_davg('value')} AS obs_avg
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-04'
+          AND user_id < 20
+        GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    spine AS (
+        SELECT u.user_id, CAST(g.generate_series AS TIMESTAMP) AS hour
+        FROM (SELECT DISTINCT user_id FROM hourly) u
+        CROSS JOIN generate_series(TIMESTAMP '2024-01-01',
+                                   TIMESTAMP '2024-01-03 23:00:00',
+                                   INTERVAL 1 HOUR) g
+    ),
+    joined AS (
+        SELECT s.user_id, s.hour, h.obs_avg,
+               CAST(epoch(s.hour) AS BIGINT) AS t
+        FROM spine s LEFT JOIN hourly h
+          ON h.user_id = s.user_id AND h.hour = s.hour
+    ),
+    ctx AS (
+        SELECT user_id, hour, obs_avg, t,
+               last_value(obs_avg IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN obs_avg IS NOT NULL THEN t END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+               first_value(obs_avg IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN obs_avg IS NOT NULL THEN t END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM joined
+    )
+    SELECT user_id, hour,
+           {sql_pround("CASE WHEN obs_avg IS NOT NULL THEN obs_avg "
+                       "ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END")}
+               AS filled_value,
+           CAST(obs_avg IS NOT NULL AS BOOLEAN) AS observed
+    FROM ctx
+    ORDER BY user_id, hour
+    """,
+)
+def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill with LINEAR INTERPOLATION (the ts-devices rollup's
+    other standard fill mode, complementing LOCF): interior gaps get
+    prev + (next-prev)*(t-pt)/(nt-pt) between the surrounding observed
+    hours; leading/trailing gaps stay NULL (no extrapolation).  Two
+    IGNORE-NULLS window passes per direction over the same spine —
+    still one shuffle on the device key, no self-join, no UDF."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    hourly = (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-04").cast("timestamp"))
+            & (F.col("user_id") < 20)
+        )
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(davg("value").alias("obs_avg"))
+    )
+    spine = (
+        hourly.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-03 23:00:00").cast("timestamp"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("hour"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left").withColumn(
+        "t", F.unix_timestamp("hour")
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("obs_avg").isNotNull(), F.col("t"))
+    ctx = (
+        joined.withColumn("pv", F.last("obs_avg", ignorenulls=True).over(back))
+        .withColumn("pt", F.last(obs_t, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("obs_avg", ignorenulls=True).over(fwd))
+        .withColumn("nt", F.first(obs_t, ignorenulls=True).over(fwd))
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.col("t") - F.col("pt")
+    ) / (F.col("nt") - F.col("pt"))
+    from core2_spark.queries.util import pround
+
+    return ctx.select(
+        "user_id",
+        "hour",
+        pround(
+            F.when(F.col("obs_avg").isNotNull(), F.col("obs_avg")).otherwise(
+                interp
+            )
+        ).alias("filled_value"),
+        F.col("obs_avg").isNotNull().alias("observed"),
+    ).orderBy("user_id", "hour")
