@@ -447,3 +447,32 @@ def test_pgwire_with_recursive(spark, engine):
         client.close()
     finally:
         server.shutdown()
+
+
+def test_pgwire_merge_statement(spark, engine):
+    """MERGE INTO rides the pgwire DML routing with its own
+    CommandComplete tag and executes through Engine.sql_dml."""
+    from core2_spark.pgwire_server import PgWireServer
+
+    v1 = spark.createDataFrame(
+        [(1, "AAPL", 100.0), (2, "MSFT", 200.0)], "id long, sym string, px double"
+    )
+    engine.submit_tx([Put("positions", v1)], tx_time="2024-01-01 00:00:01")
+    server = PgWireServer(lambda sql: engine.db().sql(sql), engine=engine)
+    try:
+        client = MiniPgClient(server.port)
+        _, rows, err = client.query(
+            "MERGE INTO positions USING (SELECT 2 AS id, 250.0 AS px "
+            "UNION ALL SELECT 3, 300.0) s ON positions.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET px = s.px "
+            "WHEN NOT MATCHED THEN INSERT (id, sym, px) VALUES (s.id, 'NEW', s.px)"
+        )
+        assert err is None and rows == []
+        _, rows, err = client.query("SELECT id, px FROM positions ORDER BY id")
+        assert err is None
+        assert [(r[0], r[1]) for r in rows] == [
+            ("1", "100.0"), ("2", "250.0"), ("3", "300.0")
+        ]
+        client.close()
+    finally:
+        server.shutdown()
