@@ -1948,6 +1948,8 @@ class Snapshot:
         registered: list[str] = []
         spark = self.engine.spark
         try:
+            if "information_schema." in query.lower():
+                query = self._register_information_schema(query, uid, registered)
             for name in self.basis.manifests:
                 cur_name = f"{name}__snap_{uid}"
                 self.table(name, **asof).createOrReplaceTempView(cur_name)
@@ -2013,6 +2015,72 @@ class Snapshot:
         finally:
             for v in registered:
                 spark.catalog.dropTempView(v)
+
+    def _register_information_schema(
+        self, query: str, uid: str, registered: list[str]
+    ) -> str:
+        """SQL-standard catalog introspection: rewrite
+        ``information_schema.tables`` / ``.columns`` references to
+        basis-scoped synthesized views (psql-style clients and BI
+        tools discover the schema this way; core2 exposes the same
+        surface [upstream: core2 `information_schema`]).
+
+        tables: catalog/schema/name/type for every table in this
+        basis plus materialized views (reported as their queryable
+        ``mview_<name>`` spelling).  columns: one row per column with
+        ordinal, Spark data type, and nullability.  Built from
+        manifest/schema METADATA only — no data scan, so introspection
+        stays O(catalog) on a 100 TB store."""
+        import re as _re
+
+        spark = self.engine.spark
+        t_rows, c_rows = [], []
+        entries: list[tuple[str, str, DataFrame]] = [
+            (name, "BASE TABLE", self.table(name))
+            for name in sorted(self.basis.manifests)
+        ]
+        for vname in sorted(self.engine.materialized_views()):
+            entries.append(
+                (
+                    f"mview_{vname}",
+                    "MATERIALIZED VIEW",
+                    self.engine.materialized_view(vname),
+                )
+            )
+        for name, ttype, df in entries:
+            t_rows.append(("core2", "public", name, ttype))
+            for i, f in enumerate(df.schema.fields, start=1):
+                c_rows.append(
+                    (
+                        "core2",
+                        "public",
+                        name,
+                        f.name,
+                        i,
+                        f.dataType.simpleString(),
+                        "YES" if f.nullable else "NO",
+                    )
+                )
+        tv = f"__infoschema_tables_{uid}"
+        cv = f"__infoschema_columns_{uid}"
+        spark.createDataFrame(
+            t_rows,
+            "table_catalog string, table_schema string, "
+            "table_name string, table_type string",
+        ).createOrReplaceTempView(tv)
+        spark.createDataFrame(
+            c_rows,
+            "table_catalog string, table_schema string, table_name string, "
+            "column_name string, ordinal_position int, data_type string, "
+            "is_nullable string",
+        ).createOrReplaceTempView(cv)
+        registered.extend([tv, cv])
+        query = _re.sub(
+            r"\binformation_schema\s*\.\s*tables\b", tv, query, flags=_re.IGNORECASE
+        )
+        return _re.sub(
+            r"\binformation_schema\s*\.\s*columns\b", cv, query, flags=_re.IGNORECASE
+        )
 
     def changes(
         self,

@@ -1576,3 +1576,35 @@ def test_scratch_dir_age_measures_swap_time(spark, tmp_path):
     assert old is not None and os.path.isdir(old)
     # the _old_ dir's age reflects the SWAP, not the cold content
     assert time.time() - os.path.getmtime(old) < 120
+
+
+def test_information_schema_tables_and_columns(spark, tmp_path):
+    """SQL-standard introspection over the basis catalog: tables lists
+    base tables and materialized views (as their queryable mview_
+    spelling); columns carries ordinal, type, and nullability — all
+    from metadata, no data scan."""
+    eng = Engine(spark, str(tmp_path / "infos"))
+    t = spark.createDataFrame([(1, "a", 1.5)], "id long, name string, v double")
+    eng.submit_tx([Put("widgets", t)])
+    eng.sql_dml(
+        "CREATE MATERIALIZED VIEW w_by_name AS "
+        "SELECT name, COUNT(*) AS n FROM widgets GROUP BY name"
+    )
+    db = eng.db()
+    tabs = {
+        (r[0], r[1])
+        for r in db.sql(
+            "SELECT table_name, table_type FROM information_schema.tables"
+        ).collect()
+    }
+    assert ("widgets", "BASE TABLE") in tabs
+    assert ("mview_w_by_name", "MATERIALIZED VIEW") in tabs
+    cols = [
+        tuple(r)
+        for r in db.sql(
+            "SELECT column_name, ordinal_position, data_type "
+            "FROM information_schema.columns WHERE table_name = 'widgets' "
+            "ORDER BY ordinal_position"
+        ).collect()
+    ]
+    assert cols == [("id", 1, "bigint"), ("name", 2, "string"), ("v", 3, "double")]
