@@ -1727,3 +1727,84 @@ def dedup_semantic_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataF
         .select("vec_id", F.col("cid").alias("cluster"))
         .orderBy("vec_id")
     )
+
+
+@query(
+    "curation_gopher_quality_rules",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS words
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(words) AS word_count,
+               CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+                   / len(words) AS mwl,
+               CAST(len(list_distinct(words)) AS DOUBLE)
+                   / len(words) AS uniq_ratio,
+               CAST(list_contains(words, 'the') AS INT)
+                 + CAST(list_contains(words, 'and') AS INT)
+                 + CAST(list_contains(words, 'of') AS INT)
+                 + CAST(list_contains(words, 'to') AS INT)
+                 + CAST(list_contains(words, 'a') AS INT)
+                 + CAST(list_contains(words, 'in') AS INT) AS n_stop
+        FROM w
+    )
+    SELECT doc_id, word_count, ROUND(mwl, 4) AS mean_word_len,
+           ROUND(uniq_ratio, 4) AS uniq_ratio, n_stop,
+           (word_count >= 30 AND word_count <= 100000
+            AND mwl >= 3 AND mwl <= 10
+            AND n_stop >= 2 AND uniq_ratio >= 0.5) AS passes
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def curation_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021,
+    arXiv:2112.11446 — the MassiveText filters): word-count bounds,
+    mean-word-length window, stopword floor, and a repetition guard
+    (unique-word ratio), with per-rule observables so thresholds can
+    be re-tuned downstream and one composite `passes` flag.  All
+    higher-order array functions over a single scan — JVM-side, no
+    UDF, no shuffle at all until the final ORDER BY; at 100 TB this is
+    a pure map-side pipeline that composes with any later filter
+    pushdown.  Thresholds compare on raw doubles computed by identical
+    integer-sum/length arithmetic in both engines; ROUND only touches
+    the reported columns."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    base = d.select("doc_id", words.alias("words"))
+    mwl = F.aggregate(
+        F.transform("words", lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.size("words")
+    uniq = F.size(F.array_distinct("words")).cast("double") / F.size("words")
+    n_stop = sum(
+        F.array_contains("words", s).cast("int")
+        for s in ("the", "and", "of", "to", "a", "in")
+    )
+    m = base.select(
+        "doc_id",
+        F.size("words").cast("long").alias("word_count"),
+        mwl.alias("mwl"),
+        uniq.alias("uniq_ratio_raw"),
+        n_stop.cast("int").alias("n_stop"),
+    )
+    return m.select(
+        "doc_id",
+        "word_count",
+        F.round("mwl", 4).alias("mean_word_len"),
+        F.round("uniq_ratio_raw", 4).alias("uniq_ratio"),
+        "n_stop",
+        (
+            (F.col("word_count") >= 30)
+            & (F.col("word_count") <= 100000)
+            & (F.col("mwl") >= 3)
+            & (F.col("mwl") <= 10)
+            & (F.col("n_stop") >= 2)
+            & (F.col("uniq_ratio_raw") >= 0.5)
+        ).alias("passes"),
+    ).orderBy("doc_id")

@@ -71,6 +71,7 @@ _PRIORITY: list[str] = [
     "dedup_semantic_embedding_clusters",
     "datalog_pull_nested",
     "ts_gap_fill_interpolate",
+    "curation_gopher_quality_rules",
     # -- last checked round 1 (42) --
     "agg_approx_sketches",
     "agg_array_agg",

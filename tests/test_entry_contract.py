@@ -51,10 +51,21 @@ def test_priority_prefix_rotates_to_unchecked_tail():
         unchecked = [n for n in names if n not in latest]
         outside = [n for n in unchecked if n not in first50]
         assert not outside, f"never-checked names outside the gate: {outside}"
-        # every name whose latest evidence is r1/r2 sits in the window
-        stale = [n for n, r in latest.items() if r <= 2 and n in names]
-        outside = [n for n in stale if n not in first50]
-        assert not outside, f"r1/r2-stale names outside the gate: {outside}"
+        # the window's remaining slots hold the OLDEST evidence first:
+        # nothing inside the window may be fresher than anything the
+        # window displaced (staleness is monotone across the boundary).
+        # r7's 8 new + 42 r1-stale names fill the 50 slots exactly, so
+        # the r2/r3 backlog queues immediately after for the r8 window.
+        window_rounds = [latest[n] for n in first50 if n in latest]
+        displaced = [
+            latest[n] for n in names[50 : len(_PRIORITY)] if n in latest
+        ]
+        if window_rounds and displaced:
+            assert max(window_rounds) <= min(displaced), (
+                "gate window holds fresher evidence than the names it "
+                f"displaced: max(in)={max(window_rounds)} > "
+                f"min(out)={min(displaced)}"
+            )
 
 
 def test_entry_smoke(spark):
