@@ -1938,6 +1938,25 @@ class Snapshot:
         )
 
         uid = uuid.uuid4().hex[:8]
+        # EXPLAIN [FORMATTED|EXTENDED]: return the physical plan as a
+        # one-column relation (client tooling parity — psql-style
+        # EXPLAIN over pgwire/HTTP rides this same path).  The plan is
+        # of the DIALECT-REWRITTEN query, so temporal clauses, ASOF
+        # joins, and basis views appear as what actually executes.
+        head = query.lstrip().split(None, 2)
+        if head and head[0].upper() == "EXPLAIN":
+            mode = "formatted"
+            rest = query.lstrip()[len(head[0]):].lstrip()
+            if head[1:] and head[1].upper() in ("FORMATTED", "EXTENDED"):
+                mode = head[1].lower()
+                rest = rest[len(head[1]):].lstrip()
+            inner = self.sql(rest, **asof)
+            plan = inner._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+                inner._jdf.queryExecution(), mode
+            )
+            return self.engine.spark.createDataFrame(
+                [(line,) for line in plan.splitlines()], "plan string"
+            )
         # repeatable queries: CURRENT_TIMESTAMP/CURRENT_DATE/NOW() are
         # the BASIS clock, never the wall clock — the same query at
         # the same basis answers identically forever (core2 semantics)

@@ -1608,3 +1608,19 @@ def test_information_schema_tables_and_columns(spark, tmp_path):
         ).collect()
     ]
     assert cols == [("id", 1, "bigint"), ("name", 2, "string"), ("v", 3, "double")]
+
+
+def test_explain_statement(spark, tmp_path):
+    """EXPLAIN returns the physical plan of the dialect-rewritten
+    query as a one-column relation (rides pgwire/HTTP unchanged)."""
+    eng = Engine(spark, str(tmp_path / "expl"))
+    t = spark.createDataFrame([(1, "a")], "id long, name string")
+    eng.submit_tx([Put("t1", t)])
+    rows = eng.db().sql(
+        "EXPLAIN SELECT name, COUNT(*) AS n FROM t1 GROUP BY name"
+    ).collect()
+    text = "\n".join(r[0] for r in rows)
+    assert "Physical Plan" in text and "HashAggregate" in text
+    # EXPLAIN FORMATTED gives the sectioned form
+    rows = eng.db().sql("EXPLAIN FORMATTED SELECT id FROM t1").collect()
+    assert any("Physical Plan" in r[0] for r in rows)
