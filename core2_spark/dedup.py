@@ -291,3 +291,84 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    max_cell_rows: int = 20_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal over an embedding column.  Clusters are the
+    Voronoi cells of ``n_clusters`` fixed seed embeddings (the lowest
+    ids — the IVF coarse quantizer, i.e. SemDeDup's k-means step with
+    zero Lloyd iterations, so the math is deterministic across engines
+    and runs); within each cell an item is dropped when a
+    cosine-above-threshold neighbor sits closer to the seed (ties by
+    id).  Returns the surviving ``(id_col, cluster)`` rows.
+
+    ``vec_col`` must already be ``array<double>`` (cast float
+    embeddings with ``functions.vectors.as_double`` first).
+
+    Scale: assignment is a broadcast cross join with the n_clusters
+    seeds; pairwise cosine runs ONLY inside a cell (equi-join on the
+    cell id).  The quadratic term is (N/k)² per cell — grow
+    ``n_clusters`` ~√N so total work stays ~N^1.5.  A cell exceeding
+    ``max_cell_rows`` refuses the pair join with the same guard as the
+    n-gram dedup path (raise n_clusters, don't eat the cartesian)."""
+    from pyspark.sql import Window
+
+    from core2_spark.functions import vectors as vec
+
+    seeds = (
+        df.orderBy(id_col)
+        .limit(n_clusters)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cid"),
+            F.col(vec_col).alias("sv"),
+        )
+    )
+    d2 = (
+        vec.dot(F.col(vec_col), F.col(vec_col))
+        - 2 * vec.dot(F.col(vec_col), F.col("sv"))
+        + vec.dot(F.col("sv"), F.col("sv"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cid").asc())
+    assigned = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(seeds))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "cid", "d2")
+    )
+    assert_bounded_blocks(
+        assigned, ("cid",), max_cell_rows, lsh_twin="knn_lsh_bucketed"
+    )
+    x, y = assigned.alias("x"), assigned.alias("y")
+    cos = vec.cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}"))
+    dominated = (
+        x.join(
+            y,
+            (F.col("x.cid") == F.col("y.cid"))
+            & (F.col(f"x.{id_col}") != F.col(f"y.{id_col}")),
+        )
+        .filter(
+            (cos > threshold)
+            & (
+                (F.col("y.d2") < F.col("x.d2"))
+                | (
+                    (F.col("y.d2") == F.col("x.d2"))
+                    & (F.col(f"y.{id_col}") < F.col(f"x.{id_col}"))
+                )
+            )
+        )
+        .select(F.col(f"x.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dominated, id_col, "left_anti").select(
+        id_col, F.col("cid").alias("cluster")
+    )

@@ -1654,79 +1654,22 @@ _SEMDEDUP_ORACLE = """
 @query("dedup_semantic_embedding_clusters", oracle=_SEMDEDUP_ORACLE)
 def dedup_semantic_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
-    arXiv:2303.09540): cluster the embedding space coarsely, then
-    within each cluster drop every item that has a semantically
-    near-identical neighbor of higher priority (closer to the cluster
-    centroid; ties by id).  Unlike MinHash/SimHash this catches
-    SEMANTIC duplicates — paraphrases with disjoint n-grams.
-
-    Deterministic variant for the oracle: clusters are the Voronoi
-    cells of k=8 fixed seed embeddings (the lowest vec_ids) — the
-    IVF-style coarse quantizer, which is exactly SemDeDup's k-means
-    step with zero Lloyd iterations so both engines compute bit-equal
-    float math (no distributed averaging whose summation order could
-    flip an argmin).  Threshold 0.4 suits the fixture's random
-    embeddings (max pairwise cosine ~0.51); real corpora use ~0.95+.
-
-    Scale shape: assignment is a broadcast cross join with k (tiny) —
-    the same plan as similarity.py's IVF cell assigner; pairwise
-    cosine happens ONLY within a cluster (self-join shuffles on the
-    cluster id), which is SemDeDup's whole point — the clusters bound
-    the quadratic term to (N/k)^2 per cluster, with k grown ~sqrt(N)
-    at scale so total work stays ~N^1.5, never the N^2 all-pairs."""
-    from pyspark.sql import Window
+    arXiv:2303.09540) — see ``dedup.semantic_dedup`` for the full
+    algorithm and its 100 TB shape (broadcast seed assignment,
+    cell-bounded pairwise cosine with the quadratic-join guard).
+    Threshold 0.4 suits the fixture's random embeddings (max pairwise
+    cosine ~0.51); real corpora use ~0.95+.  Deterministic by
+    construction (fixed Voronoi seeds, no Lloyd averaging), so the
+    DuckDB oracle replays the identical float math."""
+    from core2_spark import dedup
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].select(
         "vec_id", vec.as_double(F.col("embedding")).alias("v")
     )
-    seeds = (
-        e.orderBy("vec_id")
-        .limit(8)
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
-            F.col("v").alias("sv"),
-        )
-    )
-    d2 = (
-        vec.dot(F.col("v"), F.col("v"))
-        - 2 * vec.dot(F.col("v"), F.col("sv"))
-        + vec.dot(F.col("sv"), F.col("sv"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
-    assigned = (
-        e.crossJoin(F.broadcast(seeds))
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid", "d2")
-    )
-    x = assigned.alias("x")
-    y = assigned.alias("y")
-    cos = vec.cosine(F.col("x.v"), F.col("y.v"))
-    dominated = (
-        x.join(
-            y,
-            (F.col("x.cid") == F.col("y.cid"))
-            & (F.col("x.vec_id") != F.col("y.vec_id")),
-        )
-        .filter(
-            (cos > 0.4)
-            & (
-                (F.col("y.d2") < F.col("x.d2"))
-                | (
-                    (F.col("y.d2") == F.col("x.d2"))
-                    & (F.col("y.vec_id") < F.col("x.vec_id"))
-                )
-            )
-        )
-        .select(F.col("x.vec_id").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        assigned.join(dominated, "vec_id", "left_anti")
-        .select("vec_id", F.col("cid").alias("cluster"))
-        .orderBy("vec_id")
-    )
+    return dedup.semantic_dedup(
+        e, id_col="vec_id", vec_col="v", n_clusters=8, threshold=0.4
+    ).orderBy("vec_id")
+
 
 
 @query(

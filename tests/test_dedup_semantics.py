@@ -328,3 +328,22 @@ def test_semdedup_drops_planted_semantic_dup(spark):
     # so they land in the same Voronoi cell and cosine ~1 > 0.4)
     assert (12 in kept) != (99 in kept)
     assert len(kept) < 41
+
+
+def test_semantic_dedup_refuses_oversized_cell(spark):
+    """The quadratic-pair-join guard fires when a Voronoi cell exceeds
+    the cap — raise n_clusters, don't eat the cartesian."""
+    import numpy as np
+    import pytest as _pytest
+
+    from core2_spark.dedup import semantic_dedup
+    from core2_spark.functions import vectors as vec
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").select(
+        "vec_id", vec.as_double(F.col("embedding")).alias("v")
+    )
+    with _pytest.raises(ValueError, match="quadratic pair join refused"):
+        semantic_dedup(df, n_clusters=2, max_cell_rows=5)
