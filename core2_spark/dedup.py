@@ -344,6 +344,10 @@ def semantic_dedup(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(id_col, vec_col, "cid", "d2")
+        # materialized once: the plan is consumed FOUR times below
+        # (guard aggregation, both self-join sides, final anti-join) —
+        # without this the full N×k assignment recomputes each time
+        .localCheckpoint(eager=True)
     )
     assert_bounded_blocks(
         assigned, ("cid",), max_cell_rows, lsh_twin="knn_lsh_bucketed"

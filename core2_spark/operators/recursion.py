@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def fixpoint(
@@ -31,12 +32,25 @@ def fixpoint(
     ``step`` maps the current frontier to candidate new rows (same
     schema).  ``key_cols`` identify a row (default: all columns).
     """
+    from functools import reduce
+
     keys = key_cols or base.columns
     acc = base.distinct()
     frontier = acc
     for i in range(max_iterations):
         derived = step(frontier).distinct()
-        new = derived.join(acc, keys, "left_anti")
+        # NULL-SAFE anti-join: with plain `=`, a derived row holding a
+        # NULL key never matches its twin in acc (NULL != NULL), so it
+        # is re-derived as "new" forever — the fixpoint diverges and
+        # the accumulator grows until OOM on queries every SQL engine
+        # answers instantly.  eqNullSafe makes seen-set membership
+        # match distinct()'s null-safe grouping semantics.
+        d, a = derived.alias("_d"), acc.alias("_a")
+        cond = reduce(
+            lambda x, y: x & y,
+            [F.col(f"_d.{k}").eqNullSafe(F.col(f"_a.{k}")) for k in keys],
+        )
+        new = d.join(a, cond, "left_anti")
         if new.isEmpty():
             return acc
         acc = acc.unionByName(new)

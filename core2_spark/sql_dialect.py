@@ -759,16 +759,19 @@ def pin_now(sql: str, at) -> str:
     return "".join(out)
 
 
-def _split_union_terms(body: str) -> tuple[list[str], str | None]:
+def _split_union_terms(body: str) -> tuple[list[str], list[str], bool]:
     """Split a CTE body at top-level ``UNION [ALL]`` boundaries.
-    Returns ``(term_texts, combinator)`` where combinator is
-    ``"UNION"`` / ``"UNION ALL"`` / None (single term).  INTERSECT /
-    EXCEPT bind tighter than UNION, so splitting only on UNION keeps
-    them inside their term.  Mixed combinators are rejected — the
-    recursive-CTE iteration needs one accumulation semantics."""
-    toks = _tokens(body)
+    Returns ``(term_texts, combinators, has_other_set_op)`` where
+    combinators holds one ``"UNION"`` / ``"UNION ALL"`` per cut (empty
+    for a single term) and has_other_set_op reports a top-level
+    INTERSECT / EXCEPT / MINUS.  No validation happens here: whether
+    mixed combinators or other set ops are legal depends on whether
+    the CTE turns out to be RECURSIVE — a plain CTE's body runs
+    verbatim and may combine freely (the caller decides)."""
+    toks = _tokens(body)  # significant tokens only; no ws to skip
     depth = 0
     cuts: list[tuple[int, int, str]] = []  # (start, end, combinator)
+    has_other = False
     i = 0
     while i < len(toks):
         t = toks[i]
@@ -776,10 +779,10 @@ def _split_union_terms(body: str) -> tuple[list[str], str | None]:
             depth += 1
         elif t.text == ")":
             depth -= 1
+        elif depth == 0 and t.word() in ("INTERSECT", "EXCEPT", "MINUS"):
+            has_other = True
         elif depth == 0 and t.word() == "UNION":
             j = i + 1
-            while j < len(toks) and toks[j].kind == "ws":
-                j += 1
             if j < len(toks) and toks[j].word() == "ALL":
                 cuts.append((t.start, toks[j].end, "UNION ALL"))
                 i = j
@@ -790,19 +793,13 @@ def _split_union_terms(body: str) -> tuple[list[str], str | None]:
                 cuts.append((t.start, t.end, "UNION"))
         i += 1
     if not cuts:
-        return [body], None
-    combos = {c for _s, _e, c in cuts}
-    if len(combos) > 1:
-        raise ValueError(
-            "recursive CTE mixes UNION and UNION ALL; one accumulation "
-            "semantics per CTE is supported"
-        )
+        return [body], [], has_other
     terms, pos = [], 0
     for s, e, _c in cuts:
         terms.append(body[pos:s])
         pos = e
     terms.append(body[pos:])
-    return terms, cuts[0][2]
+    return terms, [c for _s, _e, c in cuts], has_other
 
 
 def expand_recursive_ctes(sql, run_sql, fresh_name):
@@ -828,7 +825,7 @@ def expand_recursive_ctes(sql, run_sql, fresh_name):
     rewritten main query with CTE references renamed to the computed
     views, or None when the statement has no ``WITH RECURSIVE`` head.
     """
-    toks = [t for t in _tokens(sql) if t.kind != "ws"]
+    toks = _tokens(sql)  # significant tokens only (ws already dropped)
     if len(toks) < 2 or toks[0].word() != "WITH" or toks[1].word() != "RECURSIVE":
         return None
     from core2_spark.operators.recursion import fixpoint
@@ -878,7 +875,8 @@ def expand_recursive_ctes(sql, run_sql, fresh_name):
     view_map: dict[str, str] = {}
     for name, cols, body in ctes:
         body = rename_bare_tables(body, view_map)  # earlier CTEs resolve
-        terms, combinator = _split_union_terms(body)
+        terms, combinators, has_other_set_op = _split_union_terms(body)
+        combinator = combinators[0] if combinators else None
         fr_view = fresh_name(f"rcte_frontier_{name}")
         base_terms: list[str] = []
         rec_terms: list[str] = []
@@ -894,8 +892,27 @@ def expand_recursive_ctes(sql, run_sql, fresh_name):
             else:
                 rec_terms.append(rt)
         if not rec_terms:
+            # plain CTE under a WITH RECURSIVE head: the body runs
+            # VERBATIM, so mixed combinators / INTERSECT / EXCEPT are
+            # perfectly legal here — validation applies only to bodies
+            # that actually iterate
             df = run_sql(body)
         else:
+            if len(set(combinators)) > 1:
+                raise ValueError(
+                    f"recursive CTE {name} mixes UNION and UNION ALL; "
+                    "one accumulation semantics per recursive CTE is "
+                    "supported"
+                )
+            if has_other_set_op:
+                # UNION and EXCEPT are left-associative EQUAL-precedence
+                # (only INTERSECT binds tighter), so a term-wise split
+                # on UNION would mis-group `a UNION ALL b EXCEPT c`;
+                # refuse rather than iterate the wrong algebra
+                raise ValueError(
+                    f"recursive CTE {name}: top-level INTERSECT/EXCEPT "
+                    "in a recursive body is not supported"
+                )
             if not base_terms:
                 raise ValueError(
                     f"recursive CTE {name}: every UNION term references "
@@ -1183,17 +1200,28 @@ def _rewrite_one_asof(sql: str) -> str | None:
         frame = "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
         pick = "first"
     key_cols = (", ".join(keys) + ", ") if keys else ""
+    # __asof_dup counts RIGHT rows sharing one (keys, ts) cell: a
+    # duplicate right side would silently multiply output rows at the
+    # join-back (and diverge from DuckDB's native ASOF, the oracle),
+    # so the docstring's uniqueness precondition is ENFORCED — a
+    # violating right row trips raise_error instead of matching twice.
+    dup_part = f"PARTITION BY {', '.join(keys) + ', ' if keys else ''}__asof_t"
     matcher = (
         f"(SELECT DISTINCT {key_cols}__asof_t AS __asof_lt, __asof_rt "
         f"FROM (SELECT {key_cols}__asof_t, __asof_side, "
         f"{pick}(CASE WHEN __asof_side = 0 THEN __asof_t END, true) "
-        f"OVER ({part}{order} {frame}) AS __asof_rt "
+        f"OVER ({part}{order} {frame}) AS __asof_rt, "
+        f"COUNT(CASE WHEN __asof_side = 0 THEN 1 END) "
+        f"OVER ({dup_part}) AS __asof_dup "
         f"FROM (SELECT {l_keys_sel}{', ' if l_keys_sel else ''}"
         f"{l_ts} AS __asof_t, 1 AS __asof_side FROM {l_name} "
         f"WHERE {l_ts} IS NOT NULL "
         f"UNION ALL SELECT {r_keys_sel}{', ' if r_keys_sel else ''}"
         f"{r_ts}, 0 FROM {r_name} WHERE {r_ts} IS NOT NULL)) "
-        f"WHERE __asof_side = 1"
+        f"WHERE (__asof_side = 1 OR (CASE WHEN __asof_dup > 1 THEN "
+        f"CAST(raise_error('ASOF JOIN: right side has duplicate "
+        f"(keys, ts) rows; aggregate it first for a deterministic "
+        f"match') AS BOOLEAN) ELSE FALSE END))"
         f"{'' if left_kind else ' AND __asof_rt IS NOT NULL'}) {mm}"
     )
     jkind = "LEFT JOIN" if left_kind else "JOIN"

@@ -374,91 +374,126 @@ def _merge_to_ops(engine, snap, p: _ParsedDml, id_col: str) -> list:
     unmatched source rows to the first WHEN NOT MATCHED clause.  A
     target row matched by MORE THAN ONE source row is a cardinality
     violation and raises — the standard's rule, and the only way the
-    result stays deterministic.
+    result stays deterministic.  Duplicate ids WITHIN the inserted set
+    are refused for the same reason: a single Put freezes an arbitrary
+    within-partition winner, which a deterministic engine must not do.
+
+    Temp views are uid-suffixed and dropped on exit so concurrent
+    MERGEs in one SparkSession (a supported configuration — see
+    engine_concurrent_writers) can never read each other's
+    registrations.
 
     Scale: one equi-shaped join source⋈target for the matched set, one
-    anti-join for the not-matched set, one count-per-id aggregation for
-    the violation check — all shuffle on the ON keys; nothing is
-    collected to the driver."""
+    anti-join for the not-matched set, one count-per-id aggregation per
+    violation check — all shuffle on the ON keys; nothing is collected
+    to the driver."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
     from core2_spark.engine import Delete, Put
 
     spark = engine.spark
     d = p.detail
     tal, sal, on = d["talias"], d["salias"], d["on"]
+    uid = _uuid.uuid4().hex[:8]
+    tv, sv = f"_merge_t_{uid}", f"_merge_s_{uid}"
     cur = snap.table(p.table)
-    cur.createOrReplaceTempView("_merge_t")
     src = d["source"]
-    if src.startswith("("):
-        src_df = snap.sql(src[1:-1])
-    else:
-        src_df = snap.table(src)
-    src_df.localCheckpoint(eager=True).createOrReplaceTempView("_merge_s")
+    try:
+        cur.createOrReplaceTempView(tv)
+        if src.startswith("("):
+            src_df = snap.sql(src[1:-1])
+        else:
+            src_df = snap.table(src)
+        src_df.localCheckpoint(eager=True).createOrReplaceTempView(sv)
 
-    # cardinality violation: >1 source rows matching one target row
-    dup = spark.sql(
-        f"SELECT {tal}.{id_col} FROM _merge_t {tal} JOIN _merge_s {sal} "
-        f"ON {on} GROUP BY {tal}.{id_col} HAVING COUNT(*) > 1 LIMIT 1"
-    ).take(1)
-    if dup:
-        raise ValueError(
-            f"MERGE cardinality violation: target id {dup[0][0]!r} is "
-            "matched by more than one source row"
-        )
-
-    types = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
-    ops: list = []
-    matched_clauses = [c for c in d["clauses"] if c["matched"]]
-    unmatched_clauses = [c for c in d["clauses"] if not c["matched"]]
-
-    def _clause_filter(clauses, idx) -> str:
-        """First-match-wins: this clause's condition AND NOT any
-        earlier clause's (NULL condition values count as false)."""
-        conds = [
-            f"COALESCE(({c['cond']}), FALSE)" if c["cond"] else "TRUE"
-            for c in clauses
-        ]
-        parts = [conds[idx]] + [f"NOT {c}" for c in conds[:idx]]
-        return " AND ".join(parts)
-
-    for i, c in enumerate(matched_clauses):
-        flt = _clause_filter(matched_clauses, i)
-        if c["kind"] == "update":
-            set_map = dict(c["sets"])
-            proj = []
-            for name in cur.columns:
-                if name in set_map:
-                    proj.append(
-                        f"CAST(({set_map[name]}) AS {types[name]}) AS {name}"
-                    )
-                else:
-                    proj.append(f"{tal}.{name}")
-            updated = spark.sql(
-                f"SELECT {', '.join(proj)} FROM _merge_t {tal} "
-                f"JOIN _merge_s {sal} ON {on} WHERE {flt}"
-            ).localCheckpoint(eager=True)
-            ops.append(Put(p.table, updated))
-        else:  # delete
-            ids = spark.sql(
-                f"SELECT {tal}.{id_col} AS {id_col} FROM _merge_t {tal} "
-                f"JOIN _merge_s {sal} ON {on} WHERE {flt}"
-            ).localCheckpoint(eager=True)
-            ops.append(Delete(p.table, ids, id_col))
-
-    for i, c in enumerate(unmatched_clauses):
-        flt = _clause_filter(unmatched_clauses, i)
-        proj = []
-        for col, val in zip(c["cols"], c["vals"]):
-            cast = f" AS {types[col]}" if col in types else ""
-            proj.append(
-                f"CAST(({val}){cast}) AS {col}" if cast else f"({val}) AS {col}"
+        # cardinality violation: >1 source rows matching one target row
+        dup = spark.sql(
+            f"SELECT {tal}.{id_col} FROM {tv} {tal} JOIN {sv} {sal} "
+            f"ON {on} GROUP BY {tal}.{id_col} HAVING COUNT(*) > 1 LIMIT 1"
+        ).take(1)
+        if dup:
+            raise ValueError(
+                f"MERGE cardinality violation: target id {dup[0][0]!r} is "
+                "matched by more than one source row"
             )
-        inserted = spark.sql(
-            f"SELECT {', '.join(proj)} FROM _merge_s {sal} "
-            f"WHERE NOT EXISTS (SELECT 1 FROM _merge_t {tal} WHERE {on}) "
-            f"AND ({flt})"
-        ).localCheckpoint(eager=True)
-        ops.append(Put(p.table, inserted))
-    return ops
+
+        types = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
+        ops: list = []
+        matched_clauses = [c for c in d["clauses"] if c["matched"]]
+        unmatched_clauses = [c for c in d["clauses"] if not c["matched"]]
+
+        def _clause_filter(clauses, idx) -> str:
+            """First-match-wins: this clause's condition AND NOT any
+            earlier clause's (NULL condition values count as false)."""
+            conds = [
+                f"COALESCE(({c['cond']}), FALSE)" if c["cond"] else "TRUE"
+                for c in clauses
+            ]
+            parts = [conds[idx]] + [f"NOT {c}" for c in conds[:idx]]
+            return " AND ".join(parts)
+
+        for i, c in enumerate(matched_clauses):
+            flt = _clause_filter(matched_clauses, i)
+            if c["kind"] == "update":
+                set_map = dict(c["sets"])
+                proj = []
+                for name in cur.columns:
+                    if name in set_map:
+                        proj.append(
+                            f"CAST(({set_map[name]}) AS {types[name]}) AS {name}"
+                        )
+                    else:
+                        proj.append(f"{tal}.{name}")
+                updated = spark.sql(
+                    f"SELECT {', '.join(proj)} FROM {tv} {tal} "
+                    f"JOIN {sv} {sal} ON {on} WHERE {flt}"
+                ).localCheckpoint(eager=True)
+                ops.append(Put(p.table, updated))
+            else:  # delete
+                ids = spark.sql(
+                    f"SELECT {tal}.{id_col} AS {id_col} FROM {tv} {tal} "
+                    f"JOIN {sv} {sal} ON {on} WHERE {flt}"
+                ).localCheckpoint(eager=True)
+                ops.append(Delete(p.table, ids, id_col))
+
+        for i, c in enumerate(unmatched_clauses):
+            flt = _clause_filter(unmatched_clauses, i)
+            proj = []
+            for col, val in zip(c["cols"], c["vals"]):
+                cast = f" AS {types[col]}" if col in types else ""
+                proj.append(
+                    f"CAST(({val}){cast}) AS {col}" if cast else f"({val}) AS {col}"
+                )
+            inserted = spark.sql(
+                f"SELECT {', '.join(proj)} FROM {sv} {sal} "
+                f"WHERE NOT EXISTS (SELECT 1 FROM {tv} {tal} WHERE {on}) "
+                f"AND ({flt})"
+            ).localCheckpoint(eager=True)
+            if id_col in inserted.columns:
+                # duplicate source ids flowing to one INSERT would
+                # freeze an arbitrary within-Put winner — refuse, like
+                # the matched-side cardinality rule
+                idup = (
+                    inserted.groupBy(id_col)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .take(1)
+                )
+                if idup:
+                    raise ValueError(
+                        "MERGE cardinality violation: source inserts id "
+                        f"{idup[0][0]!r} more than once"
+                    )
+            ops.append(Put(p.table, inserted))
+        return ops
+    finally:
+        for v in (tv, sv):
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:
+                pass
 
 
 # -- materialized-view maintenance statements -------------------------

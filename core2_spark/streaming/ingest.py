@@ -122,8 +122,13 @@ def stream_upsert_into_engine(
                 )
         ops = []
         if delete_col is not None:
-            dels = df.filter(F.col(delete_col)).select("id")
-            ups = df.filter(~F.col(delete_col)).drop(delete_col)
+            # NULL flags mean "not a delete" (common CDC shape: the
+            # feed only sets the flag on deletes) — under 3VL a bare
+            # filter(col)/filter(~col) pair would drop NULL-flagged
+            # rows from BOTH branches, silently losing the upsert
+            flag = F.coalesce(F.col(delete_col), F.lit(False))
+            dels = df.filter(flag).select("id")
+            ups = df.filter(~flag).drop(delete_col)
             dels = dels.localCheckpoint(eager=True)
             ups = ups.localCheckpoint(eager=True)
             if not ups.isEmpty():

@@ -736,3 +736,74 @@ def test_asof_join_errors(spark):
         )
     # no ASOF JOIN -> untouched text
     assert rewrite_asof_joins("SELECT asof FROM t") == "SELECT asof FROM t"
+
+
+# ------------------------------------------------- round-7 review fixes
+
+
+def test_fixpoint_converges_with_null_columns(spark):
+    """Semi-naive dedup must be NULL-SAFE: with plain `=` a derived
+    row holding a NULL key never matches its twin in the seen set and
+    is re-derived forever (diverges to OOM).  r7 review finding #1."""
+    import time
+
+    from core2_spark.sql_dialect import sql_with_temporal
+
+    t0 = time.time()
+    rows = sql_with_temporal(
+        spark,
+        "WITH RECURSIVE rr (a, b) AS (SELECT 1, CAST(NULL AS BIGINT) "
+        "UNION SELECT a, CAST(NULL AS BIGINT) FROM rr WHERE a = 1) "
+        "SELECT * FROM rr",
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, None)]
+    assert time.time() - t0 < 120
+
+
+def test_asof_join_duplicate_right_raises(spark):
+    """The right-side uniqueness precondition is ENFORCED, not just
+    documented: duplicate (keys, ts) right rows would silently
+    multiply output at the join-back.  r7 review finding #2."""
+    import pytest as _pytest
+
+    from core2_spark.sql_dialect import sql_with_temporal
+
+    l = spark.createDataFrame([(1, 10)], "k long, t long")
+    r = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 5, 200.0)], "k long, t long, rv double"
+    )
+    l.createOrReplaceTempView("_adup_l")
+    r.createOrReplaceTempView("_adup_r")
+    with _pytest.raises(Exception, match="duplicate \\(keys, ts\\)"):
+        sql_with_temporal(
+            spark,
+            "SELECT l.k, r.rv FROM _adup_l l ASOF JOIN _adup_r r "
+            "ON l.k = r.k AND l.t >= r.t",
+        ).collect()
+
+
+def test_plain_cte_under_recursive_head_mixes_combinators(spark):
+    """A NON-recursive CTE under a WITH RECURSIVE head runs verbatim,
+    so mixed UNION/UNION ALL (or EXCEPT) in it is legal; only bodies
+    that actually iterate are restricted.  r7 review finding #6."""
+    import pytest as _pytest
+
+    from core2_spark.sql_dialect import sql_with_temporal
+
+    got = sql_with_temporal(
+        spark,
+        "WITH RECURSIVE r AS (SELECT 1 AS a UNION ALL "
+        "SELECT a + 1 FROM r WHERE a < 2), "
+        "h AS (SELECT 1 AS x UNION SELECT 2 UNION ALL SELECT 2) "
+        "SELECT (SELECT COUNT(*) FROM r) AS nr, COUNT(*) AS nh FROM h",
+    ).collect()
+    assert [tuple(r) for r in got] == [(2, 3)]
+    # a RECURSIVE body with top-level EXCEPT is refused (UNION and
+    # EXCEPT are equal-precedence; a UNION-wise split would mis-group)
+    with _pytest.raises(ValueError, match="INTERSECT/EXCEPT"):
+        sql_with_temporal(
+            spark,
+            "WITH RECURSIVE r AS (SELECT 1 AS a UNION ALL "
+            "SELECT a + 1 FROM r WHERE a < 3 EXCEPT SELECT 2) "
+            "SELECT * FROM r",
+        )

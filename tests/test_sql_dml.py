@@ -347,3 +347,35 @@ def test_merge_parse_errors(spark):
         "SET a = CASE WHEN x.v > 0 THEN 1 ELSE 0 END"
     )
     assert p.verb == "merge" and len(p.detail["clauses"]) == 1
+
+
+def test_merge_insert_duplicate_source_ids_raise(spark, tmp_path):
+    """Duplicate ids flowing to WHEN NOT MATCHED INSERT would freeze
+    an arbitrary within-Put winner — refused like the matched-side
+    cardinality rule.  r7 review finding #4."""
+    eng = _merge_engine(spark, tmp_path, "insdup")
+    with pytest.raises(ValueError, match="inserts id"):
+        eng.sql_dml(
+            "MERGE INTO tgt USING (SELECT 9 AS id, 'a' AS name "
+            "UNION ALL SELECT 9, 'b') s ON tgt.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, s.name)"
+        )
+    assert eng.db().sql("SELECT COUNT(*) c FROM tgt").collect()[0][0] == 3
+
+
+def test_merge_temp_views_are_scoped_and_dropped(spark, tmp_path):
+    """MERGE's working views are uid-suffixed and dropped on exit so
+    concurrent MERGEs in one SparkSession cannot clobber each other.
+    r7 review finding #5."""
+    eng = _merge_engine(spark, tmp_path, "views")
+    eng.sql_dml(
+        "MERGE INTO tgt USING (SELECT 7 AS id, 'g' AS name, 7.0 AS v) s "
+        "ON tgt.id = s.id WHEN NOT MATCHED THEN INSERT (id, name, v) "
+        "VALUES (s.id, s.name, s.v)"
+    )
+    leftovers = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("_merge_")
+    ]
+    assert leftovers == []

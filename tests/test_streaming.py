@@ -606,3 +606,32 @@ def test_stream_upsert_refuses_unordered_duplicates(spark, tmp_path):
         q.stop()
     # nothing committed
     assert "t" not in eng.db().basis.manifests
+
+
+def test_stream_upsert_null_delete_flag_is_upsert(spark, tmp_path):
+    """A NULL delete flag means 'not a delete' — the row must reach
+    the Put branch, never be silently dropped by 3VL filtering.
+    r7 review finding #3."""
+    import os
+
+    from core2_spark.engine import Engine
+    from core2_spark.streaming.ingest import stream_upsert_into_engine
+
+    b0 = spark.createDataFrame(
+        [(1, "a", None), (2, "b", True)],
+        "id long, name string, _del boolean",
+    )
+    src = str(tmp_path / "nullflag_src")
+    os.makedirs(src)
+    b0.coalesce(1).write.parquet(src + "/b0")
+    eng = Engine(spark, str(tmp_path / "nullflag_db"))
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = stream_upsert_into_engine(stream, eng, "t", delete_col="_del")
+    q.processAllAvailable()
+    q.stop()
+    got = [tuple(r) for r in eng.db().sql("SELECT id, name FROM t").collect()]
+    assert got == [(1, "a")]
