@@ -1944,6 +1944,22 @@ class Snapshot:
         # of the DIALECT-REWRITTEN query, so temporal clauses, ASOF
         # joins, and basis views appear as what actually executes.
         head = query.lstrip().split(None, 2)
+        # SHOW TABLES / DESCRIBE <t>: client-shell sugar over the
+        # information_schema views (same metadata-only path)
+        if head and head[0].upper() == "SHOW" and len(head) > 1 and (
+            head[1].upper() == "TABLES"
+        ):
+            return self.sql(
+                "SELECT table_name, table_type FROM information_schema.tables "
+                "ORDER BY table_name"
+            )
+        if head and head[0].upper() in ("DESCRIBE", "DESC") and len(head) == 2:
+            tname = head[1].strip().strip(";").strip('"')
+            return self.sql(
+                "SELECT column_name, data_type, is_nullable "
+                "FROM information_schema.columns "
+                f"WHERE table_name = '{tname}' ORDER BY ordinal_position"
+            )
         if head and head[0].upper() == "EXPLAIN":
             mode = "formatted"
             rest = query.lstrip()[len(head[0]):].lstrip()

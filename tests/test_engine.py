@@ -1624,3 +1624,14 @@ def test_explain_statement(spark, tmp_path):
     # EXPLAIN FORMATTED gives the sectioned form
     rows = eng.db().sql("EXPLAIN FORMATTED SELECT id FROM t1").collect()
     assert any("Physical Plan" in r[0] for r in rows)
+
+
+def test_show_tables_and_describe(spark, tmp_path):
+    eng = Engine(spark, str(tmp_path / "showt"))
+    t = spark.createDataFrame([(1, "a")], "id long, name string")
+    eng.submit_tx([Put("gadgets", t)])
+    db = eng.db()
+    tabs = [tuple(r) for r in db.sql("SHOW TABLES").collect()]
+    assert ("gadgets", "BASE TABLE") in tabs
+    cols = [tuple(r) for r in db.sql("DESCRIBE gadgets").collect()]
+    assert cols == [("id", "bigint", "YES"), ("name", "string", "YES")]
