@@ -315,41 +315,58 @@ def dml_to_ops(engine, statement: str, id_col: str = "id") -> list:
         # table the Put appends to
         return [Put(p.table, snap.sql(p.detail["select"]).localCheckpoint(eager=True))]
 
+    # uid-suffixed working views, dropped on exit: fixed names would
+    # let two concurrent DML statements in one SparkSession clobber
+    # each other's target between registration and execution (the same
+    # race class the MERGE path guards against)
+    import uuid as _uuid
+
+    uid = _uuid.uuid4().hex[:8]
+    tgt_view, matched_view = f"_dml_target_{uid}", f"_dml_matched_{uid}"
     cur = snap.table(p.table)
-    cur.createOrReplaceTempView("_dml_target")
-    where = p.detail.get("where")
-    matched = spark.sql(
-        f"SELECT * FROM _dml_target" + (f" WHERE {where}" if where else "")
-    )
+    try:
+        cur.createOrReplaceTempView(tgt_view)
+        where = p.detail.get("where")
+        matched = spark.sql(
+            f"SELECT * FROM {tgt_view}" + (f" WHERE {where}" if where else "")
+        )
 
-    if p.verb == "update":
-        projections = []
-        set_map = dict(p.detail["sets"])
-        types = {f.name: f.dataType.simpleString() for f in matched.schema.fields}
-        for name in matched.columns:
-            if name in set_map:
-                # cast to the column's existing type: a bare literal
-                # (0.0 → DECIMAL(1,1)) would otherwise fork the
-                # parquet schema of the version table
-                projections.append(
-                    f"CAST(({set_map[name]}) AS {types[name]}) AS {name}"
+        if p.verb == "update":
+            projections = []
+            set_map = dict(p.detail["sets"])
+            types = {
+                f.name: f.dataType.simpleString() for f in matched.schema.fields
+            }
+            for name in matched.columns:
+                if name in set_map:
+                    # cast to the column's existing type: a bare literal
+                    # (0.0 → DECIMAL(1,1)) would otherwise fork the
+                    # parquet schema of the version table
+                    projections.append(
+                        f"CAST(({set_map[name]}) AS {types[name]}) AS {name}"
+                    )
+                else:
+                    projections.append(name)
+            matched.createOrReplaceTempView(matched_view)
+            updated = spark.sql(
+                f"SELECT {', '.join(projections)} FROM {matched_view}"
+            ).localCheckpoint(eager=True)  # reads the table the Put appends to
+            return [
+                Put(
+                    p.table,
+                    updated,
+                    app_start=p.detail["app_from"],
+                    app_end=p.detail["app_to"],
                 )
-            else:
-                projections.append(name)
-        matched.createOrReplaceTempView("_dml_matched")
-        updated = spark.sql(
-            f"SELECT {', '.join(projections)} FROM _dml_matched"
-        ).localCheckpoint(eager=True)  # reads the table the Put appends to
-        return [
-            Put(
-                p.table,
-                updated,
-                app_start=p.detail["app_from"],
-                app_end=p.detail["app_to"],
-            )
-        ]
+            ]
 
-    ids = matched.select(id_col).localCheckpoint(eager=True)
+        ids = matched.select(id_col).localCheckpoint(eager=True)
+    finally:
+        for v in (tgt_view, matched_view):
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:
+                pass
     if p.verb == "delete":
         return [
             Delete(
