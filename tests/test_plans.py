@@ -320,3 +320,29 @@ def test_vacuum_decision_scan_is_narrow_and_partition_pruned(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m is not None, plan
     assert bt.SYS_DAY in m.group(1) and "<=" in m.group(1), m.group(1)
+
+
+def test_round7_query_plans_have_no_nested_loops(spark):
+    """Plan audits for the round-7 surface: document pull, semantic
+    dedup, interpolation gap fill — all equi-join/window shaped; a
+    BroadcastNestedLoop or CartesianProduct anywhere means a rewrite
+    regressed to a quadratic plan.  (The seeds cross join in semantic
+    dedup is a BROADCAST of k=8 rows — explicitly allowed; assert the
+    big sides never nest.)"""
+    for name in ("datalog_pull_nested", "ts_gap_fill_interpolate"):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_gopher_rules_is_map_side_only(spark):
+    """The quality-rules scorer must be a pure map-side pipeline: no
+    join, no aggregate, no shuffle except the final ORDER BY's range
+    exchange."""
+    plan = plan_of(QUERIES["curation_gopher_quality_rules"](spark, SF_DIR))
+    assert "Join" not in plan and "HashAggregate" not in plan
+    import re
+
+    # exactly ONE exchange: the final ORDER BY's range repartitioning
+    assert len(re.findall(r"\bExchange \(", plan)) == 1, plan
+    assert "rangepartitioning" in plan, plan
