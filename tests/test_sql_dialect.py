@@ -807,3 +807,27 @@ def test_plain_cte_under_recursive_head_mixes_combinators(spark):
             "SELECT a + 1 FROM r WHERE a < 3 EXCEPT SELECT 2) "
             "SELECT * FROM r",
         )
+
+
+def test_asof_join_inside_cte_body(spark):
+    """The ASOF rewrite handles the join anywhere in the statement —
+    here inside a WITH body whose result is aggregated downstream."""
+    from core2_spark.sql_dialect import sql_with_temporal
+
+    l = spark.createDataFrame([(1, 10), (1, 20)], "k long, t long")
+    r = spark.createDataFrame(
+        [(1, 8, 1.0), (1, 18, 2.0)], "k long, t long, rv double"
+    )
+    l.createOrReplaceTempView("_acte_l")
+    r.createOrReplaceTempView("_acte_r")
+    rows = sql_with_temporal(
+        spark,
+        """
+        WITH j AS (
+          SELECT l.k, l.t, r.rv FROM _acte_l l ASOF JOIN _acte_r r
+            ON l.k = r.k AND l.t >= r.t
+        )
+        SELECT k, COUNT(*) AS n, SUM(rv) AS s FROM j GROUP BY k
+        """,
+    ).collect()
+    assert [tuple(x) for x in rows] == [(1, 2, 3.0)]
