@@ -989,13 +989,19 @@ def rewrite_asof_joins(sql: str) -> str:
     matched right ts; two hash equi-joins then attach the full rows.
     No range join appears anywhere in the plan.
 
-    V1 limits (loud errors, never silent wrong answers): both sides
-    must be plain table/view references with optional aliases; the ON
+    An optional TOLERANCE band ``l.ts - r.ts <= bound`` (match order;
+    ``r.ts - l.ts`` for the forward direction) nulls out matches
+    farther than ``bound`` — pandas merge_asof semantics; bound may be
+    numeric or an INTERVAL literal.
+
+    Limits (loud errors, never silent wrong answers): both sides must
+    be plain table/view references with optional aliases; the ON
     clause must be a conjunction of column equalities plus exactly one
-    ``>=``/``<=`` timestamp comparison; right rows must be unique per
-    (keys, ts) for a deterministic match (same precondition as
-    ``operators.asof_join``).  NULL timestamps never match (SQL
-    comparison semantics), and NULL keys never match (equi-join).
+    ``>=``/``<=`` timestamp comparison (plus the optional band); right
+    rows must be unique per (keys, ts) — ENFORCED via a windowed count
+    + raise_error in the emitted plan, since a duplicate right side
+    would silently multiply output rows.  NULL timestamps never match
+    (SQL comparison semantics), and NULL keys never match (equi-join).
     """
     out = sql
     for _ in range(16):  # one ASOF join rewritten per pass
@@ -1121,6 +1127,7 @@ def _rewrite_one_asof(sql: str) -> str | None:
 
     eq_pairs: list[tuple[str, str]] = []  # (left col sql, right col sql)
     match_cond = None  # (l_ts, r_ts, direction)
+    tolerance = None  # (first_qual, first_col, second_qual, second_col, bound_sql)
     for c in conjuncts:
         strip = [t for t in c if t.text not in ("(", ")")]
         q1 = _qualified(strip, 0)
@@ -1129,6 +1136,29 @@ def _rewrite_one_asof(sql: str) -> str | None:
                 "ASOF JOIN ON: each conjunct must compare qualified "
                 f"columns, got {' '.join(t.text for t in c)!r}"
             )
+        # tolerance band: qual.ts - qual.ts <= <expr>  (pandas
+        # merge_asof semantics — out-of-band matches become no-match)
+        a_qual0, a_col0, i0 = q1
+        if i0 < len(strip) and strip[i0].text == "-":
+            q2t = _qualified(strip, i0 + 1)
+            if (
+                q2t is not None
+                and q2t[2] + 1 < len(strip)
+                and strip[q2t[2]].text == "<"
+                and strip[q2t[2] + 1].text == "="
+            ):
+                if tolerance is not None:
+                    raise ValueError(
+                        "ASOF JOIN ON: at most one tolerance band"
+                    )
+                if q2t[2] + 2 >= len(strip):
+                    raise ValueError("ASOF JOIN tolerance: missing bound")
+                # slice the bound from the ORIGINAL text: numbers
+                # tokenize as single chars, so re-joining token texts
+                # would mangle 60 into '6 0'
+                bound = sql[strip[q2t[2] + 2].start : strip[-1].end]
+                tolerance = (a_qual0, a_col0, q2t[0], q2t[1], bound)
+                continue
         a_qual, a_col, i2 = q1
         # the tokenizer emits single chars: >= / <= arrive as two toks
         op = None
@@ -1181,6 +1211,28 @@ def _rewrite_one_asof(sql: str) -> str | None:
             "ASOF JOIN ON: a >= or <= match condition is required"
         )
     l_ts, r_ts, direction = match_cond
+    rt_out = "__asof_rt"
+    if tolerance is not None:
+        tq1, tc1, tq2, tc2, bound = tolerance
+        expected = (
+            (l_alias.lower(), l_ts, r_alias.lower(), r_ts)
+            if direction == "backward"
+            else (r_alias.lower(), r_ts, l_alias.lower(), l_ts)
+        )
+        if (tq1.lower(), tc1, tq2.lower(), tc2) != expected:
+            raise ValueError(
+                "ASOF JOIN tolerance must subtract the match-condition "
+                "timestamps in match order "
+                f"({expected[0]}.{expected[1]} - {expected[2]}.{expected[3]})"
+            )
+        diff = (
+            "__asof_t - __asof_rt"
+            if direction == "backward"
+            else "__asof_rt - __asof_t"
+        )
+        rt_out = (
+            f"CASE WHEN {diff} <= ({bound}) THEN __asof_rt END AS __asof_rt"
+        )
 
     import uuid as _uuid
 
@@ -1207,7 +1259,7 @@ def _rewrite_one_asof(sql: str) -> str | None:
     # violating right row trips raise_error instead of matching twice.
     dup_part = f"PARTITION BY {', '.join(keys) + ', ' if keys else ''}__asof_t"
     matcher = (
-        f"(SELECT DISTINCT {key_cols}__asof_t AS __asof_lt, __asof_rt "
+        f"(SELECT DISTINCT {key_cols}__asof_t AS __asof_lt, {rt_out} "
         f"FROM (SELECT {key_cols}__asof_t, __asof_side, "
         f"{pick}(CASE WHEN __asof_side = 0 THEN __asof_t END, true) "
         f"OVER ({part}{order} {frame}) AS __asof_rt, "

@@ -831,3 +831,50 @@ def test_asof_join_inside_cte_body(spark):
         """,
     ).collect()
     assert [tuple(x) for x in rows] == [(1, 2, 3.0)]
+
+
+def test_asof_join_tolerance_band(spark):
+    """Tolerance band `l.ts - r.ts <= bound` (pandas-merge_asof
+    semantics: out-of-band matches become no-match).  Checked against
+    the library operator; works with numeric and INTERVAL bounds and
+    both directions; reversed subtraction order is a loud error."""
+    import pytest as _pytest
+
+    from core2_spark.operators.asof_join import asof_join
+    from core2_spark.sql_dialect import sql_with_temporal
+
+    l = spark.createDataFrame([(1, 10), (1, 100)], "k long, t long")
+    r = spark.createDataFrame(
+        [(1, 8, 1.0), (1, 50, 2.0)], "k long, t long, rv double"
+    )
+    l.createOrReplaceTempView("_tolt_l")
+    r.createOrReplaceTempView("_tolt_r")
+    left = sql_with_temporal(
+        spark,
+        "SELECT l.t, r.rv FROM _tolt_l l ASOF LEFT JOIN _tolt_r r "
+        "ON l.k = r.k AND l.t >= r.t AND l.t - r.t <= 5",
+    ).collect()
+    lib = asof_join(l, r, "t", ["k"], ["rv"], tolerance=5).collect()
+    assert sorted((x[0], x[1]) for x in left) == sorted(
+        (x.t, x.rv) for x in lib
+    ) == [(10, 1.0), (100, None)]
+    # inner drops the out-of-band row entirely
+    inner = sql_with_temporal(
+        spark,
+        "SELECT l.t, r.rv FROM _tolt_l l ASOF JOIN _tolt_r r "
+        "ON l.k = r.k AND l.t >= r.t AND l.t - r.t <= 5",
+    ).collect()
+    assert [(x[0], x[1]) for x in inner] == [(10, 1.0)]
+    # forward direction subtracts the other way
+    fwd = sql_with_temporal(
+        spark,
+        "SELECT l.t, r.rv FROM _tolt_l l ASOF LEFT JOIN _tolt_r r "
+        "ON l.k = r.k AND l.t <= r.t AND r.t - l.t <= 60",
+    ).collect()
+    assert sorted((x[0], x[1]) for x in fwd) == [(10, 2.0), (100, None)]
+    with _pytest.raises(ValueError, match="match order"):
+        sql_with_temporal(
+            spark,
+            "SELECT l.t FROM _tolt_l l ASOF JOIN _tolt_r r "
+            "ON l.k = r.k AND l.t >= r.t AND r.t - l.t <= 5",
+        )
