@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 import warnings
 from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
@@ -1543,8 +1544,14 @@ class Engine:
             # snapshot the keep decision BEFORE any mutation: the
             # lazy `closed` plan re-reads table files, and drops/
             # rewrites must not shift successor derivation under it
-            keys_dir = os.path.join(path, "_tmp_vacuum_keys")
-            shutil.rmtree(keys_dir, ignore_errors=True)
+            # unique per invocation: two vacuums racing past the
+            # maintenance claim must not share scratch (one rmtree's
+            # while the other scans — vanished-footer task failures);
+            # the _tmp_ prefix keeps it invisible to table scans and
+            # reclaimed by _recover_rewrites if this vacuum dies
+            keys_dir = os.path.join(
+                path, f"_tmp_vacuum_keys_{uuid.uuid4().hex[:12]}"
+            )
             with self._micros_timestamps():
                 closed.filter(
                     F.col(bt.SYS_DAY).cast("string").isin(mixed)

@@ -105,6 +105,14 @@ def _validate(name: str, keys: list[str], aggs: dict[str, tuple[str, str]]):
             raise ValueError(f"key {k!r} is reserved for view maintenance")
 
 
+def _id_and_keys(keys: list[str]) -> list[str]:
+    """Projection list (id + group keys) with ``id`` deduplicated — a
+    view keyed on the table's own id column (the natural
+    current-state-by-key view) must not select the column twice, which
+    Spark rejects at parquet write / USING-join time."""
+    return ["id", *[k for k in keys if k != "id"]]
+
+
 def _compute(df: DataFrame, keys: list[str], aggs) -> DataFrame:
     cols = [_AGG_FNS[fn](col).alias(alias) for alias, (fn, col) in aggs.items()]
     return df.groupBy(*keys).agg(*cols)
@@ -189,7 +197,7 @@ def _affected_keys(engine, snap, table, keys, as_of, feed, changed):
     if compact_clock is None:
         return (
             bt.without_tombstones(snap.history(table))
-            .select("id", *keys)
+            .select(*_id_and_keys(keys))
             .join(F.broadcast(changed), "id", "left_semi")
             .select(*keys)
             .distinct()
@@ -197,7 +205,7 @@ def _affected_keys(engine, snap, table, keys, as_of, feed, changed):
 
     compact_keys = (
         spark.read.parquet(os.path.join(engine.root, "_current", table))
-        .select("id", *keys)
+        .select(*_id_and_keys(keys))
         .join(F.broadcast(changed), "id", "left_semi")
         .select(*keys)
     )
@@ -209,7 +217,7 @@ def _affected_keys(engine, snap, table, keys, as_of, feed, changed):
             (F.col(bt.SYS_START) > bt._ts(compact_clock))
             & (F.col(bt.SYS_START) <= bt._ts(as_of))
         )
-        .select("id", *keys)
+        .select(*_id_and_keys(keys))
         .join(F.broadcast(changed), "id", "left_semi")
         .select(*keys)
     )
@@ -267,7 +275,14 @@ def _idkeys_delta_dirs(engine, name: str, up_to: int) -> list[str]:
                 seq = int(e.split("=", 1)[1])
             except ValueError:
                 continue
-            if seq <= up_to:
+            # require the committer's _SUCCESS marker: a legacy
+            # (pre-staging) crashed write can leave a partial dir,
+            # and the refresh that wrote it never advanced the view
+            # meta, so skipping it loses nothing — the seq rewrites
+            # on the retry
+            if seq <= up_to and os.path.exists(
+                os.path.join(delta_root, e, "_SUCCESS")
+            ):
                 out.append(os.path.join(delta_root, e))
     return out
 
@@ -302,7 +317,7 @@ def _idkeys_write_base(engine, name: str, snap, table, keys, seq: int):
 
     df = (
         snap.table(table)
-        .select("id", *keys)
+        .select(*_id_and_keys(keys))
         .withColumn("_mv_alive", F.lit(True))
         .withColumn("_mv_seq", F.lit(seq).cast("long"))
     )
@@ -337,15 +352,33 @@ def _idkeys_append_delta(engine, name: str, keys, feed, seq: int):
     put = F.col("_change") == F.lit("put")
     delta = latest.select(
         "id",
-        *[F.when(put, F.col(k)).alias(k) for k in keys],
+        # "id" stays the un-nulled identity column above even when it
+        # is also a group key: the key value of a delete's dead marker
+        # is recoverable from the id itself
+        *[F.when(put, F.col(k)).alias(k) for k in keys if k != "id"],
         put.alias("_mv_alive"),
     )
     target = os.path.join(
         _idkeys_dir(engine, name), "delta", f"_mv_seq={seq}"
     )
+    # Stage + rename: a concurrent refresher lists the delta root while
+    # this write is in flight, and Spark materializes part-files before
+    # the job commits — reading such a dir fails schema inference.  The
+    # staging name does not match the _mv_seq= prefix, so half-written
+    # deltas are never visible to readers; the final publish is one
+    # atomic rename.  A lost rename race means another refresher
+    # published this seq first — drop ours.
+    tmp = os.path.join(
+        _idkeys_dir(engine, name), "delta", f"_tmp_mv_seq={seq}"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(target, ignore_errors=True)  # crashed prior attempt
     with engine._micros_timestamps():
-        delta.write.parquet(target)
+        delta.write.parquet(tmp)
+    try:
+        os.replace(tmp, target)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _idkeys_asof_keys(engine, name: str, keys, seq: int, changed, changed_rows):
@@ -418,7 +451,7 @@ def _idkeys_maybe_fold(engine, name: str, keys, seq: int):
         rows.withColumn("_mv_rn", F.row_number().over(w))
         .filter(F.col("_mv_rn") == 1)
         .filter(F.col("_mv_alive"))
-        .select("id", *keys, "_mv_alive")
+        .select(*_id_and_keys(keys), "_mv_alive")
         .withColumn("_mv_seq", F.lit(seq).cast("long"))
     )
     _idkeys_stamp_base_seq(engine, name, seq)
@@ -496,10 +529,70 @@ def read(engine, name: str) -> DataFrame:
     return engine.spark.read.parquet(os.path.join(_base(engine, name), "data"))
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _refresh_lock(engine, name: str, timeout_s: float = 60.0,
+                  stale_s: float = 300.0):
+    """Per-view refresh mutex.  A refresh is a read-modify-write of
+    the stored view (kept-anti-join ∪ recompute, then data + meta
+    swap): two refreshers interleaving can pair one's meta clock with
+    the other's older data — a lost update the final state never
+    recovers from — or collide on the fixed ``_tmp_data`` staging
+    path.  mkdir is the atomic primitive; a holder dead longer than
+    ``stale_s`` is stolen (same discipline as the engine's log lock:
+    steal threshold well above the wait deadline is NOT required here
+    because every waiter may steal once the holder is provably
+    stale)."""
+    import time as _time
+
+    lock = os.path.join(_base(engine, name), "_refresh_lock")
+    deadline = _time.time() + timeout_s
+    while True:
+        try:
+            os.mkdir(lock)
+            break
+        except FileExistsError:
+            try:
+                if _time.time() - os.path.getmtime(lock) > stale_s:
+                    os.rmdir(lock)  # dead holder; next loop retakes
+                    continue
+            except OSError:
+                continue  # holder released between the two calls
+            if _time.time() > deadline:
+                from core2_spark.engine import ConcurrentWriterError
+
+                raise ConcurrentWriterError(
+                    f"materialized view {name!r}: refresh lock held "
+                    f"past {timeout_s}s"
+                )
+            _time.sleep(0.05)
+    try:
+        yield
+    finally:
+        try:
+            os.rmdir(lock)
+        except OSError:
+            pass
+
+
 def refresh(engine, name: str) -> dict:
     """Bring the view to the engine's current clock.  Returns stats:
     ``{"mode": "noop"|"incremental"|"full", "as_of": iso,
-    "refreshed_groups": n}`` (n only for incremental)."""
+    "refreshed_groups": n}`` (n only for incremental).
+
+    Safe under concurrent refreshers (e.g. several
+    ``auto_refresh_views`` writers committing to the viewed table):
+    refreshes of one view serialize on a per-view lock, and the meta
+    clock is re-read INSIDE the lock so a queued refresher starts
+    from the winner's advanced state (usually collapsing to noop)."""
+    _load_meta(engine, name)  # existence check with a clear error
+    with _refresh_lock(engine, name):
+        return _refresh_locked(engine, name)
+
+
+def _refresh_locked(engine, name: str) -> dict:
     meta = _load_meta(engine, name)
     table, keys = meta["table"], list(meta["keys"])
     aggs = {a: tuple(s) for a, s in meta["aggs"].items()}
@@ -527,23 +620,41 @@ def refresh(engine, name: str) -> dict:
     changed = feed.select("id").distinct()
     changed_rows = changed.limit(_INLIST_CAP + 1).collect()
     small_delta = len(changed_rows) <= _INLIST_CAP
-    asof_keys = None
+    # Sidecar discovery is an optimization with an always-correct
+    # table-side fallback, and under concurrent refreshers it can
+    # lose a race (a fold rmtree's delta dirs between our listing and
+    # our read; a rebuild swaps the base mid-scan).  The failure can
+    # surface either eagerly (schema inference in _idkeys_asof_keys)
+    # or lazily at the materializing collect below — so the WHOLE
+    # sidecar path through materialization is one attempt, and any
+    # failure falls back to table-side discovery instead of raising.
+    asof_keys = affected = key_rows = None
     if prev_seq >= 0:
-        asof_keys = _idkeys_asof_keys(
-            engine, name, keys, prev_seq, changed,
-            changed_rows if small_delta else None,
-        )
-    if asof_keys is not None:
-        # delta-bounded discovery: sidecar + feed only, no table scan
-        now_keys = feed.filter(F.col("_change") == "put").select(*keys)
-        affected = asof_keys.unionByName(now_keys).distinct()
-        discovery = "sidecar"
-    else:
+        try:
+            asof_keys = _idkeys_asof_keys(
+                engine, name, keys, prev_seq, changed,
+                changed_rows if small_delta else None,
+            )
+            if asof_keys is not None:
+                # delta-bounded discovery: sidecar + feed, no table scan
+                now_keys = feed.filter(
+                    F.col("_change") == "put"
+                ).select(*keys)
+                affected = asof_keys.unionByName(now_keys).distinct()
+                key_rows = affected.limit(_INLIST_CAP + 1).collect()
+                if len(key_rows) > _INLIST_CAP:
+                    affected = affected.localCheckpoint(eager=True)
+                discovery = "sidecar"
+        except Exception:  # noqa: BLE001 — lost sidecar race
+            asof_keys = affected = key_rows = None
+    if affected is None:
         affected = _affected_keys(
             engine, snap, table, keys, as_of, feed, changed
         )
         discovery = "table"
-    key_rows = affected.limit(_INLIST_CAP + 1).collect()
+        key_rows = affected.limit(_INLIST_CAP + 1).collect()
+        if len(key_rows) > _INLIST_CAP:
+            affected = affected.localCheckpoint(eager=True)
     cur, old = snap.table(table), read(engine, name)
     if len(key_rows) <= _INLIST_CAP:
         # common case: the affected set fits an IN-list, so BOTH
@@ -558,9 +669,9 @@ def refresh(engine, name: str) -> dict:
         kept = old.filter(~F.coalesce(cond, F.lit(False)))
         n_groups = len(key_rows)
     else:
-        # big delta: keep the set distributed; the explicit broadcast
-        # (not AQE's estimate) keeps both joins shuffle-free
-        affected = affected.localCheckpoint(eager=True)
+        # big delta: keep the set distributed (checkpointed above);
+        # the explicit broadcast (not AQE's estimate) keeps both
+        # joins shuffle-free
         recomputed = _compute(
             _keyjoin(cur, F.broadcast(affected), keys, "left_semi"), keys, aggs
         )
@@ -571,9 +682,16 @@ def refresh(engine, name: str) -> dict:
     # away and the retried refresh rewrites wholesale; the reverse
     # order would leave the sidecar stale behind the stored view
     if asof_keys is not None:
-        # discovery trusted the sidecar ⇒ safe to extend it by delta
-        _idkeys_append_delta(engine, name, keys, feed, seq)
-        _idkeys_maybe_fold(engine, name, keys, seq)
+        # discovery trusted the sidecar ⇒ safe to extend it by delta.
+        # A lost race here (fold deleted the dirs under us, a rebuild
+        # swapped the base) must NOT be swallowed silently — a missing
+        # delta seq would hand later refreshes stale as-of keys — so
+        # the recovery is a wholesale rebuild at the new head.
+        try:
+            _idkeys_append_delta(engine, name, keys, feed, seq)
+            _idkeys_maybe_fold(engine, name, keys, seq)
+        except Exception:  # noqa: BLE001 — lost sidecar race
+            _idkeys_write_base(engine, name, snap, table, keys, seq)
     else:
         # legacy view (pre-sidecar) or sidecar in doubt (crashed fold:
         # marker ahead of meta): rebuild wholesale at the new head —

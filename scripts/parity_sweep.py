@@ -45,6 +45,15 @@ def main() -> int:
         .getOrCreate()
     )
     con = duckdb.connect()
+    # Oracle SQL is written for the sf0.01 gate; at bigger tiers a
+    # quadratic oracle must fail fast with an out-of-memory error, not
+    # grow unbounded and take the box down (observed: 58 GB RSS at sf1
+    # before the cap existed).
+    con.execute(
+        "SET memory_limit = '"
+        + os.environ.get("SPARK_GRAFT_DUCK_MEM", "24GB")
+        + "'"
+    )
     for name in TABLES:
         con.execute(
             f"CREATE VIEW {name} AS "
@@ -52,21 +61,39 @@ def main() -> int:
         )
     queries, oracles = all_queries(), all_oracles()
     failures: list[str] = []
+    verbose = os.environ.get("SPARK_GRAFT_SWEEP_VERBOSE") == "1"
+    only = os.environ.get("SPARK_GRAFT_SWEEP_ONLY")  # comma-sep names
+    names = sorted(oracles)
+    if only:
+        wanted = set(only.split(","))
+        names = [n for n in names if n in wanted]
     t0 = time.time()
-    for i, name in enumerate(sorted(oracles)):
+    for i, name in enumerate(names):
         try:
+            ts = time.time()
             spark_pdf = queries[name](spark, sf_dir).toPandas()
+            td = time.time()
             duck_pdf = con.execute(oracles[name]).df()
+            tv = time.time()
             assert_frames_match(spark_pdf, duck_pdf, name)
+            if verbose:
+                print(
+                    f"ok {name} spark={td - ts:.1f}s duck={tv - td:.1f}s"
+                    f" rows={len(spark_pdf)}",
+                    flush=True,
+                )
         except Exception:
             failures.append(name)
-            print(f"FAIL {name}")
+            print(f"FAIL {name}", flush=True)
             traceback.print_exc(limit=3)
         if (i + 1) % 25 == 0:
-            print(f"... {i + 1}/{len(oracles)} ({time.time() - t0:.0f}s)")
+            print(
+                f"... {i + 1}/{len(names)} ({time.time() - t0:.0f}s)",
+                flush=True,
+            )
     print(
-        f"parity sweep @ {sf_dir}: {len(oracles) - len(failures)}/"
-        f"{len(oracles)} matched in {time.time() - t0:.0f}s"
+        f"parity sweep @ {sf_dir}: {len(names) - len(failures)}/"
+        f"{len(names)} matched in {time.time() - t0:.0f}s"
         + (f"; FAILURES: {failures}" if failures else "")
     )
     spark.stop()

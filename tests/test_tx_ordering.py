@@ -317,3 +317,30 @@ def test_auto_compact_conflict_never_replays_durable_tx(spark, tmp_path):
     rows = final.db().history("t").collect()
     ids = sorted(r["id"] for r in rows)
     assert ids == [1, 2, 3, 99]  # exactly once each: no double-apply
+
+
+def test_random_three_writer_maintenance_schedules(spark, tmp_path):
+    """Bounded in-suite twin of scripts/fuzz_concurrent_writers.py
+    (the deep soak runs >=200 seeded schedules): 3 writer threads run
+    random Put/Delete programs over colliding ids, interleaved with
+    optimize / vacuum / mview refresh from the same threads.  Checks
+    the serializability triple — commit times form a total order,
+    final state equals the serial replay of commits in log order, and
+    the incremental mview converges to a fresh aggregate."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "fuzz_concurrent_writers.py",
+    )
+    spec = importlib.util.spec_from_file_location("fuzz_cw", path)
+    fuzz = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fuzz)
+
+    for seed in (7, 1004):  # 1004 reproduced the pre-lock lost update
+        problems = fuzz.run_schedule(
+            spark, seed=seed, root=str(tmp_path / f"s{seed}"), n_writers=3
+        )
+        assert problems == [], f"seed={seed}: {problems}"
