@@ -51,11 +51,24 @@ P_ADJ = ["large", "hot", "blue", "old", "cold", "small", "dark", "fresh"]
 P_NOUN = ["ring", "bolt", "plate", "gear", "pipe", "wire", "clip", "rod"]
 EVENT_TYPES = ["view", "click", "signup", "purchase", "error"]
 DOC_LANGS = (["en"] * 8 + ["zh"] * 3 + ["fr"] * 3 + ["es"] * 3 + ["de"] * 3)
-DOC_VOCAB = (
+# Head of the document vocabulary: the 6 stopwords the Gopher-rule
+# queries look for, then the driver tiers' domain words.  The TAIL is
+# generated synthetically (~30k rare words, Zipf-weighted draws) — the
+# driver's own tiny tiers use a 30-word vocabulary, which at sf>=1
+# makes ~40% of RANDOM doc pairs genuine >=0.5-Jaccard near-dups
+# (token sets all converge to the full vocab), so every exact
+# near-dup operator's OUTPUT goes quadratic: 40M true pairs at sf1.
+# Real corpora are Zipf with a long rare tail and ~0 random-pair
+# Jaccard; duplicate signal must be PLANTED, not an artifact of a
+# collapsed vocabulary.
+DOC_VOCAB_HEAD = (
+    "the and of to a in "
     "spark batch line column order small sort fast value scan query agg "
     "table hash key group stream filter customer slow vector part join "
     "index page cache disk merge split shard"
 ).split()
+DOC_VOCAB_TAIL = 30_000  # synthetic rare words w<base36>
+DOC_ZIPF_EXP = 1.05
 
 DAY_US = 86_400_000_000
 
@@ -194,18 +207,50 @@ def gen(sf: float, out: str) -> None:
 
     rng = rng_for("documents", sf)
     nd = n["documents"]
-    vocab = np.array(DOC_VOCAB)
-    texts = []
-    for i in range(nd):
-        wc = int(rng.integers(8, 106))
-        texts.append(" ".join(vocab[rng.integers(0, len(vocab), wc)]))
-    # plant exact duplicates at the sf0.1 rate (~0.16%)
+
+    def b36(x: int) -> str:
+        digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+        out = ""
+        while True:
+            x, r = divmod(x, 36)
+            out = digits[r] + out
+            if x == 0:
+                return out
+
+    vocab = np.array(
+        DOC_VOCAB_HEAD + [f"w{b36(i)}" for i in range(DOC_VOCAB_TAIL)]
+    )
+    ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+    pw = ranks ** -DOC_ZIPF_EXP
+    pw /= pw.sum()
+    wcs = rng.integers(8, 106, nd)
+    flat = rng.choice(len(vocab), size=int(wcs.sum()), p=pw)
+    texts, pos = [], 0
+    for wc in wcs:
+        texts.append(" ".join(vocab[flat[pos : pos + int(wc)]]))
+        pos += int(wc)
+    # plant exact duplicates at the sf0.1 rate (~0.16%) ...
     n_dups = max(1, int(0.0016 * nd))
     for src, dst in zip(
         rng.integers(0, nd, n_dups), rng.integers(0, nd, n_dups)
     ):
         if src != dst:
             texts[int(dst)] = texts[int(src)]
+    # ... and NEAR duplicates at ~0.3%: a copy with ~15% of tokens
+    # rewritten (token-set Jaccard ~0.7 — above the 0.5 verify
+    # threshold, below exact-dup), so MinHash/SimHash/Jaccard
+    # operators have real recall targets at every tier
+    n_near = max(1, int(0.003 * nd))
+    for src, dst in zip(
+        rng.integers(0, nd, n_near), rng.integers(0, nd, n_near)
+    ):
+        if src == dst:
+            continue
+        ws = texts[int(src)].split()
+        n_swap = max(1, len(ws) // 7)
+        for j in rng.integers(0, len(ws), n_swap):
+            ws[int(j)] = str(vocab[int(rng.choice(len(vocab), p=pw))])
+        texts[int(dst)] = " ".join(ws)
     write(out, "documents", pa.table({
         "doc_id": pa.array(np.arange(nd), pa.int64()),
         "text": texts,
