@@ -347,3 +347,39 @@ def test_semantic_dedup_refuses_oversized_cell(spark):
     )
     with _pytest.raises(ValueError, match="quadratic pair join refused"):
         semantic_dedup(df, n_clusters=2, max_cell_rows=5)
+
+
+def test_minhash_mega_bucket_star_linkage(spark):
+    """max_bucket_rows bounds a degenerate LSH bucket (every doc from
+    one tiny vocabulary → all signatures collide): candidates become
+    O(bucket) star links instead of O(bucket²) all-pairs, while
+    connected-components over the verified pairs still sees ONE
+    cluster; default (None) keeps the exact all-pairs contract."""
+    from core2_spark.dedup import minhash_candidate_pairs, minhash_near_duplicates
+    from core2_spark.operators.components import connected_components
+
+    # 20 docs with identical token sets: Jaccard 1.0 clique
+    rows = [(i, "alpha beta gamma delta") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = minhash_candidate_pairs(df).collect()
+    assert len(exact) == 20 * 19 // 2  # the true quadratic clique
+
+    capped = minhash_candidate_pairs(df, max_bucket_rows=5).collect()
+    assert len(capped) == 19  # star: min id paired with every member
+    assert {r["a_id"] for r in capped} == {0}
+
+    # downstream components are unchanged by the capped linkage
+    verified = minhash_near_duplicates(df, max_bucket_rows=5)
+    comp = connected_components(verified, "a_id", "b_id")
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == 20
+
+    # a small bucket below the cap still gets exact all-pairs
+    small = spark.createDataFrame(
+        [(100, "zeta eta theta iota"), (101, "zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    both = df.unionByName(small)
+    capped2 = minhash_candidate_pairs(both, max_bucket_rows=5).collect()
+    assert (100, 101) in {(r["a_id"], r["b_id"]) for r in capped2}
