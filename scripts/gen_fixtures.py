@@ -223,7 +223,12 @@ def gen(sf: float, out: str) -> None:
     ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
     pw = ranks ** -DOC_ZIPF_EXP
     pw /= pw.sum()
-    wcs = rng.integers(8, 106, nd)
+    # Min 25 words: ultra-short docs drawn from a Zipf head routinely
+    # exceed 0.5 token-set Jaccard BY CHANCE (their distinct sets are
+    # a handful of stopwords), chaining into giant incidental near-dup
+    # components that no planted-signal analysis wants — production
+    # dedup excludes ultra-short docs for the same reason.
+    wcs = rng.integers(25, 106, nd)
     flat = rng.choice(len(vocab), size=int(wcs.sum()), p=pw)
     texts, pos = [], 0
     for wc in wcs:
