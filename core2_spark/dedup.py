@@ -78,6 +78,32 @@ def assert_bounded_blocks(
         )
 
 
+def salted_pair_sides(
+    a: DataFrame, a_id_col: str, b: DataFrame, buckets: int = 32
+) -> tuple[DataFrame, DataFrame]:
+    """Spread a within-block pair join's quadratic work across
+    ``buckets`` tasks.  A block-keyed self-join hashes each block to
+    ONE shuffle partition, so a single task owns the whole block's
+    O(block²) comparisons — the sf1 sweep caught one (lang, source)
+    block running ~20 minutes on one core while 15 sat idle.  The fix:
+    hash-salt the a-side once (``_ps_a``), replicate the b-side across
+    every salt value (``_ps_b``), and add ``_ps_a == _ps_b`` to the
+    join keys.  Each (a, b) pair still meets exactly once — at a's
+    salt — while one block's pairs now spread over ``buckets`` tasks.
+    The b-side shuffle grows ``buckets``×, which is the point: pair
+    CPU, not shuffle bytes, is the binding cost, and the extra volume
+    also defeats AQE's size-based coalescing (CPU-heavy but byte-light
+    shuffles otherwise collapse to a handful of partitions)."""
+    a2 = a.withColumn(
+        "_ps_a",
+        F.pmod(F.xxhash64(F.col(a_id_col)), F.lit(buckets)).cast("int"),
+    )
+    b2 = b.withColumn(
+        "_ps_b", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return a2, b2
+
+
 def token_set(text_col: Column) -> Column:
     """Distinct whitespace tokens — the MinHash item set."""
     return F.array_distinct(tokens(text_col))
@@ -389,12 +415,17 @@ def semantic_dedup(
     assert_bounded_blocks(
         assigned, ("cid",), max_cell_rows, lsh_twin="knn_lsh_bucketed"
     )
-    x, y = assigned.alias("x"), assigned.alias("y")
+    # salt the within-cell domination join: one cell = one shuffle
+    # partition otherwise, serializing the cell's O(cell²) cosines
+    # into a single task (see salted_pair_sides)
+    xs, ys = salted_pair_sides(assigned, id_col, assigned)
+    x, y = xs.alias("x"), ys.alias("y")
     cos = vec.cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}"))
     dominated = (
         x.join(
             y,
             (F.col("x.cid") == F.col("y.cid"))
+            & (F.col("x._ps_a") == F.col("y._ps_b"))
             & (F.col(f"x.{id_col}") != F.col(f"y.{id_col}")),
         )
         .filter(

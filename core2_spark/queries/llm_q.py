@@ -223,6 +223,10 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("b_source"),
         F.col("g3").alias("b_g3"),
     )
+    # salt the pair join: without it each (lang, source) block's
+    # O(block²) trigram intersections land in the one task owning the
+    # block's hash partition (sf1: ~20 min single-core straggler)
+    a, b = dedup.salted_pair_sides(a, "a_id", b)
     # materialize the jaccard ONCE: referencing the expression in both
     # the filter and the projection would evaluate array_intersect
     # twice per pair (no CSE across operators) — measured 2× slower.
@@ -231,6 +235,7 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("lang") == F.col("b_lang"))
             & (F.col("source") == F.col("b_source"))
+            & (F.col("_ps_a") == F.col("_ps_b"))
             & (F.col("a_id") < F.col("b_id")),
         )
         .withColumn("_raw_jac", dedup.jaccard(F.col("a_g3"), F.col("b_g3")))
