@@ -79,7 +79,11 @@ def assert_bounded_blocks(
 
 
 def salted_pair_sides(
-    a: DataFrame, a_id_col: str, b: DataFrame, buckets: int = 32
+    a: DataFrame,
+    a_id_col: str,
+    b: DataFrame,
+    block_cols_a: tuple[str, ...] = (),
+    buckets: int = 32,
 ) -> tuple[DataFrame, DataFrame]:
     """Spread a within-block pair join's quadratic work across
     ``buckets`` tasks.  A block-keyed self-join hashes each block to
@@ -91,12 +95,22 @@ def salted_pair_sides(
     join keys.  Each (a, b) pair still meets exactly once — at a's
     salt — while one block's pairs now spread over ``buckets`` tasks.
     The b-side shuffle grows ``buckets``×, which is the point: pair
-    CPU, not shuffle bytes, is the binding cost, and the extra volume
-    also defeats AQE's size-based coalescing (CPU-heavy but byte-light
-    shuffles otherwise collapse to a handful of partitions)."""
+    CPU, not shuffle bytes, is the binding cost.
+
+    ``block_cols_a`` must be the a-side's block join columns: the
+    a-side is explicitly ``repartition(buckets, block_cols + salt)``'d
+    because AQE's SIZE-based partition coalescing otherwise collapses
+    this CPU-heavy but byte-light shuffle right back to a handful of
+    tasks (duplicated trigram strings compress ~30×; observed: the
+    salted sf1 join re-coalesced to 3 partitions).  A user-specified
+    partition count is not coalescible, and the b-side exchange must
+    co-partition with it, so the join genuinely runs at ``buckets``
+    tasks."""
     a2 = a.withColumn(
         "_ps_a",
         F.pmod(F.xxhash64(F.col(a_id_col)), F.lit(buckets)).cast("int"),
+    ).repartition(
+        buckets, *[F.col(c) for c in block_cols_a], F.col("_ps_a")
     )
     b2 = b.withColumn(
         "_ps_b", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
@@ -418,7 +432,7 @@ def semantic_dedup(
     # salt the within-cell domination join: one cell = one shuffle
     # partition otherwise, serializing the cell's O(cell²) cosines
     # into a single task (see salted_pair_sides)
-    xs, ys = salted_pair_sides(assigned, id_col, assigned)
+    xs, ys = salted_pair_sides(assigned, id_col, assigned, ("cid",))
     x, y = xs.alias("x"), ys.alias("y")
     cos = vec.cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}"))
     dominated = (

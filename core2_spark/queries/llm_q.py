@@ -211,9 +211,14 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.assert_bounded_blocks(
         d, ("lang", "source"), lsh_twin="dedup_ngram_jaccard_lsh"
     )
-    grams = d.select(
-        "doc_id", "lang", "source", dedup.ngram_set(F.col("text"), 3).alias("g3")
-    )
+    # trigrams are hashed to 64-bit ints ONCE per doc before the pair
+    # join: the per-pair array_intersect then compares longs instead
+    # of UTF8 strings — measured 1.85× faster at sf1 (320s → 173s).
+    # xxhash64 keeps distinct trigrams distinct (collision odds across
+    # all ~21M sf1 pairs ~1e-7), so |A∩B| and the Jaccard value are
+    # unchanged — the DuckDB string-set oracle still hash-matches.
+    g3h = F.transform(dedup.ngram_set(F.col("text"), 3), lambda s: F.xxhash64(s))
+    grams = d.select("doc_id", "lang", "source", g3h.alias("g3"))
     a = grams.select(
         F.col("doc_id").alias("a_id"), "lang", "source", F.col("g3").alias("a_g3")
     )
@@ -226,13 +231,15 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # salt the pair join: without it each (lang, source) block's
     # O(block²) trigram intersections land in the one task owning the
     # block's hash partition (sf1: ~20 min single-core straggler)
-    a, b = dedup.salted_pair_sides(a, "a_id", b)
+    a, b = dedup.salted_pair_sides(a, "a_id", b, ("lang", "source"))
     # materialize the jaccard ONCE: referencing the expression in both
     # the filter and the projection would evaluate array_intersect
     # twice per pair (no CSE across operators) — measured 2× slower.
     return (
         a.join(
-            b,
+            # shuffle_hash: sort-merge would sort the 32×-replicated
+            # array-carrying side; a hash build skips it (~9% at sf1)
+            b.hint("shuffle_hash"),
             (F.col("lang") == F.col("b_lang"))
             & (F.col("source") == F.col("b_source"))
             & (F.col("_ps_a") == F.col("_ps_b"))
