@@ -492,13 +492,27 @@ def embedding_label_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = base.select(
         F.col("vec_id").alias("b_id"), F.col("label").alias("b_label"), F.col("v").alias("b_v")
     )
+    # salt the within-label pair join: ~10 labels means ~10 shuffle
+    # partitions own ALL O(block²) cosines (sf1: one task ran 10+ min
+    # while 15 cores idled) — same fix as dedup_ngram_jaccard
+    a, b = dedup.salted_pair_sides(a, "a_id", b, ("label",))
     sim = vec.dot(F.col("a_v"), F.col("b_v")) / (
         vec.l2_norm(F.col("a_v")) * vec.l2_norm(F.col("b_v"))
     )
     return (
-        a.join(b, (F.col("label") == F.col("b_label")) & (F.col("a_id") < F.col("b_id")))
-        .filter(sim >= 0.35)
-        .select("a_id", "b_id", F.round(sim + 1e-9, 6).alias("cosine_sim"))
+        a.join(
+            # hash build beats sorting the 32×-replicated vector side
+            b.hint("shuffle_hash"),
+            (F.col("label") == F.col("b_label"))
+            & (F.col("_ps_a") == F.col("_ps_b"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        # materialize the cosine ONCE (no CSE across filter+project)
+        .withColumn("_raw_sim", sim)
+        .filter(F.col("_raw_sim") >= 0.35)
+        .select(
+            "a_id", "b_id", F.round(F.col("_raw_sim") + 1e-9, 6).alias("cosine_sim")
+        )
     )
 
 
