@@ -1507,31 +1507,41 @@ def text_repetition_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/spam and get filtered before training.  Per doc:
     unique-word fraction and duplicate word-2-gram fraction, plus the
     filter flag at the classic ~0.35 threshold.  Pure higher-order
-    column functions (split/transform/element_at/array_distinct) —
-    JVM-side, one projection pass, no explode and no shuffle until the
-    final order."""
+    column functions (split/zip_with/array_distinct) — JVM-side, one
+    projection pass, no explode and no shuffle until the final order.
+
+    Scale note (round 7, caught by the sf1 sweep): higher-order
+    functions fall out of whole-stage codegen, so the projection runs
+    INTERPRETED with no common-subexpression elimination — every
+    reference to the gram array re-builds it, and the original
+    ``transform(sequence, i -> element_at(words, i))`` shape re-split
+    the whole text per ELEMENT (O(doc²) CPU; one sf1 scan partition ran
+    6+ minutes single-core).  The gram array is therefore built with
+    ``zip_with`` over two slices (argument arrays evaluate once, the
+    lambda never touches the source text) and referenced exactly ONCE
+    — the gram COUNT is just ``n_words - 1``, no array needed."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     words = F.split(F.col("text"), " ")
-    grams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat(
-                F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    n = F.size(words)
+    # bigrams via zip_with(words[0:n-1], words[1:n-1], concat): no
+    # per-element element_at/re-split, single materialization
+    grams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n_grams = n - 1  # size(grams), without evaluating grams
     dup_frac = F.when(
-        F.size(grams) > 0,
-        (F.size(grams) - F.size(F.array_distinct(grams))).cast("double")
-        / F.size(grams),
+        n >= 2,
+        (n_grams - F.size(F.array_distinct(grams))).cast("double")
+        / n_grams,
     ).otherwise(F.lit(0.0))
     return (
         d.select(
             "doc_id",
-            F.size(words).cast("long").alias("n_words"),
+            n.cast("long").alias("n_words"),
             F.round(
-                F.size(F.array_distinct(words)).cast("double") / F.size(words), 6
+                F.size(F.array_distinct(words)).cast("double") / n, 6
             ).alias("uniq_word_frac"),
             F.round(dup_frac, 6).alias("dup_2gram_frac"),
             (dup_frac > 0.35).alias("flag_repetitive"),
