@@ -1354,25 +1354,34 @@ class Engine:
             )
             target_files = max(1, size // (128 * 1024 * 1024) + 1)
         rows = self.spark.read.option("mergeSchema", "true").parquet(path)
-        if bt.SYS_DAY in rows.columns:
+        if zorder_by:
+            # cluster the rewritten files by the Morton key so
+            # id-point / multi-column reads also prune via footer
+            # min-max stats (the kd-tree-pruning analogue), on top of
+            # the day-partition pruning.  Key FIRST (zorder_key range-
+            # repartitions per clustered column to compute rank
+            # buckets), then range-partition into target_files by
+            # (day,) + _z: each output task owns a contiguous (day, z)
+            # slab — few partition directories per task AND tight
+            # per-file z-ranges.
+            from core2_spark.sinks import zorder_key
+
+            rows = zorder_key(rows, list(zorder_by))
+            range_cols = (
+                [F.col(bt.SYS_DAY)] if bt.SYS_DAY in rows.columns else []
+            ) + [F.col("_z")]
+            rows = (
+                rows.repartitionByRange(target_files, *range_cols)
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        elif bt.SYS_DAY in rows.columns:
             # hash by partition day so each output task writes into few
             # partition directories (plain round-robin × partitionBy
             # would emit target_files × n_days small files)
             rows = rows.repartition(target_files, F.col(bt.SYS_DAY))
         else:
             rows = rows.repartition(target_files)
-        if zorder_by:
-            # cluster rows within each rewritten file by the Morton
-            # key so id-point / multi-column reads also prune via
-            # footer min-max stats (the kd-tree-pruning analogue), on
-            # top of the day-partition pruning
-            from core2_spark.sinks import zorder_key
-
-            rows = (
-                zorder_key(rows, list(zorder_by))
-                .sortWithinPartitions("_z")
-                .drop("_z")
-            )
         self._rewrite_atomic(path, rows, swap_guard=True)
         return target_files
 

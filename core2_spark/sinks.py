@@ -71,28 +71,49 @@ def write_sorted_layout(
     )
 
 
-def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 10):
     """Z-order (Morton) key over ``cols``: each column is rank-mapped
-    to a ``bits``-bit integer (percent_rank × 2^bits — rank, not raw
-    value, so skewed distributions still spread evenly), then the bit
-    planes are interleaved.  Rows close in Z-key are close in EVERY
-    dimension, so a range-partitioned-by-Z layout gives multi-column
-    file pruning from plain parquet min/max footer stats — the
-    multi-dimensional upgrade of ``write_sorted_layout`` and the
-    distributed stand-in for core2's kd-tree block pruning
+    to a ``bits``-bit integer (rank, not raw value, so skewed
+    distributions still spread evenly), then the bit planes are
+    interleaved.  Rows close in Z-key are close in EVERY dimension, so
+    a range-partitioned-by-Z layout gives multi-column file pruning
+    from plain parquet min/max footer stats — the multi-dimensional
+    upgrade of ``write_sorted_layout`` and the distributed stand-in
+    for core2's kd-tree block pruning
     [upstream: core2 `temporal/kd_tree.clj`].
 
-    Pure column algebra: percent_rank is one window per column (sorted
-    shuffle each — a write-time cost, amortized over every read);
-    interleave is a fixed ``bits``-term bit expression."""
-    from pyspark.sql import Window
+    The rank map is ``repartitionByRange(2^bits, col)`` +
+    ``spark_partition_id()``: Spark computes the range boundaries from
+    a distributed reservoir sample, so the bucket id IS the rank
+    bucket — one ordinary shuffle per column and no driver collect.
+    (The original shape, ``percent_rank`` OVER an un-partitioned
+    window, funnels every row through ONE WindowExec task — a
+    write-path scale-killer the round-7 global-window audit caught;
+    exact rank needs a total order, rank BUCKETS only need sampled
+    boundaries.)  The explicit partition count is deliberate: a
+    user-specified count is not AQE-coalescible, so the id range
+    stays 0..2^bits-1 regardless of data size.  2^bits buckets per
+    dimension bounds rows-per-bucket at ~N/2^bits — size ``bits`` so
+    that stays well under the target file size at your N (the default
+    1024 buckets/dim resolves ~1000 files; raise it past that).
+
+    The seeded random TIE-BREAKER in the range key matters: without
+    it a low-cardinality column's ties collapse to one partition per
+    distinct value (measured: 150 distinct keys → ids 0..149 while a
+    continuous column spans 0..1023), leaving the column's high bits
+    dead so the interleave degenerates to a single-column sort.  With
+    it every column's ids cover the full 0..2^bits-1 range and the
+    bit planes stay balanced; the id remains monotone in the column
+    (the tie-break only orders WITHIN equal values, where order is
+    free)."""
     from pyspark.sql import functions as F
 
     out = df
-    scale = (1 << bits) - 1
+    nb = 1 << bits
     for i, c in enumerate(cols):
-        rank = F.percent_rank().over(Window.orderBy(F.col(c)))
-        out = out.withColumn(f"_r{i}", F.round(rank * scale).cast("long"))
+        out = out.repartitionByRange(nb, F.col(c), F.rand(17)).withColumn(
+            f"_r{i}", F.spark_partition_id().cast("long")
+        )
     z = F.lit(0)
     for bit in range(bits):
         for i in range(len(cols)):
@@ -106,7 +127,7 @@ def write_zordered(
     path: str,
     cols: list[str],
     n_files: int = 8,
-    bits: int = 16,
+    bits: int = 10,
     mode: str = "overwrite",
 ) -> None:
     """Z-order-clustered parquet layout: range-partition + sort by the
