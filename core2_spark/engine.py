@@ -806,7 +806,46 @@ class Engine:
                         _prune_empty_dirs(tdir)
             os.remove(full)
 
-    def _claim_maintenance(self, rewrite_table: str | None = None) -> None:
+    def _reclassify_race(self, exc: Exception) -> None:
+        """Re-raise ``exc`` as ConcurrentWriterError when it is a
+        mid-flight swap race, not a genuine failure.
+
+        Maintenance (optimize / vacuum / mview refresh) reads table
+        files WITHOUT holding the log lock — by design, the expensive
+        scans must not serialize writers — so a concurrent swap can
+        delete files under a running plan (FAILED_READ_FILE), empty a
+        directory mid-listing (UNABLE_TO_INFER_SCHEMA), or rename a
+        whole table out from under a scratch dir.  Those are morally
+        the same refusal as the persist-time token conflict: the op
+        lost the race and the CALLER should refresh() and retry.  The
+        reclassification is gated on the log having actually advanced
+        past this engine's view — a read failure with an unchanged
+        log is real corruption and must surface as itself."""
+        racy = any(
+            tok in f"{type(exc).__name__}: {exc}"
+            for tok in (
+                "FAILED_READ_FILE",
+                "FILE_NOT_EXIST",
+                "PATH_NOT_FOUND",
+                "UNABLE_TO_INFER_SCHEMA",
+            )
+        )
+        if not racy:
+            return
+        try:
+            self._check_sole_writer()
+        except ConcurrentWriterError as cwe:
+            raise ConcurrentWriterError(
+                f"maintenance lost a swap race ({type(exc).__name__}); "
+                "the log advanced during the operation — refresh() and "
+                "retry"
+            ) from exc
+
+    def _claim_maintenance(
+        self,
+        rewrite_table: str | None = None,
+        rewrite_clock: datetime | None = None,
+    ) -> None:
         """Claim an exclusive maintenance window for a swap-based op
         (optimize / vacuum).  Under the log lock: verify the token,
         bump the maintenance counter and persist — from this instant
@@ -822,8 +861,8 @@ class Engine:
             self._maintenance_seq += 1
             if rewrite_table is not None:
                 self._rewrites[rewrite_table] = (
-                    (self._last_tx_time or self._epoch).isoformat()
-                )
+                    rewrite_clock or self._last_tx_time or self._epoch
+                ).isoformat()
             self._persist_clock(_locked=True)
 
     def _rewrite_atomic(
@@ -1332,6 +1371,20 @@ class Engine:
         target_files: int | None = None,
         zorder_by: tuple[str, ...] | None = None,
     ) -> int:
+        try:
+            return self._optimize_impl(table, target_files, zorder_by)
+        except ConcurrentWriterError:
+            raise
+        except Exception as exc:  # noqa: BLE001 — race reclassification
+            self._reclassify_race(exc)
+            raise
+
+    def _optimize_impl(
+        self,
+        table: str,
+        target_files: int | None = None,
+        zorder_by: tuple[str, ...] | None = None,
+    ) -> int:
         """Compact the version table's small files (every transaction
         appends at least one file; after thousands of transactions the
         read path pays per-file open cost — the classic streaming-table
@@ -1425,6 +1478,15 @@ class Engine:
             self._persist_clock()
 
     def vacuum(self, table: str, older_than: str | datetime) -> None:
+        try:
+            return self._vacuum_impl(table, older_than)
+        except ConcurrentWriterError:
+            raise
+        except Exception as exc:  # noqa: BLE001 — race reclassification
+            self._reclassify_race(exc)
+            raise
+
+    def _vacuum_impl(self, table: str, older_than: str | datetime) -> None:
         """History retention: physically drop version rows whose
         system-time visibility window closed BEFORE ``older_than`` —
         they can no longer affect any read at or after the horizon.
@@ -1471,8 +1533,19 @@ class Engine:
         # flight writers conflict + replay instead of losing files to
         # the swaps) and conservatively pre-stamps the history-rewrite
         # clock, so a half-applied vacuum can never feed an
-        # incremental view stale history.
-        self._claim_maintenance(rewrite_table=table)
+        # incremental view stale history.  The stamp is the EFFECTIVE
+        # destruction bound min(horizon, head): destroyed versions
+        # close before the horizon AND before the claim head (nothing
+        # already on disk closes later), so feeds/views from at-or-
+        # after this bound are provably complete — stamping the raw
+        # claim clock would refuse the retention contract's own
+        # "reads at the horizon answer as before" guarantee, stamping
+        # the raw horizon (often +inf for full retention drops) would
+        # force full recomputes forever.
+        head = self._last_tx_time or self._epoch
+        self._claim_maintenance(
+            rewrite_table=table, rewrite_clock=min(horizon, head)
+        )
         path = self._table_path(table)
         day_dirs = {
             e.split("=", 1)[1]: os.path.join(path, e)
@@ -1711,7 +1784,13 @@ class Engine:
         app-time-bounded tables and post-view Erase/vacuum rewrites."""
         from core2_spark import mviews
 
-        return mviews.refresh(self, name)
+        try:
+            return mviews.refresh(self, name)
+        except ConcurrentWriterError:
+            raise
+        except Exception as exc:  # noqa: BLE001 — race reclassification
+            self._reclassify_race(exc)
+            raise
 
     def materialized_view(self, name: str) -> DataFrame:
         """Read a materialized view (plain pushed-down parquet scan)."""
@@ -2145,7 +2224,27 @@ class Snapshot:
         downstream log consumer reads to stay in sync — the engine's
         analogue of tailing the reference's tx log from an offset;
         ordering columns (system_time_start, _tx_seq) are included so
-        consumers can apply changes in log order."""
+        consumers can apply changes in log order.
+
+        A feed whose window opens BEFORE the table's history-rewrite
+        marker (vacuum / Erase claim clock) is refused loudly: the
+        rewrite physically removed closed version rows, so such a
+        window would silently omit the very deletes a consumer exists
+        to observe (the 3-writer fuzz caught exactly this as a
+        diverged replica/view).  Every destroyed version both starts
+        and closes at or before the marker, so ``since >= marker``
+        windows are provably complete; a refused consumer must resync
+        from a snapshot instead of the tail."""
+        marker = self.engine._rewrites.get(table)
+        if marker is not None and _to_datetime(since) < datetime.fromisoformat(
+            marker
+        ):
+            raise ValueError(
+                f"changes({table!r}, since={since!r}): history before "
+                f"{marker} was rewritten (vacuum/erase) — the tail is "
+                "incomplete below the marker; resync from a snapshot "
+                "or tail from the marker forward"
+            )
         # manifest pruning on both bounds: a consumer tailing from a
         # recent offset plans over the tail files only (see Basis.read)
         raw = self._versions(

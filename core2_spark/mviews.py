@@ -592,27 +592,69 @@ def refresh(engine, name: str) -> dict:
         return _refresh_locked(engine, name)
 
 
+def _log_rewrite_marker(engine, table: str) -> str | None:
+    """Freshest persisted rewrite marker for ``table`` — one raw read
+    of ``_log.json``, no engine-state mutation (usable mid-refresh
+    while plans over the current snapshot are still live)."""
+    import json as _json
+
+    try:
+        with open(os.path.join(engine.root, "_log.json")) as f:
+            return _json.load(f).get("rewrites", {}).get(table)
+    except (OSError, ValueError):
+        return None
+
+
+def _needs_full(engine, table: str, as_of, meta) -> str | None:
+    """Return the rewrite marker forcing a FULL recompute, else None.
+
+    A history rewrite (vacuum / Erase) physically removes closed
+    version rows, so any CDC tail that overlaps it is silently
+    incomplete.  The marker comparison is ``>=``, not ``>``: a vacuum
+    CLAIM stamps the marker with the log head at claim time, so a
+    refresh racing the vacuum's physical swap can have advanced the
+    view's ``as_of`` to EXACTLY the marker while its feed read the
+    post-swap (already-stripped) files — the 3-writer fuzz's seed-1004
+    divergence.  With ``>=`` the next refresh that sees the marker
+    repairs such a view.  ``handled_rewrite`` records the marker a
+    full recompute already covered so the boundary case does not
+    re-trigger a full on every subsequent refresh."""
+    rewrite = engine._rewrites.get(table)
+    if rewrite is None:
+        return None
+    if rewrite == meta.get("handled_rewrite"):
+        return None
+    if datetime.fromisoformat(rewrite) >= as_of:
+        return rewrite
+    return None
+
+
 def _refresh_locked(engine, name: str) -> dict:
+    # Re-sync from the persisted log FIRST: this refresher's in-memory
+    # clock and rewrite markers may predate other engines' commits and
+    # maintenance claims over the same root, and the destructive-
+    # rewrite guard below can only see markers the engine has loaded.
+    engine.refresh()
     meta = _load_meta(engine, name)
     table, keys = meta["table"], list(meta["keys"])
     aggs = {a: tuple(s) for a, s in meta["aggs"].items()}
     as_of = datetime.fromisoformat(meta["as_of"])
     head = engine._last_tx_time or engine._epoch
-    if head <= as_of:
+    if head <= as_of and _needs_full(engine, table, as_of, meta) is None:
         return {"mode": "noop", "as_of": meta["as_of"]}
     snap = engine.db()
-    meta["as_of"] = head.isoformat()
+    meta["as_of"] = max(head, as_of).isoformat()
 
     prev_seq = int(meta.get("idkeys_seq", -1))
     seq = prev_seq + 1
 
-    rewrite = engine._rewrites.get(table)
-    if table in engine._app_bounded or (
-        rewrite is not None and datetime.fromisoformat(rewrite) > as_of
-    ):
+    rewrite = _needs_full(engine, table, as_of, meta)
+    if table in engine._app_bounded or rewrite is not None:
         view = _compute(snap.table(table), keys, aggs)
         _idkeys_write_base(engine, name, snap, table, keys, seq)
         meta["idkeys_seq"] = seq
+        if rewrite is not None:
+            meta["handled_rewrite"] = rewrite
         _store(engine, name, view, meta)
         return {"mode": "full", "as_of": meta["as_of"]}
 
@@ -698,6 +740,23 @@ def _refresh_locked(engine, name: str) -> dict:
         # one narrow (id, keys) projection
         _idkeys_write_base(engine, name, snap, table, keys, seq)
     meta["idkeys_seq"] = seq
+    # Destructive-rewrite re-validation: a vacuum may have CLAIMED and
+    # swapped while this refresh computed (its marker persists before
+    # the swap, but after our engine re-sync above) — in which case
+    # the feed we just consumed may already be missing closed version
+    # rows.  One raw log read decides; on a hit, recompute wholesale
+    # from the current snapshot instead of storing a tail-derived
+    # view.  A claim landing after this read is repaired by the NEXT
+    # refresh via the >= marker guard in _needs_full.
+    late = _log_rewrite_marker(engine, table)
+    if late is not None and late != engine._rewrites.get(table) and (
+        datetime.fromisoformat(late) >= as_of
+    ):
+        view = _compute(snap.table(table), keys, aggs)
+        _idkeys_write_base(engine, name, snap, table, keys, seq)
+        meta["handled_rewrite"] = late
+        _store(engine, name, view, meta)
+        return {"mode": "full", "as_of": meta["as_of"]}
     _store(engine, name, kept.unionByName(recomputed), meta)
     return {
         "mode": "incremental",

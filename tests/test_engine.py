@@ -1635,3 +1635,33 @@ def test_show_tables_and_describe(spark, tmp_path):
     assert ("gadgets", "BASE TABLE") in tabs
     cols = [tuple(r) for r in db.sql("DESCRIBE gadgets").collect()]
     assert cols == [("id", "bigint", "YES"), ("name", "string", "YES")]
+
+
+def test_changes_refuses_window_below_rewrite_marker(spark, engine):
+    """A vacuum physically removes closed version rows, so a CDC
+    window opening below the effective destruction bound
+    (min(horizon, claim head)) would silently omit deletes — the
+    replica-divergence twin of the mview seed-1004 race.  changes()
+    must refuse it loudly; windows from the bound forward (the
+    retention contract's guarantee) still answer."""
+    import pytest as _pytest
+
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    engine.submit_tx([Put("t", v1)], tx_time="2024-01-01 00:00:01")
+    ids = spark.createDataFrame([(2,)], "id long")
+    engine.submit_tx([Delete("t", ids)], tx_time="2024-01-01 00:00:02")
+    engine.submit_tx(
+        [Put("t", spark.createDataFrame([(3, "c")], "id long, v string"))],
+        tx_time="2024-01-01 00:00:03",
+    )
+    # horizon strictly below head: marker = horizon
+    engine.vacuum("t", "2024-01-01 00:00:02")
+    db = engine.db()
+    with _pytest.raises(ValueError, match="rewritten"):
+        db.changes("t", since="2024-01-01 00:00:01")
+    # at-or-after the bound: answers as the retention contract promises
+    got = {
+        (r["id"], r["_change"])
+        for r in db.changes("t", since="2024-01-01 00:00:02").collect()
+    }
+    assert got == {(3, "put")}
