@@ -752,9 +752,22 @@ def _refresh_locked(engine, name: str) -> dict:
     if late is not None and late != engine._rewrites.get(table) and (
         datetime.fromisoformat(late) >= as_of
     ):
+        # Recompute at the FRESH head, not this refresh's: the marker
+        # proves the log advanced past our re-sync, so our snapshot's
+        # clock may predate the vacuum and a recompute against it can
+        # miss rows that were live at our head but closed before the
+        # horizon.  Re-syncing makes head >= marker (both come from
+        # the same log), so stamping handled_rewrite here is sound —
+        # the soak caught the stale-head variant storing
+        # {as_of < marker, handled = marker}, which exempted the next
+        # refresh from the repair and tripped the changes() guard.
+        engine.refresh()
+        head = engine._last_tx_time or engine._epoch
+        meta["as_of"] = max(head, as_of).isoformat()
+        snap = engine.db()
         view = _compute(snap.table(table), keys, aggs)
         _idkeys_write_base(engine, name, snap, table, keys, seq)
-        meta["handled_rewrite"] = late
+        meta["handled_rewrite"] = engine._rewrites.get(table)
         _store(engine, name, view, meta)
         return {"mode": "full", "as_of": meta["as_of"]}
     _store(engine, name, kept.unionByName(recomputed), meta)
