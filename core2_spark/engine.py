@@ -111,6 +111,22 @@ class Erase:
 
 
 @dataclass(frozen=True)
+class Patch:
+    """Merge partial documents into the current visible versions (the
+    reference's ``patchDocs`` tx op / ``PATCH INTO .. RECORDS`` SQL):
+    keys a doc mentions overwrite, unmentioned keys retain their
+    current value, absent ids insert, new keys widen the merged
+    schema.  Expanded against the pre-transaction snapshot at submit
+    time — like Call, a Patch is deterministic given the log position,
+    so replay under optimistic-concurrency retry re-reads the winner's
+    state (last-merger-wins per key, never a lost update)."""
+
+    table: str
+    docs: tuple  # tuple[dict, ...] — the documents to merge
+    id_col: str = "id"
+
+
+@dataclass(frozen=True)
 class Call:
     """core2 transaction function (`:call` op [upstream: core2
     `indexer.clj` tx-fn section]): a deterministic user function run
@@ -992,7 +1008,7 @@ class Engine:
     # -- §3.3 submit-tx ------------------------------------------------
     def submit_tx(
         self,
-        ops: list[Put | Delete | Erase | Call],
+        ops: list[Put | Delete | Erase | Patch | Call],
         tx_time: str | datetime | None = None,
         retries: int | None = None,
     ) -> Basis:
@@ -1027,7 +1043,7 @@ class Engine:
 
     def _submit_tx_once(
         self,
-        ops: list[Put | Delete | Erase | Call],
+        ops: list[Put | Delete | Erase | Patch | Call],
         tx_time: str | datetime | None = None,
     ) -> Basis:
         self._check_sole_writer()  # abort BEFORE any rows are written
@@ -1036,12 +1052,22 @@ class Engine:
         expanded: list[Put | Delete | Erase] = []
         pre_snapshot = None
         for op in ops:
-            if isinstance(op, Call):
+            if isinstance(op, (Call, Patch)):
                 if pre_snapshot is None:
                     # basis clock pinned to tx time, never the wall
                     # clock — tx-fns must replay identically
                     pre_snapshot = Snapshot(self, acquire_basis(self._all_tables(), t, self._basis_schemas()))
-                expanded.extend(op.fn(pre_snapshot))
+                if isinstance(op, Call):
+                    expanded.extend(op.fn(pre_snapshot))
+                else:
+                    from core2_spark.sql_dml import patch_to_ops
+
+                    expanded.extend(
+                        patch_to_ops(
+                            self, pre_snapshot, op.table,
+                            list(op.docs), op.id_col,
+                        )
+                    )
             else:
                 expanded.append(op)
         ops = expanded

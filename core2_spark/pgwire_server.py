@@ -100,8 +100,8 @@ class PgWireServer:
         # create/refresh/drop: materialized-view maintenance — in this
         # dialect those verbs exist only for MATERIALIZED VIEW, and
         # Engine.sql_dml rejects anything else loudly
-        _DML = ("insert", "update", "delete", "erase", "merge", "create",
-                "refresh", "drop", "vacuum", "optimize")
+        _DML = ("insert", "update", "delete", "erase", "merge", "patch",
+                "create", "refresh", "drop", "vacuum", "optimize")
 
         class Handler(socketserver.BaseRequestHandler):
             def _send(self, data: bytes) -> None:
@@ -205,7 +205,7 @@ class PgWireServer:
                     return None
                 return {"insert": "INSERT 0 0", "update": "UPDATE 0",
                         "delete": "DELETE 0", "erase": "ERASE 0",
-                        "merge": "MERGE 0",
+                        "merge": "MERGE 0", "patch": "PATCH 0",
                         "create": "CREATE MATERIALIZED VIEW",
                         "refresh": "REFRESH MATERIALIZED VIEW",
                         "drop": "DROP MATERIALIZED VIEW",

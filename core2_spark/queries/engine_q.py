@@ -689,6 +689,55 @@ def engine_sql_with_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "engine_dml_patch",
+    oracle="""
+    WITH base AS (
+        SELECT n_nationkey AS id, n_name AS name, n_regionkey AS regionkey
+        FROM nation
+    ),
+    p(id, name, has_name, regionkey, has_rk, note) AS (
+        VALUES (3, 'patched-three', TRUE, NULL, FALSE, 'hot'),
+               (7, NULL, FALSE, NULL, FALSE, 'cold'),
+               (99, 'brand-new', TRUE, 1, TRUE, 'fresh')
+    )
+    SELECT COALESCE(b.id, p.id) AS id,
+           CASE WHEN p.id IS NOT NULL AND p.has_name THEN p.name
+                ELSE b.name END AS name,
+           CASE WHEN p.id IS NOT NULL AND p.has_rk THEN p.regionkey
+                ELSE b.regionkey END AS regionkey,
+           p.note AS note
+    FROM base b FULL OUTER JOIN p ON b.id = p.id
+    ORDER BY id
+    """,
+)
+def engine_dml_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATCH INTO .. RECORDS through the engine log (the reference's
+    ``patchDocs`` tx op, README.adoc:13-15): partial documents merge
+    into the current visible versions — id 3 updates one key and gains
+    a NEW column, id 7 touches only the new column (every other key
+    retained), id 99 is absent so the patch inserts it.  The oracle
+    replays merge semantics with an explicit per-key mentioned mask
+    over plain SELECTs (DuckDB has no PATCH — an independent
+    derivation), including the NULL-for-untouched-rows widened
+    column."""
+    from core2_spark.engine import Engine, Put
+
+    nation = _nation_rows(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="engine_q_patch_"))
+    eng.submit_tx([Put("nations", nation)], tx_time="2024-01-01 00:00:01")
+    eng.sql_dml(
+        "PATCH INTO nations RECORDS "
+        "{id: 3, name: 'patched-three', note: 'hot'}, "
+        "{id: 7, note: 'cold'}, "
+        "{id: 99, name: 'brand-new', regionkey: 1, note: 'fresh'}",
+        tx_time="2024-01-01 00:00:02",
+    )
+    return eng.db().sql(
+        "SELECT id, name, regionkey, note FROM nations ORDER BY id"
+    )
+
+
+@query(
     "engine_dml_merge",
     oracle="""
     WITH base AS (

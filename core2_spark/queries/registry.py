@@ -68,6 +68,7 @@ _PRIORITY: list[str] = [
     "sql_asof_join_dialect",
     "sql_asof_left_join_forward",
     "engine_dml_merge",
+    "engine_dml_patch",
     "dedup_semantic_embedding_clusters",
     "datalog_pull_nested",
     "ts_gap_fill_interpolate",

@@ -17,7 +17,9 @@ visibility rule.
 Supported statements::
 
     INSERT INTO t (c1, c2, ...) VALUES (...), (...)
+    INSERT INTO t RECORDS {c1: v1, c2: v2}, {...}  -- XTDB v2 spelling
     INSERT INTO t SELECT ...                      -- over snapshot views
+    PATCH INTO t RECORDS {id: 1, c1: v1}, {...}   -- merge partial docs
     UPDATE t [FOR PORTION OF APPLICATION_TIME FROM 'a' TO 'b']
         SET c = expr, ... [WHERE pred]
     DELETE FROM t [FOR PORTION OF APPLICATION_TIME FROM 'a' TO 'b']
@@ -55,6 +57,11 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+_RECORDS_STMT = re.compile(
+    r"^\s*(?P<verb>INSERT|PATCH)\s+INTO\s+(?P<table>\w+)\s+RECORDS\s+"
+    r"(?P<records>\{.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _INSERT_VALUES = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s*\((?P<cols>[^)]*)\)\s*"
     r"VALUES\s*(?P<values>.+)$",
@@ -78,6 +85,205 @@ _DELETE = re.compile(
     r"(?:\s+WHERE\s+(?P<where>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+# -- RECORDS literals (XTDB v2 `INSERT INTO t RECORDS {...}` /
+# `PATCH INTO t RECORDS {...}` document spelling) ----------------------
+
+
+def parse_records(text: str) -> list[dict]:
+    """Parse a comma-separated list of ``{key: value, ...}`` record
+    literals into Python dicts.  Values: numbers, ``'strings'`` (with
+    ``''`` escaping), TRUE/FALSE/NULL, DATE/TIMESTAMP 'iso', and
+    ``[...]`` arrays of those.  Nested record values are rejected
+    loudly — the engine's dynamic columns are scalar/array-typed
+    (SURVEY §1.2); a nested document belongs in its own table row."""
+    import datetime as _dt
+
+    i, n = 0, len(text)
+
+    def err(msg: str) -> ValueError:
+        return ValueError(f"RECORDS literal: {msg} at offset {i}: "
+                          f"...{text[max(0, i - 20):i + 20]!r}...")
+
+    def skip_ws() -> None:
+        nonlocal i
+        while i < n and text[i].isspace():
+            i += 1
+
+    def parse_string() -> str:
+        nonlocal i
+        assert text[i] == "'"
+        i += 1
+        out = []
+        while i < n:
+            if text[i] == "'":
+                if i + 1 < n and text[i + 1] == "'":  # '' escape
+                    out.append("'")
+                    i += 2
+                    continue
+                i += 1
+                return "".join(out)
+            out.append(text[i])
+            i += 1
+        raise err("unterminated string")
+
+    def parse_value():
+        nonlocal i
+        skip_ws()
+        if i >= n:
+            raise err("expected a value")
+        ch = text[i]
+        if ch == "'":
+            return parse_string()
+        if ch == "[":
+            i += 1
+            arr = []
+            skip_ws()
+            if i < n and text[i] == "]":
+                i += 1
+                return arr
+            while True:
+                arr.append(parse_value())
+                skip_ws()
+                if i < n and text[i] == ",":
+                    i += 1
+                    continue
+                if i < n and text[i] == "]":
+                    i += 1
+                    return arr
+                raise err("expected ',' or ']' in array")
+        if ch == "{":
+            raise err("nested record values are not supported "
+                      "(dynamic columns are scalar/array-typed)")
+        m = re.match(r"-?\d+\.\d+([eE][+-]?\d+)?|-?\d+[eE][+-]?\d+",
+                     text[i:])
+        if m:
+            i += m.end()
+            return float(m.group(0))
+        m = re.match(r"-?\d+", text[i:])
+        if m:
+            i += m.end()
+            return int(m.group(0))
+        m = re.match(r"(TRUE|FALSE|NULL)\b", text[i:], re.IGNORECASE)
+        if m:
+            i += m.end()
+            word = m.group(1).upper()
+            return {"TRUE": True, "FALSE": False, "NULL": None}[word]
+        m = re.match(r"(DATE|TIMESTAMP)\s*'([^']+)'", text[i:],
+                     re.IGNORECASE)
+        if m:
+            i += m.end()
+            raw = m.group(2)
+            if m.group(1).upper() == "DATE":
+                return _dt.date.fromisoformat(raw)
+            return _dt.datetime.fromisoformat(raw)
+        raise err("unrecognized value")
+
+    records: list[dict] = []
+    while True:
+        skip_ws()
+        if i >= n:
+            break
+        if text[i] != "{":
+            raise err("expected '{'")
+        i += 1
+        rec: dict = {}
+        skip_ws()
+        if i < n and text[i] == "}":
+            i += 1
+        else:
+            while True:
+                skip_ws()
+                m = re.match(r"\w+", text[i:])
+                if not m:
+                    raise err("expected a key")
+                key = m.group(0)
+                i += m.end()
+                skip_ws()
+                if i >= n or text[i] != ":":
+                    raise err("expected ':' after key")
+                i += 1
+                if key in rec:
+                    raise err(f"duplicate key {key!r} in one record")
+                rec[key] = parse_value()
+                skip_ws()
+                if i < n and text[i] == ",":
+                    i += 1
+                    continue
+                if i < n and text[i] == "}":
+                    i += 1
+                    break
+                raise err("expected ',' or '}' in record")
+        records.append(rec)
+        skip_ws()
+        if i < n:
+            if text[i] != ",":
+                raise err("expected ',' between records")
+            i += 1
+    if not records:
+        raise ValueError("RECORDS literal: no records")
+    return records
+
+
+def _infer_type(values: list):
+    """Spark type for a column from its non-null Python values (bool
+    before int: bool is an int subclass)."""
+    from pyspark.sql import types as T
+
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return T.StringType()
+    if all(isinstance(v, bool) for v in vals):
+        return T.BooleanType()
+    if all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+        return T.LongType()
+    if all(isinstance(v, (int, float)) and not isinstance(v, bool)
+           for v in vals):
+        return T.DoubleType()
+    if all(isinstance(v, str) for v in vals):
+        return T.StringType()
+    import datetime as _dt
+
+    if all(type(v) is _dt.date for v in vals):
+        return T.DateType()
+    if all(isinstance(v, _dt.datetime) for v in vals):
+        return T.TimestampType()
+    if all(isinstance(v, list) for v in vals):
+        return T.ArrayType(_infer_type([e for v in vals for e in v]))
+    raise ValueError(
+        "RECORDS literal: a key mixes incompatible value types "
+        f"across records: {sorted({type(v).__name__ for v in vals})}"
+    )
+
+
+def records_to_df(spark, records: list[dict], mask_col: str | None = None):
+    """Records → DataFrame over the union of keys (first-seen order).
+    With ``mask_col``, each row carries the sorted list of keys its
+    record actually mentioned — PATCH needs to distinguish 'absent'
+    (retain current) from explicit NULL (set null)."""
+    from pyspark.sql import types as T
+
+    keys: list[str] = []
+    for r in records:
+        for k in r:
+            if k not in keys:
+                keys.append(k)
+    fields = [
+        T.StructField(k, _infer_type([r.get(k) for r in records]), True)
+        for k in keys
+    ]
+    if mask_col is not None:
+        fields.append(
+            T.StructField(mask_col, T.ArrayType(T.StringType()), False)
+        )
+    rows = []
+    for r in records:
+        row = [r.get(k) for k in keys]
+        if mask_col is not None:
+            row.append(sorted(r.keys()))
+        rows.append(tuple(row))
+    return spark.createDataFrame(rows, T.StructType(fields))
 
 
 def _split_set_clauses(sets: str) -> list[tuple[str, str]]:
@@ -234,6 +440,13 @@ def parse_dml(statement: str) -> _ParsedDml:
     merged = parse_merge(statement)
     if merged is not None:
         return merged
+    m = _RECORDS_STMT.match(statement)
+    if m:
+        return _ParsedDml(
+            "insert_records" if m["verb"].upper() == "INSERT" else "patch",
+            m["table"],
+            {"records": parse_records(m["records"])},
+        )
     m = _INSERT_VALUES.match(statement)
     if m:
         return _ParsedDml(
@@ -287,6 +500,29 @@ def dml_to_ops(engine, statement: str, id_col: str = "id") -> list:
 
     if p.verb == "merge":
         return _merge_to_ops(engine, snap, p, id_col)
+
+    if p.verb == "insert_records":
+        rows = records_to_df(spark, p.detail["records"])
+        if id_col not in rows.columns:
+            raise ValueError(
+                f"INSERT RECORDS into {p.table!r}: every record needs "
+                f"the id key {id_col!r}"
+            )
+        if p.table in snap.basis.manifests:
+            types = {
+                f.name: f.dataType.simpleString()
+                for f in snap.table(p.table).schema.fields
+            }
+            rows = rows.select(
+                *[
+                    rows[c].cast(types[c]).alias(c) if c in types else rows[c]
+                    for c in rows.columns
+                ]
+            )
+        return [Put(p.table, rows)]
+
+    if p.verb == "patch":
+        return patch_to_ops(engine, snap, p.table, p.detail["records"], id_col)
 
     if p.verb == "insert_values":
         cols = ", ".join(p.detail["cols"])
@@ -511,6 +747,92 @@ def _merge_to_ops(engine, snap, p: _ParsedDml, id_col: str) -> list:
                 spark.catalog.dropTempView(v)
             except Exception:
                 pass
+
+
+def patch_to_ops(engine, snap, table: str, records: list[dict],
+                 id_col: str = "id") -> list:
+    """Compile PATCH (XTDB v2 ``patchDocs`` / ``PATCH INTO t RECORDS``)
+    to engine ops against the pre-tx snapshot: each record's keys merge
+    into the CURRENT visible version of its id (insert when the id is
+    absent); keys a record does not mention retain their current value,
+    while an explicit NULL sets null — the mask column carries that
+    distinction.  Keys new to the table extend the merged schema
+    (dynamic columns, SURVEY §1.2), exactly like a widening Put.
+
+    Duplicate ids within one PATCH are refused: a single Put freezes an
+    arbitrary within-partition winner, which a deterministic engine
+    must not do (same rule as MERGE's insert-set check).
+
+    Scale: the record list is the transaction payload (driver-side by
+    definition, like INSERT VALUES); the current-state read is an
+    IN-list lookup bounded by the record count, then one broadcast-size
+    join — never a scan-shaped op."""
+    from pyspark.sql import functions as F
+
+    from core2_spark.engine import Put
+
+    spark = engine.spark
+    if not records:
+        raise ValueError("PATCH: no records")
+    ids = []
+    for r in records:
+        if id_col not in r or r[id_col] is None:
+            raise ValueError(
+                f"PATCH into {table!r}: every record needs a non-null "
+                f"id key {id_col!r}"
+            )
+        ids.append(r[id_col])
+    if len(set(ids)) != len(ids):
+        dup = sorted({i for i in ids if ids.count(i) > 1})[0]
+        raise ValueError(
+            f"PATCH cardinality violation: id {dup!r} appears in more "
+            "than one record"
+        )
+
+    mask = "_patched_keys"
+    pdf = records_to_df(spark, records, mask_col=mask)
+    if table not in snap.basis.manifests:
+        # patching a table that does not exist yet = plain insert
+        return [Put(table, pdf.drop(mask))]
+
+    cur = snap.table(table)
+    types = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
+    pdf = pdf.select(
+        *[
+            pdf[c].cast(types[c]).alias(c) if c in types and c != mask
+            else pdf[c]
+            for c in pdf.columns
+        ]
+    )
+    patch_cols = [c for c in pdf.columns if c != mask]
+    cur_hit = cur.filter(F.col(id_col).isin(ids))
+    p, c = pdf.alias("_p"), cur_hit.alias("_c")
+    joined = p.join(c, F.col(f"_p.{id_col}") == F.col(f"_c.{id_col}"), "left")
+
+    out_cols = list(cur.columns) + [
+        k for k in patch_cols if k not in cur.columns
+    ]
+    proj = []
+    for name in out_cols:
+        if name == id_col:
+            proj.append(F.col(f"_p.{id_col}").alias(name))
+        elif name in patch_cols:
+            mentioned = F.array_contains(F.col(f"_p.{mask}"), F.lit(name))
+            current = (
+                F.col(f"_c.{name}") if name in cur.columns
+                else F.lit(None).cast(pdf.schema[name].dataType)
+            )
+            proj.append(
+                F.when(mentioned, F.col(f"_p.{name}"))
+                .otherwise(current)
+                .alias(name)
+            )
+        else:
+            proj.append(F.col(f"_c.{name}").alias(name))
+    # materialize before the write: the merge reads the very table the
+    # Put appends to
+    merged = joined.select(*proj).localCheckpoint(eager=True)
+    return [Put(table, merged)]
 
 
 # -- materialized-view maintenance statements -------------------------

@@ -1,0 +1,191 @@
+"""PATCH / RECORDS surface (sql_dml.py, engine.Patch): XTDB v2's
+``patchDocs`` tx op and its SQL spellings ``PATCH INTO t RECORDS {..}``
+and ``INSERT INTO t RECORDS {..}``.  Patch merges partial documents
+into the current visible version — unmentioned keys retain, explicit
+NULL sets null, absent ids insert, new keys widen the merged schema —
+and, like every op, appends versions (history stays queryable)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from core2_spark.engine import Engine, Patch, Put
+from core2_spark.sql_dml import parse_records
+
+
+# -- RECORDS literal parser -------------------------------------------
+
+
+def test_parse_records_scalars():
+    recs = parse_records(
+        "{id: 1, name: 'ada', score: 2.5, ok: TRUE, note: NULL}, "
+        "{id: -2, ok: false}"
+    )
+    assert recs == [
+        {"id": 1, "name": "ada", "score": 2.5, "ok": True, "note": None},
+        {"id": -2, "ok": False},
+    ]
+
+
+def test_parse_records_string_escape_and_arrays():
+    recs = parse_records("{id: 1, q: 'it''s', tags: ['a', 'b'], xs: [1, 2]}")
+    assert recs == [{"id": 1, "q": "it's", "tags": ["a", "b"], "xs": [1, 2]}]
+
+
+def test_parse_records_date_timestamp():
+    recs = parse_records(
+        "{id: 1, d: DATE '2024-03-01', ts: TIMESTAMP '2024-03-01 12:30:00'}"
+    )
+    assert recs == [
+        {
+            "id": 1,
+            "d": dt.date(2024, 3, 1),
+            "ts": dt.datetime(2024, 3, 1, 12, 30),
+        }
+    ]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "{id: 1, doc: {nested: 2}}",  # nested record
+        "{id: 1, id: 2}",  # duplicate key in one record
+        "{id: 1} {id: 2}",  # missing comma between records
+        "{id: }",  # missing value
+        "{id: 1, name: 'open}",  # unterminated string
+        "",  # no records
+    ],
+)
+def test_parse_records_rejects(bad):
+    with pytest.raises(ValueError):
+        parse_records(bad)
+
+
+# -- engine behavior ---------------------------------------------------
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "db"))
+    e.sql_dml(
+        "INSERT INTO accounts (id, owner, balance) VALUES "
+        "(1, 'ada', CAST(100.0 AS DOUBLE)), (2, 'bob', CAST(50.0 AS DOUBLE)), "
+        "(3, 'eve', CAST(75.0 AS DOUBLE))",
+        tx_time="2024-01-01 00:00:01",
+    )
+    return e
+
+
+def by_id(df):
+    return {r["id"]: r.asDict() for r in df.collect()}
+
+
+def test_insert_records_visible_and_type_aligned(eng):
+    # balance: 10 is an int literal; the existing column is DOUBLE —
+    # the records path must cast by name like INSERT VALUES does
+    eng.sql_dml("INSERT INTO accounts RECORDS {id: 4, owner: 'dan', balance: 10}")
+    got = by_id(eng.db().table("accounts"))
+    assert got[4]["owner"] == "dan"
+    assert got[4]["balance"] == 10.0
+    assert [f.dataType.simpleString() for f in
+            eng.db().table("accounts").schema.fields
+            if f.name == "balance"] == ["double"]
+
+
+def test_patch_merges_retains_and_widens(eng):
+    eng.sql_dml(
+        "PATCH INTO accounts RECORDS "
+        "{id: 1, balance: 175}, "  # update one key, retain owner
+        "{id: 2, tier: 'gold'}, "  # brand-new column
+        "{id: 9, owner: 'zoe', balance: 1}",  # absent id -> insert
+        tx_time="2024-01-01 00:00:02",
+    )
+    got = by_id(eng.db().table("accounts"))
+    assert got[1]["owner"] == "ada" and got[1]["balance"] == 175.0
+    assert got[2]["tier"] == "gold" and got[2]["balance"] == 50.0
+    assert got[9]["owner"] == "zoe" and got[9]["balance"] == 1.0
+    # rows the patch never touched read NULL for the widened column
+    assert got[3]["tier"] is None and got[1]["tier"] is None
+
+
+def test_patch_explicit_null_vs_absent(eng):
+    eng.sql_dml("PATCH INTO accounts RECORDS {id: 1, owner: NULL}")
+    got = by_id(eng.db().table("accounts"))
+    assert got[1]["owner"] is None  # explicit NULL sets null
+    assert got[1]["balance"] == 100.0  # absent key retains
+
+
+def test_patch_history_preserved(eng):
+    pre = eng.db()
+    eng.sql_dml(
+        "PATCH INTO accounts RECORDS {id: 1, balance: 999}",
+        tx_time="2024-01-01 00:00:02",
+    )
+    assert by_id(pre.table("accounts"))[1]["balance"] == 100.0
+    assert by_id(eng.db().table("accounts"))[1]["balance"] == 999.0
+
+
+def test_patch_refuses_duplicate_and_missing_ids(eng):
+    with pytest.raises(ValueError, match="cardinality"):
+        eng.sql_dml(
+            "PATCH INTO accounts RECORDS {id: 1, balance: 1}, {id: 1, balance: 2}"
+        )
+    with pytest.raises(ValueError, match="id key"):
+        eng.sql_dml("PATCH INTO accounts RECORDS {owner: 'ghost'}")
+
+
+def test_patch_creates_missing_table(eng):
+    eng.sql_dml("PATCH INTO notes RECORDS {id: 1, body: 'hello'}")
+    assert by_id(eng.db().table("notes"))[1]["body"] == "hello"
+
+
+def test_patch_op_programmatic_twin(spark, tmp_path, eng):
+    """Engine.submit_tx([Patch(...)]) behaves exactly like the SQL
+    spelling, and composes with other ops in one atomic tx."""
+    twin = Engine(spark, str(tmp_path / "twin"))
+    base = spark.createDataFrame(
+        [(1, "ada", 100.0), (2, "bob", 50.0), (3, "eve", 75.0)],
+        "id bigint, owner string, balance double",
+    )
+    twin.submit_tx([Put("accounts", base)], tx_time="2024-01-01 00:00:01")
+    twin.submit_tx(
+        [
+            Patch(
+                "accounts",
+                (
+                    {"id": 1, "balance": 175},
+                    {"id": 2, "tier": "gold"},
+                    {"id": 9, "owner": "zoe", "balance": 1},
+                ),
+            )
+        ],
+        tx_time="2024-01-01 00:00:02",
+    )
+    eng.sql_dml(
+        "PATCH INTO accounts RECORDS {id: 1, balance: 175}, "
+        "{id: 2, tier: 'gold'}, {id: 9, owner: 'zoe', balance: 1}",
+        tx_time="2024-01-01 00:00:02",
+    )
+    cols = ["id", "owner", "balance", "tier"]
+    assert by_id(twin.db().table("accounts").select(*cols)) == by_id(
+        eng.db().table("accounts").select(*cols)
+    )
+
+
+def test_patch_within_tx_order_later_op_wins(eng):
+    """A Patch and a later Put on the same id in ONE tx: within-tx
+    sequence resolves the winner, exactly as for Put-after-Put."""
+    from core2_spark.engine import Patch as P
+
+    spark = eng.spark
+    # match the table's literal-derived schema (id is INT there)
+    over = spark.createDataFrame([(1, "override", 7.0)],
+                                 "id int, owner string, balance double")
+    eng.submit_tx(
+        [P("accounts", ({"id": 1, "balance": 555},)), Put("accounts", over)],
+        tx_time="2024-01-01 00:00:03",
+    )
+    got = by_id(eng.db().table("accounts"))
+    assert got[1]["owner"] == "override" and got[1]["balance"] == 7.0

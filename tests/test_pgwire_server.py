@@ -476,3 +476,33 @@ def test_pgwire_merge_statement(spark, engine):
         client.close()
     finally:
         server.shutdown()
+
+
+def test_pgwire_patch_statement(spark, engine):
+    """PATCH INTO .. RECORDS rides the pgwire DML routing with its own
+    CommandComplete tag and executes through Engine.sql_dml."""
+    from core2_spark.pgwire_server import PgWireServer
+
+    v1 = spark.createDataFrame(
+        [(1, "AAPL", 100.0), (2, "MSFT", 200.0)], "id long, sym string, px double"
+    )
+    engine.submit_tx([Put("holdings", v1)], tx_time="2024-01-01 00:00:01")
+    server = PgWireServer(lambda sql: engine.db().sql(sql), engine=engine)
+    try:
+        client = MiniPgClient(server.port)
+        _, rows, err = client.query(
+            "PATCH INTO holdings RECORDS {id: 2, px: 250}, "
+            "{id: 3, sym: 'NEW', px: 300}"
+        )
+        assert err is None and rows == []
+        _, rows, err = client.query(
+            "SELECT id, sym, px FROM holdings ORDER BY id"
+        )
+        assert err is None
+        assert [(r[0], r[1], r[2]) for r in rows] == [
+            ("1", "AAPL", "100.0"), ("2", "MSFT", "250.0"),
+            ("3", "NEW", "300.0"),
+        ]
+        client.close()
+    finally:
+        server.shutdown()
