@@ -2134,6 +2134,10 @@ class Snapshot:
                 from core2_spark.sql_dialect import rewrite_asof_joins
 
                 rewritten = rewrite_asof_joins(rewritten)
+            if "nest_" in rewritten.lower():  # zero overhead otherwise
+                from core2_spark.sql_dialect import rewrite_nest_subqueries
+
+                rewritten = rewrite_nest_subqueries(rewritten)
 
             def _run(s: str) -> DataFrame:
                 # spark.sql analyzes eagerly, so the views are

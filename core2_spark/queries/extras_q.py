@@ -968,3 +968,60 @@ def datalog_pull_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("doc.orders").cast("long").alias("n_orders"),
         F.concat_ws("|", F.transform("doc.orders", entry)).alias("orders_str"),
     ).orderBy("cust")
+
+
+@query(
+    "sql_nest_many_nest_one",
+    oracle="""
+    SELECT c.c_custkey AS cust,
+           n.n_name AS nation_name,
+           COALESCE(o.n, 0) AS n_orders,
+           COALESCE(o.s, '') AS orders_str
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n,
+               string_agg(o_orderkey || ':' || o_orderstatus,
+                          '|' ORDER BY o_orderkey) AS s
+        FROM orders GROUP BY o_custkey
+    ) o ON o.o_custkey = c.c_custkey
+    WHERE c.c_nationkey = 3
+    ORDER BY cust
+    """,
+)
+def sql_nest_many_nest_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEST_MANY / NEST_ONE nested-result subqueries on the SQL
+    surface (the reference's XTDB-v2 SQL spelling of the datalog pull,
+    README.adoc:13-15): each nation-3 customer carries its nation as a
+    NEST_ONE struct and its orders as a NEST_MANY array<struct>.  The
+    dialect compiles both to correlated aggregated scalar subqueries
+    that Catalyst decorrelates into joins (no per-row subquery), and
+    the nested content is flattened to a canonical string so DuckDB
+    hash-verifies it (members AND order: sort_array ascending on
+    o_orderkey equals the oracle's ORDER BY — the key is unique)."""
+    from core2_spark.sql_dialect import rewrite_nest_subqueries
+
+    register_views(spark, sf_dir, ("customer", "orders", "nation"))
+    nested = rewrite_nest_subqueries(
+        """
+        SELECT c.c_custkey AS cust,
+               NEST_ONE(SELECT n.n_name AS nname FROM nation n
+                        WHERE n.n_nationkey = c.c_nationkey) AS nat,
+               NEST_MANY(SELECT o.o_orderkey AS okey,
+                                o.o_orderstatus AS status
+                         FROM orders o
+                         WHERE o.o_custkey = c.c_custkey) AS orders
+        FROM customer c WHERE c.c_nationkey = 3
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT cust, nat.nname AS nation_name,
+               CAST(size(orders) AS BIGINT) AS n_orders,
+               concat_ws('|', transform(orders,
+                   e -> concat(CAST(e.okey AS STRING), ':', e.status)))
+                   AS orders_str
+        FROM ({nested})
+        ORDER BY cust
+        """
+    )

@@ -69,6 +69,7 @@ _PRIORITY: list[str] = [
     "sql_asof_left_join_forward",
     "engine_dml_merge",
     "engine_dml_patch",
+    "sql_nest_many_nest_one",
     "dedup_semantic_embedding_clusters",
     "datalog_pull_nested",
     "ts_gap_fill_interpolate",

@@ -1294,6 +1294,101 @@ def _rewrite_one_asof(sql: str) -> str | None:
     return sql[:l_span_start] + replacement + " " + sql[tail_start:]
 
 
+# -- NEST_MANY / NEST_ONE nested-result subqueries ---------------------
+
+
+def rewrite_nest_subqueries(sql: str) -> str:
+    """The reference's NEST_MANY / NEST_ONE nested-result subqueries
+    (XTDB v2 SQL; README.adoc:13-15) as a text→text pre-pass::
+
+        SELECT c.name,
+               NEST_MANY(SELECT o.val AS v FROM orders o
+                         WHERE o.custkey = c.id) AS orders
+        FROM customer c
+
+    compiles to a correlated AGGREGATED scalar subquery, which
+    Catalyst decorrelates into one left outer join + one aggregation —
+    the same plan a hand-written groupBy+collect_list+equi-join
+    produces (the datalog pull path), so a nested result costs one
+    shuffle at 100 TB, never a per-outer-row subquery.
+
+    Semantics:
+
+    - NEST_MANY yields ``array<struct>``; ``[]`` (not NULL) when no
+      rows match — the reference's empty nested collection.
+    - Element order is canonical ascending over the struct fields in
+      projection order (``sort_array``): collect_list order under
+      distributed aggregation is non-deterministic, which a
+      deterministic engine must not expose.  ORDER BY inside the body
+      is therefore rejected loudly, never silently ignored.
+    - NEST_ONE yields ``struct``, NULL when no row matches, and RAISES
+      at execution when more than one matches — the reference's
+      `:max-1-row` guard; picking a winner would be non-deterministic.
+    - DISTINCT / GROUP BY / LIMIT inside the body are rejected loudly
+      (an aggregated body cannot be re-aggregated by the wrapper)."""
+    while True:
+        out = _rewrite_one_nest(sql)
+        if out is None:
+            return sql
+        sql = out
+
+
+def _rewrite_one_nest(sql: str) -> str | None:
+    toks = _tokens(sql)
+    for idx, t in enumerate(toks):
+        fn = t.word()
+        if fn not in ("NEST_MANY", "NEST_ONE"):
+            continue
+        if idx + 1 >= len(toks) or toks[idx + 1].text != "(":
+            raise ValueError(f"{fn} must be followed by (SELECT ...)")
+        depth, close = 0, None
+        for j in range(idx + 1, len(toks)):
+            if toks[j].text == "(":
+                depth += 1
+            elif toks[j].text == ")":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+        if close is None:
+            raise ValueError(f"{fn}: unbalanced parentheses")
+        inner = toks[idx + 2 : close]
+        if not inner or inner[0].word() != "SELECT":
+            raise ValueError(f"{fn}(...) must wrap a SELECT subquery")
+        if len(inner) > 1 and inner[1].word() == "DISTINCT":
+            raise ValueError(f"{fn}: DISTINCT inside the body is not "
+                             "supported")
+        d, from_i = 0, None
+        for j, it in enumerate(inner):
+            if it.text == "(":
+                d += 1
+            elif it.text == ")":
+                d -= 1
+            elif d == 0 and it.word() == "FROM" and from_i is None:
+                from_i = j
+            elif d == 0 and it.word() in ("ORDER", "LIMIT", "GROUP"):
+                raise ValueError(
+                    f"{fn}: {it.word()} inside the body is not supported "
+                    "(element order is canonical ascending; aggregate "
+                    "outside the nest instead)"
+                )
+        if from_i is None:
+            raise ValueError(f"{fn}(...) body needs a FROM clause")
+        proj = sql[inner[0].end : inner[from_i].start].strip()
+        rest = sql[inner[from_i].start : toks[close].start].strip()
+        if fn == "NEST_MANY":
+            repl = (f"(SELECT sort_array(collect_list(struct({proj}))) "
+                    f"{rest})")
+        else:
+            repl = (
+                "(SELECT CASE WHEN count(*) > 1 THEN raise_error("
+                f"'NEST_ONE: subquery returned more than one row') "
+                f"ELSE any_value(struct({proj})) END {rest})"
+            )
+        return sql[: t.start] + repl + sql[toks[close].end :]
+    return None
+
+
 def sql_with_temporal(
     spark: SparkSession,
     sql: str,
