@@ -110,6 +110,30 @@ class Erase:
     id_col: str = "id"
 
 
+class TxAssertionError(RuntimeError):
+    """An ASSERT op's predicate evaluated false (or null): the
+    transaction aborts with zero rows written."""
+
+
+@dataclass(frozen=True)
+class Assert:
+    """Transaction assertion (the reference's ``ASSERT`` statement /
+    assert tx op): a SQL boolean predicate evaluated against the
+    PRE-TRANSACTION snapshot at submit time; false or NULL aborts the
+    whole transaction before anything is written.  Under
+    optimistic-concurrency retry the predicate RE-EVALUATES against
+    the refreshed head (like Call/Patch re-expansion), so
+    check-then-write races with a concurrent writer cannot slip
+    through — the canonical use is uniqueness guards::
+
+        Assert("NOT EXISTS (SELECT 1 FROM users WHERE email = 'x')",
+               "duplicate email")
+    """
+
+    predicate: str
+    message: str | None = None
+
+
 @dataclass(frozen=True)
 class Patch:
     """Merge partial documents into the current visible versions (the
@@ -1008,7 +1032,7 @@ class Engine:
     # -- §3.3 submit-tx ------------------------------------------------
     def submit_tx(
         self,
-        ops: list[Put | Delete | Erase | Patch | Call],
+        ops: list[Put | Delete | Erase | Patch | Assert | Call],
         tx_time: str | datetime | None = None,
         retries: int | None = None,
     ) -> Basis:
@@ -1043,7 +1067,7 @@ class Engine:
 
     def _submit_tx_once(
         self,
-        ops: list[Put | Delete | Erase | Patch | Call],
+        ops: list[Put | Delete | Erase | Patch | Assert | Call],
         tx_time: str | datetime | None = None,
     ) -> Basis:
         self._check_sole_writer()  # abort BEFORE any rows are written
@@ -1052,12 +1076,22 @@ class Engine:
         expanded: list[Put | Delete | Erase] = []
         pre_snapshot = None
         for op in ops:
-            if isinstance(op, (Call, Patch)):
+            if isinstance(op, (Call, Patch, Assert)):
                 if pre_snapshot is None:
                     # basis clock pinned to tx time, never the wall
                     # clock — tx-fns must replay identically
                     pre_snapshot = Snapshot(self, acquire_basis(self._all_tables(), t, self._basis_schemas()))
-                if isinstance(op, Call):
+                if isinstance(op, Assert):
+                    row = pre_snapshot.sql(
+                        f"SELECT ({op.predicate}) AS ok"
+                    ).head()
+                    if row is None or row["ok"] is not True:
+                        raise TxAssertionError(
+                            op.message
+                            or f"transaction assertion failed: "
+                               f"{op.predicate}"
+                        )
+                elif isinstance(op, Call):
                     expanded.extend(op.fn(pre_snapshot))
                 else:
                     from core2_spark.sql_dml import patch_to_ops

@@ -101,7 +101,8 @@ class PgWireServer:
         # dialect those verbs exist only for MATERIALIZED VIEW, and
         # Engine.sql_dml rejects anything else loudly
         _DML = ("insert", "update", "delete", "erase", "merge", "patch",
-                "create", "refresh", "drop", "vacuum", "optimize")
+                "assert", "create", "refresh", "drop", "vacuum",
+                "optimize")
 
         class Handler(socketserver.BaseRequestHandler):
             def _send(self, data: bytes) -> None:
@@ -206,6 +207,7 @@ class PgWireServer:
                 return {"insert": "INSERT 0 0", "update": "UPDATE 0",
                         "delete": "DELETE 0", "erase": "ERASE 0",
                         "merge": "MERGE 0", "patch": "PATCH 0",
+                        "assert": "ASSERT",
                         "create": "CREATE MATERIALIZED VIEW",
                         "refresh": "REFRESH MATERIALIZED VIEW",
                         "drop": "DROP MATERIALIZED VIEW",

@@ -689,6 +689,48 @@ def engine_sql_with_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "engine_tx_assert",
+    oracle="""
+    SELECT n_nationkey AS id, n_name AS name FROM nation
+    UNION ALL
+    SELECT 100 AS id, 'guarded-insert' AS name
+    ORDER BY id
+    """,
+)
+def engine_tx_assert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASSERT transaction statements (the reference's assert tx op,
+    README.adoc:13-15): a failing assert aborts its whole transaction
+    atomically (the co-submitted INSERT leaves zero rows), a passing
+    uniqueness guard commits — the oracle derives the surviving state
+    as base ∪ the one guarded insert."""
+    from core2_spark.engine import Engine, Put, TxAssertionError
+
+    nation = _nation_rows(spark, sf_dir).select("id", "name")
+    eng = Engine(spark, tempfile.mkdtemp(prefix="engine_q_assert_"))
+    eng.submit_tx([Put("nations", nation)], tx_time="2024-01-01 00:00:01")
+    try:
+        eng.sql_dml_many(
+            [
+                "INSERT INTO nations (id, name) VALUES (99, 'phantom')",
+                "ASSERT NOT EXISTS (SELECT 1 FROM nations WHERE id = 0), "
+                "'id 0 already exists'",
+            ],
+            tx_time="2024-01-01 00:00:02",
+        )
+        raise AssertionError("assert should have aborted the tx")
+    except TxAssertionError:
+        pass
+    eng.sql_dml_many(
+        [
+            "ASSERT NOT EXISTS (SELECT 1 FROM nations WHERE id = 100)",
+            "INSERT INTO nations (id, name) VALUES (100, 'guarded-insert')",
+        ],
+        tx_time="2024-01-01 00:00:03",
+    )
+    return eng.db().sql("SELECT id, name FROM nations ORDER BY id")
+
+
+@query(
     "engine_dml_patch",
     oracle="""
     WITH base AS (

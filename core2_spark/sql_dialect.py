@@ -45,6 +45,9 @@ from core2_spark import temporal as bt
 _AXIS_COLS = {
     "SYSTEM_TIME": (bt.SYS_START, bt.SYS_END),
     "APPLICATION_TIME": (bt.APP_START, bt.APP_END),
+    # XTDB v2 renamed the SQL:2011 application-time axis to VALID_TIME;
+    # both spellings are the same axis here
+    "VALID_TIME": (bt.APP_START, bt.APP_END),
 }
 
 # words that can follow a table reference and must not be mistaken for

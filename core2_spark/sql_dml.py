@@ -21,10 +21,11 @@ Supported statements::
     INSERT INTO t SELECT ...                      -- over snapshot views
     PATCH INTO t RECORDS {id: 1, c1: v1}, {...}   -- merge partial docs
     UPDATE t [FOR PORTION OF APPLICATION_TIME FROM 'a' TO 'b']
-        SET c = expr, ... [WHERE pred]
+        SET c = expr, ... [WHERE pred]       -- VALID_TIME = synonym
     DELETE FROM t [FOR PORTION OF APPLICATION_TIME FROM 'a' TO 'b']
         [WHERE pred]
     ERASE FROM t [WHERE pred]
+    ASSERT <boolean expr> [, 'message']  -- abort tx when false/NULL
     MERGE INTO t [AS] a USING (src_table | (SELECT ...)) [AS] s
         ON a.id = s.id
         [WHEN MATCHED [AND cond] THEN UPDATE SET c = expr, ...]
@@ -57,6 +58,9 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+_ASSERT_STMT = re.compile(
+    r"^\s*ASSERT\s+(?P<body>.+)$", re.IGNORECASE | re.DOTALL
+)
 _RECORDS_STMT = re.compile(
     r"^\s*(?P<verb>INSERT|PATCH)\s+INTO\s+(?P<table>\w+)\s+RECORDS\s+"
     r"(?P<records>\{.+)$",
@@ -73,14 +77,14 @@ _INSERT_SELECT = re.compile(
 )
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+(?P<table>\w+)"
-    r"(?:\s+FOR\s+PORTION\s+OF\s+APPLICATION_TIME\s+FROM\s+"
+    r"(?:\s+FOR\s+PORTION\s+OF\s+(?:APPLICATION_TIME|VALID_TIME)\s+FROM\s+"
     r"'(?P<app_from>[^']+)'\s+TO\s+'(?P<app_to>[^']+)')?"
     r"\s+SET\s+(?P<sets>.+?)(?:\s+WHERE\s+(?P<where>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE = re.compile(
     r"^\s*(?P<verb>DELETE|ERASE)\s+FROM\s+(?P<table>\w+)"
-    r"(?:\s+FOR\s+PORTION\s+OF\s+APPLICATION_TIME\s+FROM\s+"
+    r"(?:\s+FOR\s+PORTION\s+OF\s+(?:APPLICATION_TIME|VALID_TIME)\s+FROM\s+"
     r"'(?P<app_from>[^']+)'\s+TO\s+'(?P<app_to>[^']+)')?"
     r"(?:\s+WHERE\s+(?P<where>.+))?$",
     re.IGNORECASE | re.DOTALL,
@@ -447,6 +451,26 @@ def parse_dml(statement: str) -> _ParsedDml:
             m["table"],
             {"records": parse_records(m["records"])},
         )
+    m = _ASSERT_STMT.match(statement)
+    if m:
+        # ASSERT <predicate>[, 'message'] — the message splits at a
+        # TOP-LEVEL comma (the predicate may contain commas inside
+        # parens or strings)
+        parts = _split_top_level(m["body"])
+        msg = None
+        if len(parts) == 2 and re.fullmatch(
+            r"'(?:[^']|'')*'", parts[1].strip()
+        ):
+            msg = parts[1].strip()[1:-1].replace("''", "'")
+            pred = parts[0].strip()
+        elif len(parts) == 1:
+            pred = parts[0].strip()
+        else:
+            raise ValueError(
+                "ASSERT takes one predicate and an optional trailing "
+                "'message' string"
+            )
+        return _ParsedDml("assert", "", {"pred": pred, "msg": msg})
     m = _INSERT_VALUES.match(statement)
     if m:
         return _ParsedDml(
@@ -500,6 +524,11 @@ def dml_to_ops(engine, statement: str, id_col: str = "id") -> list:
 
     if p.verb == "merge":
         return _merge_to_ops(engine, snap, p, id_col)
+
+    if p.verb == "assert":
+        from core2_spark.engine import Assert
+
+        return [Assert(p.detail["pred"], p.detail["msg"])]
 
     if p.verb == "insert_records":
         rows = records_to_df(spark, p.detail["records"])

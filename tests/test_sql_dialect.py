@@ -878,3 +878,15 @@ def test_asof_join_tolerance_band(spark):
             "SELECT l.t FROM _tolt_l l ASOF JOIN _tolt_r r "
             "ON l.k = r.k AND l.t >= r.t AND r.t - l.t <= 5",
         )
+
+
+def test_valid_time_axis_synonym():
+    """`FOR VALID_TIME ...` (the XTDB v2 spelling) rewrites exactly
+    like `FOR APPLICATION_TIME ...`."""
+    from core2_spark.sql_dialect import find_temporal_tables, rewrite_temporal_sql
+
+    sql = "SELECT * FROM t FOR VALID_TIME AS OF TIMESTAMP '2024-01-02 00:00:00'"
+    assert find_temporal_tables(sql) == {"t"}
+    out = rewrite_temporal_sql(sql, {"t": "t_hist"})
+    assert "app_time_start <= TIMESTAMP '2024-01-02 00:00:00'" in out
+    assert "< app_time_end" in out

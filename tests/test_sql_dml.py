@@ -379,3 +379,16 @@ def test_merge_temp_views_are_scoped_and_dropped(spark, tmp_path):
         if t.name.startswith("_merge_")
     ]
     assert leftovers == []
+
+
+def test_update_for_portion_of_valid_time_synonym(eng):
+    """XTDB v2 renamed the app-time axis VALID_TIME; both spellings
+    drive the same portion-bounded update."""
+    eng.sql_dml(
+        "UPDATE accounts FOR PORTION OF VALID_TIME "
+        "FROM '2024-06-01' TO '2024-07-01' "
+        "SET balance = 0.0 WHERE id = 1"
+    )
+    db = eng.db()
+    assert (1, "ada", 0.0) in rows(db.table("accounts", app_time="2024-06-15"))
+    assert (1, "ada", 100.0) in rows(db.table("accounts", app_time="2024-08-01"))
