@@ -57,10 +57,10 @@ _PRIORITY: list[str] = [
     # Round 7: freshness rotation (VERDICT r6 task 3).  75 names were
     # last driver-checked in r1-r3, BEFORE the _row_seq repeatable-read
     # fix, day-partitioning, and the staging/manifest write path landed.
-    # The gate window (~50 rows) is headed by the new r7 queries (never
-    # checked by definition), then every r1-checked name (42), every
-    # r2-checked name (4), and the oldest r3 names to fill; remaining
-    # r3 names queue here in order for the r8 window.  The engine/DML
+    # The gate window (~50 rows) is headed by the new r7 queries (12,
+    # never checked by definition), then every r1-checked name (42) —
+    # at a 50-row window the last ~4 r1 names queue for r8 together
+    # with the r2 (4) and r3 (29) backlog below.  The engine/DML
     # surface (checked r6) is covered every pytest run by the local
     # driver-identical parity harness.
     # -- new in round 7 --
