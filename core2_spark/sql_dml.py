@@ -261,6 +261,24 @@ def _infer_type(values: list):
     )
 
 
+def _drop_allnull_new_keys(records: list[dict],
+                           existing: set[str]) -> list[dict]:
+    """Remove keys whose value is None in EVERY record and which the
+    table does not already have: a null value is not stored (the
+    reference's document semantics — reading the key gives NULL either
+    way), and keeping it would force a type on a column no value ever
+    witnessed (the first all-NULL sighting would otherwise lock the
+    merged parquet schema to STRING and corrupt later typed writes)."""
+    keys = {k for r in records for k in r}
+    dead = {
+        k for k in keys
+        if k not in existing and all(r.get(k) is None for r in records)
+    }
+    if not dead:
+        return records
+    return [{k: v for k, v in r.items() if k not in dead} for r in records]
+
+
 def records_to_df(spark, records: list[dict], mask_col: str | None = None):
     """Records → DataFrame over the union of keys (first-seen order).
     With ``mask_col``, each row carries the sorted list of keys its
@@ -531,7 +549,14 @@ def dml_to_ops(engine, statement: str, id_col: str = "id") -> list:
         return [Assert(p.detail["pred"], p.detail["msg"])]
 
     if p.verb == "insert_records":
-        rows = records_to_df(spark, p.detail["records"])
+        existing = (
+            set(snap.table(p.table).columns)
+            if p.table in snap.basis.manifests
+            else set()
+        )
+        rows = records_to_df(
+            spark, _drop_allnull_new_keys(p.detail["records"], existing)
+        )
         if id_col not in rows.columns:
             raise ValueError(
                 f"INSERT RECORDS into {p.table!r}: every record needs "
@@ -819,12 +844,17 @@ def patch_to_ops(engine, snap, table: str, records: list[dict],
         )
 
     mask = "_patched_keys"
-    pdf = records_to_df(spark, records, mask_col=mask)
     if table not in snap.basis.manifests:
         # patching a table that does not exist yet = plain insert
+        records = _drop_allnull_new_keys(records, {id_col})
+        pdf = records_to_df(spark, records, mask_col=mask)
         return [Put(table, pdf.drop(mask))]
 
     cur = snap.table(table)
+    # explicit NULL on a key the table does not have is a no-op (the
+    # row reads NULL either way); never let it force a column type
+    records = _drop_allnull_new_keys(records, set(cur.columns))
+    pdf = records_to_df(spark, records, mask_col=mask)
     types = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
     pdf = pdf.select(
         *[

@@ -189,3 +189,16 @@ def test_patch_within_tx_order_later_op_wins(eng):
     )
     got = by_id(eng.db().table("accounts"))
     assert got[1]["owner"] == "override" and got[1]["balance"] == 7.0
+
+
+def test_patch_allnull_new_key_is_noop_and_never_locks_type(eng):
+    """A key set to explicit NULL before any value witnessed a type is
+    NOT stored (reading it is NULL either way).  Regression: the
+    all-NULL first sighting used to infer STRING and permanently
+    coerce later numeric patches to text."""
+    eng.sql_dml("PATCH INTO accounts RECORDS {id: 1, score: NULL}")
+    assert "score" not in eng.db().table("accounts").columns  # no-op
+    eng.sql_dml("PATCH INTO accounts RECORDS {id: 1, score: 7}")
+    got = by_id(eng.db().table("accounts"))
+    assert got[1]["score"] == 7 and isinstance(got[1]["score"], int)
+    assert got[2]["score"] is None
