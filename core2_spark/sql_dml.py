@@ -98,10 +98,10 @@ _DELETE = re.compile(
 def parse_records(text: str) -> list[dict]:
     """Parse a comma-separated list of ``{key: value, ...}`` record
     literals into Python dicts.  Values: numbers, ``'strings'`` (with
-    ``''`` escaping), TRUE/FALSE/NULL, DATE/TIMESTAMP 'iso', and
-    ``[...]`` arrays of those.  Nested record values are rejected
-    loudly — the engine's dynamic columns are scalar/array-typed
-    (SURVEY §1.2); a nested document belongs in its own table row."""
+    ``''`` escaping), TRUE/FALSE/NULL, DATE/TIMESTAMP 'iso',
+    ``[...]`` arrays, and ``{...}`` nested records (stored as struct
+    columns — SURVEY §1.2 dynamic/nested types; PATCH replaces a
+    nested value wholesale, top-level shallow merge as upstream)."""
     import datetime as _dt
 
     i, n = 0, len(text)
@@ -158,8 +158,37 @@ def parse_records(text: str) -> list[dict]:
                     return arr
                 raise err("expected ',' or ']' in array")
         if ch == "{":
-            raise err("nested record values are not supported "
-                      "(dynamic columns are scalar/array-typed)")
+            # nested document value → struct-typed column (the
+            # reference's nested records); PATCH replaces the whole
+            # nested value (top-level shallow merge, as upstream)
+            i += 1
+            obj: dict = {}
+            skip_ws()
+            if i < n and text[i] == "}":
+                i += 1
+                return obj
+            while True:
+                skip_ws()
+                km = re.match(r"\w+", text[i:])
+                if not km:
+                    raise err("expected a key in nested record")
+                k = km.group(0)
+                i += km.end()
+                skip_ws()
+                if i >= n or text[i] != ":":
+                    raise err("expected ':' in nested record")
+                i += 1
+                if k in obj:
+                    raise err(f"duplicate key {k!r} in nested record")
+                obj[k] = parse_value()
+                skip_ws()
+                if i < n and text[i] == ",":
+                    i += 1
+                    continue
+                if i < n and text[i] == "}":
+                    i += 1
+                    return obj
+                raise err("expected ',' or '}' in nested record")
         m = re.match(r"-?\d+\.\d+([eE][+-]?\d+)?|-?\d+[eE][+-]?\d+",
                      text[i:])
         if m:
@@ -255,6 +284,23 @@ def _infer_type(values: list):
         return T.TimestampType()
     if all(isinstance(v, list) for v in vals):
         return T.ArrayType(_infer_type([e for v in vals for e in v]))
+    if all(isinstance(v, dict) for v in vals):
+        keys: list[str] = []
+        for v in vals:
+            for k in v:
+                if k not in keys:
+                    keys.append(k)
+        if not keys:
+            raise ValueError(
+                "RECORDS literal: an empty nested record {} has no "
+                "storable type — give it at least one key"
+            )
+        return T.StructType(
+            [
+                T.StructField(k, _infer_type([v.get(k) for v in vals]), True)
+                for k in keys
+            ]
+        )
     raise ValueError(
         "RECORDS literal: a key mixes incompatible value types "
         f"across records: {sorted({type(v).__name__ for v in vals})}"
@@ -837,7 +883,9 @@ def patch_to_ops(engine, snap, table: str, records: list[dict],
             )
         ids.append(r[id_col])
     if len(set(ids)) != len(ids):
-        dup = sorted({i for i in ids if ids.count(i) > 1})[0]
+        from collections import Counter
+
+        dup = sorted(i for i, n in Counter(ids).items() if n > 1)[0]
         raise ValueError(
             f"PATCH cardinality violation: id {dup!r} appears in more "
             "than one record"
@@ -864,7 +912,17 @@ def patch_to_ops(engine, snap, table: str, records: list[dict],
         ]
     )
     patch_cols = [c for c in pdf.columns if c != mask]
-    cur_hit = cur.filter(F.col(id_col).isin(ids))
+    if len(ids) <= 256:
+        # small lists push down into the parquet scan (row-group
+        # pruning on the id stats)
+        cur_hit = cur.filter(F.col(id_col).isin(ids))
+    else:
+        # a 100k-id IN-list is a 100k-node Catalyst expression tree;
+        # a broadcast semi-join against the (driver-side, bounded)
+        # patch payload keeps the plan O(1) in record count
+        cur_hit = cur.join(
+            F.broadcast(pdf.select(id_col)), on=id_col, how="left_semi"
+        )
     p, c = pdf.alias("_p"), cur_hit.alias("_c")
     joined = p.join(c, F.col(f"_p.{id_col}") == F.col(f"_c.{id_col}"), "left")
 

@@ -47,10 +47,21 @@ def test_parse_records_date_timestamp():
     ]
 
 
+def test_parse_records_nested():
+    recs = parse_records(
+        "{id: 1, addr: {city: 'paris', zip: 75}}, "
+        "{id: 2, addr: {city: 'oslo'}}"
+    )
+    assert recs == [
+        {"id": 1, "addr": {"city": "paris", "zip": 75}},
+        {"id": 2, "addr": {"city": "oslo"}},
+    ]
+
+
 @pytest.mark.parametrize(
     "bad",
     [
-        "{id: 1, doc: {nested: 2}}",  # nested record
+        "{id: 1, doc: {a: 1, a: 2}}",  # duplicate key in nested record
         "{id: 1, id: 2}",  # duplicate key in one record
         "{id: 1} {id: 2}",  # missing comma between records
         "{id: }",  # missing value
@@ -202,3 +213,44 @@ def test_patch_allnull_new_key_is_noop_and_never_locks_type(eng):
     got = by_id(eng.db().table("accounts"))
     assert got[1]["score"] == 7 and isinstance(got[1]["score"], int)
     assert got[2]["score"] is None
+
+
+def test_nested_record_values_struct_roundtrip(eng):
+    """Nested ``{...}`` values store as struct columns; PATCH replaces
+    a nested value wholesale (top-level shallow merge, as upstream)."""
+    eng.sql_dml(
+        "INSERT INTO people RECORDS "
+        "{id: 1, addr: {city: 'paris', zip: 75}}, "
+        "{id: 2, addr: {city: 'oslo'}}"
+    )
+    eng.sql_dml(
+        "PATCH INTO people RECORDS {id: 2, addr: {city: 'bergen', zip: 5003}}"
+    )
+    got = by_id(eng.db().table("people"))
+    assert got[1]["addr"].asDict() == {"city": "paris", "zip": 75}
+    assert got[2]["addr"].asDict() == {"city": "bergen", "zip": 5003}
+
+
+def test_empty_nested_record_rejected(eng):
+    with pytest.raises(ValueError, match="storable type"):
+        eng.sql_dml("INSERT INTO people RECORDS {id: 1, doc: {}}")
+
+
+def test_patch_large_record_list_semi_join_path(spark, tmp_path):
+    """>256 ids takes the broadcast-semi-join lookup (a thousands-node
+    IN-list expression tree is a Catalyst hazard); semantics identical
+    to the pushdown path."""
+    from core2_spark.engine import Engine, Patch, Put
+
+    eng = Engine(spark, str(tmp_path / "bigpatch"))
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(400)], "id long, v long"
+    )
+    eng.submit_tx([Put("t", base)], tx_time="2024-01-01 00:00:01")
+    docs = tuple({"id": i, "w": i + 1} for i in range(300))
+    eng.submit_tx([Patch("t", docs)], tx_time="2024-01-01 00:00:02")
+    rows = {r["id"]: r for r in eng.db().table("t").collect()}
+    assert len(rows) == 400
+    assert rows[0]["v"] == 0 and rows[0]["w"] == 1
+    assert rows[299]["v"] == 2990 and rows[299]["w"] == 300
+    assert rows[399]["v"] == 3990 and rows[399]["w"] is None
