@@ -2128,6 +2128,20 @@ class Snapshot:
             return self.engine.spark.createDataFrame(
                 [(line,) for line in plan.splitlines()], "plan string"
             )
+        # SETTING DEFAULT VALID_TIME/SYSTEM_TIME AS OF '...' prefix:
+        # statement-scoped default clocks, the SQL spelling of the
+        # **asof kwargs (per-table FOR clauses still override)
+        if query.lstrip()[:7].upper() == "SETTING":
+            from core2_spark.sql_dialect import strip_setting_prefix
+
+            query, setting = strip_setting_prefix(query)
+            for k, v in setting.items():
+                if asof.get(k) is not None:
+                    raise ValueError(
+                        f"SETTING sets {k} but the call already passed "
+                        f"{k}= — pick one"
+                    )
+                asof[k] = v
         # repeatable queries: CURRENT_TIMESTAMP/CURRENT_DATE/NOW() are
         # the BASIS clock, never the wall clock — the same query at
         # the same basis answers identically forever (core2 semantics)

@@ -689,6 +689,50 @@ def engine_sql_with_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "engine_sql_setting_defaults",
+    oracle="""
+    SELECT n_nationkey AS id, n_name AS name_then,
+           CASE WHEN n_nationkey % 3 = 0 THEN n_name || '_v2' ELSE n_name END
+               AS name_now
+    FROM nation
+    ORDER BY id
+    """,
+)
+def engine_sql_setting_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SETTING DEFAULT SYSTEM_TIME AS OF`` (the reference's
+    statement-scoped default clocks): the bare reference reads the
+    pinned pre-update state while an explicit per-table FOR clause in
+    the SAME statement still overrides the default — both joined and
+    hash-verified against the declaratively derived versions."""
+    from core2_spark.engine import Engine, Put
+
+    nation = _nation_rows(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="engine_q_setting_"))
+    eng.submit_tx([Put("nations", nation)], tx_time="2024-01-01 00:00:01")
+    eng.submit_tx(
+        [
+            Put(
+                "nations",
+                nation.filter(F.col("id") % 3 == 0).withColumn(
+                    "name", F.concat(F.col("name"), F.lit("_v2"))
+                ),
+            )
+        ],
+        tx_time="2024-01-01 00:00:02",
+    )
+    return eng.db().sql(
+        """
+        SETTING DEFAULT SYSTEM_TIME AS OF '2024-01-01 00:00:01'
+        SELECT t.id AS id, t.name AS name_then, n.name AS name_now
+        FROM nations t
+        JOIN nations FOR SYSTEM_TIME AS OF TIMESTAMP '2024-01-01 00:00:02' n
+          ON n.id = t.id
+        ORDER BY t.id
+        """
+    )
+
+
+@query(
     "engine_tx_assert",
     oracle="""
     SELECT n_nationkey AS id, n_name AS name FROM nation

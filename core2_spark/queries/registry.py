@@ -71,6 +71,7 @@ _PRIORITY: list[str] = [
     "engine_dml_patch",
     "sql_nest_many_nest_one",
     "engine_tx_assert",
+    "engine_sql_setting_defaults",
     "dedup_semantic_embedding_clusters",
     "datalog_pull_nested",
     "ts_gap_fill_interpolate",

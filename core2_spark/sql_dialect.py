@@ -1297,6 +1297,69 @@ def _rewrite_one_asof(sql: str) -> str | None:
     return sql[:l_span_start] + replacement + " " + sql[tail_start:]
 
 
+# -- SETTING DEFAULT <axis> prefix -------------------------------------
+
+_SETTING_HEAD = re.compile(r"^\s*SETTING\s+", re.IGNORECASE)
+_SETTING_CLAUSE = re.compile(
+    r"DEFAULT\s+(?P<axis>VALID_TIME|APPLICATION_TIME|SYSTEM_TIME)\s+"
+    r"(?:AS\s+OF\s+(?:TIMESTAMP\s+)?'(?P<ts>[^']+)'|(?P<all>ALL))"
+    r"\s*(?P<sep>,\s*)?",
+    re.IGNORECASE,
+)
+
+
+def strip_setting_prefix(sql: str) -> tuple[str, dict]:
+    """The reference's ``SETTING DEFAULT VALID_TIME AS OF '...'[,
+    DEFAULT SYSTEM_TIME AS OF '...']`` query prefix: statement-scoped
+    default clocks for every bare table reference (a per-table ``FOR
+    <axis> AS OF`` still overrides, because explicit FOR clauses
+    resolve against the history view, not the default scan).
+
+    Returns (sql-without-prefix, {"app_time": ..., "system_time": ...})
+    — exactly the kwargs ``Snapshot.sql``/``Snapshot.table`` already
+    accept, so the prefix is pure spelling.  ``DEFAULT <axis> ALL`` is
+    rejected with guidance (spell it per-table: ``FROM t FOR <axis>
+    ALL`` — a statement-wide ALL changes row multiplicity of every
+    reference, which silently breaks joins written for current
+    state)."""
+    m = _SETTING_HEAD.match(sql)
+    if not m:
+        return sql, {}
+    pos = m.end()
+    out: dict = {}
+    axis_kw = {
+        "VALID_TIME": "app_time",
+        "APPLICATION_TIME": "app_time",
+        "SYSTEM_TIME": "system_time",
+    }
+    while True:
+        cm = _SETTING_CLAUSE.match(sql, pos)
+        if cm is None:
+            if not out:
+                raise ValueError(
+                    "SETTING must be followed by DEFAULT "
+                    "VALID_TIME/SYSTEM_TIME AS OF '...' clauses"
+                )
+            break
+        if cm["all"]:
+            raise ValueError(
+                f"SETTING DEFAULT {cm['axis'].upper()} ALL is not "
+                "supported — spell it per table reference (FROM t FOR "
+                f"{cm['axis'].upper()} ALL); a statement-wide ALL "
+                "changes the row multiplicity of every reference"
+            )
+        kw = axis_kw[cm["axis"].upper()]
+        if kw in out:
+            raise ValueError(
+                f"SETTING sets {cm['axis'].upper()} twice"
+            )
+        out[kw] = cm["ts"]
+        pos = cm.end()
+        if not cm["sep"]:
+            break
+    return sql[pos:], out
+
+
 # -- NEST_MANY / NEST_ONE nested-result subqueries ---------------------
 
 
