@@ -276,3 +276,66 @@ def test_http_tx_mview_maintenance(spark, engine):
         assert err.value.code == 400
     finally:
         server.shutdown()
+
+
+def test_http_tx_patch_and_assert(spark, engine):
+    """PATCH INTO .. RECORDS and ASSERT ride the POST /tx funnel like
+    every DML statement (shared sql_dml compiler); a failing ASSERT
+    aborts the whole transaction and surfaces as an HTTP error."""
+    import urllib.error
+
+    from core2_spark.http_server import SqlHttpServer, http_query
+
+    v1 = spark.createDataFrame(
+        [(1, "AAPL", 100.0), (2, "MSFT", 200.0)], "id long, sym string, px double"
+    )
+    engine.submit_tx([Put("trades", v1)], tx_time="2024-01-01 00:00:01")
+
+    server = SqlHttpServer(lambda sql: engine.db().sql(sql), engine=engine)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/tx",
+            data=json.dumps(
+                {
+                    "statements": [
+                        "ASSERT NOT EXISTS (SELECT 1 FROM trades "
+                        "WHERE sym = 'NVDA')",
+                        "PATCH INTO trades RECORDS "
+                        "{id: 1, px: 123}, {id: 3, sym: 'NVDA', px: 500}",
+                    ],
+                    "tx_time": "2024-02-01 00:00:00",
+                }
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert json.loads(resp.read())["tx_time"] == "2024-02-01T00:00:00"
+        got = http_query(
+            server.port, "SELECT id, sym, px FROM trades ORDER BY id"
+        )
+        assert got["rows"] == [
+            [1, "AAPL", 123.0], [2, "MSFT", 200.0], [3, "NVDA", 500.0]
+        ]
+
+        # replaying the same guarded tx now trips the assert -> error,
+        # and the co-submitted second patch leaves nothing behind
+        again = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/tx",
+            data=json.dumps(
+                {
+                    "statements": [
+                        "ASSERT NOT EXISTS (SELECT 1 FROM trades "
+                        "WHERE sym = 'NVDA'), 'dup ticker'",
+                        "PATCH INTO trades RECORDS {id: 9, sym: 'X', px: 1}",
+                    ]
+                }
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(again)
+        assert err.value.code in (400, 409, 500)
+        got = http_query(server.port, "SELECT COUNT(*) AS n FROM trades")
+        assert got["rows"] == [[3]]
+    finally:
+        server.shutdown()
