@@ -121,6 +121,43 @@ def _references(body: list, name: str) -> bool:
     )
 
 
+def _sccs(order: list[str], edges: dict[str, set[str]]) -> list[list[str]]:
+    """Tarjan strongly-connected components, emitted dependencies-first
+    (every SCC a component references is emitted before it)."""
+    index: dict[str, int] = {}
+    low: dict[str, int] = {}
+    on_stack: set[str] = set()
+    stack: list[str] = []
+    out: list[list[str]] = []
+    counter = [0]
+
+    def visit(v: str) -> None:
+        index[v] = low[v] = counter[0]
+        counter[0] += 1
+        stack.append(v)
+        on_stack.add(v)
+        for w in sorted(edges.get(v, ())):
+            if w not in index:
+                visit(w)
+                low[v] = min(low[v], low[w])
+            elif w in on_stack:
+                low[v] = min(low[v], index[w])
+        if low[v] == index[v]:
+            comp = []
+            while True:
+                w = stack.pop()
+                on_stack.discard(w)
+                comp.append(w)
+                if w == v:
+                    break
+            out.append(sorted(comp, key=order.index))
+
+    for v in order:
+        if v not in index:
+            visit(v)
+    return out
+
+
 def _eval_rules(
     resolver,
     rules: list[tuple],
@@ -134,7 +171,17 @@ def _eval_rules(
     recursive bodies with the self-invocation bound to the previous
     frontier only — the μ operator of core2's logical-plan algebra
     [upstream: core2 `logical_plan.clj` fixpoint] on Spark joins.
-    Mutual recursion across names is not supported.
+
+    MUTUALLY recursive rules (core2 allows rule bodies to invoke each
+    other freely) are grouped into strongly-connected components of
+    the reference graph and each SCC runs a joint monotone fixpoint:
+    base bodies seed, every round re-derives each member from the full
+    accumulated relations, distinct+checkpoint bounds lineage, and the
+    round converges when no member grew.  Positive datalog is
+    monotone, so naive joint iteration is exact; ``not-exists`` bodies
+    resolve against TABLES only (never rules), so no non-stratified
+    negation can arise.  Definition order never matters — SCCs are
+    processed dependencies-first.
     """
     from core2_spark.operators.recursion import fixpoint
 
@@ -145,6 +192,15 @@ def _eval_rules(
             order.append(name)
         defs.setdefault(name, []).append((head, body))
 
+    edges = {
+        name: {
+            other
+            for other in order
+            if any(_references(b, other) for _, b in bodies)
+        }
+        for name, bodies in defs.items()
+    }
+
     frames = dict(outer_frames)
 
     def eval_body(head: list[str], body: list, extra) -> DataFrame:
@@ -153,47 +209,113 @@ def _eval_rules(
         )
         return df
 
-    for name in order:
-        bodies = defs[name]
-        canon_head = bodies[0][0]
-        canon_cols = [_var_name(v) for v in canon_head]
-        for later in order:
-            if later != name and later not in frames and any(
-                _references(b, later) for _, b in bodies
-            ):
+    canon_heads = {name: defs[name][0][0] for name in order}
+
+    def to_canon(df: DataFrame, head: list[str], name: str) -> DataFrame:
+        canon_cols = [_var_name(v) for v in canon_heads[name]]
+        if [_var_name(v) for v in head] != canon_cols:
+            return df.toDF(*canon_cols)
+        return df
+
+    for comp in _sccs(order, edges):
+        name = comp[0]
+        if len(comp) == 1 and name not in edges.get(name, ()):
+            bodies = defs[name]
+            canon_head = canon_heads[name]
+            canon_cols = [_var_name(v) for v in canon_head]
+            rec_bodies = [(h, b) for h, b in bodies if _references(b, name)]
+            if not rec_bodies:
+                parts = [to_canon(eval_body(h, b, {}), h, name) for h, b in bodies]
+                rel = parts[0]
+                for p in parts[1:]:
+                    rel = rel.unionByName(p)
+                frames[name] = (canon_head, rel.distinct())
+                continue
+            base_bodies = [(h, b) for h, b in bodies if not _references(b, name)]
+            if not base_bodies:
                 raise ValueError(
-                    f"rule {name!r} references {later!r} before its definition "
-                    "(mutual recursion is not supported)"
+                    f"recursive rule {name!r} has no non-recursive body"
                 )
-        base_bodies = [(h, b) for h, b in bodies if not _references(b, name)]
-        rec_bodies = [(h, b) for h, b in bodies if _references(b, name)]
+            base = None
+            for h, b in base_bodies:
+                part = to_canon(eval_body(h, b, {}), h, name)
+                base = part if base is None else base.unionByName(part)
 
-        def to_canon(df: DataFrame, head: list[str]) -> DataFrame:
-            return df.toDF(*canon_cols) if [_var_name(v) for v in head] != canon_cols else df
+            def step(frontier: DataFrame, _name=name, _rec=tuple(rec_bodies)) -> DataFrame:
+                out = None
+                for h, b in _rec:
+                    part = to_canon(
+                        eval_body(h, b, {_name: (canon_heads[_name], frontier)}),
+                        h,
+                        _name,
+                    )
+                    out = part if out is None else out.unionByName(part)
+                return out
 
-        if not rec_bodies:
-            parts = [to_canon(eval_body(h, b, {}), h) for h, b in bodies]
-            rel = parts[0]
-            for p in parts[1:]:
-                rel = rel.unionByName(p)
-            frames[name] = (canon_head, rel.distinct())
+            frames[name] = (canon_head, fixpoint(base, step, key_cols=canon_cols))
             continue
 
-        if not base_bodies:
-            raise ValueError(f"recursive rule {name!r} has no non-recursive body")
-        base = None
-        for h, b in base_bodies:
-            part = to_canon(eval_body(h, b, {}), h)
-            base = part if base is None else base.unionByName(part)
-
-        def step(frontier: DataFrame) -> DataFrame:
-            out = None
-            for h, b in rec_bodies:
-                part = to_canon(eval_body(h, b, {name: (canon_head, frontier)}), h)
-                out = part if out is None else out.unionByName(part)
-            return out
-
-        frames[name] = (canon_head, fixpoint(base, step, key_cols=canon_cols))
+        # mutually recursive component (or a self-loop listed with
+        # itself): joint monotone fixpoint over the whole SCC
+        scc = set(comp)
+        cur: dict[str, DataFrame] = {}
+        counts: dict[str, int] = {}
+        for member in comp:
+            base = None
+            for h, b in defs[member]:
+                if any(_references(b, r) for r in scc):
+                    continue
+                part = to_canon(eval_body(h, b, {}), h, member)
+                base = part if base is None else base.unionByName(part)
+            if base is not None:
+                rel = base.distinct().localCheckpoint(eager=True)
+                cur[member] = rel
+                counts[member] = rel.count()
+        if not cur:
+            raise ValueError(
+                f"mutually recursive rules {comp!r} have no "
+                "non-recursive body anywhere in the component"
+            )
+        for round_no in range(1, 201):
+            changed = False
+            for member in comp:
+                parts = []
+                for h, b in defs[member]:
+                    refs = {r for r in scc if _references(b, r)}
+                    if not refs:
+                        continue  # base body, already seeded
+                    if any(r not in cur for r in refs):
+                        continue  # an empty relation derives nothing
+                    extra = {
+                        r: (canon_heads[r], cur[r]) for r in scc if r in cur
+                    }
+                    parts.append(to_canon(eval_body(h, b, extra), h, member))
+                if not parts:
+                    continue
+                rel = cur.get(member)
+                for p in parts:
+                    rel = p if rel is None else rel.unionByName(p)
+                rel = rel.distinct().localCheckpoint(eager=True)
+                n = rel.count()
+                if n != counts.get(member, -1):
+                    changed = True
+                cur[member] = rel
+                counts[member] = n
+            if not changed:
+                break
+        else:
+            raise ValueError(
+                f"mutually recursive rules {comp!r} did not converge "
+                "in 200 rounds"
+            )
+        missing = [m for m in comp if m not in cur]
+        if missing:
+            raise ValueError(
+                f"rules {missing!r} derive no rows and every body "
+                "references an empty mutual relation — cannot type them"
+            )
+        for member in comp:
+            frames[member] = (canon_heads[member], cur[member])
 
     return frames
 

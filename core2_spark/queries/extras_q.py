@@ -708,6 +708,64 @@ def datalog_rules_recursive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "datalog_rules_mutual",
+    oracle="""
+    WITH RECURSIVE par AS (
+        SELECT n_nationkey AS c, n_nationkey // 2 AS p
+        FROM nation WHERE n_nationkey >= 1
+    ),
+    reach(c, a, d) AS (
+        SELECT c, p, 1 FROM par
+        UNION ALL
+        SELECT r.c, pp.p, r.d + 1 FROM reach r JOIN par pp ON pp.c = r.a
+    )
+    SELECT DISTINCT c AS child, a AS ancestor
+    FROM reach WHERE d % 2 = 1
+    ORDER BY child, ancestor
+    """,
+)
+def datalog_rules_mutual_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUALLY recursive `:rules` (core2 lets rule bodies invoke each
+    other freely): odd/even-distance ancestors over the derived
+    parent(n, n div 2) relation — `odd` references `even` and vice
+    versa, so the reference graph is one strongly-connected component
+    evaluated as a joint monotone fixpoint (datalog.py `_eval_rules`
+    SCC path; `even` has NO base body and is derived entirely from
+    `odd`).  The oracle replays odd depths with WITH RECURSIVE."""
+    from core2_spark import datalog as dl
+
+    step = lambda src, dst: [  # noqa: E731  body: one parent hop
+        (src, "?c", "?m"),
+        ("nation", {"n_nationkey": "?m"}),
+        (">=", "?m", 1),
+        ("bind", dst, ("div", "?m", 2)),
+    ]
+    return dl.q(
+        spark,
+        sf_dir,
+        {
+            "find": ["?c", "?a"],
+            "where": [("odd", "?c", "?a")],
+            "rules": [
+                (
+                    "odd",
+                    ["?c", "?a"],
+                    [
+                        ("nation", {"n_nationkey": "?c"}),
+                        (">=", "?c", 1),
+                        ("bind", "?a", ("div", "?c", 2)),
+                    ],
+                ),
+                ("odd", ["?c", "?a"], step("even", "?a")),
+                ("even", ["?c", "?a"], step("odd", "?a")),
+            ],
+        },
+    ).select(
+        F.col("c").alias("child"), F.col("a").alias("ancestor")
+    ).orderBy("child", "ancestor")
+
+
+@query(
     "external_arrow_source",
     oracle="""
     SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_nations

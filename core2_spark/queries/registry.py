@@ -72,6 +72,7 @@ _PRIORITY: list[str] = [
     "sql_nest_many_nest_one",
     "engine_tx_assert",
     "engine_sql_setting_defaults",
+    "datalog_rules_mutual",
     "dedup_semantic_embedding_clusters",
     "datalog_pull_nested",
     "ts_gap_fill_interpolate",

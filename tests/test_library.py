@@ -520,3 +520,83 @@ def test_datalog_pull_empty_rels_and_errors(spark):
                 "where": [("cust", {"ck": "?e"})],
             },
         )
+
+
+def test_datalog_mutual_rules_even_odd(spark):
+    """Mutually recursive rules evaluate as a joint SCC fixpoint:
+    odd/even path lengths over a chain, where `even` has no base body
+    and derives entirely from `odd` (and definition ORDER of the two
+    rules does not matter)."""
+    from core2_spark.datalog import q_with_resolver
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src int, dst int"
+    )
+    resolver = lambda t: {"edge": edges}[t]  # noqa: E731
+    rules = [
+        # even listed FIRST and referencing odd before its definition:
+        # the SCC pass is order-independent
+        ("even", ["?x", "?y"],
+         [("odd", "?x", "?z"), ("edge", {"src": "?z", "dst": "?y"})]),
+        ("odd", ["?x", "?y"], [("edge", {"src": "?x", "dst": "?y"})]),
+        ("odd", ["?x", "?y"],
+         [("even", "?x", "?z"), ("edge", {"src": "?z", "dst": "?y"})]),
+    ]
+    odd = q_with_resolver(
+        resolver,
+        {"find": ["?y"],
+         "where": [("odd", "?x", "?y"), ("=", "?x", 0)], "rules": rules},
+    )
+    even = q_with_resolver(
+        resolver,
+        {"find": ["?y"],
+         "where": [("even", "?x", "?y"), ("=", "?x", 0)], "rules": rules},
+    )
+    assert sorted(r["y"] for r in odd.collect()) == [1, 3, 5]
+    assert sorted(r["y"] for r in even.collect()) == [2, 4]
+
+
+def test_datalog_mutual_rules_need_a_base_somewhere(spark):
+    from core2_spark.datalog import q_with_resolver
+
+    edges = spark.createDataFrame([(0, 1)], "src int, dst int")
+    resolver = lambda t: {"edge": edges}[t]  # noqa: E731
+    with pytest.raises(ValueError, match="no\\s+non-recursive body"):
+        q_with_resolver(
+            resolver,
+            {
+                "find": ["?x"],
+                "where": [("a", "?x", "?y")],
+                "rules": [
+                    ("a", ["?x", "?y"],
+                     [("b", "?x", "?z"), ("edge", {"src": "?z", "dst": "?y"})]),
+                    ("b", ["?x", "?y"],
+                     [("a", "?x", "?z"), ("edge", {"src": "?z", "dst": "?y"})]),
+                ],
+            },
+        )
+
+
+def test_datalog_forward_reference_across_sccs(spark):
+    """A rule may reference another rule defined LATER in the list
+    when they are not mutually recursive — SCC topological order
+    replaces the old definition-order restriction."""
+    from core2_spark.datalog import q_with_resolver
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2)], "src int, dst int"
+    )
+    resolver = lambda t: {"edge": edges}[t]  # noqa: E731
+    got = q_with_resolver(
+        resolver,
+        {
+            "find": ["?y"],
+            "where": [("two_hop", "?x", "?y"), ("=", "?x", 0)],
+            "rules": [
+                ("two_hop", ["?x", "?y"],
+                 [("hop", "?x", "?m"), ("hop", "?m", "?y")]),
+                ("hop", ["?x", "?y"], [("edge", {"src": "?x", "dst": "?y"})]),
+            ],
+        },
+    )
+    assert [r["y"] for r in got.collect()] == [2]
