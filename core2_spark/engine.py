@@ -148,6 +148,11 @@ class Patch:
     table: str
     docs: tuple  # tuple[dict, ...] — the documents to merge
     id_col: str = "id"
+    # valid-time-bounded patch (FOR VALID_TIME FROM..TO): the merged
+    # version applies only within the portion, current state resumes
+    # outside it — same bounds Put takes
+    app_start: str | None = None
+    app_end: str | None = None
 
 
 @dataclass(frozen=True)
@@ -1100,6 +1105,7 @@ class Engine:
                         patch_to_ops(
                             self, pre_snapshot, op.table,
                             list(op.docs), op.id_col,
+                            app_start=op.app_start, app_end=op.app_end,
                         )
                     )
             else:

@@ -62,8 +62,12 @@ _ASSERT_STMT = re.compile(
     r"^\s*ASSERT\s+(?P<body>.+)$", re.IGNORECASE | re.DOTALL
 )
 _RECORDS_STMT = re.compile(
-    r"^\s*(?P<verb>INSERT|PATCH)\s+INTO\s+(?P<table>\w+)\s+RECORDS\s+"
-    r"(?P<records>\{.+)$",
+    r"^\s*(?P<verb>INSERT|PATCH)\s+INTO\s+(?P<table>\w+)"
+    # valid-time-bounded patch: both the reference's FOR VALID_TIME
+    # spelling and our SQL:2011 FOR PORTION OF spelling
+    r"(?:\s+FOR\s+(?:PORTION\s+OF\s+)?(?:APPLICATION_TIME|VALID_TIME)"
+    r"\s+FROM\s+'(?P<app_from>[^']+)'\s+TO\s+'(?P<app_to>[^']+)')?"
+    r"\s+RECORDS\s+(?P<records>\{.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_VALUES = re.compile(
@@ -510,10 +514,19 @@ def parse_dml(statement: str) -> _ParsedDml:
         return merged
     m = _RECORDS_STMT.match(statement)
     if m:
+        if m["verb"].upper() == "INSERT" and m["app_from"]:
+            raise ValueError(
+                "FOR VALID_TIME bounds apply to PATCH only; INSERT "
+                "RECORDS appends from the transaction time onward"
+            )
         return _ParsedDml(
             "insert_records" if m["verb"].upper() == "INSERT" else "patch",
             m["table"],
-            {"records": parse_records(m["records"])},
+            {
+                "records": parse_records(m["records"]),
+                "app_from": m["app_from"],
+                "app_to": m["app_to"],
+            },
         )
     m = _ASSERT_STMT.match(statement)
     if m:
@@ -622,7 +635,11 @@ def dml_to_ops(engine, statement: str, id_col: str = "id") -> list:
         return [Put(p.table, rows)]
 
     if p.verb == "patch":
-        return patch_to_ops(engine, snap, p.table, p.detail["records"], id_col)
+        return patch_to_ops(
+            engine, snap, p.table, p.detail["records"], id_col,
+            app_start=p.detail.get("app_from"),
+            app_end=p.detail.get("app_to"),
+        )
 
     if p.verb == "insert_values":
         cols = ", ".join(p.detail["cols"])
@@ -850,7 +867,8 @@ def _merge_to_ops(engine, snap, p: _ParsedDml, id_col: str) -> list:
 
 
 def patch_to_ops(engine, snap, table: str, records: list[dict],
-                 id_col: str = "id") -> list:
+                 id_col: str = "id", app_start: str | None = None,
+                 app_end: str | None = None) -> list:
     """Compile PATCH (XTDB v2 ``patchDocs`` / ``PATCH INTO t RECORDS``)
     to engine ops against the pre-tx snapshot: each record's keys merge
     into the CURRENT visible version of its id (insert when the id is
@@ -896,7 +914,8 @@ def patch_to_ops(engine, snap, table: str, records: list[dict],
         # patching a table that does not exist yet = plain insert
         records = _drop_allnull_new_keys(records, {id_col})
         pdf = records_to_df(spark, records, mask_col=mask)
-        return [Put(table, pdf.drop(mask))]
+        return [Put(table, pdf.drop(mask),
+                    app_start=app_start, app_end=app_end)]
 
     cur = snap.table(table)
     # explicit NULL on a key the table does not have is a no-op (the
@@ -949,7 +968,7 @@ def patch_to_ops(engine, snap, table: str, records: list[dict],
     # materialize before the write: the merge reads the very table the
     # Put appends to
     merged = joined.select(*proj).localCheckpoint(eager=True)
-    return [Put(table, merged)]
+    return [Put(table, merged, app_start=app_start, app_end=app_end)]
 
 
 # -- materialized-view maintenance statements -------------------------

@@ -254,3 +254,36 @@ def test_patch_large_record_list_semi_join_path(spark, tmp_path):
     assert rows[0]["v"] == 0 and rows[0]["w"] == 1
     assert rows[299]["v"] == 2990 and rows[299]["w"] == 300
     assert rows[399]["v"] == 3990 and rows[399]["w"] is None
+
+
+def test_patch_for_valid_time_portion(eng):
+    """Valid-time-bounded patch (the reference's FOR VALID_TIME
+    FROM..TO on patch ops): the merged version applies only within the
+    portion; the pre-patch state resumes outside it."""
+    eng.sql_dml(
+        "PATCH INTO accounts FOR VALID_TIME "
+        "FROM '2024-06-01' TO '2024-07-01' "
+        "RECORDS {id: 1, balance: 0}",
+        tx_time="2024-01-02 00:00:00",
+    )
+    db = eng.db()
+    inside = by_id(db.table("accounts", app_time="2024-06-15"))
+    outside = by_id(db.table("accounts", app_time="2024-08-01"))
+    assert inside[1]["balance"] == 0.0 and inside[1]["owner"] == "ada"
+    assert outside[1]["balance"] == 100.0
+
+
+def test_patch_portion_of_spelling_and_insert_rejected(eng):
+    eng.sql_dml(
+        "PATCH INTO accounts FOR PORTION OF APPLICATION_TIME "
+        "FROM '2024-06-01' TO '2024-07-01' RECORDS {id: 2, balance: 1}",
+        tx_time="2024-01-02 00:00:00",
+    )
+    assert by_id(eng.db().table("accounts", app_time="2024-06-15"))[2][
+        "balance"
+    ] == 1.0
+    with pytest.raises(ValueError, match="PATCH only"):
+        eng.sql_dml(
+            "INSERT INTO accounts FOR VALID_TIME FROM '2024-06-01' TO "
+            "'2024-07-01' RECORDS {id: 8, owner: 'x', balance: 1}"
+        )
