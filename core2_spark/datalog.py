@@ -121,6 +121,24 @@ def _references(body: list, name: str) -> bool:
     )
 
 
+def _neg_references(body: list, names: set[str]) -> set[str]:
+    """Rule names from ``names`` referenced under not-exists in
+    ``body`` (negative dependencies)."""
+    out: set[str] = set()
+    for c in body:
+        if (
+            isinstance(c, tuple)
+            and c
+            and c[0] == "not-exists"
+            and isinstance(c[1], tuple)
+            and c[1]
+            and isinstance(c[1][0], str)
+            and c[1][0] in names
+        ):
+            out.add(c[1][0])
+    return out
+
+
 def _sccs(order: list[str], edges: dict[str, set[str]]) -> list[list[str]]:
     """Tarjan strongly-connected components, emitted dependencies-first
     (every SCC a component references is emitted before it)."""
@@ -192,11 +210,17 @@ def _eval_rules(
             order.append(name)
         defs.setdefault(name, []).append((head, body))
 
+    all_names = set(order)
     edges = {
         name: {
             other
             for other in order
             if any(_references(b, other) for _, b in bodies)
+        }
+        | {
+            neg
+            for _, b in bodies
+            for neg in _neg_references(b, all_names)
         }
         for name, bodies in defs.items()
     }
@@ -218,6 +242,15 @@ def _eval_rules(
         return df
 
     for comp in _sccs(order, edges):
+        scc_names = set(comp)
+        for member in comp:
+            for _, b in defs[member]:
+                bad = _neg_references(b, scc_names)
+                if bad:
+                    raise ValueError(
+                        f"rule {member!r} negates {sorted(bad)!r} inside "
+                        "its own recursive component — not stratified"
+                    )
         name = comp[0]
         if len(comp) == 1 and name not in edges.get(name, ()):
             bodies = defs[name]
@@ -476,8 +509,20 @@ def q_with_resolver(
     for _, var, expr in binds:
         rel = rel.withColumn(_var_name(var), compile_expr(expr))
 
-    for table, bindings in negations:
-        part = _compile_pattern(resolver(table), bindings)
+    for inner in negations:
+        name = inner[0]
+        if isinstance(name, str) and name in rule_frames:
+            # stratified negation over a rule relation: rules are
+            # fully evaluated before the body that negates them (the
+            # SCC pass rejects negation WITHIN a recursive component)
+            head_vars, frame = rule_frames[name]
+            if len(inner) == 2 and isinstance(inner[1], dict):
+                part = _compile_pattern(frame, inner[1])
+            else:
+                part = _compile_invocation(frame, head_vars, tuple(inner[1:]))
+        else:
+            table, bindings = inner
+            part = _compile_pattern(resolver(table), bindings)
         shared = sorted(set(rel.columns) & set(part.columns))
         if not shared:
             raise ValueError("not-exists clause shares no variables with the query")

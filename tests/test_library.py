@@ -600,3 +600,78 @@ def test_datalog_forward_reference_across_sccs(spark):
         },
     )
     assert [r["y"] for r in got.collect()] == [2]
+
+
+def test_datalog_negation_over_rules_stratified(spark):
+    """not-exists over an already-evaluated rule relation (stratified
+    negation): nodes NOT reachable from 0; both the dict-binding and
+    positional spellings."""
+    from core2_spark.datalog import q_with_resolver
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (7, 8)], "src int, dst int"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (0, 1, 2, 7, 8)], "n int")
+    resolver = lambda t: {"edge": edges, "node": nodes}[t]  # noqa: E731
+    rules = [
+        ("reach", ["?y"], [("edge", {"src": "?s", "dst": "?y"}), ("=", "?s", 0)]),
+        ("reach", ["?y"],
+         [("reach", "?m"), ("edge", {"src": "?m", "dst": "?y"})]),
+    ]
+    for neg in (
+        ("not-exists", ("reach", {"y": "?n"})),  # dict bindings
+        ("not-exists", ("reach", "?n")),  # positional invocation
+    ):
+        got = q_with_resolver(
+            resolver,
+            {"find": ["?n"], "where": [("node", {"n": "?n"}), neg],
+             "rules": rules},
+        )
+        assert sorted(r["n"] for r in got.collect()) == [0, 7, 8]
+
+
+def test_datalog_negation_inside_own_component_rejected(spark):
+    """Negating a rule inside its own recursive component is not
+    stratified and must fail loudly, never fixpoint-loop silently."""
+    from core2_spark.datalog import q_with_resolver
+
+    edges = spark.createDataFrame([(0, 1)], "src int, dst int")
+    resolver = lambda t: {"edge": edges}[t]  # noqa: E731
+    with pytest.raises(ValueError, match="not stratified"):
+        q_with_resolver(
+            resolver,
+            {
+                "find": ["?y"],
+                "where": [("weird", "?y")],
+                "rules": [
+                    ("weird", ["?y"], [("edge", {"src": "?x", "dst": "?y"})]),
+                    ("weird", ["?y"],
+                     [("edge", {"src": "?y", "dst": "?z"}),
+                      ("not-exists", ("weird", "?y"))]),
+                ],
+            },
+        )
+
+
+def test_datalog_negation_forces_evaluation_order(spark):
+    """A rule that negates another rule depends on it: the negated
+    rule must be fully evaluated first even when defined LATER."""
+    from core2_spark.datalog import q_with_resolver
+
+    edges = spark.createDataFrame([(0, 1), (7, 8)], "src int, dst int")
+    nodes = spark.createDataFrame([(i,) for i in (0, 1, 7, 8)], "n int")
+    resolver = lambda t: {"edge": edges, "node": nodes}[t]  # noqa: E731
+    got = q_with_resolver(
+        resolver,
+        {
+            "find": ["?n"],
+            "where": [("orphan", "?n")],
+            "rules": [
+                ("orphan", ["?n"],
+                 [("node", {"n": "?n"}),
+                  ("not-exists", ("target", "?n"))]),
+                ("target", ["?y"], [("edge", {"dst": "?y"})]),
+            ],
+        },
+    )
+    assert sorted(r["n"] for r in got.collect()) == [0, 7]
