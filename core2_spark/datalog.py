@@ -549,16 +549,50 @@ def q_with_resolver(
             spec.get("as", f"{_var_name(var)}_doc")
             for _tag, var, spec in pull_specs
         ]
-        return out.select(*keep)
+        return _order_limit(out.select(*keep), query)
     if not agg_specs:
-        return rel.select(*group_vars)
+        return _order_limit(rel.select(*group_vars), query)
     aggs = []
     for spec in agg_specs:
         agg_name, var, alias = spec
         aggs.append(_AGGS[agg_name](F.col(_var_name(var))).alias(alias))
     if group_vars:
-        return rel.groupBy(*group_vars).agg(*aggs)
-    return rel.agg(*aggs)
+        return _order_limit(rel.groupBy(*group_vars).agg(*aggs), query)
+    return _order_limit(rel.agg(*aggs), query)
+
+
+def _order_limit(rel: DataFrame, query: dict) -> DataFrame:
+    """core2 `:order-by` / `:limit` / `:offset` result modifiers.
+    order-by entries are ``"?var"`` or ``("?var", "asc"|"desc")`` and
+    may also name aggregate ALIASES from :find.  An ordered+limited
+    result compiles to TakeOrderedAndProject (top-k, no global sort);
+    limit/offset without order-by is rejected — an unordered limit is
+    non-deterministic across partitions, which the reference's
+    deterministic query model must not expose."""
+    ob = query.get("order-by")
+    lim, off = query.get("limit"), query.get("offset")
+    if (lim is not None or off is not None) and not ob:
+        raise ValueError(
+            ":limit/:offset need :order-by — an unordered limit is "
+            "non-deterministic"
+        )
+    if ob:
+        cols = []
+        for item in ob:
+            var, direction = item if isinstance(item, tuple) else (item, "asc")
+            name = _var_name(var) if _is_var(var) else var
+            if name not in rel.columns:
+                raise ValueError(f":order-by references unknown {var!r}")
+            if direction not in ("asc", "desc"):
+                raise ValueError(f":order-by direction {direction!r}")
+            c = F.col(name)
+            cols.append(c.desc() if direction == "desc" else c.asc())
+        rel = rel.orderBy(*cols)
+    if off is not None:
+        rel = rel.offset(int(off))
+    if lim is not None:
+        rel = rel.limit(int(lim))
+    return rel
 
 
 def q(

@@ -708,6 +708,37 @@ def datalog_rules_recursive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "datalog_order_limit",
+    oracle="""
+    SELECT c_custkey AS cust, c_acctbal AS bal
+    FROM customer
+    ORDER BY bal DESC, cust
+    LIMIT 5 OFFSET 2
+    """,
+)
+def datalog_order_limit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """core2 `:order-by`/`:limit`/`:offset` result modifiers on the
+    Datalog surface — the ordered+limited result compiles to
+    TakeOrderedAndProject (top-k, no global sort; plan-pinned in
+    tests/test_library.py)."""
+    from core2_spark import datalog as dl
+
+    return dl.q(
+        spark,
+        sf_dir,
+        {
+            "find": ["?cust", "?bal"],
+            "where": [
+                ("customer", {"c_custkey": "?cust", "c_acctbal": "?bal"})
+            ],
+            "order-by": [("?bal", "desc"), "?cust"],
+            "limit": 5,
+            "offset": 2,
+        },
+    )
+
+
+@query(
     "datalog_rules_mutual",
     oracle="""
     WITH RECURSIVE par AS (

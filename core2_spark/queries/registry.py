@@ -73,6 +73,7 @@ _PRIORITY: list[str] = [
     "engine_tx_assert",
     "engine_sql_setting_defaults",
     "datalog_rules_mutual",
+    "datalog_order_limit",
     "dedup_semantic_embedding_clusters",
     "datalog_pull_nested",
     "ts_gap_fill_interpolate",

@@ -675,3 +675,60 @@ def test_datalog_negation_forces_evaluation_order(spark):
         },
     )
     assert sorted(r["n"] for r in got.collect()) == [0, 7]
+
+
+def test_datalog_order_limit_offset(spark):
+    """core2 :order-by/:limit/:offset result modifiers; an unordered
+    :limit is rejected (non-deterministic across partitions)."""
+    from core2_spark.datalog import q_with_resolver
+
+    t = spark.createDataFrame(
+        [(i, i % 3) for i in range(10)], "k int, g int"
+    )
+    resolver = lambda name: {"t": t}[name]  # noqa: E731
+    base = {
+        "find": ["?k"],
+        "where": [("t", {"k": "?k"})],
+        "order-by": [("?k", "desc")],
+    }
+    got = q_with_resolver(resolver, {**base, "limit": 3})
+    assert [r["k"] for r in got.collect()] == [9, 8, 7]
+    got = q_with_resolver(resolver, {**base, "limit": 3, "offset": 2})
+    assert [r["k"] for r in got.collect()] == [7, 6, 5]
+    # aggregate alias ordering
+    got = q_with_resolver(
+        resolver,
+        {
+            "find": ["?g", ("count", "?k", "n")],
+            "where": [("t", {"k": "?k", "g": "?g"})],
+            "order-by": [("n", "desc"), "?g"],
+            "limit": 1,
+        },
+    )
+    assert [(r["g"], r["n"]) for r in got.collect()] == [(0, 4)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-deterministic"):
+        q_with_resolver(
+            resolver,
+            {"find": ["?k"], "where": [("t", {"k": "?k"})], "limit": 3},
+        )
+
+
+def test_datalog_ordered_limit_is_top_k_plan(spark):
+    """:order-by + :limit must fuse to TakeOrderedAndProject — never a
+    global sort followed by a limit."""
+    from core2_spark.datalog import q_with_resolver
+
+    t = spark.createDataFrame([(i,) for i in range(100)], "k int")
+    got = q_with_resolver(
+        lambda name: {"t": t}[name],
+        {
+            "find": ["?k"],
+            "where": [("t", {"k": "?k"})],
+            "order-by": [("?k", "desc")],
+            "limit": 5,
+        },
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
