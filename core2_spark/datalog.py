@@ -404,16 +404,23 @@ def _attach_pull(resolver, rel: DataFrame, var: str, spec: dict) -> DataFrame:
     if var not in rel.columns:
         raise ValueError(f"pull variable ?{var} is not bound by :where")
     ent = resolver(spec["from"])
+    attrs = spec.get("attrs", [])
+    if attrs == "*":  # Datomic [*] wildcard: every non-id column
+        attrs = [c for c in ent.columns if c != spec["id"]]
+        spec = {**spec, "attrs": attrs}
     doc = ent.select(
         F.col(spec["id"]).alias(var),
-        *[F.col(a) for a in spec.get("attrs", [])],
+        *[F.col(a) for a in attrs],
     )
     rel_names = []
     for r_spec in spec.get("rels", []):
         r = resolver(r_spec["table"])
-        order = r_spec.get("order", r_spec["attrs"][0])
+        r_attrs = r_spec["attrs"]
+        if r_attrs == "*":  # wildcard: every non-fk column
+            r_attrs = [c for c in r.columns if c != r_spec["fk"]]
+        order = r_spec.get("order", r_attrs[0])
         struct_cols = [F.col(order)] + [
-            F.col(a) for a in r_spec["attrs"] if a != order
+            F.col(a) for a in r_attrs if a != order
         ]
         as_name = r_spec.get("as", r_spec["table"])
         nested = r.groupBy(F.col(r_spec["fk"]).alias(var)).agg(

@@ -732,3 +732,38 @@ def test_datalog_ordered_limit_is_top_k_plan(spark):
     )
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_datalog_pull_wildcard_attrs(spark):
+    """Datomic's [*] wildcard: `attrs: "*"` pulls every non-id column
+    of the entity (and every non-fk column of a rel)."""
+    from core2_spark.datalog import q_with_resolver
+
+    people = spark.createDataFrame(
+        [(1, "ada", 30), (2, "bob", 40)], "pid int, name string, age int"
+    )
+    pets = spark.createDataFrame(
+        [(1, "rex", "dog"), (1, "tom", "cat")],
+        "owner int, pname string, kind string",
+    )
+    resolver = lambda t: {"people": people, "pets": pets}[t]  # noqa: E731
+    got = q_with_resolver(
+        resolver,
+        {
+            "find": [
+                "?p",
+                ("pull", "?p", {
+                    "from": "people", "id": "pid", "attrs": "*",
+                    "rels": [{"table": "pets", "fk": "owner",
+                              "attrs": "*", "order": "pname",
+                              "as": "pets"}],
+                    "as": "doc",
+                }),
+            ],
+            "where": [("people", {"pid": "?p"})],
+        },
+    )
+    rows = {r["p"]: r["doc"] for r in got.collect()}
+    assert rows[1]["name"] == "ada" and rows[1]["age"] == 30
+    assert [e["pname"] for e in rows[1]["pets"]] == ["rex", "tom"]
+    assert rows[2]["pets"] == []
