@@ -289,10 +289,17 @@ def _eval_rules(
             continue
 
         # mutually recursive component (or a self-loop listed with
-        # itself): joint monotone fixpoint over the whole SCC
+        # itself): joint SEMI-NAIVE fixpoint over the whole SCC.  Each
+        # round evaluates every recursive body once per referenced
+        # member, with THAT reference bound to the member's delta (the
+        # rows new last round) and every other reference to the full
+        # accumulator — the standard semi-naive rewrite, exact for
+        # monotone (positive) datalog.  Work per round is proportional
+        # to the frontier, not the accumulated relations — the same
+        # property the single-rule fixpoint operator already has.
         scc = set(comp)
         cur: dict[str, DataFrame] = {}
-        counts: dict[str, int] = {}
+        delta: dict[str, DataFrame] = {}
         for member in comp:
             base = None
             for h, b in defs[member]:
@@ -303,14 +310,14 @@ def _eval_rules(
             if base is not None:
                 rel = base.distinct().localCheckpoint(eager=True)
                 cur[member] = rel
-                counts[member] = rel.count()
+                delta[member] = rel
         if not cur:
             raise ValueError(
                 f"mutually recursive rules {comp!r} have no "
                 "non-recursive body anywhere in the component"
             )
         for round_no in range(1, 201):
-            changed = False
+            new_delta: dict[str, DataFrame] = {}
             for member in comp:
                 parts = []
                 for h, b in defs[member]:
@@ -319,22 +326,39 @@ def _eval_rules(
                         continue  # base body, already seeded
                     if any(r not in cur for r in refs):
                         continue  # an empty relation derives nothing
-                    extra = {
+                    full = {
                         r: (canon_heads[r], cur[r]) for r in scc if r in cur
                     }
-                    parts.append(to_canon(eval_body(h, b, extra), h, member))
+                    for dref in refs:
+                        if dref not in delta:
+                            continue  # nothing new there last round
+                        extra = {
+                            **full,
+                            dref: (canon_heads[dref], delta[dref]),
+                        }
+                        parts.append(
+                            to_canon(eval_body(h, b, extra), h, member)
+                        )
                 if not parts:
                     continue
-                rel = cur.get(member)
-                for p in parts:
-                    rel = p if rel is None else rel.unionByName(p)
-                rel = rel.distinct().localCheckpoint(eager=True)
-                n = rel.count()
-                if n != counts.get(member, -1):
-                    changed = True
-                cur[member] = rel
-                counts[member] = n
-            if not changed:
+                derived = parts[0]
+                for p in parts[1:]:
+                    derived = derived.unionByName(p)
+                canon_cols = [_var_name(v) for v in canon_heads[member]]
+                fresh = derived.distinct()
+                if member in cur:
+                    fresh = fresh.join(cur[member], canon_cols, "left_anti")
+                fresh = fresh.localCheckpoint(eager=True)
+                if fresh.count() == 0:
+                    continue
+                new_delta[member] = fresh
+                cur[member] = (
+                    cur[member].unionByName(fresh)
+                    if member in cur
+                    else fresh
+                ).localCheckpoint(eager=True)
+            delta = new_delta
+            if not delta:
                 break
         else:
             raise ValueError(
