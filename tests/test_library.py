@@ -767,3 +767,28 @@ def test_datalog_pull_wildcard_attrs(spark):
     assert rows[1]["name"] == "ada" and rows[1]["age"] == 30
     assert [e["pname"] for e in rows[1]["pets"]] == ["rex", "tom"]
     assert rows[2]["pets"] == []
+
+
+def test_datalog_mutual_semi_naive_deep_chain(spark):
+    """A 24-hop chain drives the joint semi-naive fixpoint through
+    many rounds: exact odd/even reachability sets from node 0."""
+    from core2_spark.datalog import q_with_resolver
+
+    n = 24
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src int, dst int"
+    )
+    resolver = lambda t: {"edge": edges}[t]  # noqa: E731
+    rules = [
+        ("odd", ["?x", "?y"], [("edge", {"src": "?x", "dst": "?y"})]),
+        ("odd", ["?x", "?y"],
+         [("even", "?x", "?z"), ("edge", {"src": "?z", "dst": "?y"})]),
+        ("even", ["?x", "?y"],
+         [("odd", "?x", "?z"), ("edge", {"src": "?z", "dst": "?y"})]),
+    ]
+    odd = q_with_resolver(
+        resolver,
+        {"find": ["?y"], "where": [("odd", "?x", "?y"), ("=", "?x", 0)],
+         "rules": rules},
+    )
+    assert sorted(r["y"] for r in odd.collect()) == list(range(1, n + 1, 2))
