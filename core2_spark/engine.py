@@ -434,6 +434,16 @@ class Engine:
         self._tx_counter = 0
         self._recover_clock()
         self._recover_rewrites()
+        # drop Spark's session-wide file-listing cache for everything
+        # under this root: the head we just adopted may have been
+        # produced by swaps/vacuums whose os.rename bypassed the
+        # DataFrameWriter invalidation hook — without this, reads after
+        # refresh() can plan files the other writer's maintenance
+        # deleted, and retry loops spin on the stale cache forever
+        try:
+            self.spark.catalog.refreshByPath(self.root)
+        except Exception:
+            pass  # cache invalidation is best-effort
 
     def _recover_clock(self) -> None:
         """A re-opened Engine over an existing root must not reset the
@@ -879,11 +889,25 @@ class Engine:
             return
         try:
             self._check_sole_writer()
-        except ConcurrentWriterError as cwe:
+        except ConcurrentWriterError:
             raise ConcurrentWriterError(
                 f"maintenance lost a swap race ({type(exc).__name__}); "
                 "the log advanced during the operation — refresh() and "
                 "retry"
+            ) from exc
+        # Token still current — but the claim-then-swap protocol has a
+        # window: the CLAIM advances the log, the swap (or partition
+        # drop) happens later WITHOUT another advance, so a reader that
+        # refreshed in between holds a current token while its planned
+        # files get yanked.  When the failure names a path under this
+        # root, classify it as a race anyway: retries re-plan against a
+        # fresh listing, and genuine corruption (no concurrent actor)
+        # keeps failing until the retry budget surfaces it.
+        if os.path.abspath(self.root) in f"{exc}":
+            raise ConcurrentWriterError(
+                f"read race under {self.root} ({type(exc).__name__}): "
+                "files vanished beneath an in-flight plan (claim-to-"
+                "swap window) — refresh() and retry"
             ) from exc
 
     def _claim_maintenance(
@@ -940,16 +964,23 @@ class Engine:
         so this rewrite must not touch it.  The swap then parks the
         current (intermediate) image under a unique ``_tmp_`` name and
         discards it, instead of renaming it over the preserved dir."""
+        import uuid as _uuid
+
         parent, name = os.path.split(path.rstrip("/"))
-        tmp = os.path.join(parent, f"_tmp_{name}")
+        # staging dir is UNIQUE per rewrite: a fixed _tmp_<name> made
+        # two concurrent retried maintenance ops share one Hadoop
+        # committer directory — the second's cleanup deleted the
+        # first's in-flight write mid-task (found by the 3-writer
+        # fuzz), surfacing as a raw Spark failure instead of the
+        # designed ConcurrentWriterError abort at the guarded swap.
+        # Abandoned unique tmps are age-gated garbage for
+        # _recover_rewrites (any _tmp_* prefix).
+        tmp = os.path.join(parent, f"_tmp_{name}_{_uuid.uuid4().hex[:12]}")
         old = os.path.join(parent, f"_old_{name}")
         if os.path.exists(old) and not os.path.exists(path):
             # a previous swap crashed mid-rename: the _old_ dir is the
             # only copy — restore it before touching anything
             os.rename(old, path)
-        shutil.rmtree(tmp, ignore_errors=True)
-        if preserve_old is None:
-            shutil.rmtree(old, ignore_errors=True)
         writer = self._writer(df)
         if bt.SYS_DAY in df.columns:
             # preserve the day-partitioned layout across rewrites
@@ -966,8 +997,6 @@ class Engine:
         def _swap():
             if preserve_old is not None:
                 if os.path.exists(path):
-                    import uuid as _uuid
-
                     doomed = os.path.join(
                         parent, f"_tmp_discard_{_uuid.uuid4().hex}"
                     )
@@ -978,6 +1007,11 @@ class Engine:
                     os.rename(tmp, path)
                 return
             if os.path.exists(path):
+                # drop the completed previous swap's leftover HERE (for
+                # guarded swaps: under the log lock) rather than before
+                # the expensive write — a concurrent engine must never
+                # delete _old_ while this one is between its two renames
+                shutil.rmtree(old, ignore_errors=True)
                 os.rename(path, old)
                 os.utime(old)
             os.rename(tmp, path)
@@ -997,6 +1031,14 @@ class Engine:
                 _swap()
         else:
             _swap()
+        # Spark caches directory listings session-wide
+        # (FileStatusCache, no TTL): a swap via os.rename bypasses the
+        # DataFrameWriter invalidation hook, so without this a later
+        # read of the same path can plan the DELETED pre-swap files —
+        # and retrying cannot help, because the stale cache outlives
+        # the retry.  Found by the 3-writer fuzz as FAILED_READ_FILE
+        # loops on the patched table.
+        self.spark.catalog.refreshByPath(path)
         if preserve_old is not None:
             # the preserved first-rewrite old dir is the (only)
             # rollback image; nothing new to defer or clean
@@ -1068,6 +1110,20 @@ class Engine:
                 if attempt == n:
                     raise
                 self.refresh()  # adopt the winner's head, then replay
+            except Exception as exc:
+                # a concurrent maintenance swap can yank files from
+                # under this tx's snapshot reads (Patch/Assert/DML
+                # expansion) — state is fully rolled back, so when the
+                # log actually advanced treat it exactly like a
+                # persist-time conflict and replay
+                if attempt == n:
+                    raise
+                try:
+                    self._reclassify_race(exc)
+                except ConcurrentWriterError:
+                    self.refresh()
+                    continue
+                raise
         raise AssertionError("unreachable")
 
     def _submit_tx_once(

@@ -47,28 +47,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 
 from core2_spark.engine import (
+    Assert,
     ConcurrentWriterError,
     Delete,
     Engine,
+    Patch,
     Put,
+    TxAssertionError,
 )
 
 IDS = range(5)  # small id space so writers collide
 
 
 def build_programs(rng: random.Random, n_writers: int):
-    """Seeded per-writer op program.  Writers 0..n-1 all Put/Delete;
-    every writer may also draw a maintenance op (optimize / vacuum /
-    mview refresh) so maintenance races writers AND maintenance."""
+    """Seeded per-writer op program.  Writers 0..n-1 draw
+    Put/Delete/Patch/guarded-insert ops; every writer may also draw a
+    maintenance op (optimize / vacuum / mview refresh) so maintenance
+    races writers AND maintenance.  Patch ops hit both the existing
+    column and a widening one ('p') so schema evolution runs under
+    contention; guarded inserts (ASSERT + Put) may legally abort."""
     programs = []
     for w in range(n_writers):
         ops = []
         for i in range(rng.randint(2, 5)):
             r = rng.random()
-            if r < 0.60:
+            if r < 0.45:
                 ops.append(("put", rng.choice(IDS), f"w{w}op{i}"))
-            elif r < 0.80:
+            elif r < 0.60:
                 ops.append(("delete", rng.choice(IDS)))
+            elif r < 0.72:
+                key = "v" if rng.random() < 0.5 else "p"
+                ops.append(("patch", rng.choice(IDS), key, f"w{w}patch{i}"))
+            elif r < 0.80:
+                ops.append(("guarded", rng.choice(IDS), f"w{w}grd{i}"))
             elif r < 0.88:
                 ops.append(("optimize",))
             elif r < 0.94:
@@ -140,6 +151,34 @@ def run_schedule(spark, seed: int, root: str, n_writers: int) -> list[str]:
                             (basis.current_time, w, "delete", op[1], None)
                         )
                         per_thread[w].append(basis.current_time)
+                elif op[0] == "patch":
+                    basis = eng.submit_tx(
+                        [Patch("t", ({"id": op[1], op[2]: op[3]},))]
+                    )
+                    with lock:
+                        committed.append(
+                            (basis.current_time, w, f"patch_{op[2]}",
+                             op[1], op[3])
+                        )
+                        per_thread[w].append(basis.current_time)
+                elif op[0] == "guarded":
+                    try:
+                        basis = eng.submit_tx(
+                            [
+                                Assert(
+                                    "NOT EXISTS (SELECT 1 FROM t "
+                                    f"WHERE id = {op[1]})"
+                                ),
+                                Put("t", mk(op[1], op[2])),
+                            ]
+                        )
+                    except TxAssertionError:
+                        continue  # the guard fired: a legal outcome
+                    with lock:
+                        committed.append(
+                            (basis.current_time, w, "gput", op[1], op[2])
+                        )
+                        per_thread[w].append(basis.current_time)
                 else:
                     maintenance(eng, op)
             except Exception as exc:  # noqa: BLE001 — fuzz collects all
@@ -164,16 +203,33 @@ def run_schedule(spark, seed: int, root: str, n_writers: int) -> list[str]:
         if ts != sorted(ts) or len(set(ts)) != len(ts):
             problems.append(f"w{w} commit times not strictly increasing: {ts}")
 
-    # 2. serial replay in log order vs final state
-    model: dict[int, str] = {0: "init"}
-    for _, _, kind, i, v in sorted(committed, key=lambda c: c[0]):
+    # 2. serial replay in log order vs final state (documents: Put
+    # replaces the whole row, Patch merges one key, a committed
+    # guarded insert PROVES the id was absent at its log position)
+    model: dict[int, dict] = {0: {"v": "init", "p": None}}
+    for _, w, kind, i, v in sorted(committed, key=lambda c: c[0]):
         if kind == "put":
-            model[i] = v
+            model[i] = {"v": v, "p": None}
+        elif kind == "gput":
+            if i in model:
+                problems.append(
+                    f"guarded insert of id {i} by w{w} committed while "
+                    f"the id existed in the serial replay — the ASSERT "
+                    "was raced past"
+                )
+            model[i] = {"v": v, "p": None}
+        elif kind == "patch_v":
+            model.setdefault(i, {"v": None, "p": None})["v"] = v
+        elif kind == "patch_p":
+            model.setdefault(i, {"v": None, "p": None})["p"] = v
         else:
             model.pop(i, None)
     final_eng = Engine(spark, root)
+    tdf = final_eng.db().table("t")
+    has_p = "p" in tdf.columns
     actual = {
-        r["id"]: r["v"] for r in final_eng.db().table("t").collect()
+        r["id"]: {"v": r["v"], "p": r["p"] if has_p else None}
+        for r in tdf.collect()
     }
     if actual != model:
         problems.append(f"final state {actual} != serial replay {model}")
@@ -184,7 +240,7 @@ def run_schedule(spark, seed: int, root: str, n_writers: int) -> list[str]:
         r["id"]: (r["n"], r["mx"])
         for r in final_eng.materialized_view("mv").collect()
     }
-    expect = {i: (1, v) for i, v in model.items()}
+    expect = {i: (1, d["v"]) for i, d in model.items()}
     if mv != expect:
         problems.append(f"mview {mv} != aggregate of final state {expect}")
 
