@@ -883,6 +883,13 @@ class Engine:
                 "FILE_NOT_EXIST",
                 "PATH_NOT_FOUND",
                 "UNABLE_TO_INFER_SCHEMA",
+                # write-side scratch vanished: a whole-table swap
+                # (optimize) renames the table dir out from under a
+                # concurrent per-partition rewrite's in-flight
+                # committer scratch — Hadoop surfaces it as shell
+                # failures on the now-missing attempt files
+                "FileNotFoundException",
+                "No such file or directory",
             )
         )
         if not racy:
