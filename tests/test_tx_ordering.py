@@ -339,8 +339,14 @@ def test_random_three_writer_maintenance_schedules(spark, tmp_path):
     fuzz = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(fuzz)
 
-    for seed in (7, 1004):  # 1004 reproduced the pre-lock lost update
+    # 1004 reproduced the pre-lock lost update; (4, 122) reproduced the
+    # optimize-renames-table-under-vacuum-scratch race before the
+    # write-side reclassification tokens landed
+    for n_writers, seed in ((3, 7), (3, 1004), (4, 122)):
         problems = fuzz.run_schedule(
-            spark, seed=seed, root=str(tmp_path / f"s{seed}"), n_writers=3
+            spark,
+            seed=seed,
+            root=str(tmp_path / f"s{n_writers}_{seed}"),
+            n_writers=n_writers,
         )
         assert problems == [], f"seed={seed}: {problems}"
