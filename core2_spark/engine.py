@@ -2427,6 +2427,15 @@ class Snapshot:
             lambda table: self.table(table, **asof), query, args=args
         )
 
+    def xtql(self, pipeline: list, **asof) -> DataFrame:
+        """XTQL pipeline over the same basis-pinned views (the
+        reference's successor query language; see xtql.py)."""
+        from core2_spark import xtql as _xtql
+
+        return _xtql.xtql_with_resolver(
+            lambda table: self.table(table, **asof), pipeline
+        )
+
 
 class _SpeculativeSnapshot(Snapshot):
     """Snapshot layering uncommitted version rows over a parent

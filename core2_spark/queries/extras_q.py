@@ -708,6 +708,105 @@ def datalog_rules_recursive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "xtql_pipeline_aggregate",
+    oracle="""
+    SELECT o_custkey % 10 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 + 0.000000001, 4) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0
+    GROUP BY bucket
+    ORDER BY total DESC, bucket
+    LIMIT 5
+    """,
+)
+def xtql_pipeline_aggregate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XTQL pipeline frontend (the reference's successor query
+    language, README.adoc:13-15): from-with-binds (equality match
+    pushed into the scan) → where → with → aggregate → order-by →
+    limit → return, compiled op-by-op to DataFrame algebra; the
+    ordered limit fuses to TakeOrderedAndProject."""
+    from core2_spark import xtql
+
+    return xtql.q(
+        spark,
+        sf_dir,
+        [
+            {
+                "from": "orders",
+                "bind": [
+                    "o_custkey",
+                    "o_totalprice",
+                    {"o_orderstatus": {"=": "F"}},
+                ],
+            },
+            {"where": [[">", "o_totalprice", 1000.0]]},
+            {
+                "with": {
+                    "bucket": ["%", "o_custkey", 10],
+                    # exact DECIMAL sum for cross-engine float parity
+                    # (the dsum discipline from queries/util.py)
+                    "dec_price": ["cast", "o_totalprice", "decimal(38,6)"],
+                }
+            },
+            {
+                "aggregate": {"n": ["count"], "dec_total": ["sum", "dec_price"]},
+                "group": ["bucket"],
+            },
+            {
+                "with": {
+                    "total": [
+                        "round",
+                        ["+", ["cast", "dec_total", "double"],
+                         0.000000001],
+                        4,
+                    ]
+                }
+            },
+            {"order-by": [["total", "desc"], "bucket"]},
+            {"limit": 5},
+            {"return": ["bucket", "n", "total"]},
+        ],
+    )
+
+
+@query(
+    "xtql_join_unnest",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_cust
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > 0
+    GROUP BY nation ORDER BY n_cust DESC, nation LIMIT 10
+    """,
+)
+def xtql_join_unnest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XTQL join: a pipeline joining a second from-op on column pairs
+    (Catalyst broadcasts the small side), then aggregate/order/limit."""
+    from core2_spark import xtql
+
+    return xtql.q(
+        spark,
+        sf_dir,
+        [
+            {"from": "customer", "bind": ["c_nationkey", "c_acctbal"]},
+            {"where": [[">", "c_acctbal", 0]]},
+            {
+                "join": {
+                    "from": "nation",
+                    "bind": ["n_nationkey", {"n_name": "nation"}],
+                },
+                "on": [["c_nationkey", "n_nationkey"]],
+            },
+            {"aggregate": {"n_cust": ["count"]}, "group": ["nation"]},
+            {"order-by": [["n_cust", "desc"], "nation"]},
+            {"limit": 10},
+            {"return": ["nation", "n_cust"]},
+        ],
+    )
+
+
+@query(
     "datalog_order_limit",
     oracle="""
     SELECT c_custkey AS cust, c_acctbal AS bal

@@ -74,6 +74,8 @@ _PRIORITY: list[str] = [
     "engine_sql_setting_defaults",
     "datalog_rules_mutual",
     "datalog_order_limit",
+    "xtql_pipeline_aggregate",
+    "xtql_join_unnest",
     "dedup_semantic_embedding_clusters",
     "datalog_pull_nested",
     "ts_gap_fill_interpolate",
