@@ -144,6 +144,8 @@ class SqlHttpServer:
             def do_POST(self):
                 if self.path == "/tx":
                     return self._do_tx()
+                if self.path == "/xtql":
+                    return self._do_xtql()
                 if self.path != "/query":
                     return self._error(404, f"no route {self.path}")
                 try:
@@ -166,6 +168,39 @@ class SqlHttpServer:
                         df = outer._executor(sql)
                     table = df_to_arrow(df, outer._max_result_rows)
                 except Exception as exc:  # surface executor errors as 400s
+                    return self._error(400, repr(exc))
+                if ARROW_MIME in self.headers.get("Accept", ""):
+                    self._send(200, _table_to_ipc(table), ARROW_MIME)
+                else:
+                    self._send(200, _table_to_json(table), "application/json")
+
+            def _do_xtql(self):
+                """``POST /xtql`` with ``{"query": [<pipeline ops>],
+                "basis": token?}`` — the reference serves its pipeline
+                language over HTTP as JSON; the ops are exactly the
+                xtql.py dict representation.  Same dual Arrow/JSON
+                response negotiation as /query."""
+                if outer._engine is None:
+                    return self._error(400, "no engine attached")
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    spec = json.loads(self.rfile.read(n).decode())
+                    pipeline = spec["query"]
+                    assert isinstance(pipeline, list) and pipeline
+                except (ValueError, KeyError, AssertionError) as exc:
+                    return self._error(400, f"bad request body: {exc!r}")
+                try:
+                    token = spec.get("basis")
+                    if token is not None:
+                        from core2_spark.basis import basis_from_json
+
+                        snap = outer._engine.db(basis_from_json(token))
+                    else:
+                        snap = outer._engine.db()
+                    table = df_to_arrow(
+                        snap.xtql(pipeline), outer._max_result_rows
+                    )
+                except Exception as exc:
                     return self._error(400, repr(exc))
                 if ARROW_MIME in self.headers.get("Accept", ""):
                     self._send(200, _table_to_ipc(table), ARROW_MIME)

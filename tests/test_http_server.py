@@ -339,3 +339,49 @@ def test_http_tx_patch_and_assert(spark, engine):
         assert got["rows"] == [[3]]
     finally:
         server.shutdown()
+
+
+def test_http_xtql_endpoint(spark, engine):
+    """POST /xtql runs a JSON pipeline over the engine's current (or
+    basis-pinned) snapshot — the wire spelling of Snapshot.xtql."""
+    import urllib.error
+
+    from core2_spark.http_server import SqlHttpServer
+
+    v1 = spark.createDataFrame(
+        [(1, "AAPL", 100.0), (2, "MSFT", 200.0), (3, "AAPL", 50.0)],
+        "id long, sym string, px double",
+    )
+    engine.submit_tx([Put("trades", v1)], tx_time="2024-01-01 00:00:01")
+    server = SqlHttpServer(lambda sql: engine.db().sql(sql), engine=engine)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/xtql",
+            data=json.dumps(
+                {
+                    "query": [
+                        {"from": "trades", "bind": ["sym", "px"]},
+                        {"aggregate": {"total": ["sum", "px"]},
+                         "group": ["sym"]},
+                        {"order-by": ["sym"]},
+                    ]
+                }
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            got = json.loads(resp.read())
+        assert got["columns"] == ["sym", "total"]
+        assert got["rows"] == [["AAPL", 150.0], ["MSFT", 200.0]]
+
+        # malformed pipelines are 400s, not connection drops
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/xtql",
+            data=json.dumps({"query": [{"bogus": 1}]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(bad)
+        assert err.value.code == 400
+    finally:
+        server.shutdown()
