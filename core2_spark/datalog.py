@@ -347,7 +347,23 @@ def _eval_rules(
                 canon_cols = [_var_name(v) for v in canon_heads[member]]
                 fresh = derived.distinct()
                 if member in cur:
-                    fresh = fresh.join(cur[member], canon_cols, "left_anti")
+                    # NULL-SAFE anti-join, same reason as the single-rule
+                    # fixpoint (operators/recursion.py): under plain `=`
+                    # a derived row holding a NULL key (e.g. from a bind
+                    # expression) never matches its twin in the
+                    # accumulator, is re-derived as "new" every round,
+                    # and the component falsely fails to converge.
+                    from functools import reduce
+
+                    d, a = fresh.alias("_d"), cur[member].alias("_a")
+                    cond = reduce(
+                        lambda x, y: x & y,
+                        [
+                            F.col(f"_d.{k}").eqNullSafe(F.col(f"_a.{k}"))
+                            for k in canon_cols
+                        ],
+                    )
+                    fresh = d.join(a, cond, "left_anti")
                 fresh = fresh.localCheckpoint(eager=True)
                 if fresh.count() == 0:
                     continue

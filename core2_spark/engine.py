@@ -1117,6 +1117,15 @@ class Engine:
                 if attempt == n:
                     raise
                 self.refresh()  # adopt the winner's head, then replay
+            except (TxAssertionError, ValueError):
+                # explicitly-semantic failures (a failing ASSERT, an
+                # invalid op) abort deterministically — their messages
+                # carry user-supplied text that could substring-match
+                # _reclassify_race's swap-race tokens (e.g. an assert
+                # message naming the db root) and silently burn the
+                # retry budget replaying a transaction that can never
+                # succeed
+                raise
             except Exception as exc:
                 # a concurrent maintenance swap can yank files from
                 # under this tx's snapshot reads (Patch/Assert/DML
@@ -1141,38 +1150,50 @@ class Engine:
         self._check_sole_writer()  # abort BEFORE any rows are written
         prev_counter, prev_time = self._tx_counter, self._last_tx_time
         t = self._next_tx_time(tx_time)
-        expanded: list[Put | Delete | Erase] = []
-        pre_snapshot = None
-        for op in ops:
-            if isinstance(op, (Call, Patch, Assert)):
-                if pre_snapshot is None:
-                    # basis clock pinned to tx time, never the wall
-                    # clock — tx-fns must replay identically
-                    pre_snapshot = Snapshot(self, acquire_basis(self._all_tables(), t, self._basis_schemas()))
-                if isinstance(op, Assert):
-                    row = pre_snapshot.sql(
-                        f"SELECT ({op.predicate}) AS ok"
-                    ).head()
-                    if row is None or row["ok"] is not True:
-                        raise TxAssertionError(
-                            op.message
-                            or f"transaction assertion failed: "
-                               f"{op.predicate}"
-                        )
-                elif isinstance(op, Call):
-                    expanded.extend(op.fn(pre_snapshot))
-                else:
-                    from core2_spark.sql_dml import patch_to_ops
+        # The op-expansion phase (Assert predicates, Call fns, Patch
+        # lookups) can raise BEFORE the write loop's rollback handler
+        # below runs — the clock restore there only covers the write
+        # loop, so without this guard an aborted Assert leaves
+        # _last_tx_time advanced: re-submitting with the same explicit
+        # tx_time is then spuriously rejected as "at or before the
+        # head" even though nothing committed, and the in-memory clock
+        # drifts from the persisted one.
+        try:
+            expanded: list[Put | Delete | Erase] = []
+            pre_snapshot = None
+            for op in ops:
+                if isinstance(op, (Call, Patch, Assert)):
+                    if pre_snapshot is None:
+                        # basis clock pinned to tx time, never the wall
+                        # clock — tx-fns must replay identically
+                        pre_snapshot = Snapshot(self, acquire_basis(self._all_tables(), t, self._basis_schemas()))
+                    if isinstance(op, Assert):
+                        row = pre_snapshot.sql(
+                            f"SELECT ({op.predicate}) AS ok"
+                        ).head()
+                        if row is None or row["ok"] is not True:
+                            raise TxAssertionError(
+                                op.message
+                                or f"transaction assertion failed: "
+                                   f"{op.predicate}"
+                            )
+                    elif isinstance(op, Call):
+                        expanded.extend(op.fn(pre_snapshot))
+                    else:
+                        from core2_spark.sql_dml import patch_to_ops
 
-                    expanded.extend(
-                        patch_to_ops(
-                            self, pre_snapshot, op.table,
-                            list(op.docs), op.id_col,
-                            app_start=op.app_start, app_end=op.app_end,
+                        expanded.extend(
+                            patch_to_ops(
+                                self, pre_snapshot, op.table,
+                                list(op.docs), op.id_col,
+                                app_start=op.app_start, app_end=op.app_end,
+                            )
                         )
-                    )
-            else:
-                expanded.append(op)
+                else:
+                    expanded.append(op)
+        except BaseException:
+            self._tx_counter, self._last_tx_time = prev_counter, prev_time
+            raise
         ops = expanded
         # Rollback bookkeeping: pre-write file sets per touched path,
         # tables that existed before, and deferred Erase rewrites.  A
@@ -1358,7 +1379,20 @@ class Engine:
                     try:
                         mviews.refresh(self, name)
                     except Exception as exc:
-                        _note(name, exc)
+                        # Most auto-refresh failures are transient swap
+                        # races (a concurrent vacuum/optimize yanked
+                        # files under the refresh scan —
+                        # ConcurrentWriterError / PATH_NOT_FOUND).  The
+                        # transaction is already durable, so retrying
+                        # the REFRESH (an idempotent recompute at the
+                        # fresh head) is safe where retrying the tx is
+                        # not: adopt the new head once and try again
+                        # before surfacing the failure.
+                        try:
+                            self.refresh()
+                            mviews.refresh(self, name)
+                        except Exception as exc2:
+                            _note(name, exc2)
         return acquire_basis(self._all_tables(), t, self._basis_schemas())
 
     def _rollback(

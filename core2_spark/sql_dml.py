@@ -329,6 +329,29 @@ def _drop_allnull_new_keys(records: list[dict],
     return [{k: v for k, v in r.items() if k not in dead} for r in records]
 
 
+def _coerce_value(v, dtype):
+    """Align a raw Python value with the column's inferred Spark type.
+    ``_infer_type`` promotes a key mixing int and float across records
+    to DoubleType, but createDataFrame rejects the remaining raw ints
+    against an explicit DoubleType schema — the reference's dynamic
+    typing accepts `RECORDS {x: 1}, {x: 2.5}`, so coerce (recursively
+    through arrays/structs) instead of aborting the transaction."""
+    from pyspark.sql import types as T
+
+    if v is None:
+        return None
+    if isinstance(dtype, T.DoubleType):
+        return float(v)
+    if isinstance(dtype, T.ArrayType):
+        return [_coerce_value(e, dtype.elementType) for e in v]
+    if isinstance(dtype, T.StructType):
+        return {
+            f.name: _coerce_value(v.get(f.name), f.dataType)
+            for f in dtype.fields
+        }
+    return v
+
+
 def records_to_df(spark, records: list[dict], mask_col: str | None = None):
     """Records → DataFrame over the union of keys (first-seen order).
     With ``mask_col``, each row carries the sorted list of keys its
@@ -349,9 +372,10 @@ def records_to_df(spark, records: list[dict], mask_col: str | None = None):
         fields.append(
             T.StructField(mask_col, T.ArrayType(T.StringType()), False)
         )
+    types = {f.name: f.dataType for f in fields}
     rows = []
     for r in records:
-        row = [r.get(k) for k in keys]
+        row = [_coerce_value(r.get(k), types[k]) for k in keys]
         if mask_col is not None:
             row.append(sorted(r.keys()))
         rows.append(tuple(row))

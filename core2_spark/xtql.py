@@ -23,10 +23,17 @@ Pipeline representation (Python lists/dicts standing in for the EDN)::
 
 Operators: ``from`` (bind: plain string = bind column under its own
 name, {col: name} = rename, {col: {"=": lit}} = equality match pushed
-into the scan), ``where`` (expression list, all ANDed), ``with``
+into the scan; per-from temporal options ``for-valid-time`` /
+``for-system-time`` with ``["at", t]`` / ``["from", lo, "to", hi]`` /
+``["in", lo, hi]`` / ``"all-time"`` — the XTDB-v2 spelling, compiled
+to the same pushed period predicates as the SQL dialect), ``where``
+(expression list, all ANDed; ``["exists"|"not-exists", sub, on]``
+compiles a correlated sub-pipeline to left_semi/left_anti), ``with``
 (computed columns), ``without`` (drop), ``join`` / ``left-join``
-(sub-pipeline or {"from": ...} + ``on`` column pairs), ``unnest``
-(explode an array column), ``aggregate`` (+ ``group``), ``order-by``,
+(sub-pipeline or {"from": ...} + ``on`` column pairs; same-name pairs
+join on the name list so the key coalesces), ``unnest`` (explode an
+array column), ``pull`` (Datomic-style document projection — reuses
+datalog._attach_pull), ``aggregate`` (+ ``group``), ``order-by``,
 ``limit`` / ``offset`` (require an order-by earlier in the pipeline —
 an unordered limit is non-deterministic, same rule as the Datalog
 frontend), ``return``.
@@ -124,8 +131,52 @@ def _expr(e) -> Column:
     raise ValueError(f"XTQL: unknown expression op {op!r}")
 
 
+def _temporal_spec_filter(df: DataFrame, spec, start_col: str,
+                          end_col: str, axis: str) -> DataFrame:
+    """Compile one per-from temporal option (the XTDB-v2 spelling:
+    ``(at t)`` / ``(from lo to hi)`` / ``(in lo hi)`` / ``:all-time``,
+    here as lists) to the same pushed-down period predicates the SQL
+    dialect emits (temporal.as_of_predicate / scan_between)."""
+    from core2_spark import temporal as bt
+
+    missing = [c for c in (start_col, end_col) if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"XTQL {axis}: relation has no {missing} columns — "
+            "temporal binds need a versioned (bitemporal) relation"
+        )
+    if spec == "all-time":
+        return df
+    if not (isinstance(spec, (list, tuple)) and spec):
+        raise ValueError(f"XTQL {axis}: bad temporal spec {spec!r}")
+    if spec[0] == "at" and len(spec) == 2:
+        t = bt._ts(spec[1])
+        return df.filter((F.col(start_col) <= t) & (t < F.col(end_col)))
+    if spec[0] == "from" and len(spec) == 4 and spec[2] == "to":
+        lo, hi = spec[1], spec[3]
+    elif spec[0] == "in" and len(spec) == 3:
+        lo, hi = spec[1], spec[2]
+    else:
+        raise ValueError(f"XTQL {axis}: bad temporal spec {spec!r}")
+    return bt.scan_between(df, start_col, end_col, lo, hi)
+
+
 def _compile_from(resolver, spec: dict) -> DataFrame:
+    from core2_spark import temporal as bt
+
     df = resolver(spec["from"])
+    # per-from temporal binds, applied BEFORE the bind projection so
+    # the version columns need not survive into the pipeline
+    if "for-system-time" in spec:
+        df = _temporal_spec_filter(
+            df, spec["for-system-time"], bt.SYS_START, bt.SYS_END,
+            "for-system-time",
+        )
+    if "for-valid-time" in spec:
+        df = _temporal_spec_filter(
+            df, spec["for-valid-time"], bt.APP_START, bt.APP_END,
+            "for-valid-time",
+        )
     binds = spec.get("bind")
     if binds is None:
         return df
@@ -150,6 +201,38 @@ def _compile_from(resolver, spec: dict) -> DataFrame:
     return df.select(*cols)
 
 
+def _apply_exists(resolver, df: DataFrame, e) -> DataFrame:
+    """``["exists", sub, on]`` / ``["not-exists", sub, on]`` inside
+    ``where`` (XTDB-v2's exists?/not-exists? subqueries): ``sub`` is a
+    from-spec dict or a full sub-pipeline, ``on`` the correlation
+    column pairs (same format as join).  Compiles to left_semi /
+    left_anti — the same decorrelation the Datalog frontend and the SQL
+    dialect's EXISTS rewrite use, so Catalyst plans one hash join and
+    never a per-row subquery."""
+    if len(e) != 3:
+        raise ValueError(
+            f"XTQL {e[0]}: expected [{e[0]!r}, sub-pipeline, on-pairs]"
+        )
+    kind, sub, on = e
+    other = (
+        _compile_from(resolver, sub)
+        if isinstance(sub, dict)
+        else xtql_with_resolver(resolver, sub)
+    )
+    if not on:
+        raise ValueError(f"XTQL {kind}: 'on' column pairs required")
+    pairs = [(p, p) if isinstance(p, str) else (p[0], p[1]) for p in on]
+    how = "left_semi" if kind == "exists" else "left_anti"
+    if all(l == r for l, r in pairs):
+        return df.join(other, [l for l, _ in pairs], how)
+    dl, dr = df.alias("_xtql_l"), other.alias("_xtql_r")
+    cond = None
+    for l, r in pairs:
+        c = F.col(f"_xtql_l.{l}") == F.col(f"_xtql_r.{r}")
+        cond = c if cond is None else cond & c
+    return dl.join(dr, cond, how)
+
+
 def xtql_with_resolver(resolver, pipeline: list) -> DataFrame:
     """Compile and run an XTQL pipeline; ``resolver(table)`` supplies
     each ``from``'s relation (catalog scan, or a basis-pinned view via
@@ -164,7 +247,14 @@ def xtql_with_resolver(resolver, pipeline: list) -> DataFrame:
     for op in rest:
         if "where" in op:
             for e in op["where"]:
-                df = df.filter(_expr(e))
+                if (
+                    isinstance(e, (list, tuple))
+                    and e
+                    and e[0] in ("exists", "not-exists")
+                ):
+                    df = _apply_exists(resolver, df, e)
+                else:
+                    df = df.filter(_expr(e))
         elif "with" in op:
             for name, e in op["with"].items():
                 df = df.withColumn(name, _expr(e))
@@ -180,17 +270,48 @@ def xtql_with_resolver(resolver, pipeline: list) -> DataFrame:
             on = op.get("on")
             if not on:
                 raise ValueError("XTQL join: 'on' column pairs required")
-            cond = None
-            for pair in on:
-                l, r = (pair, pair) if isinstance(pair, str) else pair
-                c = df[l] == other[r]
-                cond = c if cond is None else cond & c
-            df = df.join(
-                other, cond, "inner" if kind == "join" else "left"
-            )
+            pairs = [
+                (p, p) if isinstance(p, str) else (p[0], p[1]) for p in on
+            ]
+            how = "inner" if kind == "join" else "left"
+            if all(l == r for l, r in pairs):
+                # join on the column-NAME list: Spark emits a single
+                # coalesced key column, so later pipeline ops referring
+                # to the key never hit AMBIGUOUS_REFERENCE — and
+                # self-joins sidestep same-lineage column resolution
+                df = df.join(other, [l for l, _ in pairs], how)
+            else:
+                dl, dr = df.alias("_xtql_l"), other.alias("_xtql_r")
+                cond = None
+                for l, r in pairs:
+                    c = F.col(f"_xtql_l.{l}") == F.col(f"_xtql_r.{r}")
+                    cond = c if cond is None else cond & c
+                df = dl.join(dr, cond, how)
+                # a same-name pair inside a mixed list still yields two
+                # identically-named columns — drop the right twin
+                for l, r in pairs:
+                    if l == r:
+                        df = df.drop(F.col(f"_xtql_r.{r}"))
         elif "unnest" in op:
             (name, src), = op["unnest"].items()
             df = df.withColumn(name, F.explode(F.col(src)))
+        elif "pull" in op:
+            # Datomic-style document projection inside XTQL: reuses the
+            # Datalog frontend's pull compiler (datalog._attach_pull —
+            # one groupBy+collect_list per rel, one equi-join back; no
+            # per-entity subqueries).  ``on`` names the pipeline column
+            # holding the entity id; the rest is the pull spec.
+            from core2_spark.datalog import _attach_pull
+
+            p = dict(op["pull"])
+            try:
+                var = p.pop("on")
+            except KeyError:
+                raise ValueError(
+                    "XTQL pull: 'on' (the pipeline column holding the "
+                    "entity id) is required"
+                ) from None
+            df = _attach_pull(resolver, df, var, p)
         elif "aggregate" in op:
             group = op.get("group", [])
             aggs = []

@@ -556,6 +556,41 @@ def test_datalog_mutual_rules_even_odd(spark):
     assert sorted(r["y"] for r in even.collect()) == [2, 4]
 
 
+def test_datalog_mutual_rules_null_carried_column_converges(spark):
+    """SCC fixpoint dedup must be NULL-safe (same contract as the
+    single-rule fixpoint, operators/recursion.py): a derived row
+    carrying a NULL column (here a tag joined through from the base
+    relation) must match its twin in the accumulator, or it is
+    re-derived as "new" every round and the 2-cycle graph below
+    falsely fails with 'did not converge in 200 rounds'."""
+    from core2_spark.datalog import q_with_resolver
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src int, dst int")
+    start = spark.createDataFrame(
+        [(1, None), (2, "t")], "node int, tag string"
+    )
+    resolver = lambda t: {"edge": edges, "start": start}[t]  # noqa: E731
+    rules = [
+        ("a", ["?y", "?t"], [("start", {"node": "?y", "tag": "?t"})]),
+        ("a", ["?y", "?t"],
+         [("b", "?x", "?t"), ("edge", {"src": "?x", "dst": "?y"})]),
+        ("b", ["?y", "?t"],
+         [("a", "?x", "?t"), ("edge", {"src": "?x", "dst": "?y"})]),
+    ]
+    got_a = q_with_resolver(
+        resolver, {"find": ["?n", "?t"], "where": [("a", "?n", "?t")],
+                   "rules": rules}
+    )
+    got_b = q_with_resolver(
+        resolver, {"find": ["?n", "?t"], "where": [("b", "?n", "?t")],
+                   "rules": rules}
+    )
+    # each tag (incl. NULL) hops around the 1<->2 cycle exactly once:
+    # a holds the starts, b the odd-distance hops
+    assert {(r["n"], r["t"]) for r in got_a.collect()} == {(1, None), (2, "t")}
+    assert {(r["n"], r["t"]) for r in got_b.collect()} == {(2, None), (1, "t")}
+
+
 def test_datalog_mutual_rules_need_a_base_somewhere(spark):
     from core2_spark.datalog import q_with_resolver
 

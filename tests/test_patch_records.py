@@ -105,6 +105,31 @@ def test_insert_records_visible_and_type_aligned(eng):
             if f.name == "balance"] == ["double"]
 
 
+def test_records_mixed_int_float_promotes_to_double(spark, tmp_path):
+    """A key mixing int and float ACROSS records infers DOUBLE; the
+    remaining raw ints must be coerced before createDataFrame (the
+    reference's dynamic typing accepts the batch) — including inside
+    nested structs and arrays."""
+    e = Engine(spark, str(tmp_path / "db"))
+    e.sql_dml(
+        "INSERT INTO t RECORDS "
+        "{id: 1, x: 1, xs: [1, 2], nest: {v: 1}}, "
+        "{id: 2, x: 2.5, xs: [3.5], nest: {v: 4.5}}"
+    )
+    got = by_id(e.db().table("t"))
+    assert got[1]["x"] == 1.0 and got[2]["x"] == 2.5
+    assert got[1]["xs"] == [1.0, 2.0] and got[2]["xs"] == [3.5]
+    assert got[1]["nest"]["v"] == 1.0 and got[2]["nest"]["v"] == 4.5
+    schema = {f.name: f.dataType.simpleString()
+              for f in e.db().table("t").schema.fields}
+    assert schema["x"] == "double"
+    assert schema["xs"] == "array<double>"
+    # PATCH takes the same path
+    e.sql_dml("PATCH INTO t RECORDS {id: 1, y: 7}, {id: 2, y: 7.5}")
+    got = by_id(e.db().table("t"))
+    assert got[1]["y"] == 7.0 and got[2]["y"] == 7.5
+
+
 def test_patch_merges_retains_and_widens(eng):
     eng.sql_dml(
         "PATCH INTO accounts RECORDS "

@@ -92,6 +92,58 @@ def test_assert_programmatic_op(spark, eng):
     assert emails(eng) == {"ada@x", "bob@x"}
 
 
+def test_assert_abort_rolls_back_the_tx_clock(eng):
+    """A failing ASSERT raises during op EXPANSION, before the write
+    loop's rollback handler — the clock advanced by _next_tx_time must
+    still be restored, or re-submitting with the SAME explicit tx_time
+    is spuriously rejected as 'not after the last transaction' even
+    though nothing committed (and the in-memory clock drifts from the
+    persisted one)."""
+    with pytest.raises(TxAssertionError):
+        eng.sql_dml_many(
+            [
+                "ASSERT (SELECT COUNT(*) FROM users) = 99",
+                "INSERT INTO users (id, email) VALUES (3, 'eve@x')",
+            ],
+            tx_time="2024-01-01 00:00:02",
+        )
+    # same explicit tx_time now succeeds: the abort left no trace
+    eng.sql_dml_many(
+        [
+            "ASSERT (SELECT COUNT(*) FROM users) = 2",
+            "INSERT INTO users (id, email) VALUES (3, 'eve@x')",
+        ],
+        tx_time="2024-01-01 00:00:02",
+    )
+    assert emails(eng) == {"ada@x", "bob@x", "eve@x"}
+
+
+def test_assert_message_naming_db_root_aborts_deterministically(eng):
+    """A user-supplied assert message that substring-matches the swap
+    -race tokens (e.g. it names a missing file, or the db root) must
+    NOT be reclassified as a concurrent-writer race and silently
+    replayed up to the retry budget — TxAssertionError aborts on the
+    first attempt."""
+    calls = 0
+    orig = eng._reclassify_race
+
+    def counting(exc):
+        nonlocal calls
+        calls += 1
+        return orig(exc)
+
+    eng._reclassify_race = counting
+    try:
+        with pytest.raises(TxAssertionError, match="No such file"):
+            eng.submit_tx(
+                [Assert("FALSE", f"No such file or directory: {eng.root}")],
+                retries=5,
+            )
+    finally:
+        eng._reclassify_race = orig
+    assert calls == 0  # never entered the reclassify-and-replay path
+
+
 def test_assert_rejects_malformed(eng):
     with pytest.raises(ValueError, match="optional trailing"):
         eng.sql_dml("ASSERT TRUE, 'a', 'b'")

@@ -121,6 +121,162 @@ def test_offset_and_limit(res):
     assert rows(got) == [(30,)]
 
 
+def test_join_string_shorthand_coalesces_key(res, spark):
+    """`"on": ["pid"]` (same-name shorthand) must leave ONE usable key
+    column — later pipeline ops referencing it previously died with
+    AMBIGUOUS_REFERENCE."""
+    got = xtql_with_resolver(
+        res,
+        [
+            {"from": "people", "bind": ["pid", "name"]},
+            {"join": {"from": "tagged"}, "on": ["pid"]},
+            {"where": [[">", "pid", 0]]},  # references the joined key
+            {"with": {"pid2": ["*", "pid", 2]}},
+            {"order-by": ["pid"]},
+            {"return": ["pid", "pid2", "name"]},
+        ],
+    )
+    assert rows(got) == [(1, 2, "ada"), (2, 4, "bob")]
+
+
+def test_self_join_same_name_shorthand(res):
+    """Self-join through the shorthand: same-lineage column resolution
+    used to make df[l]==other[r] ambiguous."""
+    got = xtql_with_resolver(
+        res,
+        [
+            {"from": "people", "bind": ["dept", "pid"]},
+            {"join": [{"from": "people", "bind": ["dept"]},
+                      {"aggregate": {"dept_n": ["count"]},
+                       "group": ["dept"]}],
+             "on": ["dept"]},
+            {"order-by": ["pid"]},
+            {"return": ["pid", "dept_n"]},
+        ],
+    )
+    assert rows(got) == [(1, 2), (2, 2), (3, 1)]
+
+
+def test_mixed_on_pairs_with_same_name_pair(res, spark):
+    other = spark.createDataFrame(
+        [(10, 1, "x"), (10, 3, "y")], "dept int, p int, tag string"
+    )
+    got = xtql_with_resolver(
+        lambda t: {"people": res("people"), "o": other}[t],
+        [
+            {"from": "people", "bind": ["pid", "dept", "name"]},
+            {"join": {"from": "o"}, "on": ["dept", ["pid", "p"]]},
+            {"order-by": ["pid"]},
+            {"return": ["pid", "dept", "tag"]},
+        ],
+    )
+    assert rows(got) == [(1, 10, "x")]
+
+
+def test_where_exists_and_not_exists(res):
+    has_tags = [
+        {"from": "people", "bind": ["pid", "name"]},
+        {"where": [["exists",
+                    [{"from": "tagged"}, {"unnest": {"tag": "tags"}}],
+                    ["pid"]]]},
+        {"order-by": ["name"]},
+        {"return": ["name"]},
+    ]
+    assert rows(xtql_with_resolver(res, has_tags)) == [("ada",)]
+    no_tags = [
+        {"from": "people", "bind": ["pid", "name"]},
+        {"where": [["not-exists",
+                    [{"from": "tagged"}, {"unnest": {"tag": "tags"}}],
+                    ["pid"]]]},
+        {"order-by": ["name"]},
+        {"return": ["name"]},
+    ]
+    assert rows(xtql_with_resolver(res, no_tags)) == [("bob",), ("eve",)]
+
+
+def test_where_exists_plan_is_semi_join_not_nested_loop(res):
+    got = xtql_with_resolver(
+        res,
+        [
+            {"from": "people", "bind": ["pid", "name"]},
+            {"where": [["exists", {"from": "tagged"}, ["pid"]]]},
+        ],
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_temporal_bind_at_and_between(spark):
+    """Per-from for-valid-time/for-system-time (XTDB-v2 spelling)
+    against a versioned relation with the engine's temporal columns."""
+    from core2_spark import temporal as bt
+
+    v1 = bt.put(
+        spark.createDataFrame([(1, "old")], "id int, v string"),
+        tx_time="2024-01-01",
+        app_start="2024-01-01", app_end="2024-06-01",
+    )
+    v2 = bt.put(
+        spark.createDataFrame([(1, "new")], "id int, v string"),
+        tx_time="2024-03-01",
+        app_start="2024-03-01", app_end="2024-06-01",
+    )
+    versions = bt.close_system_versions(v1.unionByName(v2))
+    res2 = lambda t: {"vt": versions}[t]  # noqa: E731
+    at = lambda s, t: rows(xtql_with_resolver(res2, [  # noqa: E731
+        {"from": "vt",
+         "for-system-time": ["at", s], "for-valid-time": ["at", t],
+         "bind": ["id", "v"]},
+    ]))
+    # before the correction was known: old; after: new shadows it
+    assert at("2024-02-01", "2024-04-01") == [(1, "old")]
+    assert at("2024-04-01", "2024-04-01") == [(1, "new")]
+    # lead-closure semantics: once v2 is known it closes v1's system
+    # period entirely, so an earlier valid time reads nothing
+    assert at("2024-04-01", "2024-02-01") == []
+    ranged = rows(xtql_with_resolver(res2, [
+        {"from": "vt", "for-system-time": "all-time",
+         "for-valid-time": ["from", "2024-01-15", "to", "2024-02-15"],
+         "bind": ["id", "v"]},
+    ]))
+    assert ranged == [(1, "old")]
+    in_form = rows(xtql_with_resolver(res2, [
+        {"from": "vt", "for-system-time": ["in", "2024-01-01", "2024-02-01"],
+         "bind": ["id", "v"]},
+    ]))
+    assert in_form == [(1, "old")]
+
+
+def test_temporal_bind_requires_version_columns(res):
+    with pytest.raises(ValueError, match="versioned"):
+        xtql_with_resolver(
+            res,
+            [{"from": "people", "for-valid-time": ["at", "2024-01-01"]}],
+        )
+
+
+def test_pull_op(res, spark):
+    got = xtql_with_resolver(
+        res,
+        [
+            {"from": "people", "bind": ["name", "dept"]},
+            {"pull": {"on": "dept", "from": "depts", "id": "did",
+                      "attrs": ["dname"],
+                      "rels": [{"table": "people", "fk": "dept",
+                                "attrs": ["name", "age"],
+                                "order": "name", "as": "colleagues"}],
+                      "as": "doc"}},
+            {"order-by": ["name"]},
+            {"return": ["name", "doc"]},
+        ],
+    )
+    out = {r["name"]: r["doc"].asDict(True) for r in got.collect()}
+    assert out["ada"]["dname"] == "eng"
+    assert [m["name"] for m in out["ada"]["colleagues"]] == ["ada", "bob"]
+    assert [m["name"] for m in out["eve"]["colleagues"]] == ["eve"]
+
+
 @pytest.mark.parametrize(
     "pipeline, msg",
     [
