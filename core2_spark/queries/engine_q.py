@@ -875,3 +875,86 @@ def engine_dml_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.db().sql(
         "SELECT id, name, regionkey FROM nations ORDER BY id"
     )
+
+
+@query(
+    "engine_dml_records_mixed_types",
+    oracle="""
+    SELECT n_nationkey AS id, n_name AS name,
+           CASE WHEN n_nationkey % 2 = 0 THEN CAST(n_nationkey AS DOUBLE)
+                ELSE n_nationkey + 0.5 END AS x,
+           CASE WHEN n_nationkey >= 10 THEN NULL
+                WHEN n_nationkey % 2 = 1 THEN CAST(n_nationkey * 2 AS DOUBLE)
+                ELSE n_nationkey * 2 + 0.25 END AS y
+    FROM nation
+    ORDER BY id
+    """,
+)
+def engine_dml_records_mixed_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECORDS batches whose keys MIX int and float literals across
+    records (x: even ids are bare ints, odd ids carry .5) must promote
+    to DOUBLE with the raw ints coerced — the reference's dynamic
+    typing accepts the batch; aborting the tx was a bug.  Exercised on
+    both the INSERT RECORDS and PATCH RECORDS paths."""
+    from core2_spark.engine import Engine
+
+    rows = sorted(
+        (r["id"], r["name"])
+        for r in _nation_rows(spark, sf_dir).collect()  # 25 rows, bounded
+    )
+    eng = Engine(spark, tempfile.mkdtemp(prefix="engine_q_recmix_"))
+    recs = ", ".join(
+        f"{{id: {i}, name: '{n}', x: {i if i % 2 == 0 else i + 0.5}}}"
+        for i, n in rows
+    )
+    eng.sql_dml(f"INSERT INTO t RECORDS {recs}", tx_time="2024-01-01 00:00:01")
+    patch = ", ".join(
+        f"{{id: {i}, y: {i * 2 if i % 2 == 1 else i * 2 + 0.25}}}"
+        for i, _ in rows
+        if i < 10
+    )
+    eng.sql_dml(f"PATCH INTO t RECORDS {patch}", tx_time="2024-01-01 00:00:02")
+    return eng.db().sql("SELECT id, name, x, y FROM t ORDER BY id")
+
+
+@query(
+    "engine_tx_assert_clock_rollback",
+    oracle="""
+    SELECT n_nationkey AS id, n_name AS name FROM nation
+    UNION ALL
+    SELECT n_nationkey + 100 AS id, n_name AS name
+    FROM nation WHERE n_regionkey = 2
+    ORDER BY id
+    """,
+)
+def engine_tx_assert_clock_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An aborted ASSERT must leave NO trace — including the logical
+    transaction clock, which _next_tx_time advances before op
+    expansion: re-submitting with the SAME explicit tx_time has to
+    succeed (previously it was spuriously rejected as 'at or before
+    the head')."""
+    from core2_spark.engine import Engine, Put, TxAssertionError
+
+    nation = _nation_rows(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="engine_q_clock_"))
+    eng.submit_tx([Put("t", nation)], tx_time="2024-01-01 00:00:01")
+    try:
+        eng.sql_dml_many(
+            [
+                "ASSERT (SELECT COUNT(*) FROM t) = 0, 'expected empty'",
+                "INSERT INTO t SELECT id + 100 AS id, name, regionkey "
+                "FROM t",
+            ],
+            tx_time="2024-01-01 00:00:02",
+        )
+    except TxAssertionError:
+        pass  # aborted: zero rows written, clock rolled back
+    eng.sql_dml_many(
+        [
+            "ASSERT (SELECT COUNT(*) FROM t) > 0",
+            "INSERT INTO t SELECT id + 100 AS id, name, regionkey "
+            "FROM t WHERE regionkey = 2",
+        ],
+        tx_time="2024-01-01 00:00:02",  # SAME time as the aborted tx
+    )
+    return eng.db().sql("SELECT id, name FROM t ORDER BY id")

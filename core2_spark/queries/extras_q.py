@@ -1213,3 +1213,373 @@ def sql_nest_many_nest_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY cust
         """
     )
+
+
+# -- round 8: XTQL depth — temporal binds, exists/not-exists, pull ----
+#
+# The XTDB-v2 pipeline language's temporal surface (per-from
+# for-valid-time / for-system-time, reference README.adoc:11,13-15)
+# and its subquery forms, compiled by core2_spark/xtql.py onto the
+# same audited DataFrame algebra as the SQL dialect.
+
+
+def _xtql_versions_resolver(spark: SparkSession, sf_dir: str):
+    """Resolver exposing the catalog tables plus the deterministic
+    bitemporal order-versions relation both engines can replay (same
+    derivation as queries/temporal_q.py, so the DuckDB oracle checks
+    the full visibility semantics)."""
+    from core2_spark.catalog import load_table
+    from core2_spark.queries.temporal_q import _versions
+
+    def resolve(name: str) -> DataFrame:
+        if name == "order_versions":
+            return _versions(spark, sf_dir)
+        return load_table(spark, sf_dir, name)
+
+    return resolve
+
+
+@query(
+    "xtql_temporal_asof",
+    oracle="""
+    WITH raw_versions AS (
+        SELECT o_orderkey AS id, o_orderstatus,
+               o_totalprice                    AS price,
+               o_orderdate                     AS system_time_start,
+               o_orderdate                     AS app_time_start,
+               o_orderdate + INTERVAL 30 DAY  AS app_time_end
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey AS id, o_orderstatus,
+               o_totalprice * 0.9             AS price,
+               o_orderdate + INTERVAL 5 DAY   AS system_time_start,
+               o_orderdate                    AS app_time_start,
+               o_orderdate + INTERVAL 30 DAY  AS app_time_end
+        FROM orders WHERE o_orderstatus = 'O'
+    ),
+    versions AS (
+        SELECT *,
+               COALESCE(LEAD(system_time_start) OVER
+                          (PARTITION BY id ORDER BY system_time_start),
+                        TIMESTAMP '9999-12-31 00:00:00') AS system_time_end
+        FROM raw_versions
+    )
+    SELECT id, ROUND(price, 4) AS price,
+           CAST(app_time_start AS DATE) AS valid_from
+    FROM versions
+    WHERE system_time_start <= TIMESTAMP '1999-06-01'
+      AND TIMESTAMP '1999-06-01' < system_time_end
+      AND app_time_start <= TIMESTAMP '1999-06-15'
+      AND TIMESTAMP '1999-06-15' < app_time_end
+    """,
+)
+def xtql_temporal_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XTQL per-from temporal binds (XTDB v2's `(at t)` options on
+    `from`): both axes pinned at one basis — the pipeline spelling of
+    FOR SYSTEM_TIME AS OF / FOR VALID_TIME AS OF, compiled to the same
+    pushed-down period predicates as the SQL dialect."""
+    from core2_spark.xtql import xtql_with_resolver
+
+    return xtql_with_resolver(
+        _xtql_versions_resolver(spark, sf_dir),
+        [
+            {
+                "from": "order_versions",
+                "for-system-time": ["at", "1999-06-01"],
+                "for-valid-time": ["at", "1999-06-15"],
+                "bind": ["id", "price", "app_time_start"],
+            },
+            {"with": {"price_r": ["round", "price", 4],
+                      "valid_from": ["cast", "app_time_start", "date"]}},
+            {"return": ["id", {"price_r": "price"}, "valid_from"]},
+        ],
+    )
+
+
+@query(
+    "xtql_temporal_between",
+    oracle="""
+    WITH raw_versions AS (
+        SELECT o_orderkey AS id,
+               o_totalprice                    AS price,
+               o_orderdate                     AS system_time_start,
+               o_orderdate                     AS app_time_start,
+               o_orderdate + INTERVAL 30 DAY  AS app_time_end
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey AS id,
+               o_totalprice * 0.9             AS price,
+               o_orderdate + INTERVAL 5 DAY   AS system_time_start,
+               o_orderdate                    AS app_time_start,
+               o_orderdate + INTERVAL 30 DAY  AS app_time_end
+        FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT id, ROUND(price, 4) AS price,
+           CAST(app_time_start AS DATE) AS valid_from
+    FROM raw_versions
+    WHERE app_time_start < TIMESTAMP '1999-08-01'
+      AND app_time_end   > TIMESTAMP '1999-07-01'
+    """,
+)
+def xtql_temporal_between_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XTQL `(from lo to hi)` valid-time bind + `:all-time` system
+    bind: all versions whose validity overlaps the window, across the
+    whole known history."""
+    from core2_spark.xtql import xtql_with_resolver
+
+    return xtql_with_resolver(
+        _xtql_versions_resolver(spark, sf_dir),
+        [
+            {
+                "from": "order_versions",
+                "for-system-time": "all-time",
+                "for-valid-time": ["from", "1999-07-01", "to", "1999-08-01"],
+                "bind": ["id", "price", "app_time_start"],
+            },
+            {"with": {"price_r": ["round", "price", 4],
+                      "valid_from": ["cast", "app_time_start", "date"]}},
+            {"return": ["id", {"price_r": "price"}, "valid_from"]},
+        ],
+    )
+
+
+@query(
+    "xtql_where_exists",
+    oracle="""
+    SELECT c_custkey AS cust, c_acctbal AS bal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 200000.0)
+    ORDER BY cust
+    """,
+)
+def xtql_where_exists_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XTQL `exists?` subquery in `where` (a correlated sub-pipeline +
+    correlation column pairs) — compiles to ONE left_semi hash join,
+    never a per-row subquery (plan-pinned in tests/test_xtql.py)."""
+    from core2_spark import xtql
+
+    return xtql.q(
+        spark,
+        sf_dir,
+        [
+            {"from": "customer", "bind": ["c_custkey", "c_acctbal"]},
+            {"where": [[
+                "exists",
+                [
+                    {"from": "orders", "bind": ["o_custkey", "o_totalprice"]},
+                    {"where": [[">", "o_totalprice", 200000.0]]},
+                ],
+                [["c_custkey", "o_custkey"]],
+            ]]},
+            {"order-by": ["c_custkey"]},
+            {"return": [{"c_custkey": "cust"}, {"c_acctbal": "bal"}]},
+        ],
+    )
+
+
+@query(
+    "xtql_where_not_exists",
+    oracle="""
+    SELECT c_custkey AS cust, c_mktsegment AS segment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000.0)
+    ORDER BY cust
+    """,
+)
+def xtql_where_not_exists_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XTQL `not-exists?`: customers with no high-value order (the
+    TPC-H q22 shape) via left_anti — the sub-pipeline's own filter
+    applies before the anti-join."""
+    from core2_spark import xtql
+
+    return xtql.q(
+        spark,
+        sf_dir,
+        [
+            {"from": "customer", "bind": ["c_custkey", "c_mktsegment"]},
+            {"where": [[
+                "not-exists",
+                [
+                    {"from": "orders", "bind": ["o_custkey", "o_totalprice"]},
+                    {"where": [[">", "o_totalprice", 300000.0]]},
+                ],
+                [["c_custkey", "o_custkey"]],
+            ]]},
+            {"order-by": ["c_custkey"]},
+            {"return": [{"c_custkey": "cust"}, {"c_mktsegment": "segment"}]},
+        ],
+    )
+
+
+@query(
+    "xtql_pull_projection",
+    oracle="""
+    SELECT c.c_custkey AS cust, c.c_name AS name,
+           COALESCE(o.n, 0) AS n_orders, COALESCE(o.s, '') AS orders_str
+    FROM customer c LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n,
+               string_agg(o_orderkey || ':' || o_orderstatus,
+                          '|' ORDER BY o_orderkey) AS s
+        FROM orders GROUP BY o_custkey
+    ) o ON o.o_custkey = c.c_custkey
+    WHERE c.c_nationkey = 5
+    ORDER BY cust
+    """,
+)
+def xtql_pull_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pull` inside an XTQL pipeline (Datomic-style document
+    projection, reusing the Datalog pull compiler): nation-5 customers
+    with their sorted orders as a nested array<struct>, flattened to a
+    canonical string so DuckDB hash-verifies the nested content."""
+    from core2_spark import xtql
+
+    res = xtql.q(
+        spark,
+        sf_dir,
+        [
+            {"from": "customer", "bind": ["c_custkey", "c_nationkey"]},
+            {"where": [["=", "c_nationkey", 5]]},
+            {"pull": {
+                "on": "c_custkey",
+                "from": "customer",
+                "id": "c_custkey",
+                "attrs": ["c_name"],
+                "rels": [{
+                    "table": "orders",
+                    "fk": "o_custkey",
+                    "attrs": ["o_orderkey", "o_orderstatus"],
+                    "order": "o_orderkey",
+                    "as": "orders",
+                }],
+                "as": "doc",
+            }},
+        ],
+    )
+    entry = lambda o: F.concat(  # noqa: E731
+        o["o_orderkey"].cast("string"), F.lit(":"), o["o_orderstatus"]
+    )
+    return res.select(
+        F.col("c_custkey").alias("cust"),
+        F.col("doc.c_name").alias("name"),
+        F.size("doc.orders").cast("long").alias("n_orders"),
+        F.concat_ws("|", F.transform("doc.orders", entry)).alias("orders_str"),
+    ).orderBy("cust")
+
+
+@query(
+    "xtql_join_shorthand",
+    oracle="""
+    SELECT c.c_custkey AS cust, o.n_orders, o.total
+    FROM customer c JOIN (
+        SELECT o_custkey AS c_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                     + 0.000000001, 4) AS total
+        FROM orders GROUP BY 1
+    ) o USING (c_custkey)
+    WHERE o.n_orders >= 10
+    ORDER BY cust
+    """,
+)
+def xtql_join_shorthand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-name join shorthand (`"on": ["c_custkey"]`): the key
+    COALESCES to one column, so downstream where/with/order-by can
+    reference it — previously this died with AMBIGUOUS_REFERENCE."""
+    from core2_spark import xtql
+
+    return xtql.q(
+        spark,
+        sf_dir,
+        [
+            {"from": "customer", "bind": ["c_custkey"]},
+            {"join": [
+                {"from": "orders",
+                 "bind": [{"o_custkey": "c_custkey"}, "o_totalprice"]},
+                {"with": {"dec_price":
+                          ["cast", "o_totalprice", "decimal(38,6)"]}},
+                {"aggregate": {"n_orders": ["count"],
+                               "dec_total": ["sum", "dec_price"]},
+                 "group": ["c_custkey"]},
+            ], "on": ["c_custkey"]},
+            {"where": [[">=", "n_orders", 10]]},
+            {"with": {"total": [
+                "round",
+                ["+", ["cast", "dec_total", "double"], 0.000000001], 4]}},
+            {"order-by": ["c_custkey"]},
+            {"return": [{"c_custkey": "cust"}, "n_orders", "total"]},
+        ],
+    )
+
+
+@query(
+    "xtql_temporal_join_aggregate",
+    oracle="""
+    WITH raw_versions AS (
+        SELECT o_orderkey AS id,
+               o_totalprice                    AS price,
+               o_orderdate                     AS system_time_start,
+               o_orderdate                     AS app_time_start,
+               o_orderdate + INTERVAL 30 DAY  AS app_time_end
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey AS id,
+               o_totalprice * 0.9             AS price,
+               o_orderdate + INTERVAL 5 DAY   AS system_time_start,
+               o_orderdate                    AS app_time_start,
+               o_orderdate + INTERVAL 30 DAY  AS app_time_end
+        FROM orders WHERE o_orderstatus = 'O'
+    ),
+    versions AS (
+        SELECT *,
+               COALESCE(LEAD(system_time_start) OVER
+                          (PARTITION BY id ORDER BY system_time_start),
+                        TIMESTAMP '9999-12-31 00:00:00') AS system_time_end
+        FROM raw_versions
+    )
+    SELECT o.o_custkey % 10 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(v.price AS DECIMAL(38,6))) AS DOUBLE)
+                 + 0.000000001, 4) AS total
+    FROM versions v JOIN orders o ON o.o_orderkey = v.id
+    WHERE v.system_time_start <= TIMESTAMP '1999-06-01'
+      AND TIMESTAMP '1999-06-01' < v.system_time_end
+      AND v.app_time_start <= TIMESTAMP '1999-06-15'
+      AND TIMESTAMP '1999-06-15' < v.app_time_end
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def xtql_temporal_join_aggregate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal bind composed with the rest of the pipeline: an as-of
+    versions scan joined (shorthand key) to a plain from, bucketed and
+    aggregated — proves the temporal options feed the ordinary
+    operator chain."""
+    from core2_spark.xtql import xtql_with_resolver
+
+    return xtql_with_resolver(
+        _xtql_versions_resolver(spark, sf_dir),
+        [
+            {
+                "from": "order_versions",
+                "for-system-time": ["at", "1999-06-01"],
+                "for-valid-time": ["at", "1999-06-15"],
+                "bind": ["id", "price"],
+            },
+            {"join": {"from": "orders",
+                      "bind": [{"o_orderkey": "id"}, "o_custkey"]},
+             "on": ["id"]},
+            {"with": {"bucket": ["%", "o_custkey", 10],
+                      "dec_price": ["cast", "price", "decimal(38,6)"]}},
+            {"aggregate": {"n": ["count"], "dec_total": ["sum", "dec_price"]},
+             "group": ["bucket"]},
+            {"with": {"total": [
+                "round",
+                ["+", ["cast", "dec_total", "double"], 0.000000001], 4]}},
+            {"order-by": ["bucket"]},
+            {"return": ["bucket", "n", "total"]},
+        ],
+    )

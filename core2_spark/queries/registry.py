@@ -54,16 +54,71 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order for the tail.  Any prefix of the returned dict is then a
 # maximally-informative correctness sample.
 _PRIORITY: list[str] = [
-    # Round 7: freshness rotation (VERDICT r6 task 3).  75 names were
-    # last driver-checked in r1-r3, BEFORE the _row_seq repeatable-read
-    # fix, day-partitioning, and the staging/manifest write path landed.
-    # The gate window (~50 rows) is headed by the new r7 queries (12,
-    # never checked by definition), then every r1-checked name (42) —
-    # at a 50-row window the last ~4 r1 names queue for r8 together
-    # with the r2 (4) and r3 (29) backlog below.  The engine/DML
-    # surface (checked r6) is covered every pytest run by the local
+    # Round 8: LEDGER-CLOSING rotation (VERDICT r7 task 2).  The gate
+    # window (~50 rows) is headed by every name whose latest driver
+    # CORRECTNESS evidence predates round 4 — 8 r1 + 4 r2 + 29 r3 = 41
+    # names that predate the _row_seq repeatable-read fix,
+    # day-partitioning, and the staging/manifest write path — followed
+    # by the 9 new r8 queries (never checked by definition): 50 slots,
+    # filled exactly.  After r8 no registered name's latest driver
+    # evidence predates round 4.  Everything displaced (the r7 batch,
+    # the r4-r6 flagships) is re-proven every pytest run by the local
     # driver-identical parity harness.
-    # -- new in round 7 --
+    # -- last checked round 1 (8) --
+    "pivot_sum_values",
+    "skew_salted_hot_key_agg",
+    "string_functions_extended",
+    "string_regex_functions",
+    "table_literal_values",
+    "time_of_day_encoding",
+    "unpivot_stack",
+    "with_cte_reuse",
+    # -- last checked round 2 (4) --
+    "agg_basic",
+    "agg_rollup",
+    "set_union_all",
+    "window_distribution",
+    # -- last checked round 3 (29) --
+    "corpus_curation_pipeline",
+    "dedup_cluster_canonical",
+    "dedup_ngram_jaccard_lsh",
+    "embedding_quantize_int8",
+    "join_cross",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_nullsafe_equal",
+    "join_semi",
+    "join_theta_nonequi",
+    "temporal_app_from_to",
+    "temporal_asof_system",
+    "temporal_system_from_to",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_predicate",
+    "tpch_q20_potential_promotion",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    # -- new in round 8 (9) --
+    "xtql_temporal_asof",
+    "xtql_temporal_between",
+    "xtql_temporal_join_aggregate",
+    "xtql_where_exists",
+    "xtql_where_not_exists",
+    "xtql_pull_projection",
+    "xtql_join_shorthand",
+    "engine_dml_records_mixed_types",
+    "engine_tx_assert_clock_rollback",
+    # -- displaced: round-7 batch, then the r4+ flagships --
     "engine_sql_with_recursive",
     "sql_asof_join_dialect",
     "sql_asof_left_join_forward",
@@ -80,7 +135,6 @@ _PRIORITY: list[str] = [
     "datalog_pull_nested",
     "ts_gap_fill_interpolate",
     "curation_gopher_quality_rules",
-    # -- last checked round 1 (42) --
     "agg_approx_sketches",
     "agg_array_agg",
     "agg_bool",
@@ -115,51 +169,6 @@ _PRIORITY: list[str] = [
     "like_variants",
     "multi_column_in_subquery",
     "pivot_status_by_priority",
-    "pivot_sum_values",
-    "skew_salted_hot_key_agg",
-    "string_functions_extended",
-    "string_regex_functions",
-    "table_literal_values",
-    "time_of_day_encoding",
-    "unpivot_stack",
-    "with_cte_reuse",
-    # -- last checked round 2 (4) --
-    "agg_basic",
-    "agg_rollup",
-    "set_union_all",
-    "window_distribution",
-    # -- last checked round 3 (29): head fills the r7 window, tail
-    # queues for r8 --
-    "corpus_curation_pipeline",
-    "dedup_cluster_canonical",
-    "dedup_ngram_jaccard_lsh",
-    "embedding_quantize_int8",
-    "join_cross",
-    "join_inner_equi",
-    "join_left_outer",
-    "join_nullsafe_equal",
-    "join_semi",
-    "join_theta_nonequi",
-    "temporal_app_from_to",
-    "temporal_asof_system",
-    "temporal_system_from_to",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_predicate",
-    "tpch_q20_potential_promotion",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    # -- fresher flagships (r4+) re-verify beyond the stale backlog --
     "engine_sql_time_travel",
     "engine_dml_roundtrip",
     "engine_sql_period_overlaps",

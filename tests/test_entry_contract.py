@@ -18,13 +18,24 @@ def test_registry_shape():
     assert all(isinstance(sql, str) and "SELECT" in sql.upper() for sql in os_.values())
 
 
+# The round whose driver CORRECTNESS artifacts the current _PRIORITY
+# rotation was authored against.  The staleness contract below is
+# evaluated ONLY over artifacts from rounds <= this basis: the driver
+# writes the NEXT round's artifact after the builder's last commit, and
+# counting it would make the window's own names trivially fresh and
+# invert the assertion (the round-7 self-invalidation).  Bump this when
+# re-pinning the rotation for a new round.
+_EVIDENCE_BASIS_ROUND = 7
+
+
 def test_priority_prefix_rotates_to_unchecked_tail():
-    """The driver's correctness gate truncates at ~50 entries; round 7
-    rotates for FRESHNESS: the window is headed by the new r7 queries
-    (never driver-checked), then every name whose latest driver
-    CORRECTNESS row predates round 3 — evidence that predates the
-    _row_seq fix, day-partitioning, and the staging/manifest write
-    path.  Pin that contract."""
+    """The driver's correctness gate truncates at ~50 entries; the
+    rotation keeps it maximally informative: the window holds the
+    names with the OLDEST driver evidence (as of the pinned basis
+    round), then the current round's new queries (never checked), and
+    nothing inside the window may be fresher than anything it
+    displaced.  Round 8: the 41 names last checked r1-r3, then the 9
+    new r8 queries — 50 slots exactly."""
     import glob
     import json
     import os
@@ -43,19 +54,17 @@ def test_priority_prefix_rotates_to_unchecked_tail():
     latest: dict[str, int] = {}
     for f in glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")):
         rnd = int(re.search(r"_r(\d+)", f).group(1))
+        if rnd > _EVIDENCE_BASIS_ROUND:
+            continue  # written after this rotation was authored
         for k, v in json.load(open(f)).items():
             if not v.get("err") or v.get("err") == "no_oracle":
                 latest[k] = max(latest.get(k, 0), rnd)
     if latest:  # driver artifacts present
-        # never-checked names (new this round) head the gate window
+        # never-checked names (new this round) belong in the window
         unchecked = [n for n in names if n not in latest]
         outside = [n for n in unchecked if n not in first50]
         assert not outside, f"never-checked names outside the gate: {outside}"
-        # the window's remaining slots hold the OLDEST evidence first:
-        # nothing inside the window may be fresher than anything the
-        # window displaced (staleness is monotone across the boundary).
-        # r7's 8 new + 42 r1-stale names fill the 50 slots exactly, so
-        # the r2/r3 backlog queues immediately after for the r8 window.
+        # staleness is monotone across the window boundary
         window_rounds = [latest[n] for n in first50 if n in latest]
         displaced = [
             latest[n] for n in names[50 : len(_PRIORITY)] if n in latest
