@@ -59,20 +59,9 @@ CONCURRENCY = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "10"))
 SWEEP_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from core2_spark.queries.registry import all_queries
-    from core2_spark.session import get_spark
-
-    spark = get_spark(
-        app_name="core2-spark-bench",
-        shuffle_partitions=8,
-        extra_conf={
-            "spark.scheduler.mode": "FAIR",
-            "spark.ui.showConsoleProgress": "false",
-        },
-    )
-    queries = all_queries()
+def _bench_tier(spark, queries, sf_dir: str) -> dict:
+    """Warm + sequential best-of-2 + min-of-N concurrent sweep for one
+    scale tier; returns the result block for the JSON line."""
 
     def run(name: str) -> tuple[str, float]:
         t0 = time.perf_counter()
@@ -129,20 +118,59 @@ def main() -> None:
     wall = min(walls)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_sweep_wall",
-                "value": round(wall, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "queries_sequential": queries_sequential,
-                "sweep_walls": walls,
-                "sf": float(sf) if sf else None,
-                "concurrency": CONCURRENCY,
-            }
-        )
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+    return {
+        "value": round(wall, 3),
+        "queries": per_query,
+        "queries_sequential": queries_sequential,
+        "sweep_walls": walls,
+        "sf": sf_num,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from core2_spark.queries.registry import all_queries
+    from core2_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="core2-spark-bench",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.scheduler.mode": "FAIR",
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
+    queries = all_queries()
+
+    result = _bench_tier(spark, queries, sf_dir)
+    out = {
+        "metric": "headline_query_sweep_wall",
+        "unit": "sec",
+        "concurrency": CONCURRENCY,
+        **result,
+    }
+
+    # Scale tier: the sf1 (10×) sweep rides along in the SAME JSON line
+    # so the round artifact tracks scale regressions, not just sf0.1
+    # (PERF.md "measured scaling" moved the ladder into the artifact).
+    # Only when the seeded fixture tier exists (scripts/gen_fixtures.py
+    # writes it; _data/ is not tracked) and the primary tier is the
+    # driver default — a custom SPARK_GRAFT_SF_DIR run stays single-tier.
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", os.path.join(REPO, "_data", "sf1"))
+    if (
+        sf_dir == "/root/testdata/sf0.1"
+        and os.path.isdir(sf1_dir)
+        and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1"
+    ):
+        sf1 = _bench_tier(spark, queries, sf1_dir)
+        sf1["sf"] = 1.0
+        out["sf1"] = sf1
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

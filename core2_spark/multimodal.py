@@ -13,10 +13,14 @@ compressed audio — rice-coded fixed/LPC prediction, all four stereo
 modes on decode; fixed-order-2 + rice encoder), and PCM-16 WAV/RIFF —
 plus deterministic generators for the same formats, so decode →
 feature-extract → resize → frame-sample pipelines run end-to-end on
-real (including really-compressed) bytes.  Remaining formats (MP3,
-non-MJPEG video) raise NotImplementedError at decode time
-(clearly-marked gap: a production deployment swaps the decode
-closures for soundfile/ffmpeg calls — the Spark-side schema,
+real (including really-compressed) bytes.  MP3 (round 8) has a real
+STREAM layer — frame-sync walk, MPEG-1 Layer III header decode,
+bit-reservoir-aware frame lengths, Xing/VBR detection,
+bitrate/duration — with a spec-valid silent-stream generator; its PCM
+reconstruction, and non-MJPEG video, raise NotImplementedError at
+decode time (clearly-marked gap: the ISO Huffman/synthesis-window
+constants aren't derivable, so a production deployment swaps the
+decode closures for soundfile/ffmpeg calls — the Spark-side schema,
 partitioning and batch shapes don't change).
 
 Pickling discipline: every function that runs executor-side is created
@@ -68,6 +72,7 @@ MIME_PNG = "image/png"
 MIME_JPEG = "image/jpeg"
 MIME_AVI = "video/x-msvideo"
 MIME_FLAC = "audio/flac"
+MIME_MP3 = "audio/mpeg"
 
 
 def _codec_fns():
@@ -1149,6 +1154,175 @@ def _codec_fns():
         samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
         return sample_rate, channels, samples.reshape(-1, channels)
 
+    # -- MP3 (MPEG-1 Layer III) stream layer ---------------------------
+    #
+    # Round 8: the MP3 leg is upgraded from an opaque NotImplementedError
+    # to a real STREAM parser — frame-sync walk, header field decode,
+    # side-info sizing, bit-reservoir-aware frame boundaries, Xing/Info
+    # VBR detection, per-stream bitrate/duration — plus a generator of
+    # spec-valid silent streams (zeroed side info means every
+    # part2_3_length is 0, which any conforming decoder plays as
+    # silence).  What is deliberately NOT here: PCM reconstruction.
+    # Layer III audio decode requires the ISO 11172-3 Huffman code
+    # tables and the 512-coefficient synthesis window, which are spec
+    # constants, not derivable — shipping approximations would decode
+    # real MP3s wrongly while claiming otherwise.  ``features`` for
+    # audio/mpeg therefore returns STREAM features (duration, rate,
+    # bitrate, framing), and PCM decode remains the documented
+    # plug-a-native-codec boundary.
+
+    _MP3_BITRATES = (  # MPEG-1 Layer III, kbps, index 1..14 (0=free, 15=bad)
+        None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+    )
+    _MP3_RATES = (44100, 48000, 32000)  # MPEG-1 samplerate index 0..2
+
+    def mp3_frame_header(sample_rate, bitrate_kbps, padding, mono):
+        """4-byte MPEG-1 Layer III header; raises on values outside the
+        MPEG-1 tables."""
+        br = _MP3_BITRATES.index(bitrate_kbps)
+        sr = _MP3_RATES.index(sample_rate)
+        b0 = 0xFF
+        b1 = 0b11111011  # sync(3) | version MPEG-1 (11) | layer III (01) | no CRC (1)
+        b2 = (br << 4) | (sr << 2) | (int(padding) << 1)
+        b3 = (0b11 << 6) if mono else 0  # channel mode; ext/copy/orig/emph = 0
+        return bytes((b0, b1, b2, b3))
+
+    def mp3_parse_header(b):
+        """Decode one 4-byte header (already sync-checked); returns
+        (sample_rate, bitrate_kbps, padding, channels, frame_len) or
+        None for reserved/unsupported field values."""
+        if len(b) < 4 or b[0] != 0xFF or (b[1] & 0xE0) != 0xE0:
+            return None
+        version = (b[1] >> 3) & 0b11
+        layer = (b[1] >> 1) & 0b11
+        if version != 0b11 or layer != 0b01:
+            return None  # only MPEG-1 Layer III
+        br_idx = (b[2] >> 4) & 0xF
+        sr_idx = (b[2] >> 2) & 0b11
+        if br_idx in (0, 15) or sr_idx == 3:
+            return None  # free-format / reserved
+        padding = (b[2] >> 1) & 1
+        mode = (b[3] >> 6) & 0b11
+        channels = 1 if mode == 0b11 else 2
+        bitrate = _MP3_BITRATES[br_idx]
+        sample_rate = _MP3_RATES[sr_idx]
+        # MPEG-1 Layer III: 1152 samples/frame -> 144 * byterate / rate
+        frame_len = (144_000 * bitrate) // sample_rate + padding
+        return sample_rate, bitrate, padding, channels, frame_len
+
+    def parse_mp3(payload):
+        """Walk a Layer III stream frame by frame.  Returns
+        (sample_rate, channels, n_frames, mean_bitrate_kbps,
+        duration_s, is_vbr).  Sync is validated on EVERY frame (a
+        false sync inside payload bytes cannot derail the walk because
+        each header's frame_len lands exactly on the next header);
+        trailing garbage shorter than a header is tolerated, anything
+        else raises."""
+        i, n = 0, len(payload)
+        # permissive lead-in: skip ID3v2 if present (10-byte header,
+        # syncsafe length), else require sync at offset 0
+        if payload[:3] == b"ID3" and n >= 10:
+            size = 0
+            for k in range(6, 10):
+                size = (size << 7) | (payload[k] & 0x7F)
+            i = 10 + size
+        sample_rate = channels = None
+        bitrates = []
+        frames = 0
+        xing_frames = None
+        while i + 4 <= n:
+            h = mp3_parse_header(payload[i : i + 4])
+            if h is None:
+                raise ValueError(
+                    f"MP3: lost frame sync at byte {i} "
+                    f"({payload[i:i+4].hex()})"
+                )
+            sr, br, _pad, ch, flen = h
+            if sample_rate is None:
+                sample_rate, channels = sr, ch
+                # Xing/Info VBR tag sits after the side info of frame 0
+                side = 17 if ch == 1 else 32
+                tag_at = i + 4 + side
+                tag = payload[tag_at : tag_at + 4]
+                if tag in (b"Xing", b"Info"):
+                    flags = int.from_bytes(
+                        payload[tag_at + 4 : tag_at + 8], "big"
+                    )
+                    if flags & 0x1:  # frame-count field present
+                        xing_frames = int.from_bytes(
+                            payload[tag_at + 8 : tag_at + 12], "big"
+                        )
+            elif sr != sample_rate or ch != channels:
+                raise ValueError("MP3: sample rate / mode change mid-stream")
+            bitrates.append(br)
+            frames += 1
+            if i + flen > n:
+                raise ValueError(
+                    f"MP3: truncated final frame at byte {i} "
+                    f"(need {flen}, have {n - i})"
+                )
+            i += flen
+        if frames == 0:
+            raise ValueError("MP3: no frames")
+        is_vbr = len(set(bitrates)) > 1 or xing_frames is not None
+        audio_frames = frames - (1 if xing_frames is not None else 0)
+        duration = audio_frames * 1152.0 / sample_rate
+        mean_br = sum(bitrates) / len(bitrates)
+        return sample_rate, channels, audio_frames, mean_br, duration, is_vbr
+
+    def make_mp3(n_frames, sample_rate, bitrate_kbps, seed, vbr=False,
+                 xing=False):
+        """Deterministic spec-valid SILENT Layer III mono stream: each
+        frame is header + 17 zero side-info bytes + zero main data
+        (all part2_3_length fields are 0 -> a conforming decoder
+        outputs 1152 zero samples per frame).  ``vbr`` alternates the
+        bitrate among adjacent table entries, exercising per-frame
+        frame-length recomputation in the parser; ``xing`` writes a
+        Xing tag (frame-count flag) into the first frame's main-data
+        region, the real-world VBR marker."""
+        idx = _MP3_BITRATES.index(bitrate_kbps)
+        out = []
+        for f in range(n_frames):
+            br = bitrate_kbps
+            if vbr:
+                br = _MP3_BITRATES[max(1, min(14, idx + ((f + seed) % 3) - 1))]
+            # 44100 Hz has a non-integral byte rate; real encoders
+            # alternate the padding bit to keep the average exact.  The
+            # header self-describes each frame's length, so ANY pattern
+            # is spec-valid — alternate deterministically to exercise
+            # both padded and unpadded frame walks in the parser.
+            rem = (144_000 * br) % sample_rate
+            padding = 1 if rem and (f + seed) % 2 == 0 else 0
+            flen = (144_000 * br) // sample_rate + padding
+            frame = bytearray(mp3_frame_header(sample_rate, br, padding, True))
+            frame += b"\x00" * (flen - 4)
+            if xing and f == 0:
+                # after the (mono) 17-byte side info: magic + flags +
+                # the count of AUDIO frames that follow this tag frame
+                tag = b"Xing" + (0x1).to_bytes(4, "big") + (
+                    n_frames - 1
+                ).to_bytes(4, "big")
+                frame[4 + 17 : 4 + 17 + len(tag)] = tag
+            out.append(bytes(frame))
+        return b"".join(out)
+
+    def mp3_stream_features(sample_rate, channels, n_frames, mean_br,
+                            duration, is_vbr):
+        """8-dim STREAM feature contract for audio/mpeg (no PCM path —
+        see the block comment): [duration_s, sample_rate, channels,
+        mean_bitrate_kbps, n_frames, is_vbr, bytes_per_frame_mean,
+        samples_per_frame]."""
+        return [
+            float(duration),
+            float(sample_rate),
+            float(channels),
+            float(mean_br),
+            float(n_frames),
+            1.0 if is_vbr else 0.0,
+            float((144_000 * mean_br) / sample_rate),
+            1152.0,
+        ]
+
     # -- features ------------------------------------------------------
 
     def image_features(w, h, px):
@@ -1210,11 +1384,16 @@ def _codec_fns():
             return audio_features(*decode_flac(payload))
         if mime == MIME_AVI:
             return video_features(*decode_avi(payload))
+        if mime == MIME_MP3:
+            # STREAM features from the real frame parser (duration,
+            # rate, framing, VBR) — PCM decode stays a native-codec
+            # boundary, see the MP3 block comment above
+            return mp3_stream_features(*parse_mp3(payload))
         raise NotImplementedError(
-            f"no pure-Python decoder for {mime!r}; MP3 and non-MJPEG video "
-            "codecs are not present in this container — plug soundfile/"
-            "ffmpeg here in a real deployment, or pass fake=True for the "
-            "histogram stub"
+            f"no pure-Python decoder for {mime!r}; MP3 PCM reconstruction "
+            "and non-MJPEG video codecs are not present in this container "
+            "— plug soundfile/ffmpeg here in a real deployment, or pass "
+            "fake=True for the histogram stub"
         )
 
     # -- transforms ----------------------------------------------------
@@ -1322,6 +1501,11 @@ def _codec_fns():
         "make_avi": make_avi,
         "make_flac": make_flac,
         "make_wav": make_wav,
+        "make_mp3": make_mp3,
+        "parse_mp3": parse_mp3,
+        "mp3_stream_features": mp3_stream_features,
+        "mp3_frame_header": mp3_frame_header,
+        "mp3_parse_header": mp3_parse_header,
     }
 
 
@@ -1449,7 +1633,7 @@ def generate_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     fns = _codec_fns()
     make_ppm, make_bmp, make_wav = fns["make_ppm"], fns["make_bmp"], fns["make_wav"]
     make_png, make_jpeg, make_avi = fns["make_png"], fns["make_jpeg"], fns["make_avi"]
-    make_flac = fns["make_flac"]
+    make_flac, make_mp3 = fns["make_flac"], fns["make_mp3"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1457,19 +1641,19 @@ def generate_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
             for mid in pdf[id_col]:
                 mid = int(mid)
                 w, h = 16 + mid % 17, 12 + mid % 13
-                if mid % 7 == 0:
+                if mid % 8 == 0:
                     payload, mime = make_ppm(w, h, mid), MIME_PPM
                     meta = {"width": w, "height": h, "duration_ms": None}
-                elif mid % 7 == 1:
+                elif mid % 8 == 1:
                     payload, mime = make_bmp(w, h, mid), MIME_BMP
                     meta = {"width": w, "height": h, "duration_ms": None}
-                elif mid % 7 == 2:
+                elif mid % 8 == 2:
                     payload, mime = make_png(w, h, mid), MIME_PNG
                     meta = {"width": w, "height": h, "duration_ms": None}
-                elif mid % 7 == 3:
+                elif mid % 8 == 3:
                     payload, mime = make_jpeg(w, h, mid), MIME_JPEG
                     meta = {"width": w, "height": h, "duration_ms": None}
-                elif mid % 7 == 5:
+                elif mid % 8 == 5:
                     n_frames, fps = 3 + mid % 5, 10.0
                     payload, mime = make_avi(w, h, n_frames, fps, mid), MIME_AVI
                     meta = {
@@ -1477,13 +1661,28 @@ def generate_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
                         "height": h,
                         "duration_ms": int(n_frames * 1000 / fps),
                     }
-                elif mid % 7 == 6:
+                elif mid % 8 == 6:
                     n = 800 + (mid % 5) * 160
                     payload, mime = make_flac(n, 8000, 440, mid), MIME_FLAC
                     meta = {
                         "width": None,
                         "height": None,
                         "duration_ms": int(n * 1000 / 8000),
+                    }
+                elif mid % 8 == 7:
+                    nf = 3 + mid % 4
+                    payload = make_mp3(
+                        nf, 44100, 128, mid, vbr=mid % 2 == 1,
+                        xing=mid % 2 == 1,
+                    )
+                    mime = MIME_MP3
+                    # Xing streams carry nf-1 audio frames (frame 0 is
+                    # the tag); duration reflects the audio frames
+                    audio_nf = nf - 1 if mid % 2 == 1 else nf
+                    meta = {
+                        "width": None,
+                        "height": None,
+                        "duration_ms": int(audio_nf * 1152 * 1000 / 44100),
                     }
                 else:
                     n = 800 + (mid % 7) * 160

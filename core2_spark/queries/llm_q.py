@@ -669,10 +669,12 @@ def multimodal_video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multimodal_audio_features")  # rows-only: real audio decode
 def multimodal_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round 6: audio legs (PCM WAV and losslessly-compressed FLAC)
-    decoded by the pure-Python codecs under mapInPandas — both formats
-    flow through the same audio_features contract, features exploded
-    to scalar columns."""
+    """Audio legs under mapInPandas: PCM WAV and losslessly-compressed
+    FLAC decode to signal features (round 6); MPEG-1 Layer III (round
+    8) flows through the real frame parser to STREAM features —
+    duration/rate/bitrate/framing, PCM decode being the documented
+    native-codec boundary.  All three ride the same 8-wide feature
+    contract, exploded to scalar columns."""
     from core2_spark import multimodal
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]

@@ -374,6 +374,30 @@ def test_http_xtql_endpoint(spark, engine):
         assert got["columns"] == ["sym", "total"]
         assert got["rows"] == [["AAPL", 150.0], ["MSFT", 200.0]]
 
+        # round-8 ops over the wire: a not-exists sub-pipeline (JSON
+        # arrays arrive as the same lists xtql.py compiles)
+        ex = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/xtql",
+            data=json.dumps(
+                {
+                    "query": [
+                        {"from": "trades", "bind": ["id", "sym"]},
+                        {"where": [["not-exists",
+                                    [{"from": "trades",
+                                      "bind": [{"sym": "s2"}, "px"]},
+                                     {"where": [[">", "px", 150.0]]}],
+                                    [["sym", "s2"]]]]},
+                        {"order-by": ["id"]},
+                        {"return": ["id", "sym"]},
+                    ]
+                }
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(ex) as resp:
+            got = json.loads(resp.read())
+        assert got["rows"] == [[1, "AAPL"], [3, "AAPL"]]
+
         # malformed pipelines are 400s, not connection drops
         bad = urllib.request.Request(
             f"http://127.0.0.1:{server.port}/xtql",

@@ -114,14 +114,66 @@ def test_multimodal_fake_decode(spark):
 
 
 def test_multimodal_compressed_codecs_not_implemented(spark):
-    """Formats without a pure-Python decoder (MP3/video — PNG gained a
-    real zlib decoder in round 5, JPEG in round 6) fail loudly."""
+    """Formats without a pure-Python decoder (non-MJPEG video; MP3
+    gained a real STREAM parser in round 8 but garbage bytes must
+    still fail loudly, not parse) raise at decode time."""
     media = spark.createDataFrame(
-        [(1, bytearray(b"x"), "audio/mpeg", (None, None, 1000))],
+        [(1, bytearray(b"x"), "video/mp4", (None, None, 1000))],
         multimodal.MEDIA_SCHEMA,
     )
     with pytest.raises(Exception):
         multimodal.extract_features(media, fake=False).collect()
+    garbage_mp3 = spark.createDataFrame(
+        [(1, bytearray(b"not an mp3 stream"), "audio/mpeg",
+          (None, None, 1000))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception):
+        multimodal.extract_features(garbage_mp3, fake=False).collect()
+
+
+def test_mp3_stream_roundtrip():
+    """MPEG-1 Layer III stream layer: generated silent streams parse
+    back to their exact structure — CBR without padding (48 kHz), CBR
+    with alternating padding (44.1 kHz), VBR with a Xing tag — and
+    corrupt/truncated streams fail loudly at the right byte."""
+    fns = multimodal._codec_fns()
+    make, parse = fns["make_mp3"], fns["parse_mp3"]
+
+    # 48 kHz: 144000*128/48000 = 384 exactly, no padding ever
+    sr, ch, nf, br, dur, vbr = parse(make(5, 48000, 128, seed=1))
+    assert (sr, ch, nf, br, vbr) == (48000, 1, 5, 128.0, False)
+    assert abs(dur - 5 * 1152 / 48000) < 1e-9
+
+    # 44.1 kHz: non-integral byte rate, padding alternates per frame
+    payload = make(6, 44100, 128, seed=2)
+    sr, ch, nf, br, dur, vbr = parse(payload)
+    assert (sr, ch, nf, br, vbr) == (44100, 1, 6, 128.0, False)
+
+    # VBR + Xing: frame 0 is the tag frame, 7 audio frames follow
+    payload = make(8, 44100, 128, seed=3, vbr=True, xing=True)
+    sr, ch, nf, br, dur, vbr = parse(payload)
+    assert (sr, ch, nf) == (44100, 1, 7)
+    assert vbr is True
+    assert abs(dur - 7 * 1152 / 44100) < 1e-9
+
+    # ID3v2 lead-in is skipped (10-byte header, syncsafe size)
+    body = make(3, 32000, 64, seed=4)
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+    assert parse(id3 + body)[2] == 3
+
+    # stream features ride the 8-wide contract
+    feat = fns["features"](make(5, 48000, 128, seed=1), multimodal.MIME_MP3)
+    assert len(feat) == 8
+    assert feat[1] == 48000.0 and feat[3] == 128.0 and feat[7] == 1152.0
+
+    # truncation mid-frame and sync loss both raise with a position
+    with pytest.raises(ValueError, match="truncated"):
+        parse(make(4, 48000, 128, seed=1)[:-10])
+    clean = bytearray(make(3, 48000, 128, seed=1))
+    clean[384] = 0x00  # clobber the second frame's sync byte
+    with pytest.raises(ValueError, match="sync at byte 384"):
+        parse(bytes(clean))
 
 
 def test_multimodal_codec_roundtrips():
@@ -164,7 +216,7 @@ def test_multimodal_real_pipeline(spark):
 
     images = media.filter(media.mime.startswith("image/"))
     resized = multimodal.resize_images(images, 8, 8).collect()
-    # ids 0..11 with id % 7 in (0, 1, 2, 3): PPM/BMP/PNG/JPEG
+    # ids 0..11 with id % 8 in (0, 1, 2, 3): PPM/BMP/PNG/JPEG
     assert len(resized) == 8
     fns = multimodal._codec_fns()
     for r in resized:
