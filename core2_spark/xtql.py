@@ -41,7 +41,12 @@ frontend), ``return``.
 Expressions are ``[op, operand, ...]`` lists: strings are COLUMN
 references, numbers/booleans/None are literals, and ``["lit", x]``
 wraps a literal string.  Scalar ops: comparison/arithmetic/bool,
-``like``, ``lower``/``upper``, ``coalesce``, ``%``.
+``like``, ``lower``/``upper``/``trim``/``length``/``concat``/
+``substring``/``replace``/``starts-with``/``ends-with``, ``abs``,
+``extract`` (year..second), ``coalesce``, ``if``, ``in``, ``null?``/
+``not-null?``, ``greatest``/``least``, ``cast``, ``round``, ``%`` —
+all compiling to built-in JVM-side column functions (never a Python
+UDF).
 
 Scale notes: ``from`` binds compile to column pruning + pushed
 equality filters (PushedFilters in the scan); ``order-by``+``limit``
@@ -112,11 +117,62 @@ def _expr(e) -> Column:
     if op == "not":
         (a,) = args
         return ~_expr(a)
-    if op in ("lower", "upper"):
+    if op in ("lower", "upper", "trim", "length", "abs"):
         (a,) = args
         return getattr(F, op)(_expr(a))
     if op == "coalesce":
         return F.coalesce(*[_expr(a) for a in args])
+    if op == "concat":
+        return F.concat(*[_expr(a) for a in args])
+    if op == "substring":
+        a, pos, ln = args
+        return F.substring(_expr(a), int(pos), int(ln))
+    if op == "replace":
+        a, find, repl = args
+        if not (isinstance(find, str) and isinstance(repl, str)):
+            raise ValueError("replace needs literal find/replace strings")
+        return F.replace(_expr(a), F.lit(find), F.lit(repl))
+    if op in ("starts-with", "ends-with"):
+        a, pre = args
+        if isinstance(pre, (list, tuple)) and pre and pre[0] == "lit":
+            pre = pre[1]
+        if not isinstance(pre, str):
+            raise ValueError(f"{op} needs a literal string")
+        col = _expr(a)
+        return col.startswith(pre) if op == "starts-with" else col.endswith(pre)
+    if op == "extract":
+        field, a = args
+        fns = {"year": F.year, "month": F.month, "day": F.dayofmonth,
+               "hour": F.hour, "minute": F.minute, "second": F.second}
+        if field not in fns:
+            raise ValueError(f"extract: unknown field {field!r}")
+        return fns[field](_expr(a))
+    if op == "if":
+        cond, then, els = args
+        return F.when(_expr(cond), _expr(then)).otherwise(_expr(els))
+    if op in ("null?", "not-null?"):
+        (a,) = args
+        col = _expr(a)
+        return col.isNull() if op == "null?" else col.isNotNull()
+    if op == "in":
+        a, *vals = args
+        lits = []
+        for v in vals:
+            if isinstance(v, (list, tuple)) and v and v[0] == "lit":
+                lits.append(v[1])
+            elif isinstance(v, str):
+                # a bare string is a COLUMN ref everywhere else in the
+                # expression language — require ["lit", s] here rather
+                # than silently flipping the convention
+                raise ValueError(
+                    "in: wrap literal strings as ['lit', s] "
+                    f"(got bare {v!r})"
+                )
+            else:
+                lits.append(v)
+        return _expr(a).isin(lits)
+    if op in ("greatest", "least"):
+        return getattr(F, op)(*[_expr(a) for a in args])
     if op == "cast":
         a, typ = args
         if not isinstance(typ, str):

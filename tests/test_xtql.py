@@ -121,6 +121,50 @@ def test_offset_and_limit(res):
     assert rows(got) == [(30,)]
 
 
+def test_scalar_expression_library(res):
+    """Round-8 scalar fns: string ops, extract, if/in/null?,
+    greatest/least — all compile to built-in JVM-side functions."""
+    got = xtql_with_resolver(
+        res,
+        [
+            {"from": "people", "bind": ["pid", "name", "age"]},
+            {"with": {
+                "n_len": ["length", "name"],
+                "shout": ["upper", ["concat", "name", ["lit", "!"]]],
+                "ini": ["substring", "name", 1, 2],
+                "fixed": ["replace", "name", "a", "o"],
+                "is_a": ["starts-with", "name", "a"],
+                "tier": ["if", [">=", "age", 30], ["lit", "senior"],
+                         ["lit", "junior"]],
+                "known": ["in", "pid", 1, 3],
+                "hi": ["greatest", "age", 30],
+                "lo": ["least", "age", 30],
+                "nn": ["not-null?", "name"],
+            }},
+            {"order-by": ["pid"]},
+            {"return": ["name", "n_len", "shout", "ini", "fixed", "is_a",
+                        "tier", "known", "hi", "lo", "nn"]},
+        ],
+    )
+    r = {row["name"]: row.asDict() for row in got.collect()}
+    assert r["ada"]["n_len"] == 3 and r["ada"]["shout"] == "ADA!"
+    assert r["ada"]["ini"] == "ad" and r["ada"]["fixed"] == "odo"
+    assert r["ada"]["is_a"] is True and r["bob"]["is_a"] is False
+    assert r["ada"]["tier"] == "senior" and r["eve"]["tier"] == "junior"
+    assert r["ada"]["known"] is True and r["bob"]["known"] is False
+    assert r["eve"]["hi"] == 30 and r["eve"]["lo"] == 25
+    assert all(row["nn"] is True for row in r.values())
+
+
+def test_in_rejects_bare_string_literal(res):
+    with pytest.raises(ValueError, match="lit"):
+        xtql_with_resolver(
+            res,
+            [{"from": "people"},
+             {"where": [["in", "name", "ada"]]}],
+        )
+
+
 def test_join_string_shorthand_coalesces_key(res, spark):
     """`"on": ["pid"]` (same-name shorthand) must leave ONE usable key
     column — later pipeline ops referencing it previously died with
