@@ -528,6 +528,48 @@ def test_auto_refresh_failure_does_not_raise_after_commit(spark, tmp_path):
     shutil.rmtree(os.path.join(engine.root, "_mviews", "agg"))
 
 
+def test_auto_refresh_transient_failure_retries_at_fresh_head(
+    spark, tmp_path, monkeypatch
+):
+    """Round 8: a TRANSIENT auto-refresh failure (the swap-race class —
+    a concurrent vacuum yanked files under the refresh scan) is
+    retried ONCE at the fresh head before surfacing; a first-attempt
+    failure followed by a clean retry leaves last_refresh_errors empty
+    and no RuntimeWarning."""
+    import warnings as w
+
+    from core2_spark import mviews
+
+    engine = Engine(spark, str(tmp_path / "arfr"), auto_refresh_views=True)
+    engine.submit_tx(
+        [Put("t", _rows(spark, [(i, f"g{i % 2}", float(i)) for i in range(6)]))]
+    )
+    engine.create_materialized_view("agg", "t", ["grp"], AGGS)
+
+    calls = {"n": 0}
+    real_refresh = mviews.refresh
+
+    def flaky(eng, name, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileNotFoundError(
+                "PATH_NOT_FOUND: No such file or directory (simulated "
+                "concurrent vacuum swap)"
+            )
+        return real_refresh(eng, name, *a, **k)
+
+    monkeypatch.setattr(mviews, "refresh", flaky)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        engine.submit_tx([Put("t", _rows(spark, [(100, "g0", 9.0)]))])
+    assert calls["n"] == 2  # failed once, retried at the fresh head
+    assert engine.last_refresh_errors == {}
+    assert not any("auto-refresh" in str(c.message) for c in caught)
+    # the retry actually refreshed: the view reflects the new row
+    got = {r["grp"]: r for r in engine.materialized_view("agg").collect()}
+    assert got["g0"]["n"] == 4  # ids 0,2,4 + the new 100
+
+
 def test_mview_reference_case_insensitive(spark, engine):
     """FROM MVIEW_AGG resolves like mview_agg (SQL identifiers fold;
     ADVICE r5: the gate was case-insensitive but the rename was not)."""
