@@ -2463,11 +2463,16 @@ class Snapshot:
 
     def xtql(self, pipeline: list, **asof) -> DataFrame:
         """XTQL pipeline over the same basis-pinned views (the
-        reference's successor query language; see xtql.py)."""
+        reference's successor query language; see xtql.py).  Per-from
+        ``for-system-time``/``for-valid-time`` ``(at t)`` binds forward
+        to Snapshot.table's as-of kwargs — each from gets the engine's
+        rectangle-correct resolution at its own instant, overriding any
+        pipeline-level ``**asof``."""
         from core2_spark import xtql as _xtql
 
         return _xtql.xtql_with_resolver(
-            lambda table: self.table(table, **asof), pipeline
+            lambda table, **kw: self.table(table, **{**asof, **kw}),
+            pipeline,
         )
 
 

@@ -220,18 +220,42 @@ def _temporal_spec_filter(df: DataFrame, spec, start_col: str,
 def _compile_from(resolver, spec: dict) -> DataFrame:
     from core2_spark import temporal as bt
 
-    df = resolver(spec["from"])
-    # per-from temporal binds, applied BEFORE the bind projection so
-    # the version columns need not survive into the pipeline
-    if "for-system-time" in spec:
+    sys_spec = spec.get("for-system-time")
+    app_spec = spec.get("for-valid-time")
+    df = None
+    handled_sys = handled_app = False
+    # ``(at t)`` binds first try a BASIS-AWARE resolver (Snapshot.table
+    # takes per-call system_time/app_time and applies the engine's
+    # rectangle-correct resolution — strictly better than raw column
+    # filters when available); plain lambda resolvers reject the
+    # kwargs and fall through to the column-predicate path below.
+    kw = {}
+    if isinstance(sys_spec, (list, tuple)) and len(sys_spec) == 2 \
+            and sys_spec[0] == "at":
+        kw["system_time"] = sys_spec[1]
+    if isinstance(app_spec, (list, tuple)) and len(app_spec) == 2 \
+            and app_spec[0] == "at":
+        kw["app_time"] = app_spec[1]
+    if kw:
+        try:
+            df = resolver(spec["from"], **kw)
+            handled_sys = "system_time" in kw
+            handled_app = "app_time" in kw
+        except TypeError:
+            df = None
+    if df is None:
+        df = resolver(spec["from"])
+    # remaining temporal binds (range forms, all-time, or a resolver
+    # without basis support) become pushed column predicates, applied
+    # BEFORE the bind projection so the version columns need not
+    # survive into the pipeline
+    if sys_spec is not None and not handled_sys:
         df = _temporal_spec_filter(
-            df, spec["for-system-time"], bt.SYS_START, bt.SYS_END,
-            "for-system-time",
+            df, sys_spec, bt.SYS_START, bt.SYS_END, "for-system-time"
         )
-    if "for-valid-time" in spec:
+    if app_spec is not None and not handled_app:
         df = _temporal_spec_filter(
-            df, spec["for-valid-time"], bt.APP_START, bt.APP_END,
-            "for-valid-time",
+            df, app_spec, bt.APP_START, bt.APP_END, "for-valid-time"
         )
     binds = spec.get("bind")
     if binds is None:

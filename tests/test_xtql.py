@@ -350,6 +350,35 @@ def test_ordered_limit_is_top_k_plan(res):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_snapshot_xtql_per_from_temporal_binds(spark, tmp_path):
+    """On the ENGINE path, per-from `(at t)` binds forward to
+    Snapshot.table's as-of kwargs — rectangle-correct resolution per
+    from, not raw column filters; two froms in one pipeline can read
+    DIFFERENT instants."""
+    from core2_spark.engine import Engine, Put
+
+    eng = Engine(spark, str(tmp_path / "db"))
+    mk = lambda v: spark.createDataFrame([(1, v)], "id long, v string")
+    eng.submit_tx([Put("t", mk("v1"))], tx_time="2024-01-01 00:00:01")
+    eng.submit_tx([Put("t", mk("v2"))], tx_time="2024-02-01 00:00:01")
+    snap = eng.db()
+    # as-of the first commit
+    old = snap.xtql([
+        {"from": "t", "for-system-time": ["at", "2024-01-15 00:00:00"]},
+        {"return": ["v"]},
+    ])
+    assert rows(old) == [("v1",)]
+    # two froms, two instants, joined: old value beside current
+    both = snap.xtql([
+        {"from": "t", "for-system-time": ["at", "2024-01-15 00:00:00"],
+         "bind": ["id", {"v": "v_old"}]},
+        {"join": {"from": "t", "bind": ["id", {"v": "v_now"}]},
+         "on": ["id"]},
+        {"return": ["v_old", "v_now"]},
+    ])
+    assert rows(both) == [("v1", "v2")]
+
+
 def test_snapshot_xtql_basis_pinned(spark, tmp_path):
     """Snapshot.xtql reads the same basis-pinned views as sql/q —
     a later commit is invisible to an earlier snapshot."""
