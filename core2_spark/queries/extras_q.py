@@ -1583,3 +1583,49 @@ def xtql_temporal_join_aggregate_q(spark: SparkSession, sf_dir: str) -> DataFram
             {"return": ["bucket", "n", "total"]},
         ],
     )
+
+
+@query(
+    "xtql_asof_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS click_ts,
+                      ROUND(value, 4) AS click_value
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, c.click_ts, c.click_value
+    FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
+def xtql_asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XTQL ``asof-join`` op: purchases enriched with the user's most
+    recent click — checked against DuckDB's NATIVE ASOF JOIN (an
+    independent implementation), like the SQL dialect twin
+    (`sql_asof_join_dialect`).  Distinct code path: the pipeline op
+    drives operators/asof_join.py's union+window matcher directly;
+    inner semantics via a not-null filter on the matched timestamp."""
+    from core2_spark import xtql
+
+    return xtql.q(
+        spark,
+        sf_dir,
+        [
+            {"from": "events",
+             "bind": ["event_id", "user_id", "ts",
+                      {"event_type": {"=": "purchase"}}]},
+            {"asof-join": [
+                {"from": "events",
+                 "bind": ["user_id", "ts", "value",
+                          {"event_type": {"=": "click"}}]},
+                {"with": {"click_ts": "ts",
+                          "click_value": ["round", "value", 4]}},
+                {"without": ["value"]},
+            ],
+             "on": ["user_id"], "time": "ts",
+             "values": ["click_ts", "click_value"]},
+            # ASOF (inner) semantics: drop left rows with no match
+            {"where": [["not-null?", "click_ts"]]},
+            {"return": ["event_id", "user_id", "ts",
+                        "click_ts", "click_value"]},
+        ],
+    )

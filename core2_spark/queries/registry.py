@@ -108,7 +108,9 @@ _PRIORITY: list[str] = [
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    # -- new in round 8 (9) --
+    # -- new in round 8 (10; the 41+9 above fill the ~50-row gate
+    #    exactly, so the LAST name here queues for the r9 window with
+    #    full local-parity coverage in the meantime) --
     "xtql_temporal_asof",
     "xtql_temporal_between",
     "xtql_temporal_join_aggregate",
@@ -118,6 +120,7 @@ _PRIORITY: list[str] = [
     "xtql_join_shorthand",
     "engine_dml_records_mixed_types",
     "engine_tx_assert_clock_rollback",
+    "xtql_asof_join",
     # -- displaced: round-7 batch, then the r4+ flagships --
     "engine_sql_with_recursive",
     "sql_asof_join_dialect",

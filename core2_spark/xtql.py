@@ -31,8 +31,10 @@ to the same pushed period predicates as the SQL dialect), ``where``
 compiles a correlated sub-pipeline to left_semi/left_anti), ``with``
 (computed columns), ``without`` (drop), ``join`` / ``left-join``
 (sub-pipeline or {"from": ...} + ``on`` column pairs; same-name pairs
-join on the name list so the key coalesces), ``unnest`` (explode an
-array column), ``pull`` (Datomic-style document projection — reuses
+join on the name list so the key coalesces), ``asof-join`` (nearest
+right row per key at-or-before/after each left timestamp — the
+library union+window operator, one shuffle, no range join), ``unnest``
+(explode an array column), ``pull`` (Datomic-style document projection — reuses
 datalog._attach_pull), ``aggregate`` (+ ``group``), ``order-by``,
 ``limit`` / ``offset`` (require an order-by earlier in the pipeline —
 an unordered limit is non-deterministic, same rule as the Datalog
@@ -372,6 +374,41 @@ def xtql_with_resolver(resolver, pipeline: list) -> DataFrame:
                 for l, r in pairs:
                     if l == r:
                         df = df.drop(F.col(f"_xtql_r.{r}"))
+        elif "asof-join" in op:
+            # event-stream enrichment: attach the nearest right row per
+            # key in `direction` — compiles to the library's
+            # union+window operator (ONE shuffle on the keys, no range
+            # join, robust to arbitrarily large key groups)
+            from core2_spark.operators.asof_join import asof_join
+
+            spec = op["asof-join"]
+            other = (
+                _compile_from(resolver, spec)
+                if isinstance(spec, dict)
+                else xtql_with_resolver(resolver, spec)
+            )
+            by = op.get("on")
+            if not by or not all(isinstance(p, str) for p in by):
+                raise ValueError(
+                    "XTQL asof-join: 'on' must list same-name key "
+                    "columns (the matched timestamps are never equality"
+                    "-joined, so there is no pair form)"
+                )
+            ts = op.get("time")
+            values = op.get("values")
+            if not isinstance(ts, str) or not values:
+                raise ValueError(
+                    "XTQL asof-join: 'time' (shared timestamp column) "
+                    "and 'values' (right columns to attach) required"
+                )
+            tol = op.get("tolerance")
+            if isinstance(tol, str):
+                tol = F.expr(tol)
+            df = asof_join(
+                df, other, ts, list(by), list(values),
+                direction=op.get("direction", "backward"),
+                tolerance=tol,
+            )
         elif "unnest" in op:
             (name, src), = op["unnest"].items()
             df = df.withColumn(name, F.explode(F.col(src)))

@@ -60,11 +60,31 @@ def test_priority_prefix_rotates_to_unchecked_tail():
             if not v.get("err") or v.get("err") == "no_oracle":
                 latest[k] = max(latest.get(k, 0), rnd)
     if latest:  # driver artifacts present
-        # never-checked names (new this round) belong in the window
+        # every never-checked name is deliberately placed in _PRIORITY
         unchecked = [n for n in names if n not in latest]
-        outside = [n for n in unchecked if n not in first50]
-        assert not outside, f"never-checked names outside the gate: {outside}"
-        # staleness is monotone across the window boundary
+        unplaced = [n for n in unchecked if n not in _PRIORITY]
+        assert not unplaced, f"never-checked names not in _PRIORITY: {unplaced}"
+        # the priority list is three contiguous zones: stale backlog
+        # (evidence <= r3, the ledger-closing head), then this round's
+        # new queries (never checked), then the fresh (>= r4) names.
+        # The gate window (first ~50) therefore always drains the
+        # oldest evidence first; new queries overflow to the NEXT
+        # round's window only after the stale backlog, never behind a
+        # fresh name.
+        def zone(n: str) -> int:
+            if n not in latest:
+                return 1
+            return 0 if latest[n] <= 3 else 2
+
+        zones = [zone(n) for n in _PRIORITY]
+        assert zones == sorted(zones), (
+            "priority list zones out of order (stale -> new -> fresh): "
+            + str([
+                (n, latest.get(n)) for n, z in zip(_PRIORITY, zones)
+            ][:60])
+        )
+        # and staleness stays monotone across the window boundary for
+        # the CHECKED names
         window_rounds = [latest[n] for n in first50 if n in latest]
         displaced = [
             latest[n] for n in names[50 : len(_PRIORITY)] if n in latest

@@ -251,6 +251,42 @@ def test_where_exists_plan_is_semi_join_not_nested_loop(res):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_asof_join_op(spark):
+    """`asof-join` drives the library union+window matcher: backward
+    nearest match per key, tolerance nulls out distant matches,
+    unmatched left rows survive with NULLs (left semantics by
+    default)."""
+    trades = spark.createDataFrame(
+        [("A", 10, 1), ("A", 25, 2), ("B", 5, 3)], "sym string, t long, tid int"
+    )
+    quotes = spark.createDataFrame(
+        [("A", 8, 1.0), ("A", 20, 2.0), ("B", 50, 9.0)],
+        "sym string, t long, px double",
+    )
+    res = lambda n: {"trades": trades, "quotes": quotes}[n]  # noqa: E731
+    got = xtql_with_resolver(res, [
+        {"from": "trades"},
+        {"asof-join": {"from": "quotes"},
+         "on": ["sym"], "time": "t", "values": ["px"]},
+        {"order-by": ["tid"]},
+        {"return": ["tid", "px"]},
+    ])
+    assert rows(got) == [(1, 1.0), (2, 2.0), (3, None)]
+    tol = xtql_with_resolver(res, [
+        {"from": "trades"},
+        {"asof-join": {"from": "quotes"},
+         "on": ["sym"], "time": "t", "values": ["px"], "tolerance": 3},
+        {"order-by": ["tid"]},
+        {"return": ["tid", "px"]},
+    ])
+    assert rows(tol) == [(1, 1.0), (2, None), (3, None)]
+    with pytest.raises(ValueError, match="time"):
+        xtql_with_resolver(res, [
+            {"from": "trades"},
+            {"asof-join": {"from": "quotes"}, "on": ["sym"]},
+        ])
+
+
 def test_temporal_bind_at_and_between(spark):
     """Per-from for-valid-time/for-system-time (XTDB-v2 spelling)
     against a versioned relation with the engine's temporal columns."""
