@@ -21,9 +21,10 @@ Pipeline representation (Python lists/dicts standing in for the EDN)::
         {"return": ["bucket", "n", "total"]},
     ])
 
-Operators: ``from`` (bind: plain string = bind column under its own
-name, {col: name} = rename, {col: {"=": lit}} = equality match pushed
-into the scan; per-from temporal options ``for-valid-time`` /
+Operators: ``rel`` (inline document-list relation head, the algebra's
+``:table`` — RECORDS-style type inference), ``from`` (bind: plain
+string = bind column under its own name, {col: name} = rename,
+{col: {"=": lit}} = equality match pushed into the scan; per-from temporal options ``for-valid-time`` /
 ``for-system-time`` with ``["at", t]`` / ``["from", lo, "to", hi]`` /
 ``["in", lo, hi]`` / ``"all-time"`` — the XTDB-v2 spelling, compiled
 to the same pushed period predicates as the SQL dialect), ``where``
@@ -85,6 +86,11 @@ _AGGS = {
     "avg": F.avg,
     "min": F.min,
     "max": F.max,
+    "stddev": F.stddev_samp,
+    "variance": F.var_samp,
+    "array-agg": lambda col: F.sort_array(F.collect_list(col)),
+    "bool-and": F.bool_and,
+    "bool-or": F.bool_or,
 }
 
 
@@ -322,9 +328,21 @@ def xtql_with_resolver(resolver, pipeline: list) -> DataFrame:
     if not pipeline:
         raise ValueError("XTQL: empty pipeline")
     head, *rest = pipeline
-    if "from" not in head:
+    if "rel" in head:
+        # inline relation literal (XTQL `rel` / the algebra's `:table`):
+        # a list of documents; reuses the RECORDS type-inference +
+        # int->double coercion so mixed numerics behave like DML
+        from core2_spark.sql_dml import records_to_df
+
+        docs = head["rel"]
+        if not (isinstance(docs, list) and docs
+                and all(isinstance(d, dict) for d in docs)):
+            raise ValueError("XTQL rel: a non-empty list of documents")
+        df = records_to_df(SparkSession.getActiveSession(), docs)
+    elif "from" in head:
+        df = _compile_from(resolver, head)
+    else:
         raise ValueError("XTQL: a pipeline starts with a from op")
-    df = _compile_from(resolver, head)
     ordered = False
     for op in rest:
         if "where" in op:

@@ -251,6 +251,37 @@ def test_where_exists_plan_is_semi_join_not_nested_loop(res):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_rel_literal_head_and_new_aggregates(res, spark):
+    """`rel` starts a pipeline from an inline document list (the
+    algebra's :table), sharing the RECORDS coercion rules; the widened
+    aggregate set (stddev/array-agg/bool-and) compiles to built-ins."""
+    got = xtql_with_resolver(res, [
+        {"rel": [{"g": "a", "v": 1}, {"g": "a", "v": 2.5},
+                 {"g": "b", "v": 4}]},
+        {"aggregate": {"vals": ["array-agg", "v"], "n": ["count"]},
+         "group": ["g"]},
+        {"order-by": ["g"]},
+    ])
+    assert rows(got) == [("a", [1.0, 2.5], 2), ("b", [4.0], 1)]
+    stats = xtql_with_resolver(res, [
+        {"from": "people"},
+        {"with": {"adult": [">=", "age", 18]}},
+        {"aggregate": {"sd": ["stddev", "age"],
+                       "all_adult": ["bool-and", "adult"]}},
+    ])
+    r = stats.collect()[0]
+    assert r["all_adult"] is True and 7.0 < r["sd"] < 9.0
+    # a rel literal can also feed a join against a real table
+    joined = xtql_with_resolver(res, [
+        {"rel": [{"dept": 10, "label": "eng-team"}]},
+        {"join": {"from": "people", "bind": ["dept", "name"]},
+         "on": ["dept"]},
+        {"order-by": ["name"]},
+        {"return": ["name", "label"]},
+    ])
+    assert rows(joined) == [("ada", "eng-team"), ("bob", "eng-team")]
+
+
 def test_asof_join_op(spark):
     """`asof-join` drives the library union+window matcher: backward
     nearest match per key, tolerance nulls out distant matches,
