@@ -2470,10 +2470,12 @@ class Snapshot:
         pipeline-level ``**asof``."""
         from core2_spark import xtql as _xtql
 
-        return _xtql.xtql_with_resolver(
-            lambda table, **kw: self.table(table, **{**asof, **kw}),
-            pipeline,
-        )
+        def resolve(table: str, history: bool = False, **kw) -> DataFrame:
+            if history:  # range/all-time temporal binds: raw versions
+                return self.history(table)
+            return self.table(table, **{**asof, **kw})
+
+        return _xtql.xtql_with_resolver(resolve, pipeline)
 
 
 class _SpeculativeSnapshot(Snapshot):

@@ -237,18 +237,30 @@ def _compile_from(resolver, spec: dict) -> DataFrame:
     # rectangle-correct resolution — strictly better than raw column
     # filters when available); plain lambda resolvers reject the
     # kwargs and fall through to the column-predicate path below.
-    kw = {}
-    if isinstance(sys_spec, (list, tuple)) and len(sys_spec) == 2 \
-            and sys_spec[0] == "at":
-        kw["system_time"] = sys_spec[1]
-    if isinstance(app_spec, (list, tuple)) and len(app_spec) == 2 \
-            and app_spec[0] == "at":
-        kw["app_time"] = app_spec[1]
-    if kw:
+    def _is_at(s) -> bool:
+        return isinstance(s, (list, tuple)) and len(s) == 2 and s[0] == "at"
+
+    all_at = all(s is None or _is_at(s) for s in (sys_spec, app_spec))
+    if all_at:
+        kw = {}
+        if _is_at(sys_spec):
+            kw["system_time"] = sys_spec[1]
+        if _is_at(app_spec):
+            kw["app_time"] = app_spec[1]
+        if kw:
+            try:
+                df = resolver(spec["from"], **kw)
+                handled_sys = "system_time" in kw
+                handled_app = "app_time" in kw
+            except TypeError:
+                df = None
+    elif sys_spec is not None or app_spec is not None:
+        # a range / all-time form needs the raw version rows: on the
+        # engine path that's Snapshot.history (FOR ALL SYSTEM_TIME,
+        # closed periods); every spec — including an at-form mixed
+        # with a range — then applies as pushed column predicates
         try:
-            df = resolver(spec["from"], **kw)
-            handled_sys = "system_time" in kw
-            handled_app = "app_time" in kw
+            df = resolver(spec["from"], history=True)
         except TypeError:
             df = None
     if df is None:

@@ -446,6 +446,31 @@ def test_snapshot_xtql_per_from_temporal_binds(spark, tmp_path):
     assert rows(both) == [("v1", "v2")]
 
 
+def test_snapshot_xtql_range_bind_reads_history(spark, tmp_path):
+    """Range / all-time temporal binds on the ENGINE path resolve
+    through Snapshot.history (raw closed-period versions) and then
+    apply as column predicates."""
+    from core2_spark.engine import Engine, Put
+
+    eng = Engine(spark, str(tmp_path / "db"))
+    mk = lambda v: spark.createDataFrame([(1, v)], "id long, v string")
+    eng.submit_tx([Put("t", mk("v1"))], tx_time="2024-01-01 00:00:01")
+    eng.submit_tx([Put("t", mk("v2"))], tx_time="2024-02-01 00:00:01")
+    snap = eng.db()
+    all_time = snap.xtql([
+        {"from": "t", "for-system-time": "all-time"},
+        {"order-by": ["v"]},
+        {"return": ["v"]},
+    ])
+    assert rows(all_time) == [("v1",), ("v2",)]
+    ranged = snap.xtql([
+        {"from": "t",
+         "for-system-time": ["from", "2024-01-01", "to", "2024-01-20"]},
+        {"return": ["v"]},
+    ])
+    assert rows(ranged) == [("v1",)]
+
+
 def test_snapshot_xtql_basis_pinned(spark, tmp_path):
     """Snapshot.xtql reads the same basis-pinned views as sql/q —
     a later commit is invisible to an earlier snapshot."""
