@@ -1629,3 +1629,57 @@ def xtql_asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "click_ts", "click_value"]},
         ],
     )
+
+
+@query(
+    "xtql_scalar_stdlib",
+    oracle="""
+    SELECT o_orderkey,
+           UPPER(SUBSTRING(o_orderpriority, 1, 3)) AS pri3,
+           CAST(LENGTH(o_orderpriority) AS INT) AS pri_len,
+           REPLACE(o_orderpriority, '-', '_') AS pri_u,
+           CASE WHEN o_totalprice >= 200000.0 THEN 'big' ELSE 'small' END
+               AS size_tier,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+           (o_orderstatus IN ('F', 'P')) AS closed_or_pending,
+           GREATEST(o_custkey, 100) AS cust_hi,
+           LEAST(o_custkey, 100) AS cust_lo,
+           (o_orderstatus IS NOT NULL) AS has_status
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def xtql_scalar_stdlib_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The XTQL scalar stdlib end-to-end: string fns, extract,
+    if/in/not-null?, greatest/least — every op a JVM built-in,
+    hash-checked against the equivalent DuckDB SQL."""
+    from core2_spark import xtql
+
+    return xtql.q(
+        spark,
+        sf_dir,
+        [
+            {"from": "orders",
+             "bind": ["o_orderkey", "o_orderpriority", "o_totalprice",
+                      "o_orderdate", "o_orderstatus", "o_custkey"]},
+            {"where": [["=", ["%", "o_orderkey", 97], 0]]},
+            {"with": {
+                "pri3": ["upper", ["substring", "o_orderpriority", 1, 3]],
+                "pri_len": ["cast", ["length", "o_orderpriority"], "int"],
+                "pri_u": ["replace", "o_orderpriority", "-", "_"],
+                "size_tier": ["if", [">=", "o_totalprice", 200000.0],
+                              ["lit", "big"], ["lit", "small"]],
+                "y": ["cast", ["extract", "year", "o_orderdate"], "int"],
+                "closed_or_pending": ["in", "o_orderstatus",
+                                      ["lit", "F"], ["lit", "P"]],
+                "cust_hi": ["greatest", "o_custkey", 100],
+                "cust_lo": ["least", "o_custkey", 100],
+                "has_status": ["not-null?", "o_orderstatus"],
+            }},
+            {"order-by": ["o_orderkey"]},
+            {"return": ["o_orderkey", "pri3", "pri_len", "pri_u",
+                        "size_tier", "y", "closed_or_pending",
+                        "cust_hi", "cust_lo", "has_status"]},
+        ],
+    )

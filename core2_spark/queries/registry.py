@@ -121,6 +121,7 @@ _PRIORITY: list[str] = [
     "engine_dml_records_mixed_types",
     "engine_tx_assert_clock_rollback",
     "xtql_asof_join",
+    "xtql_scalar_stdlib",
     # -- displaced: round-7 batch, then the r4+ flagships --
     "engine_sql_with_recursive",
     "sql_asof_join_dialect",
