@@ -1392,7 +1392,15 @@ class Engine:
                             self.refresh()
                             mviews.refresh(self, name)
                         except Exception as exc2:
-                            _note(name, exc2)
+                            # keep BOTH failures: the retry can fail
+                            # with a different cascading error and the
+                            # first exception is the root cause
+                            _note(
+                                name,
+                                RuntimeError(
+                                    f"{exc2} (first attempt: {exc})"
+                                ),
+                            )
         return acquire_basis(self._all_tables(), t, self._basis_schemas())
 
     def _rollback(
@@ -2471,8 +2479,17 @@ class Snapshot:
         from core2_spark import xtql as _xtql
 
         def resolve(table: str, history: bool = False, **kw) -> DataFrame:
-            if history:  # range/all-time temporal binds: raw versions
-                return self.history(table)
+            if history:
+                # range/all-time temporal binds read the version
+                # history — with the SAME hygiene as the SQL dialect's
+                # FOR-clause view (above): tombstone markers are
+                # visibility metadata, not rows, and the write-order
+                # columns are physical details.  Like SQL:2011
+                # FROM..TO, the axis a range bind does NOT name stays
+                # unfiltered (all overlapping versions return).
+                return bt.without_tombstones(self.history(table)).drop(
+                    bt.TX_SEQ, bt.ROW_SEQ, bt.TOMBSTONE
+                )
             return self.table(table, **{**asof, **kw})
 
         return _xtql.xtql_with_resolver(resolve, pipeline)

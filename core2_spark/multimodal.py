@@ -1226,6 +1226,11 @@ def _codec_fns():
             for k in range(6, 10):
                 size = (size << 7) | (payload[k] & 0x7F)
             i = 10 + size
+            if payload[5] & 0x10:
+                # ID3v2.4 footer flag: the syncsafe size EXCLUDES the
+                # 10-byte trailing footer ("3DI" + version + flags +
+                # size) — skip it too or the walk lands on it
+                i += 10
         sample_rate = channels = None
         bitrates = []
         frames = 0
@@ -1671,14 +1676,16 @@ def generate_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
                     }
                 elif mid % 8 == 7:
                     nf = 3 + mid % 4
+                    # mid % 8 == 7 makes mid always ODD — alternate the
+                    # VBR/Xing leg on a bit that actually varies
+                    is_vbr = (mid // 8) % 2 == 1
                     payload = make_mp3(
-                        nf, 44100, 128, mid, vbr=mid % 2 == 1,
-                        xing=mid % 2 == 1,
+                        nf, 44100, 128, mid, vbr=is_vbr, xing=is_vbr
                     )
                     mime = MIME_MP3
                     # Xing streams carry nf-1 audio frames (frame 0 is
                     # the tag); duration reflects the audio frames
-                    audio_nf = nf - 1 if mid % 2 == 1 else nf
+                    audio_nf = nf - 1 if is_vbr else nf
                     meta = {
                         "width": None,
                         "height": None,

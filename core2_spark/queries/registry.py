@@ -59,9 +59,11 @@ _PRIORITY: list[str] = [
     # CORRECTNESS evidence predates round 4 — 8 r1 + 4 r2 + 29 r3 = 41
     # names that predate the _row_seq repeatable-read fix,
     # day-partitioning, and the staging/manifest write path — followed
-    # by the 9 new r8 queries (never checked by definition): 50 slots,
-    # filled exactly.  After r8 no registered name's latest driver
-    # evidence predates round 4.  Everything displaced (the r7 batch,
+    # by the first 9 of the 11 new r8 queries (never checked by
+    # definition): 50 slots, filled exactly.  After r8 no registered
+    # name's latest driver evidence predates round 4.  Everything
+    # displaced (the last 2 new queries — which have full local parity
+    # at sf0.001/0.01 and head the r9 window — then the r7 batch and
     # the r4-r6 flagships) is re-proven every pytest run by the local
     # driver-identical parity harness.
     # -- last checked round 1 (8) --
@@ -108,9 +110,9 @@ _PRIORITY: list[str] = [
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    # -- new in round 8 (10; the 41+9 above fill the ~50-row gate
-    #    exactly, so the LAST name here queues for the r9 window with
-    #    full local-parity coverage in the meantime) --
+    # -- new in round 8 (11; the 41 stale + the first 9 here fill the
+    #    ~50-row gate exactly, so the last TWO queue for the r9 window
+    #    with full local-parity coverage in the meantime) --
     "xtql_temporal_asof",
     "xtql_temporal_between",
     "xtql_temporal_join_aggregate",

@@ -240,6 +240,22 @@ def _compile_from(resolver, spec: dict) -> DataFrame:
     def _is_at(s) -> bool:
         return isinstance(s, (list, tuple)) and len(s) == 2 and s[0] == "at"
 
+    def _accepts_kwargs(fn, names: tuple[str, ...]) -> bool:
+        """Signature-inspect instead of try/except TypeError: a
+        TypeError raised INSIDE the resolver must surface, not silently
+        re-route resolution through the wrong (current-state) path."""
+        import inspect
+
+        try:
+            params = inspect.signature(fn).parameters
+        except (TypeError, ValueError):
+            return False
+        if any(
+            p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+        ):
+            return True
+        return all(n in params for n in names)
+
     all_at = all(s is None or _is_at(s) for s in (sys_spec, app_spec))
     if all_at:
         kw = {}
@@ -247,22 +263,17 @@ def _compile_from(resolver, spec: dict) -> DataFrame:
             kw["system_time"] = sys_spec[1]
         if _is_at(app_spec):
             kw["app_time"] = app_spec[1]
-        if kw:
-            try:
-                df = resolver(spec["from"], **kw)
-                handled_sys = "system_time" in kw
-                handled_app = "app_time" in kw
-            except TypeError:
-                df = None
+        if kw and _accepts_kwargs(resolver, tuple(kw)):
+            df = resolver(spec["from"], **kw)
+            handled_sys = "system_time" in kw
+            handled_app = "app_time" in kw
     elif sys_spec is not None or app_spec is not None:
         # a range / all-time form needs the raw version rows: on the
         # engine path that's Snapshot.history (FOR ALL SYSTEM_TIME,
         # closed periods); every spec — including an at-form mixed
         # with a range — then applies as pushed column predicates
-        try:
+        if _accepts_kwargs(resolver, ("history",)):
             df = resolver(spec["from"], history=True)
-        except TypeError:
-            df = None
     if df is None:
         df = resolver(spec["from"])
     # remaining temporal binds (range forms, all-time, or a resolver
@@ -301,6 +312,28 @@ def _compile_from(resolver, spec: dict) -> DataFrame:
     return df.select(*cols)
 
 
+def _join_pairs(df: DataFrame, other: DataFrame, on, how: str) -> DataFrame:
+    """Shared pair compiler for join/left-join and exists/not-exists:
+    all-same-name pairs join on the column-NAME list (single coalesced
+    key, no AMBIGUOUS_REFERENCE downstream, self-join safe); mixed
+    pairs join aliased frames and — for row-producing joins — drop the
+    right twin of any same-name pair."""
+    pairs = [(p, p) if isinstance(p, str) else (p[0], p[1]) for p in on]
+    if all(l == r for l, r in pairs):
+        return df.join(other, [l for l, _ in pairs], how)
+    dl, dr = df.alias("_xtql_l"), other.alias("_xtql_r")
+    cond = None
+    for l, r in pairs:
+        c = F.col(f"_xtql_l.{l}") == F.col(f"_xtql_r.{r}")
+        cond = c if cond is None else cond & c
+    out = dl.join(dr, cond, how)
+    if how in ("inner", "left"):  # semi/anti keep only left columns
+        for l, r in pairs:
+            if l == r:
+                out = out.drop(F.col(f"_xtql_r.{r}"))
+    return out
+
+
 def _apply_exists(resolver, df: DataFrame, e) -> DataFrame:
     """``["exists", sub, on]`` / ``["not-exists", sub, on]`` inside
     ``where`` (XTDB-v2's exists?/not-exists? subqueries): ``sub`` is a
@@ -321,16 +354,9 @@ def _apply_exists(resolver, df: DataFrame, e) -> DataFrame:
     )
     if not on:
         raise ValueError(f"XTQL {kind}: 'on' column pairs required")
-    pairs = [(p, p) if isinstance(p, str) else (p[0], p[1]) for p in on]
-    how = "left_semi" if kind == "exists" else "left_anti"
-    if all(l == r for l, r in pairs):
-        return df.join(other, [l for l, _ in pairs], how)
-    dl, dr = df.alias("_xtql_l"), other.alias("_xtql_r")
-    cond = None
-    for l, r in pairs:
-        c = F.col(f"_xtql_l.{l}") == F.col(f"_xtql_r.{r}")
-        cond = c if cond is None else cond & c
-    return dl.join(dr, cond, how)
+    return _join_pairs(
+        df, other, on, "left_semi" if kind == "exists" else "left_anti"
+    )
 
 
 def xtql_with_resolver(resolver, pipeline: list) -> DataFrame:
@@ -350,7 +376,11 @@ def xtql_with_resolver(resolver, pipeline: list) -> DataFrame:
         if not (isinstance(docs, list) and docs
                 and all(isinstance(d, dict) for d in docs)):
             raise ValueError("XTQL rel: a non-empty list of documents")
-        df = records_to_df(SparkSession.getActiveSession(), docs)
+        # getActiveSession is thread-scoped (None on e.g. an HTTP
+        # handler thread that never touched Spark); fall back to the
+        # process-wide default session
+        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        df = records_to_df(spark, docs)
     elif "from" in head:
         df = _compile_from(resolver, head)
     else:
@@ -382,28 +412,9 @@ def xtql_with_resolver(resolver, pipeline: list) -> DataFrame:
             on = op.get("on")
             if not on:
                 raise ValueError("XTQL join: 'on' column pairs required")
-            pairs = [
-                (p, p) if isinstance(p, str) else (p[0], p[1]) for p in on
-            ]
-            how = "inner" if kind == "join" else "left"
-            if all(l == r for l, r in pairs):
-                # join on the column-NAME list: Spark emits a single
-                # coalesced key column, so later pipeline ops referring
-                # to the key never hit AMBIGUOUS_REFERENCE — and
-                # self-joins sidestep same-lineage column resolution
-                df = df.join(other, [l for l, _ in pairs], how)
-            else:
-                dl, dr = df.alias("_xtql_l"), other.alias("_xtql_r")
-                cond = None
-                for l, r in pairs:
-                    c = F.col(f"_xtql_l.{l}") == F.col(f"_xtql_r.{r}")
-                    cond = c if cond is None else cond & c
-                df = dl.join(dr, cond, how)
-                # a same-name pair inside a mixed list still yields two
-                # identically-named columns — drop the right twin
-                for l, r in pairs:
-                    if l == r:
-                        df = df.drop(F.col(f"_xtql_r.{r}"))
+            df = _join_pairs(
+                df, other, on, "inner" if kind == "join" else "left"
+            )
         elif "asof-join" in op:
             # event-stream enrichment: attach the nearest right row per
             # key in `direction` — compiles to the library's

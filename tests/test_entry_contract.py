@@ -34,8 +34,9 @@ def test_priority_prefix_rotates_to_unchecked_tail():
     names with the OLDEST driver evidence (as of the pinned basis
     round), then the current round's new queries (never checked), and
     nothing inside the window may be fresher than anything it
-    displaced.  Round 8: the 41 names last checked r1-r3, then the 9
-    new r8 queries — 50 slots exactly."""
+    displaced.  Round 8: the 41 names last checked r1-r3, then the
+    first 9 of the 11 new r8 queries fill the 50 slots; the last two
+    new queries queue immediately after for the r9 window."""
     import glob
     import json
     import os

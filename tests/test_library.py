@@ -161,6 +161,10 @@ def test_mp3_stream_roundtrip():
     body = make(3, 32000, 64, seed=4)
     id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
     assert parse(id3 + body)[2] == 3
+    # ID3v2.4 footer flag: size EXCLUDES the 10-byte trailing footer
+    id3f = (b"ID3\x04\x00\x10\x00\x00\x00\x0a" + b"\x00" * 10
+            + b"3DI\x04\x00\x10\x00\x00\x00\x0a")
+    assert parse(id3f + body)[2] == 3
 
     # stream features ride the 8-wide contract
     feat = fns["features"](make(5, 48000, 128, seed=1), multimodal.MIME_MP3)

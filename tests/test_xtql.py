@@ -469,6 +469,18 @@ def test_snapshot_xtql_range_bind_reads_history(spark, tmp_path):
         {"return": ["v"]},
     ])
     assert rows(ranged) == [("v1",)]
+    # same hygiene as the SQL dialect's FOR-clause view: tombstone
+    # MARKER rows never surface as data, and the write-order columns
+    # (_tx_seq/_row_seq/_tombstone) never appear as output columns
+    from core2_spark.engine import Delete
+
+    eng.submit_tx(
+        [Delete("t", spark.createDataFrame([(1,)], "id long"))],
+        tx_time="2024-03-01 00:00:01",
+    )
+    hist = eng.db().xtql([{"from": "t", "for-system-time": "all-time"}])
+    assert not any(c.startswith("_") for c in hist.columns)
+    assert sorted(r["v"] for r in hist.collect()) == ["v1", "v2"]
 
 
 def test_snapshot_xtql_basis_pinned(spark, tmp_path):
