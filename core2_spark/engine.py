@@ -416,7 +416,12 @@ class Engine:
                 if entry.startswith("_tmp_"):
                     shutil.rmtree(full, ignore_errors=True)
                 elif entry.startswith("_old_"):
-                    final = os.path.join(base, entry[len("_old_"):])
+                    # decode the '='-free scratch encoding (see
+                    # _rewrite_atomic) so a crashed day-partition swap
+                    # restores to its real _sys_day= directory
+                    final = os.path.join(
+                        base, entry[len("_old_"):].replace("%3D", "=")
+                    )
                     if os.path.exists(final):
                         shutil.rmtree(full, ignore_errors=True)
                     else:
@@ -883,6 +888,11 @@ class Engine:
                 "FILE_NOT_EXIST",
                 "PATH_NOT_FOUND",
                 "UNABLE_TO_INFER_SCHEMA",
+                # a peer's in-flight day-partition swap scratch (or a
+                # crashed peer's leftover awaiting age-gated reclaim)
+                # seen by partition inference — scratch names are now
+                # '='-free so this is belt-and-braces for legacy dirs
+                "CONFLICTING_PARTITION_COLUMN_NAMES",
                 # write-side scratch vanished: a whole-table swap
                 # (optimize) renames the table dir out from under a
                 # concurrent per-partition rewrite's in-flight
@@ -982,8 +992,17 @@ class Engine:
         # designed ConcurrentWriterError abort at the guarded swap.
         # Abandoned unique tmps are age-gated garbage for
         # _recover_rewrites (any _tmp_* prefix).
-        tmp = os.path.join(parent, f"_tmp_{name}_{_uuid.uuid4().hex[:12]}")
-        old = os.path.join(parent, f"_old_{name}")
+        # '=' must NOT appear in scratch/rollback names: Spark's
+        # hidden-path filter skips `_`-prefixed names ONLY when they
+        # contain no '=', so a day-partition rewrite's literal
+        # `_tmp__sys_day=...` sibling joins partition INFERENCE and
+        # fails every concurrent reader of the table with
+        # CONFLICTING_PARTITION_COLUMN_NAMES for the whole duration of
+        # the scratch write (found by the 200-schedule 4-writer soak,
+        # seeds 1042/1081/1139).  Encode it; _recover_rewrites decodes.
+        safe = name.replace("=", "%3D")
+        tmp = os.path.join(parent, f"_tmp_{safe}_{_uuid.uuid4().hex[:12]}")
+        old = os.path.join(parent, f"_old_{safe}")
         if os.path.exists(old) and not os.path.exists(path):
             # a previous swap crashed mid-rename: the _old_ dir is the
             # only copy — restore it before touching anything

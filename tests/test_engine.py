@@ -1163,6 +1163,72 @@ def test_duplicate_ids_within_one_put_read_repeatably(spark, engine):
     } == reads[0]
 
 
+def test_day_partition_rewrite_scratch_names_are_equals_free(
+    spark, tmp_path, monkeypatch
+):
+    """Round 8 (found by the 200-schedule 4-writer soak): Spark's
+    hidden-path filter skips `_`-prefixed siblings ONLY when the name
+    contains no '=' — a mixed-day vacuum's literal `_tmp__sys_day=...`
+    scratch joined partition INFERENCE and failed every concurrent
+    reader with CONFLICTING_PARTITION_COLUMN_NAMES for the whole
+    scratch write.  Scratch/rollback names must encode '=' away, and a
+    crashed swap's encoded `_old_` dir must restore to the REAL
+    `_sys_day=` directory."""
+    import os
+    import shutil
+
+    from core2_spark import engine as engine_mod
+
+    root = str(tmp_path / "vac_names")
+    eng = Engine(spark, root)
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    eng.submit_tx([Put("t", mk([(1, "d1a"), (2, "d1b")]))],
+                  tx_time="2024-01-01 00:00:01")
+    eng.submit_tx([Put("t", mk([(1, "d2a"), (2, "d2b")]))],
+                  tx_time="2024-01-02 00:00:01")
+    eng.submit_tx([Put("t", mk([(1, "d2c")]))],
+                  tx_time="2024-01-02 12:00:01")
+    eng.submit_tx([Put("t", mk([(2, "d40")]))],
+                  tx_time="2024-02-10 00:00:01")
+
+    # observe every scratch path _rewrite_atomic stamps (os.utime runs
+    # right after the tmp write, while the dir is visible to readers)
+    stamped: list[str] = []
+    real_utime = engine_mod.os.utime
+
+    def spy(path, *a, **k):
+        stamped.append(str(path))
+        return real_utime(path, *a, **k)
+
+    monkeypatch.setattr(engine_mod.os, "utime", spy)
+    eng.vacuum("t", older_than="2024-01-15")  # day 2 is mixed → rewrite
+    scratch = [p for p in stamped if "_tmp_" in p or "_old_" in p]
+    assert scratch, "expected the mixed-day rewrite to stage scratch"
+    assert not any(
+        "=" in os.path.basename(p) for p in scratch
+    ), f"scratch names visible to partition inference: {scratch}"
+    # and no '='-bearing SCRATCH sibling remains afterwards (the real
+    # `_sys_day=` partition dirs rely on the same '='-exemption — that
+    # is exactly why scratch names must not share it)
+    leftovers = [
+        e for e in os.listdir(os.path.join(root, "t"))
+        if e.startswith("_") and "=" in e
+        and not e.startswith("_sys_day=")
+    ]
+    assert leftovers == []
+
+    # crashed-swap recovery: encoded _old_ restores to the real day dir
+    tdir = os.path.join(root, "t")
+    day_dir = os.path.join(tdir, "_sys_day=2024-02-10")
+    crashed = os.path.join(tdir, "_old__sys_day%3D2024-02-10")
+    os.rename(day_dir, crashed)
+    recovered = Engine(spark, root, reclaim_after_s=0.0)
+    assert os.path.isdir(day_dir) and not os.path.exists(crashed)
+    assert (2, "d40") in {
+        (r["id"], r["v"]) for r in recovered.db().table("t").collect()
+    }
+
+
 def test_vacuum_partition_drop_is_metadata_only(spark, tmp_path):
     """Partition-wise vacuum (round 6): a _sys_day= partition whose
     versions ALL closed before the horizon is dropped without a rewrite
