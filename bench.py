@@ -62,6 +62,11 @@ SWEEP_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 def _bench_tier(spark, queries, sf_dir: str) -> dict:
     """Warm + sequential best-of-2 + min-of-N concurrent sweep for one
     scale tier; returns the result block for the JSON line."""
+    # shuffle partitions scale with the tier: 8 is right where task
+    # overhead dominates (sf<=0.1); the 10x tier's heavy joins want
+    # real parallelism (measured ~8% on q3/q5/q10 at sf1)
+    big = "sf1" in sf_dir or "sf5" in sf_dir
+    spark.conf.set("spark.sql.shuffle.partitions", "32" if big else "8")
 
     def run(name: str) -> tuple[str, float]:
         t0 = time.perf_counter()
