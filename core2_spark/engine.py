@@ -63,16 +63,30 @@ def _walk_all_files(path: str) -> list[str]:
 def _prune_empty_dirs(path: str) -> None:
     """Remove now-empty subdirectories (e.g. `_sys_day=` partition
     dirs whose only files a rollback just deleted), bottom-up, keeping
-    ``path`` itself."""
-    for root_dir, _dirs, _names in os.walk(path, topdown=False):
-        # re-list at visit time: a child pruned earlier in this walk
-        # leaves the parent empty even though the walk's precomputed
-        # entries say otherwise
-        if root_dir != path and not os.listdir(root_dir):
-            try:
-                os.rmdir(root_dir)
-            except OSError:
-                pass
+    ``path`` itself.
+
+    ``_tmp_``/``_old_`` children are a CONCURRENT engine's in-flight
+    maintenance scratch — a just-staged Hadoop committer tree is all
+    EMPTY ``_temporary/`` dirs until its tasks open files, so pruning
+    them kills the peer's write with 'Mkdirs failed to create'
+    (found by the post-fix 200-schedule 4-writer soak, seeds
+    1042/1085: a rolling-back loser pruned a vacuum's scratch).  Their
+    cleanup belongs to their owner (or age-gated _recover_rewrites)."""
+    for entry in os.listdir(path):
+        if entry.startswith(("_tmp_", "_old_")):
+            continue
+        sub = os.path.join(path, entry)
+        if not os.path.isdir(sub):
+            continue
+        for root_dir, _dirs, _names in os.walk(sub, topdown=False):
+            # re-list at visit time: a child pruned earlier in this
+            # walk leaves the parent empty even though the walk's
+            # precomputed entries say otherwise
+            if not os.listdir(root_dir):
+                try:
+                    os.rmdir(root_dir)
+                except OSError:
+                    pass
 
 
 class ConcurrentWriterError(RuntimeError):

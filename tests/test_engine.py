@@ -1229,6 +1229,35 @@ def test_day_partition_rewrite_scratch_names_are_equals_free(
     }
 
 
+def test_prune_empty_dirs_spares_peer_maintenance_scratch(tmp_path):
+    """A rolling-back writer prunes emptied partition dirs but must
+    NOT descend into a concurrent engine's `_tmp_`/`_old_` scratch: a
+    just-staged Hadoop committer tree is all empty `_temporary/` dirs
+    until its tasks open files, and pruning it kills the peer's write
+    mid-task ('Mkdirs failed to create' — post-fix 4-writer soak,
+    seeds 1042/1085)."""
+    import os
+
+    from core2_spark.engine import _prune_empty_dirs
+
+    t = tmp_path / "t"
+    # emptied partition dir -> pruned
+    (t / "_sys_day=2024-01-01").mkdir(parents=True)
+    # nested empty chain inside a partition dir -> pruned bottom-up
+    (t / "_sys_day=2024-01-02" / "a" / "b").mkdir(parents=True)
+    # peer scratch: staged committer tree, all empty -> UNTOUCHED
+    scratch = t / "_tmp__sys_day%3D2024-01-03_abc" / "_temporary" / "0"
+    scratch.mkdir(parents=True)
+    keys = t / "_tmp_vacuum_keys_def" / "_temporary"
+    keys.mkdir(parents=True)
+    old = t / "_old__sys_day%3D2024-01-04"
+    old.mkdir(parents=True)
+    _prune_empty_dirs(str(t))
+    assert not (t / "_sys_day=2024-01-01").exists()
+    assert not (t / "_sys_day=2024-01-02").exists()
+    assert scratch.is_dir() and keys.is_dir() and old.is_dir()
+
+
 def test_vacuum_partition_drop_is_metadata_only(spark, tmp_path):
     """Partition-wise vacuum (round 6): a _sys_day= partition whose
     versions ALL closed before the horizon is dropped without a rewrite
