@@ -1845,10 +1845,22 @@ class Engine:
                 ).select(
                     "id", bt.SYS_START, bt.SYS_DAY, *seq_cols
                 ).write.parquet(keys_dir)
-        for d in drop_days:
-            # every version in the day closed before the horizon:
-            # drop the partition without reading its contents
-            shutil.rmtree(day_dirs[d], ignore_errors=True)
+        if drop_days:
+            # every version in those days closed before the horizon:
+            # drop the partitions without reading their contents — but
+            # ONLY after re-verifying the maintenance token under the
+            # log lock, exactly like the mixed-day swaps below.  The
+            # claim bumps the token, but a writer that conflicted on it
+            # legitimately refreshes and REPLAYS past it; its fresh
+            # commit can land in a to-be-dropped day between this
+            # vacuum's decision scan and the rmtree, and an unguarded
+            # drop destroys the committed row (found by the 4-writer
+            # soak, seeds 1101/1134: serial-replay model showed a
+            # committed put missing from the final state).
+            with self._log_lock():
+                self._check_sole_writer()
+                for d in drop_days:
+                    shutil.rmtree(day_dirs[d], ignore_errors=True)
         if not mixed:
             return
         keep_keys = self.spark.read.parquet(keys_dir)
