@@ -60,6 +60,24 @@ def _walk_all_files(path: str) -> list[str]:
     return out
 
 
+def _list_parquet(path: str) -> frozenset[str]:
+    """Relative paths of every parquet file under ``path`` (skipping
+    `_`-scratch subtrees) — the maintenance swap/drop expectation
+    snapshot: taken before the decision read, re-checked under the log
+    lock, so a concurrent writer's publish between read and destroy is
+    DETECTED instead of silently lost."""
+    out = []
+    base = path.rstrip("/")
+    for root_dir, dirs, names in os.walk(base):
+        dirs[:] = [
+            d for d in dirs if not d.startswith(("_tmp_", "_old_"))
+        ]
+        for n in names:
+            if n.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(root_dir, n), base))
+    return frozenset(out)
+
+
 def _prune_empty_dirs(path: str) -> None:
     """Remove now-empty subdirectories (e.g. `_sys_day=` partition
     dirs whose only files a rollback just deleted), bottom-up, keeping
@@ -710,7 +728,8 @@ class Engine:
         ownership list, which is what rollback deletes (a directory
         diff would claim a concurrent winner's files too)."""
         staging, moves = self._stage_rows(path, rows)
-        return self._publish_staged(path, staging, moves)
+        with self._log_lock():  # serialize with maintenance swap checks
+            return self._publish_staged(path, staging, moves)
 
     def _append_manifested(
         self, path, rows, pending, t, written_files, deferred_old
@@ -727,8 +746,15 @@ class Engine:
         # publish appends into written_files IN PLACE: if rename #k
         # fails, files 1..k-1 are already recorded and _rollback
         # deletes them (returning the list only on success would leave
-        # them visible forever once the manifest retires)
-        self._publish_staged(path, staging, moves, out=written_files)
+        # them visible forever once the manifest retires).
+        # UNDER THE LOG LOCK: maintenance swaps/drops validate the
+        # table's file listing under the same lock right before they
+        # destroy the pre-swap image — publishes serialized with that
+        # check can never slip a committed-to-be file into a directory
+        # the maintenance op is about to replace (the 4-writer soak's
+        # vacuum-drop data loss, generalized to every guarded swap).
+        with self._log_lock():
+            self._publish_staged(path, staging, moves, out=written_files)
 
     def _stage_rows(self, path: str, rows: DataFrame):
         """Write ``rows`` to a private staging dir; return
@@ -972,6 +998,7 @@ class Engine:
         defer_cleanup: bool = False,
         swap_guard: bool = False,
         preserve_old: str | None = None,
+        expect_files: frozenset[str] | None = None,
     ) -> str | None:
         """Rewrite a table directory by writing ``df`` to a sibling
         temp dir and swapping directories — the plan streams from the
@@ -1062,9 +1089,25 @@ class Engine:
             # the claim means the tmp image is missing its files, so
             # abort (tmp discarded, table untouched) rather than lose
             # them.  The expensive tmp write happened outside the lock.
+            # ``expect_files`` closes the committed-but-not-yet-
+            # persisted window the token cannot see: a writer whose
+            # publish (now also under this lock) landed files in
+            # ``path`` AFTER the caller's decision read holds a token
+            # that is still current — its CAS will succeed after our
+            # swap — so the swap must detect the unexpected files and
+            # abort instead of replacing the directory without them.
             with self._log_lock():
                 try:
                     self._check_sole_writer()
+                    if expect_files is not None:
+                        actual = _list_parquet(path)
+                        if actual != expect_files:
+                            raise ConcurrentWriterError(
+                                "maintenance swap aborted: the table's "
+                                "file set changed since the decision "
+                                "read (a concurrent writer's in-flight "
+                                "publish) — refresh() and retry"
+                            )
                 except ConcurrentWriterError:
                     shutil.rmtree(tmp, ignore_errors=True)
                     raise
@@ -1610,6 +1653,9 @@ class Engine:
                 if n.endswith(".parquet")
             )
             target_files = max(1, size // (128 * 1024 * 1024) + 1)
+        # expectation snapshot BEFORE the read lists files: the guarded
+        # swap re-checks it under the log lock (see _rewrite_atomic)
+        expect = _list_parquet(path)
         rows = self.spark.read.option("mergeSchema", "true").parquet(path)
         if zorder_by:
             # cluster the rewritten files by the Morton key so
@@ -1639,7 +1685,7 @@ class Engine:
             rows = rows.repartition(target_files, F.col(bt.SYS_DAY))
         else:
             rows = rows.repartition(target_files)
-        self._rewrite_atomic(path, rows, swap_guard=True)
+        self._rewrite_atomic(path, rows, swap_guard=True, expect_files=expect)
         return target_files
 
     def apply_changes(self, table: str, changes: DataFrame) -> None:
@@ -1760,12 +1806,15 @@ class Engine:
         if day_dirs:
             self._vacuum_partitioned(path, horizon, day_dirs)
         else:
+            expect = _list_parquet(path)
             raw = self.spark.read.option("mergeSchema", "true").parquet(path)
             closed = bt.close_system_versions(raw, "id")
             kept = closed.filter(
                 F.col(bt.SYS_END) > bt._ts(horizon)
             ).drop(bt.SYS_END)
-            self._rewrite_atomic(path, kept, swap_guard=True)
+            self._rewrite_atomic(
+                path, kept, swap_guard=True, expect_files=expect
+            )
         meta = os.path.join(self.root, "_current", f"{table}.json")
         if os.path.exists(meta):
             with open(meta) as f:
@@ -1793,6 +1842,14 @@ class Engine:
         )
         if not slice_days:
             return  # whole table is after the horizon: nothing to do
+        # per-day expectation snapshots BEFORE the decision read lists
+        # files: drops and mixed-day swaps re-check them under the log
+        # lock — a concurrent writer's publish after this point (its
+        # token still current, its CAS will succeed) must abort the
+        # destructive step, never be silently folded away
+        expect_day = {
+            d: _list_parquet(day_dirs[d]) for d in day_dirs
+        }
         seq_cols = []
         probe = self.spark.read.option("mergeSchema", "true").parquet(path)
         for c in (bt.TX_SEQ, bt.ROW_SEQ):
@@ -1860,6 +1917,14 @@ class Engine:
             with self._log_lock():
                 self._check_sole_writer()
                 for d in drop_days:
+                    if _list_parquet(day_dirs[d]) != expect_day[d]:
+                        raise ConcurrentWriterError(
+                            f"vacuum drop of day {d} aborted: the "
+                            "partition's file set changed since the "
+                            "decision read (a concurrent writer's "
+                            "in-flight publish) — refresh() and retry"
+                        )
+                for d in drop_days:
                     shutil.rmtree(day_dirs[d], ignore_errors=True)
         if not mixed:
             return
@@ -1880,10 +1945,13 @@ class Engine:
                 day_df.alias("l")
                 .join(day_keys.alias("r"), cond, "left_semi")
             )
-            # the swap leaves _old_/_tmp_ siblings inside the table dir:
-            # invisible to Spark scans (underscore prefix) and repaired
-            # by _recover_rewrites at the next open
-            self._rewrite_atomic(day_dirs[d], kept, swap_guard=True)
+            # the swap leaves _old_/_tmp_ siblings inside the table dir
+            # ('='-encoded so partition inference never sees them) and
+            # is repaired by _recover_rewrites at the next open
+            self._rewrite_atomic(
+                day_dirs[d], kept, swap_guard=True,
+                expect_files=expect_day[d],
+            )
         shutil.rmtree(keys_dir, ignore_errors=True)
 
     # -- §4 materialized current state --------------------------------
