@@ -62,10 +62,17 @@ SWEEP_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 def _bench_tier(spark, queries, sf_dir: str) -> dict:
     """Warm + sequential best-of-2 + min-of-N concurrent sweep for one
     scale tier; returns the result block for the JSON line."""
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
     # shuffle partitions scale with the tier: 8 is right where task
     # overhead dominates (sf<=0.1); the 10x tier's heavy joins want
-    # real parallelism (measured ~8% on q3/q5/q10 at sf1)
-    big = "sf1" in sf_dir or "sf5" in sf_dir
+    # real parallelism (measured ~8% on q3/q5/q10 at sf1).  Branch on
+    # the PARSED scale factor — a substring test ('sf1' in path) also
+    # matches sf0.1/sf10/custom dirs and silently flips the tier.
+    big = sf_num is not None and sf_num >= 1
     spark.conf.set("spark.sql.shuffle.partitions", "32" if big else "8")
 
     def run(name: str) -> tuple[str, float]:
@@ -122,11 +129,6 @@ def _bench_tier(spark, queries, sf_dir: str) -> dict:
         walls.append(round(w, 3))
     wall = min(walls)
 
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-    try:
-        sf_num = float(sf)
-    except ValueError:
-        sf_num = None
     return {
         "value": round(wall, 3),
         "queries": per_query,

@@ -1193,16 +1193,24 @@ class Engine:
                 if attempt == n:
                     raise
                 self.refresh()  # adopt the winner's head, then replay
-            except (TxAssertionError, ValueError):
-                # explicitly-semantic failures (a failing ASSERT, an
-                # invalid op) abort deterministically — their messages
-                # carry user-supplied text that could substring-match
-                # _reclassify_race's swap-race tokens (e.g. an assert
-                # message naming the db root) and silently burn the
-                # retry budget replaying a transaction that can never
-                # succeed
-                raise
             except Exception as exc:
+                from pyspark.errors import PySparkException
+
+                if isinstance(exc, TxAssertionError) or (
+                    isinstance(exc, ValueError)
+                    and not isinstance(exc, PySparkException)
+                ):
+                    # explicitly-semantic failures (a failing ASSERT,
+                    # an invalid op) abort deterministically — their
+                    # messages carry user-supplied text that could
+                    # substring-match _reclassify_race's swap-race
+                    # tokens (e.g. an assert message naming the db
+                    # root) and silently burn the retry budget
+                    # replaying a transaction that can never succeed.
+                    # PySparkValueError subclasses ValueError but is a
+                    # plan/analysis failure, not op validation, so it
+                    # stays on the replay path below.
+                    raise
                 # a concurrent maintenance swap can yank files from
                 # under this tx's snapshot reads (Patch/Assert/DML
                 # expansion) — state is fully rolled back, so when the

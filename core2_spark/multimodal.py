@@ -1271,6 +1271,19 @@ def _codec_fns():
             raise ValueError("MP3: no frames")
         is_vbr = len(set(bitrates)) > 1 or xing_frames is not None
         audio_frames = frames - (1 if xing_frames is not None else 0)
+        if xing_frames is not None:
+            # The tag frame carries no audio: its bitrate must not
+            # skew the mean, and its frame count must agree with the
+            # walk — a lying VBR header is a corrupt stream, not a
+            # silently-wrong duration.
+            bitrates = bitrates[1:]
+            if xing_frames != audio_frames:
+                raise ValueError(
+                    f"MP3: Xing tag claims {xing_frames} frames but "
+                    f"the stream walks {audio_frames}"
+                )
+        if audio_frames == 0:
+            raise ValueError("MP3: only a Xing tag frame, no audio")
         duration = audio_frames * 1152.0 / sample_rate
         mean_br = sum(bitrates) / len(bitrates)
         return sample_rate, channels, audio_frames, mean_br, duration, is_vbr

@@ -340,11 +340,19 @@ def _coerce_value(v, dtype):
 
     if v is None:
         return None
+    # A value whose Python shape doesn't match the inferred column type
+    # (e.g. {nest: {v: 1}} in one record, {nest: [1]} in another) falls
+    # through untouched so createDataFrame reports the schema mismatch
+    # as a clean transaction abort instead of an AttributeError here.
     if isinstance(dtype, T.DoubleType):
-        return float(v)
+        return float(v) if isinstance(v, (int, float)) else v
     if isinstance(dtype, T.ArrayType):
+        if not isinstance(v, (list, tuple)):
+            return v
         return [_coerce_value(e, dtype.elementType) for e in v]
     if isinstance(dtype, T.StructType):
+        if not isinstance(v, dict):
+            return v
         return {
             f.name: _coerce_value(v.get(f.name), f.dataType)
             for f in dtype.fields

@@ -171,6 +171,14 @@ def test_mp3_stream_roundtrip():
     assert len(feat) == 8
     assert feat[1] == 48000.0 and feat[3] == 128.0 and feat[7] == 1152.0
 
+    # a lying Xing tag (claims 2 audio frames, stream walks 3) is a
+    # corrupt stream, not a silently-wrong duration
+    lying = make(3, 48000, 128, seed=1, xing=True) + make(
+        1, 48000, 128, seed=1
+    )
+    with pytest.raises(ValueError, match="Xing tag claims"):
+        parse(lying)
+
     # truncation mid-frame and sync loss both raise with a position
     with pytest.raises(ValueError, match="truncated"):
         parse(make(4, 48000, 128, seed=1)[:-10])

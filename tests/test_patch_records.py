@@ -130,6 +130,21 @@ def test_records_mixed_int_float_promotes_to_double(spark, tmp_path):
     assert got[1]["y"] == 7.0 and got[2]["y"] == 7.5
 
 
+def test_records_shape_mismatch_aborts_cleanly(spark, tmp_path):
+    """A key mixing a struct in one record with an array (or scalar)
+    in another must abort with the engine's type-mismatch message,
+    never an AttributeError from the coercion pass."""
+    e = Engine(spark, str(tmp_path / "db"))
+    for bad in (
+        "{id: 1, nest: {v: 1}}, {id: 2, nest: [1]}",
+        "{id: 1, xs: [1, 2]}, {id: 2, xs: {v: 3}}",
+    ):
+        with pytest.raises((ValueError, TypeError, Exception)) as ei:
+            e.sql_dml(f"INSERT INTO t RECORDS {bad}")
+        assert not isinstance(ei.value, AttributeError)
+    assert "t" not in e._all_tables()
+
+
 def test_patch_merges_retains_and_widens(eng):
     eng.sql_dml(
         "PATCH INTO accounts RECORDS "
