@@ -1632,6 +1632,56 @@ def xtql_asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "xtql_unify",
+    oracle="""
+    SELECT n.n_name AS nname,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6)))
+                      AS DOUBLE) + 0.000000001, 4) AS total
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderstatus = 'F' AND o.o_totalprice > 150000.0
+    GROUP BY nname
+    ORDER BY nname
+    """,
+)
+def xtql_unify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XTQL ``unify`` head op: three relations unified on shared logic
+    variables — customer⋈orders on ``cust``, customer⋈nation on
+    ``nk`` — Datalog-style implicit equi-joins (no explicit join op),
+    plus a deferred where over the unified row.  Catalyst still plans
+    the join order and broadcasts nation."""
+    from core2_spark import xtql
+
+    return xtql.q(
+        spark,
+        sf_dir,
+        [
+            {"unify": [
+                {"from": "customer",
+                 "bind": [{"c_custkey": "cust"}, {"c_nationkey": "nk"}]},
+                {"from": "orders",
+                 "bind": [{"o_custkey": "cust"},
+                          {"o_totalprice": "price"},
+                          {"o_orderstatus": {"=": "F"}}]},
+                {"from": "nation",
+                 "bind": [{"n_nationkey": "nk"}, {"n_name": "nname"}]},
+                {"where": [[">", "price", 150000.0]]},
+            ]},
+            {"with": {"dec_price": ["cast", "price", "decimal(38,6)"]}},
+            {"aggregate": {"n": ["count"], "dec_total": ["sum", "dec_price"]},
+             "group": ["nname"]},
+            {"with": {"total": [
+                "round",
+                ["+", ["cast", "dec_total", "double"], 0.000000001], 4]}},
+            {"order-by": ["nname"]},
+            {"return": ["nname", "n", "total"]},
+        ],
+    )
+
+
+@query(
     "xtql_scalar_stdlib",
     oracle="""
     SELECT o_orderkey,

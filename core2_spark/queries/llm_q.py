@@ -457,6 +457,24 @@ def knn_lsh_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_knn(e, qv, k=10, multiprobe_bits=2)
 
 
+@query("knn_lsh_full_probe_exact", oracle=_KNN_ORACLE)
+def knn_lsh_full_probe_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactness oracle for the LSH kNN machinery: with the probe
+    radius covering the whole Hamming space (n_planes=4,
+    multiprobe_bits=4 → every bucket probed) the bucketed search MUST
+    return the exact cosine top-k, hash-checked against DuckDB's
+    independent list_dot_product oracle.  Same code path as
+    knn_lsh_bucketed — any bug in plane hashing, bucket assignment,
+    probe filtering, or scoring surfaces as a value mismatch; the
+    partial-probe siblings stay rows-only because their result is
+    legitimately engine-specific."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = similarity.query_vector(e, "vec_id", "embedding", 0)
+    return similarity.lsh_bucketed_knn(
+        e, qv, k=10, n_planes=4, multiprobe_bits=4
+    )
+
+
 @query("knn_ivf_probe")  # rows-only: approximate result set is engine-specific
 def knn_ivf_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate kNN: deterministic coarse quantizer cells
@@ -693,10 +711,32 @@ def multimodal_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sampling")  # rows-only: plan-level expansion
+@query(
+    "multimodal_frame_sampling",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CAST(FLOOR(n_chars * 10 / 1000.0) AS INT) AS n_frames
+        FROM documents WHERE doc_id < 50
+    ),
+    f AS (
+        SELECT media_id,
+               unnest(generate_series(0, GREATEST(n_frames - 1, 0))) AS fi
+        FROM m
+    )
+    SELECT media_id,
+           CAST(fi AS INT) AS frame_idx,
+           CAST(fi * 1000 AS INT) AS frame_ts_ms
+    FROM f
+    """,
+)
 def multimodal_frame_sampling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plan: metadata → frame timestamp rows
-    (column algebra; the frame grab itself is the stubbed decode)."""
+    """Video frame-sampling plan: metadata → frame timestamp rows.
+    Pure column algebra (sequence + explode), so unlike the decode
+    stages it IS SQL-expressible — full value-hash oracle via DuckDB
+    generate_series (FLOOR before the int cast: DuckDB's double→int
+    cast rounds where Spark's truncates).  The frame grab itself is
+    the stubbed decode."""
     from core2_spark import multimodal
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]

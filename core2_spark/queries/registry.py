@@ -54,19 +54,108 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order for the tail.  Any prefix of the returned dict is then a
 # maximally-informative correctness sample.
 _PRIORITY: list[str] = [
-    # Round 8: LEDGER-CLOSING rotation (VERDICT r7 task 2).  The gate
-    # window (~50 rows) is headed by every name whose latest driver
-    # CORRECTNESS evidence predates round 4 — 8 r1 + 4 r2 + 29 r3 = 41
-    # names that predate the _row_seq repeatable-read fix,
-    # day-partitioning, and the staging/manifest write path — followed
-    # by the first 9 of the 11 new r8 queries (never checked by
-    # definition): 50 slots, filled exactly.  After r8 no registered
-    # name's latest driver evidence predates round 4.  Everything
-    # displaced (the last 2 new queries — which have full local parity
-    # at sf0.001/0.01 and head the r9 window — then the r7 batch and
-    # the r4-r6 flagships) is re-proven every pytest run by the local
-    # driver-identical parity harness.
-    # -- last checked round 1 (8) --
+    # Round 9 rotation (VERDICT r8 task 1).  Zone order: (a) the 4
+    # never-driver-checked names head the gate — after r9 every one of
+    # the registry's names has driver CORRECTNESS evidence, closing the
+    # ledger; (b) the stale backlog in evidence order (the 37 r4 names,
+    # then the 40 r5 names — the first 9 fill the 50-slot window, the
+    # rest queue contiguously for r10), so the rolling freshness window
+    # keeps every name's evidence <= ~4 rounds old; (c) the fresh
+    # (r6+) names.  tests/test_entry_contract.py pins this layout
+    # against the r1-r8 artifacts (_EVIDENCE_BASIS_ROUND = 8).
+    # -- never driver-checked (4): the 2 r8 leftovers + the 2 new r9
+    #    queries; heading the gate makes the ledger 233/233 complete --
+    "xtql_asof_join",
+    "xtql_scalar_stdlib",
+    "xtql_unify",
+    "knn_lsh_full_probe_exact",
+    # -- last checked round 4 (37): the whole r4 tier, refreshed so no
+    #    name's evidence is ever more than ~4 rounds old --
+    "knn_brute_force_cosine",
+    "graph_copurchase_pairs",
+    "graph_connected_components",
+    "subquery_scalar",
+    "subquery_in",
+    "exists_flag_projection",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_quality_stats",
+    "text_language_id",
+    "text_fingerprint",
+    "knn_top3_per_label",
+    "embedding_norm_stats",
+    "embedding_label_near_dup",
+    "text_doc_frequency_idf",
+    "text_tfidf_distinctive_term_per_doc",
+    "split_train_val_test",
+    "corpus_weighted_mixture",
+    "pack_sequences_boundaries",
+    "text_unigram_logprob_score",
+    "text_chunk_windows_udtf",
+    "curation_decontaminate_ngram",
+    "unwind_explode",
+    "unwind_outer_empty",
+    "array_functions",
+    "json_from_json_struct",
+    "struct_construct_access",
+    "array_higher_order",
+    "set_semantics_arrays",
+    "tagged_identifier_types",
+    "null_three_valued_logic",
+    "cast_functions",
+    "orderby_multi_key_limit",
+    "interval_arithmetic",
+    "ts_last_point_per_device",
+    "ts_hourly_rollup_daily_peak",
+    # -- last checked round 5 (first 9 of 40; fills the 50-slot window):
+    #    curated to include the two checks UPGRADED this round
+    #    (stream_structured_tumbling + multimodal_frame_sampling gained
+    #    full value-hash oracles) and the ANN family beside the new
+    #    exactness query --
+    "engine_replica_cdc_roundtrip",
+    "dedup_simhash",
+    "knn_lsh_bucketed",
+    "knn_ivf_probe",
+    "multimodal_image_resize",
+    "multimodal_frame_sampling",
+    "embedding_cosine_near_dup",
+    "stream_structured_tumbling",
+    "knn_quantized_lsh",
+    # -- last checked round 5 (remaining 31; immediately after the window
+    #    so they head the r10 gate) --
+    "knn_ivf_partitioned_layout",
+    "curation_pii_redact",
+    "map_construct_access",
+    "project_compute",
+    "select_compound_predicate",
+    "rename_columns",
+    "distinct_rows",
+    "case_when",
+    "conditional_functions",
+    "string_functions",
+    "math_functions",
+    "orderby_nulls_first",
+    "limit_offset",
+    "set_intersect_all",
+    "set_intersect_distinct",
+    "set_except_distinct",
+    "set_union_by_name_missing",
+    "set_union_distinct",
+    "stream_sliding_window",
+    "stream_kafka_log_transport",
+    "stream_interval_join_batch_twin",
+    "stream_cdc_log_tail",
+    "datetime_extract",
+    "date_trunc_monthly_revenue",
+    "ts_gap_fill_locf",
+    "ts_device_delta_stats",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_statistics",
+    "window_range_frame",
+    "window_moving_avg",
+    # -- displaced: every name here has r6+ evidence (fresh zone) --
     "pivot_sum_values",
     "skew_salted_hot_key_agg",
     "string_functions_extended",
@@ -75,12 +164,10 @@ _PRIORITY: list[str] = [
     "time_of_day_encoding",
     "unpivot_stack",
     "with_cte_reuse",
-    # -- last checked round 2 (4) --
     "agg_basic",
     "agg_rollup",
     "set_union_all",
     "window_distribution",
-    # -- last checked round 3 (29) --
     "corpus_curation_pipeline",
     "dedup_cluster_canonical",
     "dedup_ngram_jaccard_lsh",
@@ -110,9 +197,6 @@ _PRIORITY: list[str] = [
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    # -- new in round 8 (11; the 41 stale + the first 9 here fill the
-    #    ~50-row gate exactly, so the last TWO queue for the r9 window
-    #    with full local-parity coverage in the meantime) --
     "xtql_temporal_asof",
     "xtql_temporal_between",
     "xtql_temporal_join_aggregate",
@@ -122,9 +206,6 @@ _PRIORITY: list[str] = [
     "xtql_join_shorthand",
     "engine_dml_records_mixed_types",
     "engine_tx_assert_clock_rollback",
-    "xtql_asof_join",
-    "xtql_scalar_stdlib",
-    # -- displaced: round-7 batch, then the r4+ flagships --
     "engine_sql_with_recursive",
     "sql_asof_join_dialect",
     "sql_asof_left_join_forward",
@@ -190,7 +271,6 @@ _PRIORITY: list[str] = [
     "window_topk_per_group",
     "stream_tumbling_window",
     "dedup_exact_survivors",
-    "knn_brute_force_cosine",
 ]
 
 

@@ -126,12 +126,25 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_structured_tumbling")  # rows-only: true streaming execution
+@query(
+    "stream_structured_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {total_value} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """.format(total_value=sql_dsum("value")),
+)
 def structured_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same tumbling aggregation executed as a real Structured
     Streaming query (readStream over the parquet dir, watermark, memory
-    sink).  Rows-only check: streaming execution isn't SQL-expressible
-    for the oracle; the batch twin above is the value check."""
+    sink).  Full value-hash oracle: a bounded drained stream with
+    complete-mode output must equal the batch answer EXACTLY
+    (exactly-once semantics), and the dsum discipline inside
+    tumbling_agg makes the doubles bit-identical to DuckDB's — so the
+    weaker rows-only check the driver used through r8 is retired."""
     from core2_spark.streaming.events import run_tumbling_batch
 
     return run_tumbling_batch(spark, sf_dir)

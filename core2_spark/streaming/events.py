@@ -60,11 +60,17 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Tumbling 1-hour count/sum with an event-time watermark bounding
-    state — the streaming twin of `stream_tumbling_window`."""
+    state — the streaming twin of `stream_tumbling_window`.  The sum
+    uses the exact-decimal dsum discipline (queries/util.py) so the
+    streamed result is bit-identical to the batch twin AND to the
+    DuckDB oracle — which upgrades `stream_structured_tumbling` from a
+    rows-only check to a full value-hash oracle."""
+    from core2_spark.queries.util import dsum
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
         )

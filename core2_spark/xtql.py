@@ -22,7 +22,10 @@ Pipeline representation (Python lists/dicts standing in for the EDN)::
     ])
 
 Operators: ``rel`` (inline document-list relation head, the algebra's
-``:table`` — RECORDS-style type inference), ``from`` (bind: plain
+``:table`` — RECORDS-style type inference), ``unify`` (head op:
+Datalog-style variable unification over from/rel/with/where clauses —
+shared variable names natural-join, re-binding unifies by equality;
+see ``_compile_unify``), ``from`` (bind: plain
 string = bind column under its own name, {col: name} = rename,
 {col: {"=": lit}} = equality match pushed into the scan; per-from temporal options ``for-valid-time`` /
 ``for-system-time`` with ``["at", t]`` / ``["from", lo, "to", hi]`` /
@@ -359,6 +362,84 @@ def _apply_exists(resolver, df: DataFrame, e) -> DataFrame:
     )
 
 
+def _rel_literal(docs) -> DataFrame:
+    """Inline relation literal (XTQL `rel` / the algebra's `:table`):
+    a list of documents; reuses the RECORDS type-inference +
+    int->double coercion so mixed numerics behave like DML."""
+    from core2_spark.sql_dml import records_to_df
+
+    if not (isinstance(docs, list) and docs
+            and all(isinstance(d, dict) for d in docs)):
+        raise ValueError("XTQL rel: a non-empty list of documents")
+    # getActiveSession is thread-scoped (None on e.g. an HTTP
+    # handler thread that never touched Spark); fall back to the
+    # process-wide default session
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    return records_to_df(spark, docs)
+
+
+def _compile_unify(resolver, clauses) -> DataFrame:
+    """XTQL ``unify`` — Datalog-style variable unification as a source
+    op (the one v2 language op the pipeline head lacked).  Each
+    relation clause binds logic variables (columns); clauses sharing a
+    variable natural-join on it — the same shared-column equi-join
+    strategy as the Datalog pattern pass (``datalog.q_with_resolver``),
+    so Catalyst still plans join order and broadcasts small sides.
+
+    Clause kinds: ``from`` / ``rel`` (relations, incl. per-from
+    temporal options), ``with`` (computed binding; RE-binding an
+    already-bound variable unifies — an equality filter, which on a
+    fresh cross product Catalyst folds back into the join condition),
+    ``where`` (predicates, incl. exists/not-exists — deferred until
+    every variable is bound, so clause order between relations and
+    wheres is declarative).  A ``with`` may only reference variables
+    bound by EARLIER clauses."""
+    if not (isinstance(clauses, list) and clauses):
+        raise ValueError("XTQL unify: a non-empty list of clauses")
+    rel: DataFrame | None = None
+    wheres: list = []
+    for c in clauses:
+        if not isinstance(c, dict):
+            raise ValueError(f"XTQL unify: bad clause {c!r}")
+        if "where" in c:
+            wheres.extend(c["where"])
+            continue
+        if "with" in c:
+            if rel is None:
+                raise ValueError(
+                    "XTQL unify: 'with' needs a prior relation clause"
+                )
+            for name, e in c["with"].items():
+                col = _expr(e)
+                if name in rel.columns:
+                    rel = rel.filter(F.col(name) == col)
+                else:
+                    rel = rel.withColumn(name, col)
+            continue
+        if "rel" in c:
+            part = _rel_literal(c["rel"])
+        elif "from" in c:
+            part = _compile_from(resolver, c)
+        else:
+            raise ValueError(f"XTQL unify: unknown clause {sorted(c)!r}")
+        if rel is None:
+            rel = part
+        else:
+            shared = sorted(set(rel.columns) & set(part.columns))
+            rel = rel.join(part, shared) if shared else rel.crossJoin(part)
+    if rel is None:
+        raise ValueError(
+            "XTQL unify: at least one relation clause (from/rel)"
+        )
+    for e in wheres:
+        if (isinstance(e, (list, tuple)) and e
+                and e[0] in ("exists", "not-exists")):
+            rel = _apply_exists(resolver, rel, e)
+        else:
+            rel = rel.filter(_expr(e))
+    return rel
+
+
 def xtql_with_resolver(resolver, pipeline: list) -> DataFrame:
     """Compile and run an XTQL pipeline; ``resolver(table)`` supplies
     each ``from``'s relation (catalog scan, or a basis-pinned view via
@@ -367,24 +448,15 @@ def xtql_with_resolver(resolver, pipeline: list) -> DataFrame:
         raise ValueError("XTQL: empty pipeline")
     head, *rest = pipeline
     if "rel" in head:
-        # inline relation literal (XTQL `rel` / the algebra's `:table`):
-        # a list of documents; reuses the RECORDS type-inference +
-        # int->double coercion so mixed numerics behave like DML
-        from core2_spark.sql_dml import records_to_df
-
-        docs = head["rel"]
-        if not (isinstance(docs, list) and docs
-                and all(isinstance(d, dict) for d in docs)):
-            raise ValueError("XTQL rel: a non-empty list of documents")
-        # getActiveSession is thread-scoped (None on e.g. an HTTP
-        # handler thread that never touched Spark); fall back to the
-        # process-wide default session
-        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
-        df = records_to_df(spark, docs)
+        df = _rel_literal(head["rel"])
+    elif "unify" in head:
+        df = _compile_unify(resolver, head["unify"])
     elif "from" in head:
         df = _compile_from(resolver, head)
     else:
-        raise ValueError("XTQL: a pipeline starts with a from op")
+        raise ValueError(
+            "XTQL: a pipeline starts with a from, rel, or unify op"
+        )
     ordered = False
     for op in rest:
         if "where" in op:

@@ -25,18 +25,19 @@ def test_registry_shape():
 # counting it would make the window's own names trivially fresh and
 # invert the assertion (the round-7 self-invalidation).  Bump this when
 # re-pinning the rotation for a new round.
-_EVIDENCE_BASIS_ROUND = 7
+_EVIDENCE_BASIS_ROUND = 8
 
 
 def test_priority_prefix_rotates_to_unchecked_tail():
     """The driver's correctness gate truncates at ~50 entries; the
-    rotation keeps it maximally informative: the window holds the
-    names with the OLDEST driver evidence (as of the pinned basis
-    round), then the current round's new queries (never checked), and
-    nothing inside the window may be fresher than anything it
-    displaced.  Round 8: the 41 names last checked r1-r3, then the
-    first 9 of the 11 new r8 queries fill the 50 slots; the last two
-    new queries queue immediately after for the r9 window."""
+    rotation keeps it maximally informative: never-driver-checked
+    names head the window (checking them completes the ledger), then
+    the stale backlog in evidence order, and nothing inside the window
+    may be fresher than anything it displaced.  Round 9: the 4
+    never-checked names (2 r8 leftovers + 2 new r9 queries), the whole
+    37-name r4 tier, and 9 of the 40 r5 names fill the 50 slots; the
+    31 remaining r5 names queue immediately after for the r10
+    window."""
     import glob
     import json
     import os
@@ -65,17 +66,17 @@ def test_priority_prefix_rotates_to_unchecked_tail():
         unchecked = [n for n in names if n not in latest]
         unplaced = [n for n in unchecked if n not in _PRIORITY]
         assert not unplaced, f"never-checked names not in _PRIORITY: {unplaced}"
-        # the priority list is three contiguous zones: stale backlog
-        # (evidence <= r3, the ledger-closing head), then this round's
-        # new queries (never checked), then the fresh (>= r4) names.
-        # The gate window (first ~50) therefore always drains the
-        # oldest evidence first; new queries overflow to the NEXT
-        # round's window only after the stale backlog, never behind a
-        # fresh name.
+        # the priority list is three contiguous zones: never-checked
+        # names (heading the gate completes the driver ledger), then
+        # the stale backlog (evidence <= r5) in evidence order, then
+        # the fresh (>= r6) names.  The gate window (first ~50)
+        # therefore always drains the oldest evidence first; the
+        # backlog overflow queues contiguously for the next round's
+        # window, never behind a fresh name.
         def zone(n: str) -> int:
             if n not in latest:
-                return 1
-            return 0 if latest[n] <= 3 else 2
+                return 0
+            return 1 if latest[n] <= 5 else 2
 
         zones = [zone(n) for n in _PRIORITY]
         assert zones == sorted(zones), (

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from core2_spark.catalog import load_table
+from core2_spark.queries.util import dsum
 from core2_spark.streaming.events import (
     _event_stream,
     run_stream_to_memory,
@@ -29,7 +30,7 @@ def test_streaming_tumbling_matches_batch(spark):
         for r in (
             load_table(spark, SF, "events")
             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+            .agg(F.count("*").alias("n"), dsum("value").alias("tv"))
             .collect()
         )
     }

@@ -282,6 +282,69 @@ def test_rel_literal_head_and_new_aggregates(res, spark):
     assert rows(joined) == [("ada", "eng-team"), ("bob", "eng-team")]
 
 
+def test_unify_shared_variable_joins(res):
+    """`unify` head op: clauses sharing a variable natural-join on it
+    (people⋈depts on the renamed dept/did variable), deferred where
+    filters the unified row, and the result feeds the ordinary
+    pipeline tail."""
+    got = xtql_with_resolver(res, [
+        {"unify": [
+            {"from": "people", "bind": ["name", "age", {"dept": "d"}]},
+            {"from": "depts", "bind": [{"did": "d"}, "dname"]},
+            {"where": [[">", "age", 26]]},
+        ]},
+        {"order-by": ["name"]},
+        {"return": ["name", "dname"]},
+    ])
+    assert rows(got) == [("ada", "eng"), ("bob", "eng")]
+
+
+def test_unify_rel_with_rebinding_and_errors(res):
+    """unify's remaining clause forms: a rel literal unifies like a
+    from; a with binding a FRESH variable computes it; a with
+    RE-binding an existing variable unifies (equality filter); bad
+    clause shapes reject."""
+    got = xtql_with_resolver(res, [
+        {"unify": [
+            {"from": "people", "bind": ["pid", "name"]},
+            {"rel": [{"pid": 1, "badge": "x"}, {"pid": 3, "badge": "y"}]},
+            {"with": {"tag": ["concat", "name", ["lit", "-"], "badge"]}},
+        ]},
+        {"order-by": ["pid"]},
+        {"return": ["tag"]},
+    ])
+    assert rows(got) == [("ada-x",), ("eve-y",)]
+    # re-binding: name must equal lower(name) -> only already-lower rows
+    rebound = xtql_with_resolver(res, [
+        {"unify": [
+            {"from": "people", "bind": ["pid", "name"]},
+            {"with": {"name": ["lower", "name"]}},
+        ]},
+        {"order-by": ["pid"]},
+    ])
+    assert [r[1] for r in rows(rebound)] == ["ada", "bob", "eve"]
+    # exists inside a unify where decorrelates to a semi join
+    sub = xtql_with_resolver(res, [
+        {"unify": [
+            {"from": "depts", "bind": ["did", "dname"]},
+            {"where": [["exists", {"from": "people",
+                                   "bind": [{"dept": "did"}]},
+                        ["did"]]]},
+        ]},
+        {"order-by": ["dname"]},
+        {"return": ["dname"]},
+    ])
+    assert rows(sub) == [("eng",), ("ops",)]
+    for bad, msg in [
+        ([{"unify": []}], "non-empty"),
+        ([{"unify": [{"where": [[">", "age", 1]]}]}], "at least one"),
+        ([{"unify": [{"with": {"x": 1}}]}], "prior relation"),
+        ([{"unify": [{"limit": 3}]}], "unknown clause"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            xtql_with_resolver(res, bad)
+
+
 def test_asof_join_op(spark):
     """`asof-join` drives the library union+window matcher: backward
     nearest match per key, tolerance nulls out distant matches,
