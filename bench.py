@@ -176,6 +176,19 @@ def main() -> None:
         sf1 = _bench_tier(spark, queries, sf1_dir)
         sf1["sf"] = 1.0
         out["sf1"] = sf1
+        # 50x tier: completes the in-artifact scale ladder
+        # (0.1 -> 1 -> 5) so scaling regressions show up per-round
+        # without a prose PERF.md sweep.  Same gating as sf1.
+        sf5_dir = os.environ.get(
+            "SPARK_GRAFT_SF5_DIR", os.path.join(REPO, "_data", "sf5")
+        )
+        if (
+            os.path.isdir(sf5_dir)
+            and os.environ.get("SPARK_GRAFT_SKIP_SF5") != "1"
+        ):
+            sf5 = _bench_tier(spark, queries, sf5_dir)
+            sf5["sf"] = 5.0
+            out["sf5"] = sf5
 
     print(json.dumps(out))
 

@@ -60,6 +60,16 @@ def _walk_all_files(path: str) -> list[str]:
     return out
 
 
+# Guarded-swap fence instrumentation (observability only — never read
+# by engine logic): how often the listing validation under the log
+# lock ran, and how often it ABORTED a swap whose decision read had
+# been overtaken by a concurrent publish.  The concurrency soak
+# (scripts/fuzz_concurrent_writers.py) reports these to prove the
+# layer-4 fence was actually exercised, not just present.  Incremented
+# while holding the log lock, so in-process reads are consistent.
+FENCE_STATS = {"listing_checks": 0, "listing_aborts": 0}
+
+
 def _list_parquet(path: str) -> frozenset[str]:
     """Relative paths of every parquet file under ``path`` (skipping
     `_`-scratch subtrees) — the maintenance swap/drop expectation
@@ -1101,7 +1111,9 @@ class Engine:
                     self._check_sole_writer()
                     if expect_files is not None:
                         actual = _list_parquet(path)
+                        FENCE_STATS["listing_checks"] += 1
                         if actual != expect_files:
+                            FENCE_STATS["listing_aborts"] += 1
                             raise ConcurrentWriterError(
                                 "maintenance swap aborted: the table's "
                                 "file set changed since the decision "
@@ -1925,7 +1937,9 @@ class Engine:
             with self._log_lock():
                 self._check_sole_writer()
                 for d in drop_days:
+                    FENCE_STATS["listing_checks"] += 1
                     if _list_parquet(day_dirs[d]) != expect_day[d]:
+                        FENCE_STATS["listing_aborts"] += 1
                         raise ConcurrentWriterError(
                             f"vacuum drop of day {d} aborted: the "
                             "partition's file set changed since the "

@@ -59,6 +59,17 @@ from core2_spark.engine import (
 IDS = range(5)  # small id space so writers collide
 
 
+# Dense mode (SPARK_GRAFT_FUZZ_DENSE=1): tilt the op mix toward
+# publishes (put) and swap-based maintenance (optimize/vacuum) with
+# longer programs — the interleave that maximizes publish-vs-decision
+# overlap, which is the exact window the guarded swap's listing
+# validation (engine._rewrite_atomic expect_files / vacuum's day-drop
+# re-check) exists to close.  The soak prints engine.FENCE_STATS so
+# "clean" provably means "the fence fired and held", not "the fence
+# was never reached".
+DENSE = os.environ.get("SPARK_GRAFT_FUZZ_DENSE") == "1"
+
+
 def build_programs(rng: random.Random, n_writers: int):
     """Seeded per-writer op program.  Writers 0..n-1 draw
     Put/Delete/Patch/guarded-insert ops; every writer may also draw a
@@ -66,23 +77,30 @@ def build_programs(rng: random.Random, n_writers: int):
     races writers AND maintenance.  Patch ops hit both the existing
     column and a widening one ('p') so schema evolution runs under
     contention; guarded inserts (ASSERT + Put) may legally abort."""
+    # cumulative draw thresholds: put/delete/patch/guarded/opt/vac/mview
+    cuts = (
+        (0.40, 0.48, 0.54, 0.58, 0.78, 0.94)  # dense: 36% swap-maint.
+        if DENSE
+        else (0.45, 0.60, 0.72, 0.80, 0.88, 0.94)
+    )
+    lo, hi = (3, 6) if DENSE else (2, 5)
     programs = []
     for w in range(n_writers):
         ops = []
-        for i in range(rng.randint(2, 5)):
+        for i in range(rng.randint(lo, hi)):
             r = rng.random()
-            if r < 0.45:
+            if r < cuts[0]:
                 ops.append(("put", rng.choice(IDS), f"w{w}op{i}"))
-            elif r < 0.60:
+            elif r < cuts[1]:
                 ops.append(("delete", rng.choice(IDS)))
-            elif r < 0.72:
+            elif r < cuts[2]:
                 key = "v" if rng.random() < 0.5 else "p"
                 ops.append(("patch", rng.choice(IDS), key, f"w{w}patch{i}"))
-            elif r < 0.80:
+            elif r < cuts[3]:
                 ops.append(("guarded", rng.choice(IDS), f"w{w}grd{i}"))
-            elif r < 0.88:
+            elif r < cuts[4]:
                 ops.append(("optimize",))
-            elif r < 0.94:
+            elif r < cuts[5]:
                 ops.append(("vacuum",))
             else:
                 ops.append(("mview",))
@@ -274,9 +292,16 @@ def main() -> int:
             failures += 1
         else:
             shutil.rmtree(root, ignore_errors=True)  # keep only failures
+    from core2_spark.engine import FENCE_STATS
+
     print(
         f"{n_schedules - failures}/{n_schedules} schedules clean, "
-        f"{n_writers} writers, {time.time() - t0:.0f}s total"
+        f"{n_writers} writers, dense={DENSE}, {time.time() - t0:.0f}s total"
+    )
+    print(
+        f"fence: {FENCE_STATS['listing_checks']} listing checks, "
+        f"{FENCE_STATS['listing_aborts']} aborts (swap/drop stopped by a "
+        "concurrent publish)"
     )
     return 1 if failures else 0
 

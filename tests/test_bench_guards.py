@@ -1,0 +1,81 @@
+"""Per-query bench regression guards (VERDICT r8 task 3).
+
+The bench contract test guards only the artifact SHAPE; the r8 round
+showed per-query sequential drift (q10 +47%, agg_distinct +41% vs r7)
+can ride inside a green wall number.  This test runs the real bench at
+the driver's sf0.1 tier and pins each query's SEQUENTIAL time (best-of-2
+after GC — the bench's own regression signal, measured without
+co-running queries) against a ceiling of 1.5x the r7/r8 median.
+
+Profiling note (r9): the r8 q10/agg_distinct drift did NOT reproduce at
+HEAD — 5-run minimums came out at r7 levels (q10 0.752s vs r7 0.718;
+agg_distinct 0.234 vs 0.243) even under co-running load, so the drift
+was machine contention during the r8 driver run, not a plan or code
+regression.  The r8 publish-lock is write-path-only and cannot touch
+these read queries.
+
+Flake shield: a loaded machine inflates everything uniformly, so on a
+ceiling breach the bench is re-run once and the per-query MIN of the
+two runs is judged — a genuine plan regression reproduces, transient
+neighbor load does not.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+# 1.5x the median of the r7/r8 driver artifacts' queries_sequential
+# (BENCH_r07.json / BENCH_r08.json, sf0.1).  Re-pin when the headline
+# set or the fixture tier changes.
+CEILINGS = {
+    "tpch_q1_pricing_summary": 0.772,
+    "tpch_q3_shipping_priority": 1.357,
+    "tpch_q5_region_revenue": 1.566,
+    "tpch_q10_returned_items": 1.333,
+    "agg_distinct": 0.440,
+    "window_topk_per_group": 0.729,
+    "temporal_asof_bitemporal": 0.977,
+    "stream_tumbling_window": 0.592,
+    "dedup_exact_survivors": 0.818,
+    "knn_brute_force_cosine": 0.735,
+}
+
+
+def _run_bench() -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
+        SPARK_GRAFT_SKIP_SF1="1",
+    )
+    out = subprocess.run(
+        [sys.executable, "/root/repo/bench.py"],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.strip()][-1]
+    return json.loads(line)["queries_sequential"]
+
+
+def test_per_query_sequential_ceilings():
+    seq = _run_bench()
+    assert set(seq) == set(CEILINGS)
+    over = {q: t for q, t in seq.items() if t > CEILINGS[q]}
+    if over:
+        # one retry: transient machine load inflates uniformly and does
+        # not reproduce; a real regression does
+        seq2 = _run_bench()
+        best = {q: min(seq[q], seq2[q]) for q in seq}
+        over = {q: t for q, t in best.items() if t > CEILINGS[q]}
+    assert not over, (
+        "per-query sequential regression past 1.5x the r7/r8 median: "
+        + ", ".join(
+            f"{q}={t:.3f}s (ceiling {CEILINGS[q]:.3f}s)"
+            for q, t in sorted(over.items())
+        )
+    )
