@@ -390,10 +390,13 @@ def _compile_unify(resolver, clauses) -> DataFrame:
     temporal options), ``with`` (computed binding; RE-binding an
     already-bound variable unifies — an equality filter, which on a
     fresh cross product Catalyst folds back into the join condition),
-    ``where`` (predicates, incl. exists/not-exists — deferred until
-    every variable is bound, so clause order between relations and
-    wheres is declarative).  A ``with`` may only reference variables
-    bound by EARLIER clauses."""
+    ``left-join`` (optional unification: unmatched rows survive with
+    NULL bindings; joins on shared variables, or explicit ``on``
+    pairs), ``unnest`` (explode an array binding), ``where``
+    (predicates, incl. exists/not-exists — deferred until every
+    variable is bound, so clause order between relations and wheres is
+    declarative).  ``with``/``left-join``/``unnest`` may only
+    reference variables bound by EARLIER clauses."""
     if not (isinstance(clauses, list) and clauses):
         raise ValueError("XTQL unify: a non-empty list of clauses")
     rel: DataFrame | None = None
@@ -415,6 +418,37 @@ def _compile_unify(resolver, clauses) -> DataFrame:
                     rel = rel.filter(F.col(name) == col)
                 else:
                     rel = rel.withColumn(name, col)
+            continue
+        if "left-join" in c:
+            if rel is None:
+                raise ValueError(
+                    "XTQL unify: 'left-join' needs a prior relation clause"
+                )
+            spec = c["left-join"]
+            part = (
+                _compile_from(resolver, spec)
+                if isinstance(spec, dict)
+                else xtql_with_resolver(resolver, spec)
+            )
+            on = c.get("on")
+            if on:
+                rel = _join_pairs(rel, part, on, "left")
+            else:
+                shared = sorted(set(rel.columns) & set(part.columns))
+                if not shared:
+                    raise ValueError(
+                        "XTQL unify left-join: no shared variables "
+                        "(and no 'on' pairs)"
+                    )
+                rel = rel.join(part, shared, "left")
+            continue
+        if "unnest" in c:
+            if rel is None:
+                raise ValueError(
+                    "XTQL unify: 'unnest' needs a prior relation clause"
+                )
+            (uname, usrc), = c["unnest"].items()
+            rel = rel.withColumn(uname, F.explode(F.col(usrc)))
             continue
         if "rel" in c:
             part = _rel_literal(c["rel"])

@@ -7,8 +7,11 @@ so the generator builds both sides from a single structured draw.
 
 Covers: from-binds with pushed equality, where predicates (str =/<>/in,
 int </>/mod, num ranges), computed with-columns (arithmetic, if,
-upper/length), aggregate (count/max/min per group), and the
-exists/not-exists sub-pipeline forms against correlated SQL.
+upper/length), aggregate (count/max/min per group), the
+exists/not-exists sub-pipeline forms against correlated SQL, and (r9)
+all three unify styles — shared-variable natural join, with-rebinding
+equality unification, left-join optional unification — against the
+mirrored SQL join.
 """
 
 from __future__ import annotations
@@ -55,9 +58,9 @@ def _sq(s: str) -> str:
 
 
 @st.composite
-def predicate(draw, table):
+def predicate(draw, table, kinds=("str", "int", "num")):
     """One predicate as (xtql_expr, sql_text)."""
-    kind = draw(st.sampled_from(["str", "int", "num"]))
+    kind = draw(st.sampled_from(list(kinds)))
     col = draw(st.sampled_from(TABLES[table][kind]))
     if kind == "str":
         c1 = draw(st.sampled_from(STR_CONSTS[col]))
@@ -91,7 +94,84 @@ def pipeline_and_sql(draw):
     where_sql = " AND ".join(p[1] for p in preds)
     int_col = draw(st.sampled_from(cols["int"]))
     str_col = draw(st.sampled_from(cols["str"]))
-    shape = draw(st.sampled_from(["project", "agg", "exists", "not-exists"]))
+    shape = draw(
+        st.sampled_from(["project", "agg", "exists", "not-exists", "unify"])
+    )
+
+    if shape == "unify":
+        # all three unification styles against ONE mirrored SQL join:
+        # shared-variable natural join, with-rebinding (equality
+        # unification over a cross product Catalyst folds back into a
+        # join condition), and optional left-join unification.  Key
+        # columns stay out of the predicates (the shared style renames
+        # them to the logic variable).
+        o_pred = draw(predicate("orders", kinds=("str", "num")))
+        c_pred = draw(predicate("customer", kinds=("str", "num")))
+        style = draw(st.sampled_from(["shared", "rebind", "leftjoin"]))
+        o_bind_cust = [
+            "o_orderkey", {"o_custkey": "cust"}, "o_orderstatus",
+            "o_totalprice", "o_orderpriority",
+        ]
+        c_bind_cust = [
+            {"c_custkey": "cust"}, "c_nationkey", "c_acctbal",
+            "c_mktsegment",
+        ]
+        if style == "leftjoin":
+            pipeline = [
+                {"unify": [
+                    {"from": "orders", "bind": o_bind_cust},
+                    {"where": [o_pred[0]]},
+                    {"left-join": [
+                        {"from": "customer", "bind": c_bind_cust},
+                        {"where": [c_pred[0]]},
+                    ]},
+                ]},
+                {"aggregate": {
+                    "n": ["count"],
+                    "matched": ["count", "c_nationkey"],
+                }, "group": ["o_orderstatus"]},
+            ]
+            sql = f"""
+            SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(c_nationkey) AS BIGINT) AS matched
+            FROM orders LEFT JOIN
+                 (SELECT * FROM customer WHERE {c_pred[1]}) c
+              ON c.c_custkey = orders.o_custkey
+            WHERE {o_pred[1]}
+            GROUP BY o_orderstatus
+            """
+            return pipeline, sql
+        if style == "shared":
+            clauses = [
+                {"from": "orders", "bind": o_bind_cust},
+                {"from": "customer", "bind": c_bind_cust},
+                {"where": [o_pred[0], c_pred[0]]},
+            ]
+        else:  # rebind: own-name binds, then `with` unifies the keys
+            clauses = [
+                {"from": "orders",
+                 "bind": ["o_orderkey", "o_custkey", "o_orderstatus",
+                          "o_totalprice", "o_orderpriority"]},
+                {"from": "customer",
+                 "bind": ["c_custkey", "c_nationkey", "c_acctbal",
+                          "c_mktsegment"]},
+                {"with": {"c_custkey": "o_custkey"}},
+                {"where": [o_pred[0], c_pred[0]]},
+            ]
+        pipeline = [
+            {"unify": clauses},
+            {"aggregate": {
+                "n": ["count"], "mx": ["max", "o_orderkey"],
+            }, "group": ["c_mktsegment"]},
+        ]
+        sql = f"""
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(o_orderkey) AS BIGINT) AS mx
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        WHERE {o_pred[1]} AND {c_pred[1]}
+        GROUP BY c_mktsegment
+        """
+        return pipeline, sql
 
     if shape == "project":
         # computed columns through the scalar stdlib

@@ -340,9 +340,53 @@ def test_unify_rel_with_rebinding_and_errors(res):
         ([{"unify": [{"where": [[">", "age", 1]]}]}], "at least one"),
         ([{"unify": [{"with": {"x": 1}}]}], "prior relation"),
         ([{"unify": [{"limit": 3}]}], "unknown clause"),
+        ([{"unify": [{"from": "people"},
+                     {"left-join": {"from": "tagged",
+                                    "bind": [{"tags": "zz"}]}}]}],
+         "no shared"),
     ]:
         with pytest.raises(ValueError, match=msg):
             xtql_with_resolver(res, bad)
+
+
+def test_unify_left_join_and_unnest(res):
+    """left-join clause: optional unification (eve's dept 20 has no
+    tagged row -> NULL tags survive); unnest clause: explode an array
+    binding inside the unification."""
+    got = xtql_with_resolver(res, [
+        {"unify": [
+            {"from": "people", "bind": ["pid", "name"]},
+            {"left-join": {"from": "tagged", "bind": ["pid", "tags"]}},
+        ]},
+        {"order-by": ["pid"]},
+        {"return": ["name", "tags"]},
+    ])
+    assert rows(got) == [
+        ("ada", ["a", "b"]), ("bob", []), ("eve", None)
+    ]
+    # explicit on-pairs override shared-name matching
+    got2 = xtql_with_resolver(res, [
+        {"unify": [
+            {"from": "people", "bind": [{"pid": "person"}, "name"]},
+            {"left-join": {"from": "tagged", "bind": ["pid", "tags"]},
+             "on": [["person", "pid"]]},
+        ]},
+        {"order-by": ["person"]},
+        {"return": ["name", "tags"]},
+    ])
+    assert rows(got2) == rows(got)
+    # unnest inside unify: one row per tag, joined back to depts
+    exploded = xtql_with_resolver(res, [
+        {"unify": [
+            {"from": "people", "bind": ["pid", {"dept": "did"}]},
+            {"from": "tagged", "bind": ["pid", "tags"]},
+            {"unnest": {"tag": "tags"}},
+            {"from": "depts", "bind": ["did", "dname"]},
+        ]},
+        {"order-by": ["pid", "tag"]},
+        {"return": ["pid", "tag", "dname"]},
+    ])
+    assert rows(exploded) == [(1, "a", "eng"), (1, "b", "eng")]
 
 
 def test_asof_join_op(spark):
