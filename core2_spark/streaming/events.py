@@ -41,13 +41,26 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_nanos_conf(spark)
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # the symlink target must be ABSOLUTE: a relative sf_dir (e.g.
+    # `_data/sf1`) would otherwise resolve against the symlink's /tmp
+    # directory and dangle — the stream then silently reads ZERO files
+    # (found by the r9 sf1 parity sweep).  The stream dir is keyed by
+    # the absolute path too, so relative and absolute spellings of one
+    # fixture share a dir, and a stale/dangling link is replaced.
+    target = os.path.abspath(table_path(sf_dir, "events"))
     stream_dir = os.path.join(
-        tempfile.gettempdir(), "core2_spark_stream", sf_dir.strip("/").replace("/", "_")
+        tempfile.gettempdir(),
+        "core2_spark_stream",
+        target.strip("/").replace("/", "_"),
     )
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(table_path(sf_dir, "events"), link)
+    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(
+        target
+    ):
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(target, link)
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -17,6 +17,26 @@ from core2_spark.streaming.stateful import running_user_profile
 SF = "/root/testdata/sf0.001"
 
 
+def test_event_stream_relative_sf_dir(spark):
+    """A RELATIVE sf_dir must stream the same rows as the absolute
+    spelling: the shim's symlink target is absolutized, otherwise it
+    resolves against the /tmp link directory and dangles — the stream
+    then silently reads zero files (r9 sf1 sweep regression)."""
+    import os
+
+    rel = os.path.relpath(SF)  # cwd is the repo root under pytest
+    assert not os.path.isabs(rel)
+    sink = run_stream_to_memory(
+        tumbling_agg(_event_stream(spark, rel)), mode="complete"
+    )
+    n_rel = spark.table(sink).count()
+    assert n_rel > 0
+    sink2 = run_stream_to_memory(
+        tumbling_agg(_event_stream(spark, SF)), mode="complete"
+    )
+    assert n_rel == spark.table(sink2).count()
+
+
 def test_streaming_tumbling_matches_batch(spark):
     """The streaming tumbling aggregation must equal the batch result
     once the bounded stream drains (exactly-once semantics)."""
