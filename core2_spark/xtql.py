@@ -593,15 +593,39 @@ def xtql_with_resolver(resolver, pipeline: list) -> DataFrame:
         elif "order-by" in op:
             cols = []
             for item in op["order-by"]:
-                name, direction = (
-                    item if isinstance(item, (list, tuple)) else (item, "asc")
-                )
+                # "col" | ["col", dir] | ["col", dir, "nulls-first"/
+                # "nulls-last"] — the v2 spec's {:val :dir :nulls}
+                # triple.  Default nulls placement follows the dir's
+                # natural Spark order (asc → nulls first, desc → last).
+                nulls = None
+                if isinstance(item, (list, tuple)):
+                    name, direction, *restn = item
+                    if restn:
+                        (nulls,) = restn
+                else:
+                    name, direction = item, "asc"
                 if direction not in ("asc", "desc"):
                     raise ValueError(
                         f"XTQL order-by: direction {direction!r}"
                     )
+                if nulls not in (None, "nulls-first", "nulls-last"):
+                    raise ValueError(
+                        f"XTQL order-by: nulls placement {nulls!r}"
+                    )
                 c = F.col(name)
-                cols.append(c.desc() if direction == "desc" else c.asc())
+                if direction == "desc":
+                    c = (
+                        c.desc_nulls_first() if nulls == "nulls-first"
+                        else c.desc_nulls_last() if nulls == "nulls-last"
+                        else c.desc()
+                    )
+                else:
+                    c = (
+                        c.asc_nulls_first() if nulls == "nulls-first"
+                        else c.asc_nulls_last() if nulls == "nulls-last"
+                        else c.asc()
+                    )
+                cols.append(c)
             df = df.orderBy(*cols)
             ordered = True
         elif "limit" in op or "offset" in op:

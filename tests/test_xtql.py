@@ -349,6 +349,32 @@ def test_unify_rel_with_rebinding_and_errors(res):
             xtql_with_resolver(res, bad)
 
 
+def test_order_by_nulls_placement(res, spark):
+    """order-by triples [col, dir, nulls-first|nulls-last] — the v2
+    {:val :dir :nulls} spelling; bad placements reject."""
+    nully = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 1)], "k int, v int"
+    )
+    r = lambda t: {"nully": nully}[t]
+    first = xtql_with_resolver(r, [
+        {"from": "nully"},
+        {"order-by": [["v", "desc", "nulls-first"]]},
+        {"return": ["k"]},
+    ])
+    assert [x[0] for x in rows(first)] == [2, 1, 3]
+    last = xtql_with_resolver(r, [
+        {"from": "nully"},
+        {"order-by": [["v", "asc", "nulls-last"]]},
+        {"return": ["k"]},
+    ])
+    assert [x[0] for x in rows(last)] == [3, 1, 2]
+    with pytest.raises(ValueError, match="nulls placement"):
+        xtql_with_resolver(r, [
+            {"from": "nully"},
+            {"order-by": [["v", "asc", "bogus"]]},
+        ])
+
+
 def test_unify_left_join_and_unnest(res):
     """left-join clause: optional unification (eve's dept 20 has no
     tagged row -> NULL tags survive); unnest clause: explode an array
