@@ -398,6 +398,29 @@ def test_http_xtql_endpoint(spark, engine):
             got = json.loads(resp.read())
         assert got["rows"] == [[1, "AAPL"], [3, "AAPL"]]
 
+        # round-9 op over the wire: a unify head (shared-variable
+        # self-join on sym, rel literal unified in)
+        un = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/xtql",
+            data=json.dumps(
+                {
+                    "query": [
+                        {"unify": [
+                            {"from": "trades", "bind": ["id", "sym", "px"]},
+                            {"rel": [{"sym": "AAPL", "mult": 2.0}]},
+                            {"with": {"px2": ["*", "px", "mult"]}},
+                        ]},
+                        {"order-by": ["id"]},
+                        {"return": ["id", "px2"]},
+                    ]
+                }
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(un) as resp:
+            got = json.loads(resp.read())
+        assert got["rows"] == [[1, 200.0], [3, 100.0]]
+
         # malformed pipelines are 400s, not connection drops
         bad = urllib.request.Request(
             f"http://127.0.0.1:{server.port}/xtql",
