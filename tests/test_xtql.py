@@ -577,6 +577,18 @@ def test_snapshot_xtql_per_from_temporal_binds(spark, tmp_path):
         {"return": ["v_old", "v_now"]},
     ])
     assert rows(both) == [("v1", "v2")]
+    # the same two-instant read as a UNIFY: temporal options on a
+    # from CLAUSE ride the same basis-aware resolver, and the shared
+    # `id` variable unifies the instants implicitly
+    unified = snap.xtql([
+        {"unify": [
+            {"from": "t", "for-system-time": ["at", "2024-01-15 00:00:00"],
+             "bind": ["id", {"v": "v_old"}]},
+            {"from": "t", "bind": ["id", {"v": "v_now"}]},
+        ]},
+        {"return": ["v_old", "v_now"]},
+    ])
+    assert rows(unified) == [("v1", "v2")]
 
 
 def test_snapshot_xtql_range_bind_reads_history(spark, tmp_path):
