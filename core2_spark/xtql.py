@@ -23,9 +23,9 @@ Pipeline representation (Python lists/dicts standing in for the EDN)::
 
 Operators: ``rel`` (inline document-list relation head, the algebra's
 ``:table`` — RECORDS-style type inference), ``unify`` (head op:
-Datalog-style variable unification over from/rel/with/where clauses —
-shared variable names natural-join, re-binding unifies by equality;
-see ``_compile_unify``), ``from`` (bind: plain
+Datalog-style variable unification over from/rel/with/left-join/
+unnest/where clauses — shared variable names natural-join, re-binding
+unifies by equality; see ``_compile_unify``), ``from`` (bind: plain
 string = bind column under its own name, {col: name} = rename,
 {col: {"=": lit}} = equality match pushed into the scan; per-from temporal options ``for-valid-time`` /
 ``for-system-time`` with ``["at", t]`` / ``["from", lo, "to", hi]`` /
@@ -39,7 +39,9 @@ join on the name list so the key coalesces), ``asof-join`` (nearest
 right row per key at-or-before/after each left timestamp — the
 library union+window operator, one shuffle, no range join), ``unnest``
 (explode an array column), ``pull`` (Datomic-style document projection — reuses
-datalog._attach_pull), ``aggregate`` (+ ``group``), ``order-by``,
+datalog._attach_pull), ``aggregate`` (+ ``group``), ``order-by``
+(items: ``"col"`` / ``[col, dir]`` / ``[col, dir, "nulls-first"|
+"nulls-last"]`` — the v2 ``{:val :dir :nulls}`` triple),
 ``limit`` / ``offset`` (require an order-by earlier in the pipeline —
 an unordered limit is non-deterministic, same rule as the Datalog
 frontend), ``return``.
