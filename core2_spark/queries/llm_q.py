@@ -475,6 +475,20 @@ def knn_lsh_full_probe_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("knn_ivf_full_probe_exact", oracle=_KNN_ORACLE)
+def knn_ivf_full_probe_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF twin of the LSH exactness pin: probing EVERY cell
+    (nprobe = n_clusters = 8) must return the exact cosine top-k —
+    the full path (seed-row centroids, Arrow-batched cell_assigner
+    pandas UDF, probe filter, scoring) hash-checked against DuckDB.
+    Together with knn_lsh_full_probe_exact, both ANN families carry a
+    value oracle over their machinery; only the probe-pruned results
+    remain legitimately engine-specific."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = similarity.query_vector(e, "vec_id", "embedding", 0)
+    return similarity.ivf_knn(e, qv, k=10, n_clusters=8, nprobe=8)
+
+
 @query("knn_ivf_probe")  # rows-only: approximate result set is engine-specific
 def knn_ivf_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate kNN: deterministic coarse quantizer cells

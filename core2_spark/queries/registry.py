@@ -58,17 +58,18 @@ _PRIORITY: list[str] = [
     # never-driver-checked names head the gate — after r9 every one of
     # the registry's names has driver CORRECTNESS evidence, closing the
     # ledger; (b) the stale backlog in evidence order (the 37 r4 names,
-    # then the 40 r5 names — the first 9 fill the 50-slot window, the
+    # then the 40 r5 names — the first 8 fill the 50-slot window, the
     # rest queue contiguously for r10), so the rolling freshness window
     # keeps every name's evidence <= ~4 rounds old; (c) the fresh
     # (r6+) names.  tests/test_entry_contract.py pins this layout
     # against the r1-r8 artifacts (_EVIDENCE_BASIS_ROUND = 8).
-    # -- never driver-checked (4): the 2 r8 leftovers + the 2 new r9
-    #    queries; heading the gate makes the ledger 233/233 complete --
+    # -- never driver-checked (5): the 2 r8 leftovers + the 3 new r9
+    #    queries; heading the gate makes the ledger complete --
     "xtql_asof_join",
     "xtql_scalar_stdlib",
     "xtql_unify",
     "knn_lsh_full_probe_exact",
+    "knn_ivf_full_probe_exact",
     # -- last checked round 4 (37): the whole r4 tier, refreshed so no
     #    name's evidence is ever more than ~4 rounds old --
     "knn_brute_force_cosine",
