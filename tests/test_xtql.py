@@ -349,6 +349,37 @@ def test_unify_rel_with_rebinding_and_errors(res):
             xtql_with_resolver(res, bad)
 
 
+def test_unify_plans_hash_joins_never_cartesian(res):
+    """Scale audit: both unification styles must plan hash joins —
+    shared-variable clauses natural-join directly, and the rebind
+    style's cross product + equality filter must be folded back into a
+    join condition by Catalyst (PushPredicateThroughJoin), never left
+    as a CartesianProduct/BroadcastNestedLoop."""
+    shared = xtql_with_resolver(res, [
+        {"unify": [
+            {"from": "people", "bind": ["name", {"dept": "d"}]},
+            {"from": "depts", "bind": [{"did": "d"}, "dname"]},
+        ]},
+    ])
+    rebind = xtql_with_resolver(res, [
+        {"unify": [
+            {"from": "people", "bind": ["name", "dept"]},
+            {"from": "depts", "bind": ["did", "dname"]},
+            {"with": {"did": "dept"}},
+        ]},
+    ])
+    for df in (shared, rebind):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+        assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert sorted(rows(shared.select("name", "dname"))) == [
+        ("ada", "eng"), ("bob", "eng"), ("eve", "ops")
+    ]
+    assert sorted(rows(rebind.select("name", "dname"))) == [
+        ("ada", "eng"), ("bob", "eng"), ("eve", "ops")
+    ]
+
+
 def test_order_by_nulls_placement(res, spark):
     """order-by triples [col, dir, nulls-first|nulls-last] — the v2
     {:val :dir :nulls} spelling; bad placements reject."""
