@@ -2299,9 +2299,19 @@ class Snapshot:
         recent_ids = recent.select("id").distinct()
         base = spark.read.parquet(compact_path)
         untouched = base.join(recent_ids, "id", "left_anti")
-        versions = self._versions(table).join(recent_ids, "id", "left_semi")
+        # resolve touched ids over the RECENT files only: the
+        # no-app-bounds invariant gating this path means the visible
+        # version of any touched id is its latest system version, and
+        # a touched id BY DEFINITION has that version after t0 — a
+        # pre-t0 version can never win for it (a post-t0 tombstone
+        # hides the id the same way).  Resolving over the full log
+        # instead re-opened EVERY table file per read (one task per
+        # file), turning the whole merge-on-read into the O(all
+        # history) plan it exists to avoid — found by the r9
+        # 1,200-day probe as a 1,232-task stage inside every
+        # incremental mview refresh.
         s = t = self.basis.current_time
-        vis = bt.resolve_as_of(versions, s, t, "id")
+        vis = bt.resolve_as_of(recent, s, t, "id")
         drop = [*bt.TEMPORAL_COLS, bt.TOMBSTONE, bt.TX_SEQ, bt.ROW_SEQ, bt.SYS_DAY]
         vis = vis.drop(*[c for c in drop if c in vis.columns])
         return untouched.unionByName(vis, allowMissingColumns=True)

@@ -869,6 +869,47 @@ def test_merge_on_read_stale_compact(spark):
     assert db.sql("SELECT COUNT(*) AS n FROM t").collect()[0]["n"] == len(expect)
 
 
+def test_merge_on_read_never_rescans_pre_compact_history(spark):
+    """The O(files) pin behind merge-on-read: resolving the touched
+    ids must read ONLY the compact base + post-compact day files —
+    never the pre-compact version log.  (The r9 1,200-day probe found
+    the resolution side re-opening every table file — a 1,232-task
+    stage inside each incremental mview refresh; under the
+    no-app-bounds invariant a touched id's visible version is always
+    post-t0, so the old files are provably irrelevant.)"""
+    root = ROOT + "_mor_files"
+    shutil.rmtree(root, ignore_errors=True)
+    eng = Engine(spark, root)
+    for d in range(1, 6):  # five pre-compact days
+        eng.submit_tx(
+            [Put("t", spark.createDataFrame(
+                [(i, f"d{d}v{i}") for i in range(10)], "id long, v string"))],
+            tx_time=f"2024-01-0{d} 00:00:01",
+        )
+    eng.compact("t")
+    eng.submit_tx(
+        [Put("t", spark.createDataFrame(
+            [(1, "tail1"), (99, "tail99")], "id long, v string"))],
+        tx_time="2024-01-09 00:00:01",
+    )
+    merged = eng.db().table("t")
+    files = merged.inputFiles()
+    assert any("_current" in f for f in files), "merge path not taken"
+    log_files = [f for f in files if "_current" not in f]
+    assert log_files, "tail day files must be read"
+    # the compact clock's OWN day stays in range (a later same-day tx
+    # lands there); every strictly earlier day must be pruned
+    bad = [
+        f for f in log_files
+        if not ("_sys_day=2024-01-09" in f or "_sys_day=2024-01-05" in f)
+    ]
+    assert not bad, f"pre-compact history files in the plan: {bad[:3]}"
+    got = {(r["id"], r["v"]) for r in merged.collect()}
+    expect = {(i, f"d5v{i}") for i in range(10) if i != 1}
+    expect |= {(1, "tail1"), (99, "tail99")}
+    assert got == expect
+
+
 def test_merge_on_read_disabled_for_app_bounded_tables(spark):
     """A bounded app period can expire with NO new version rows, so
     app-bounded tables must never take the stale-compact path — the
