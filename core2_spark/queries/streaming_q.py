@@ -150,13 +150,30 @@ def structured_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tumbling_batch(spark, sf_dir)
 
 
-@query("stream_kafka_log_transport")  # rows-only: wire-schema transport path
+@query(
+    "stream_kafka_log_transport",
+    oracle="""
+    SELECT 'core2-log' AS topic,
+           CAST(user_id % 4 AS INT) AS "partition",
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(MAX(event_id) AS BIGINT) AS max_offset,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS BIGINT) AS n_purchases
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def stream_kafka_log_transport_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka-shaped log ingestion end-to-end: wire records (auto
     transport — Kafka when a broker+connector exist, the wire-identical
     file twin here) decoded like a Kafka consumer, then aggregated per
     (topic, partition) with max offset — the consumer-group bookkeeping
-    view.  Rows-only: the transport layer isn't SQL-expressible."""
+    view.  Full value-hash oracle (upgraded from rows-only in r9): the
+    key%n partitioner is cross-engine-deterministic, so DuckDB derives
+    the same consumer-group view straight from the events table — which
+    checks the whole encode→stream→decode round-trip byte-for-byte at
+    the aggregate level (a mis-decoded event_type or offset mismatches
+    the hash)."""
     from core2_spark.streaming.events import run_stream_to_memory
     from core2_spark.streaming.log_transport import parse_log_records, read_log_stream
 

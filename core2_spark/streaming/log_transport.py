@@ -84,7 +84,12 @@ def file_log_stream(
     records.  key = user_id bytes (Kafka's per-key ordering unit),
     value = the event row as JSON bytes, offset = event_id (the
     fixture's monotonic id — a real file log would use the append
-    position)."""
+    position).  The partitioner is key % n (a standard pluggable
+    Kafka partitioner for numeric keys) rather than Murmur2-on-bytes:
+    per-key ordering — the only property consumers may rely on — is
+    identical, and a cross-engine-deterministic assignment lets the
+    downstream consumer-group view carry a full DuckDB value oracle
+    instead of a rows-only check."""
     from core2_spark.streaming.events import _event_stream
 
     ev = _event_stream(spark, sf_dir)
@@ -92,7 +97,7 @@ def file_log_stream(
         F.encode(F.col("user_id").cast("string"), "utf-8").alias("key"),
         F.encode(F.to_json(F.struct(*ev.columns)), "utf-8").alias("value"),
         F.lit(topic).alias("topic"),
-        F.pmod(F.hash("user_id"), F.lit(n_partitions))
+        F.pmod(F.col("user_id"), F.lit(n_partitions))
         .cast("int")
         .alias("partition"),
         F.col("event_id").cast("long").alias("offset"),
