@@ -54,7 +54,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order for the tail.  Any prefix of the returned dict is then a
 # maximally-informative correctness sample.
 _PRIORITY: list[str] = [
-    # Round 9 rotation (VERDICT r8 task 1).  Zone order: (a) the 4
+    # Round 9 rotation (VERDICT r8 task 1).  Zone order: (a) the 5
     # never-driver-checked names head the gate — after r9 every one of
     # the registry's names has driver CORRECTNESS evidence, closing the
     # ledger; (b) the stale backlog in evidence order (the 37 r4 names,
@@ -109,19 +109,19 @@ _PRIORITY: list[str] = [
     "interval_arithmetic",
     "ts_last_point_per_device",
     "ts_hourly_rollup_daily_peak",
-    # -- last checked round 5 (first 9 of 40; fills the 50-slot window):
-    #    curated to include the two checks UPGRADED this round
-    #    (stream_structured_tumbling + multimodal_frame_sampling gained
-    #    full value-hash oracles) and the ANN family beside the new
-    #    exactness query --
+    # -- last checked round 5 (first 8 of 40 fill the 50-slot window):
+    #    curated to hold the three checks UPGRADED this round
+    #    (stream_structured_tumbling, multimodal_frame_sampling and
+    #    stream_kafka_log_transport gained full value-hash oracles)
+    #    and the ANN family beside the new exactness queries --
     "engine_replica_cdc_roundtrip",
     "dedup_simhash",
     "knn_lsh_bucketed",
-    "knn_ivf_probe",
     "multimodal_image_resize",
     "multimodal_frame_sampling",
     "embedding_cosine_near_dup",
     "stream_structured_tumbling",
+    "stream_kafka_log_transport",
     "knn_quantized_lsh",
     # -- last checked round 5 (remaining 31; immediately after the window
     #    so they head the r10 gate) --
@@ -144,7 +144,7 @@ _PRIORITY: list[str] = [
     "set_union_by_name_missing",
     "set_union_distinct",
     "stream_sliding_window",
-    "stream_kafka_log_transport",
+    "knn_ivf_probe",
     "stream_interval_join_batch_twin",
     "stream_cdc_log_tail",
     "datetime_extract",
