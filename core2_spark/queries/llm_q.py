@@ -173,11 +173,66 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # rows-only: 64-bit band join (Pandas-UDF signature stage)
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text || ' zzduplicate' AS text
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> x <> ''))) AS t
+        FROM aug
+    ),
+    th AS (
+        SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+        FROM toks
+    ),
+    bits AS (
+        SELECT doc_id, j,
+               CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)
+                         > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM th, range(64) r(j)
+        GROUP BY doc_id, j
+    ),
+    sigs AS (
+        SELECT doc_id,
+               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                         THEN s - 18446744073709551616::HUGEINT
+                         ELSE s END AS BIGINT) AS sig
+        FROM (
+            SELECT doc_id,
+                   SUM(CASE WHEN bit = 1
+                            THEN CAST(1::UBIGINT << j AS HUGEINT)
+                            ELSE 0::HUGEINT END) AS s
+            FROM bits GROUP BY doc_id
+        )
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 8
+    """,
+)
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (banded 64-bit signatures, Hamming
-    ≤ 8 verification).  Rows-only: the signature stage is an Arrow
-    Pandas UDF, not SQL-expressible."""
+    """SimHash near-dup pairs (banded 64-bit signatures, Hamming ≤ 8).
+    Upgraded from rows-only to a full value oracle in r9: the md5
+    per-token hashes and the per-bit majority vote are exactly
+    re-derivable in SQL (DuckDB parses the digest's first 8 bytes via
+    a hex cast; 64-way range join votes each bit; a HUGEINT fold
+    recovers the two's-complement int64), and with n_blocks=9 >
+    max_hamming the banded candidate join is COMPLETE by pigeonhole —
+    so the banding must return exactly the all-pairs Hamming ≤ 8 set
+    the oracle computes.  Quadratic-oracle note: like
+    dedup_ngram_jaccard, the ORACLE is all-pairs (fine at the driver's
+    sf0.01; excluded from the sf1 sweep) while the ENGINE side stays
+    banded-linear."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return dedup.simhash_near_duplicates(_augmented_docs(d), max_hamming=8)
 
