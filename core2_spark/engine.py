@@ -947,9 +947,14 @@ class Engine:
                 # (optimize) renames the table dir out from under a
                 # concurrent per-partition rewrite's in-flight
                 # committer scratch — Hadoop surfaces it as shell
-                # failures on the now-missing attempt files
+                # failures on the now-missing attempt files, or (the
+                # 6-writer dense soak, seeds 1110/1114) as
+                # "Mkdirs failed to create" when the committer tries
+                # to recreate an attempt dir under the renamed-away
+                # scratch root
                 "FileNotFoundException",
                 "No such file or directory",
+                "Mkdirs failed to create",
             )
         )
         if not racy:

@@ -910,6 +910,32 @@ def test_merge_on_read_never_rescans_pre_compact_history(spark):
     assert got == expect
 
 
+def test_reclassify_race_covers_mkdirs_failure(spark):
+    """A concurrent whole-table swap can rename a maintenance op's
+    in-flight scratch root away; Hadoop's committer then surfaces
+    'Mkdirs failed to create' (6-writer dense soak, seeds 1110/1114).
+    With the log advanced past this engine's view that MUST reclassify
+    to the retryable ConcurrentWriterError; with an unchanged log the
+    same message is real corruption and surfaces as itself."""
+    from core2_spark.engine import ConcurrentWriterError
+
+    root = ROOT + "_reclass"
+    shutil.rmtree(root, ignore_errors=True)
+    a = Engine(spark, root)
+    a.submit_tx([Put("t", spark.createDataFrame([(1, "x")], "id long, v string"))])
+    b = Engine(spark, root)
+    b.submit_tx([Put("t", spark.createDataFrame([(2, "y")], "id long, v string"))])
+    boom = Exception(
+        "An error occurred while calling o1.parquet.\n"
+        ": java.io.IOException: Mkdirs failed to create "
+        "file:/x/t/_tmp__sys_day%3D2024-01-01_ab/_temporary/0"
+    )
+    with pytest.raises(ConcurrentWriterError):
+        a._reclassify_race(boom)  # log advanced: the op lost a race
+    a.refresh()
+    assert a._reclassify_race(boom) is None  # unchanged log: surfaces
+
+
 def test_merge_on_read_disabled_for_app_bounded_tables(spark):
     """A bounded app period can expire with NO new version rows, so
     app-bounded tables must never take the stale-compact path — the
