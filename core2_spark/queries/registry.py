@@ -113,10 +113,14 @@ _PRIORITY: list[str] = [
     #    curated to hold the three checks UPGRADED this round
     #    (stream_structured_tumbling, multimodal_frame_sampling and
     #    stream_kafka_log_transport gained full value-hash oracles)
-    #    and the ANN family beside the new exactness queries --
+    #    and the ANN family beside the new exactness queries.
+    #    stream_cdc_log_tail swapped in late-round when it too gained a
+    #    full value oracle (deterministic delete → SQL-derivable change
+    #    summary), displacing rows-only knn_lsh_bucketed (whose driver
+    #    row proves only rows>0) to the r10 queue head --
     "engine_replica_cdc_roundtrip",
     "dedup_simhash",
-    "knn_lsh_bucketed",
+    "stream_cdc_log_tail",
     "multimodal_image_resize",
     "multimodal_frame_sampling",
     "embedding_cosine_near_dup",
@@ -125,6 +129,7 @@ _PRIORITY: list[str] = [
     "knn_quantized_lsh",
     # -- last checked round 5 (remaining 31; immediately after the window
     #    so they head the r10 gate) --
+    "knn_lsh_bucketed",
     "knn_ivf_partitioned_layout",
     "curation_pii_redact",
     "map_construct_access",
@@ -146,7 +151,6 @@ _PRIORITY: list[str] = [
     "stream_sliding_window",
     "knn_ivf_probe",
     "stream_interval_join_batch_twin",
-    "stream_cdc_log_tail",
     "datetime_extract",
     "date_trunc_monthly_revenue",
     "ts_gap_fill_locf",

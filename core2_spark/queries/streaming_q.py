@@ -223,15 +223,32 @@ def stream_interval_join_batch_twin_q(spark: SparkSession, sf_dir: str) -> DataF
     ).select("p_id", "e_id")
 
 
-@query("stream_cdc_log_tail")  # rows-only: true streaming execution
+@query(
+    "stream_cdc_log_tail",
+    oracle="""
+    SELECT 'put' AS _change, COUNT(*) AS n_changes,
+           TIMESTAMP '2024-03-01 00:00:00' AS max_log_position
+    FROM nation
+    UNION ALL
+    SELECT 'delete', COUNT(*), TIMESTAMP '2024-04-01 00:00:00'
+    FROM nation WHERE n_nationkey < 5
+    """,
+)
 def stream_cdc_log_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tail an engine version table as a structured stream
     (streaming/cdc.py — the streaming twin of Snapshot.changes):
-    ingest nation rows in two transactions plus a delete, drain the
-    CDC stream availableNow, and summarize the change records per
-    (_change) tag with the max log position.  Rows-only: streaming
-    execution isn't SQL-expressible; the batch changes feed
-    (engine_changes_feed) is the oracle-checked value twin."""
+    ingest nation rows in one transaction plus a deterministic delete
+    in a second, drain the CDC stream availableNow, and summarize the
+    change records per (_change) tag with the max log position.
+
+    Full value oracle (was rows-only until round 9): with fixed tx
+    times and a deterministic delete predicate (id < 5), the change
+    summary is exactly derivable in SQL — every put is one change
+    record stamped with the first tx's time, every tombstone one
+    record stamped with the second's, and the stream's drained state
+    must equal that, proving the streaming execution path end-to-end
+    (file-source discovery, schema inference, tag derivation,
+    complete-mode state)."""
     import os
     import shutil
     import tempfile
@@ -252,7 +269,9 @@ def stream_cdc_log_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eng.submit_tx([Put("nation", nation)], tx_time="2024-03-01T00:00:00")
     eng.submit_tx(
-        [Delete("nation", nation.select("id").limit(5))],
+        # deterministic predicate (NOT an unordered limit) so the
+        # oracle can name the exact tombstone set
+        [Delete("nation", nation.filter(F.col("id") < 5).select("id"))],
         tx_time="2024-04-01T00:00:00",
     )
 
