@@ -256,3 +256,60 @@ def graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "node", F.round(F.col("rank") + F.lit(1e-9), 6).alias("pagerank")
     ).orderBy("node")
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (SELECT a, b FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle count over the support-thresholded
+    co-purchase graph: edges are part pairs co-occurring in >= 2
+    orders (the support prune keeps the graph sparse at ANY corpus
+    size — the same discipline real co-occurrence pipelines use), and
+    triangles are counted by the ordered wedge join (a<b<c once, so
+    each triangle counts exactly once, no division by 6).  Two hash
+    joins on edge endpoints; degree skew is bounded by the support
+    threshold.  Output: one exact (n_edges, n_triangles) row."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("a"))
+    b = op.select(
+        F.col("l_orderkey").alias("b_orderkey"), F.col("l_partkey").alias("b")
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("l_orderkey") == F.col("b_orderkey"))
+            & (F.col("a") < F.col("b")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("a", "b")
+    )
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("e2a"), F.col("b").alias("e2b"))
+    e3 = edges.select(F.col("a").alias("e3a"), F.col("b").alias("e3b"))
+    tri = (
+        e1.join(e2, F.col("e2a") == F.col("b"))
+        .join(e3, (F.col("e3a") == F.col("a")) & (F.col("e3b") == F.col("e2b")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    # 1x1 scalar combine (broadcast-trivial, same pattern as the TPC-H
+    # global-total queries)
+    return n_edges.crossJoin(tri)

@@ -63,13 +63,16 @@ _PRIORITY: list[str] = [
     # keeps every name's evidence <= ~4 rounds old; (c) the fresh
     # (r6+) names.  tests/test_entry_contract.py pins this layout
     # against the r1-r8 artifacts (_EVIDENCE_BASIS_ROUND = 8).
-    # -- never driver-checked (5): the 2 r8 leftovers + the 3 new r9
+    # -- never driver-checked (8): the 2 r8 leftovers + the 6 new r9
     #    queries; heading the gate makes the ledger complete --
     "xtql_asof_join",
     "xtql_scalar_stdlib",
     "xtql_unify",
     "knn_lsh_full_probe_exact",
     "knn_ivf_full_probe_exact",
+    "events_funnel_ordered",
+    "events_error_burst_runs",
+    "graph_triangle_count",
     # -- last checked round 4 (37): the whole r4 tier, refreshed so no
     #    name's evidence is ever more than ~4 rounds old --
     "knn_brute_force_cosine",
@@ -114,21 +117,23 @@ _PRIORITY: list[str] = [
     #    (stream_structured_tumbling, multimodal_frame_sampling and
     #    stream_kafka_log_transport gained full value-hash oracles)
     #    and the ANN family beside the new exactness queries.
-    #    stream_cdc_log_tail swapped in late-round when it too gained a
-    #    full value oracle (deterministic delete → SQL-derivable change
-    #    summary), displacing rows-only knn_lsh_bucketed (whose driver
-    #    row proves only rows>0) to the r10 queue head --
-    "engine_replica_cdc_roundtrip",
+    #    Late-round re-curation: the 3 new sequence/graph queries took
+    #    window slots (never-checked names must head the gate), so the
+    #    window's r5 zone is now exactly the 5 names whose ORACLES were
+    #    upgraded this round (simhash/tumbling/frame-sampling/transport/
+    #    cdc-tail — each check verifies new oracle code); the
+    #    non-upgraded r5 names queue at the r10 head --
     "dedup_simhash",
     "stream_cdc_log_tail",
-    "multimodal_image_resize",
     "multimodal_frame_sampling",
-    "embedding_cosine_near_dup",
     "stream_structured_tumbling",
     "stream_kafka_log_transport",
-    "knn_quantized_lsh",
-    # -- last checked round 5 (remaining 31; immediately after the window
+    # -- last checked round 5 (remaining; immediately after the window
     #    so they head the r10 gate) --
+    "engine_replica_cdc_roundtrip",
+    "multimodal_image_resize",
+    "embedding_cosine_near_dup",
+    "knn_quantized_lsh",
     "knn_lsh_bucketed",
     "knn_ivf_partitioned_layout",
     "curation_pii_redact",
@@ -314,6 +319,7 @@ def _ensure_loaded() -> None:
         llm_q,
         nested,
         relational,
+        sequence_q,
         sort_set,
         streaming_q,
         temporal_q,

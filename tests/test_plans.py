@@ -346,3 +346,28 @@ def test_gopher_rules_is_map_side_only(spark):
     # exactly ONE exchange: the final ORDER BY's range repartitioning
     assert len(re.findall(r"\bExchange \(", plan)) == 1, plan
     assert "rangepartitioning" in plan, plan
+
+
+def test_triangle_count_wedge_joins_are_hash_joins(spark):
+    """The ordered wedge join must plan as equi hash/sort-merge joins;
+    the only non-equi node allowed is the final 1x1 scalar combine
+    (broadcast-trivial by construction)."""
+    plan = plan_of(QUERIES["graph_triangle_count"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the scalar combine is a BroadcastNestedLoopJoin over two 1-row
+    # aggregates — at most that ONE node may appear (formatted explain
+    # prints every node twice: tree + numbered detail; count details)
+    assert plan.count(") BroadcastNestedLoopJoin") <= 1
+    # both wedge joins are real equi joins
+    assert (
+        plan.count("HashJoin") + plan.count("SortMergeJoin") >= 3
+    ), plan
+
+
+@pytest.mark.parametrize(
+    "name", ["events_funnel_ordered", "events_error_burst_runs"]
+)
+def test_sequence_queries_no_cartesian(spark, name):
+    plan = plan_of(QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
