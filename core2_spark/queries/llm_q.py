@@ -1009,6 +1009,49 @@ def split_train_val_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_stratified_topk",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, source, lang,
+               (doc_id * 2654435761) % 4294967296 AS hkey
+        FROM documents
+    ), r AS (
+        SELECT doc_id, source, lang,
+               ROW_NUMBER() OVER (PARTITION BY source, lang
+                                  ORDER BY hkey, doc_id) AS rank
+        FROM h
+    )
+    SELECT source, lang, doc_id, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    ORDER BY source, lang, rank
+    """,
+)
+def sample_stratified_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 5 docs per
+    (source, lang) stratum, chosen by multiplicative-hash order of
+    doc_id — the balanced eval-set construction step of a training
+    pipeline.  Unlike rand()-based sampling the choice is a pure
+    function of the data (engines, re-runs, and partitionings agree),
+    and unlike reservoir sampling the per-stratum quota is exact.  One
+    window over (source, lang); output bounded by strata count at any
+    corpus size."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from pyspark.sql.window import Window
+
+    hkey = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("source", "lang").orderBy(
+        hkey.asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "source", "lang")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("source", "lang", "doc_id", "rank")
+        .orderBy("source", "lang", "rank")
+    )
+
+
+@query(
     "corpus_weighted_mixture",
     oracle=f"""
     WITH b AS (

@@ -73,6 +73,7 @@ _PRIORITY: list[str] = [
     "events_funnel_ordered",
     "events_error_burst_runs",
     "graph_triangle_count",
+    "sample_stratified_topk",
     # -- last checked round 4 (37): the whole r4 tier, refreshed so no
     #    name's evidence is ever more than ~4 rounds old --
     "knn_brute_force_cosine",
