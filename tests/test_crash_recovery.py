@@ -1,0 +1,29 @@
+"""Bounded in-suite twin of scripts/fuzz_crash_recovery.py: a writer
+subprocess (own JVM, whole process group) is SIGKILLed at a random
+instant mid-transaction-stream; a fresh Engine on the root must then
+satisfy durability (every ACKed tx fully visible), atomicity (state
+equals the replay of ACKed txs, or ACKed + the one begun-unACKed tail
+that may have committed before its ACK write), and liveness (a
+post-recovery transaction commits past the corpse's stale lock,
+pending manifest, and stage scratch).  The deep fuzz is the script
+(>= 40 schedules); two schedules here keep the property in the suite.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+)
+
+from fuzz_crash_recovery import run_schedule  # noqa: E402
+
+
+@pytest.mark.parametrize("seed", [4100, 4101])
+def test_kill9_crash_recovery_invariants(spark, tmp_path, seed):
+    problems = run_schedule(spark, seed=seed, base=str(tmp_path))
+    assert not problems, problems
