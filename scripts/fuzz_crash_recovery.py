@@ -111,6 +111,30 @@ def child_main(root: str, seed: int, journal: str) -> None:
         eng.submit_tx(ops)
         jlog({"n": n, "phase": "ack"})
         n += 1
+        # State-PRESERVING maintenance between transactions: a kill
+        # landing mid-optimize/compact/vacuum swap exercises the
+        # _old_/_tmp_ scratch recovery paths with real process death
+        # (current-state replay is unaffected, so the parent's
+        # invariants need no knowledge of these).
+        if n >= 1 and rng.random() < 0.35:
+            kind = rng.choice(("optimize", "compact", "vacuum"))
+            if kind == "optimize":
+                eng.optimize(TABLE)
+            elif kind == "compact":
+                eng.compact(TABLE)
+            else:
+                from datetime import datetime, timedelta, timezone
+
+                # naive-UTC horizon past every derived tx time (same
+                # convention as the concurrency soak): vacuums all
+                # superseded versions, current state untouched
+                eng.vacuum(
+                    TABLE,
+                    older_than=datetime.now(timezone.utc).replace(
+                        tzinfo=None
+                    )
+                    + timedelta(seconds=120),
+                )
 
 
 def _read_journal(journal: str) -> tuple[list[list[list]], list[list] | None]:
@@ -229,7 +253,11 @@ def main() -> int:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
-    base = os.path.join(REPO, "_data", "fuzz_crash")
+    # overridable so concurrent fuzz invocations never share (and
+    # rmtree) each other's scratch
+    base = os.environ.get(
+        "SPARK_GRAFT_CRASH_BASE", os.path.join(REPO, "_data", "fuzz_crash")
+    )
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     t0 = time.time()
