@@ -27,3 +27,19 @@ from fuzz_crash_recovery import run_schedule  # noqa: E402
 def test_kill9_crash_recovery_invariants(spark, tmp_path, seed):
     problems = run_schedule(spark, seed=seed, base=str(tmp_path))
     assert not problems, problems
+
+
+from fuzz_reader_snapshots import run_schedule as reader_schedule  # noqa: E402
+
+
+def test_reader_snapshot_consistency_under_chaos(spark, tmp_path):
+    """Bounded twin of scripts/fuzz_reader_snapshots.py: concurrent
+    readers racing writers + swap maintenance must each observe a
+    serial-prefix state (never a torn read) and pinned snapshots must
+    be repeatable; reads yanked mid-plan by a swap surface as clean
+    retries, not data."""
+    problems, ok, retried = reader_schedule(
+        spark, seed=5100, root=str(tmp_path / "r"), n_writers=3, n_readers=2
+    )
+    assert not problems, problems
+    assert ok > 0  # "clean" must not mean "every read errored"
