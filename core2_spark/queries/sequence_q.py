@@ -18,8 +18,6 @@ aggregation, all partitioned by user_id, output bounded by user count.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from core2_spark.catalog import load_tables
 from core2_spark.queries.registry import query
@@ -58,43 +56,14 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     first view/click/purchase each STRICTLY AFTER the previous stage's
     event and within a 3-day horizon of it — order matters, so this is
     sequence matching, not set membership.  Emits per-stage completion
-    counts (all-integer, engine-exact)."""
+    counts (all-integer, engine-exact).  Compiled by the reusable
+    operator (operators/sequences.py), which the randomized sequence
+    differential (tests/test_random_sequences.py) drives with random
+    stage chains and horizons."""
+    from core2_spark.operators.sequences import funnel
+
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-
-    def first_after(prev: DataFrame, prev_ts: str, etype: str, out_ts: str) -> DataFrame:
-        nxt = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
-        return (
-            nxt.join(prev, "user_id")
-            .filter(
-                (F.col("ts") > F.col(prev_ts))
-                & (F.col("ts") <= F.col(prev_ts) + F.expr(_HORIZON))
-            )
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(out_ts))
-        )
-
-    s = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s_ts"))
-    )
-    v = first_after(s, "s_ts", "view", "v_ts")
-    c = first_after(v, "v_ts", "click", "c_ts")
-    p = first_after(c, "c_ts", "purchase", "p_ts")
-
-    def stage_count(df: DataFrame, idx: int, name: str) -> DataFrame:
-        return df.agg(F.count("*").alias("n_users")).select(
-            F.lit(idx).alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            F.col("n_users"),
-        )
-
-    out = stage_count(s, 1, "signup")
-    for i, (name, df) in enumerate(
-        zip(_FUNNEL_STAGES[1:], (v, c, p)), start=2
-    ):
-        out = out.unionByName(stage_count(df, i, name))
-    return out.orderBy("stage_idx")
+    return funnel(ev, list(_FUNNEL_STAGES), horizon=_HORIZON)
 
 
 @query(
@@ -124,29 +93,12 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_error_burst_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consecutive-run detection (gaps-and-islands): users whose event
     stream contains runs of >= 3 back-to-back 'error' events with no
-    other event type between — the MATCH_RECOGNIZE `A B+ C` shape via
+    other event type between — the MATCH_RECOGNIZE `X{3,}` shape via
     two ordered windows (global row number minus per-class row number
     is constant within a run).  Deterministic ordering ties broken by
-    event_id; output bounded by user count at any scale."""
+    event_id; output bounded by user count at any scale.  Compiled by
+    the reusable operator (operators/sequences.py)."""
+    from core2_spark.operators.sequences import consecutive_runs
+
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select("user_id", "event_type", "ts", "event_id").withColumn(
-        "rn", F.row_number().over(w_all)
-    )
-    w_err = Window.partitionBy("user_id").orderBy("rn")
-    err = (
-        seq.filter(F.col("event_type") == "error")
-        .withColumn("grp", F.col("rn") - F.row_number().over(w_err))
-    )
-    runs = err.groupBy("user_id", "grp").agg(F.count("*").alias("run_len"))
-    return (
-        runs.filter(F.col("run_len") >= 3)
-        .groupBy("user_id")
-        .agg(
-            F.count("*").alias("n_bursts"),
-            F.max("run_len").alias("max_run"),
-        )
-        .orderBy(
-            F.col("n_bursts").desc(), F.col("max_run").desc(), F.col("user_id")
-        )
-    )
+    return consecutive_runs(ev, "error", min_run=3)
