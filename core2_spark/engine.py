@@ -914,6 +914,23 @@ class Engine:
                 for tdir in tables:
                     if os.path.isdir(tdir):
                         _prune_empty_dirs(tdir)
+                        # A table the crashed tx CREATED is an empty
+                        # husk after its files roll back — left in
+                        # place it lists as a table whose read then
+                        # fails with UNABLE_TO_INFER_SCHEMA (found by
+                        # the kill -9 crash fuzz, seed 3031).  Mirror
+                        # the in-process _rollback: remove it when no
+                        # parquet remains — unless a peer's scratch
+                        # (_tmp_/_old_) is present, whose cleanup
+                        # belongs to its owner.
+                        if not any(
+                            f.endswith(".parquet")
+                            for f in _walk_all_files(tdir)
+                        ) and not any(
+                            e.startswith(("_tmp_", "_old_"))
+                            for e in os.listdir(tdir)
+                        ):
+                            shutil.rmtree(tdir, ignore_errors=True)
             os.remove(full)
 
     def _reclassify_race(self, exc: Exception) -> None:

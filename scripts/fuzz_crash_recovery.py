@@ -264,7 +264,13 @@ def main() -> int:
     failures = 0
     for s in range(n_schedules):
         seed = 3000 + s
-        problems = run_schedule(spark, seed=seed, base=base)
+        try:
+            problems = run_schedule(spark, seed=seed, base=base)
+        except Exception as exc:  # noqa: BLE001 — a verification crash IS a finding
+            import traceback
+
+            traceback.print_exc()
+            problems = [f"verification crashed: {type(exc).__name__}: {exc}"]
         status = "OK" if not problems else "FAIL " + "; ".join(problems)
         print(f"[{s + 1}/{n_schedules}] seed={seed} {status}", flush=True)
         if problems:

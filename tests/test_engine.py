@@ -1827,3 +1827,45 @@ def test_changes_refuses_window_below_rewrite_marker(spark, engine):
         for r in db.changes("t", since="2024-01-01 00:00:02").collect()
     }
     assert got == {(3, "put")}
+
+
+def test_crashed_first_tx_on_new_table_leaves_no_husk(spark, tmp_path):
+    """A tx that CREATED a table, published files, and died before the
+    log advanced must roll back to 'table never existed' — not to an
+    empty dir husk that lists in _all_tables and then fails reads with
+    UNABLE_TO_INFER_SCHEMA (kill -9 crash fuzz, seed 3031)."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql import functions as FF
+    from core2_spark import temporal as btmod
+
+    root = str(tmp_path / "crash_husk")
+    eng = Engine(spark, root)
+    t_crash = datetime.fromisoformat("2024-01-02 00:00:01")
+    rows = (
+        btmod.put(
+            spark.createDataFrame([(2, "phantom")], "id long, v string"),
+            tx_time=t_crash,
+        )
+        .withColumn(btmod.TOMBSTONE, FF.lit(False))
+        .withColumn(btmod.TX_SEQ, FF.lit(0))
+        .withColumn(btmod.ROW_SEQ, FF.monotonically_increasing_id())
+        .withColumn(btmod.SYS_DAY, FF.to_date(FF.col(btmod.SYS_START)))
+    )
+    pending = eng._pending_path()
+    path = os.path.join(root, "t")
+    staging, moves = eng._stage_rows(path, rows)
+    eng._write_pending(pending, t_crash, [d for _s, d in moves], [])
+    eng._publish_staged(path, staging, moves)
+    assert os.path.isdir(path)
+
+    eng2 = Engine(spark, root, reclaim_after_s=0.0)
+    assert "t" not in eng2._all_tables()
+    assert not os.path.exists(path)
+    # and a fresh first tx on the same name works normally
+    eng2.submit_tx(
+        [Put("t", spark.createDataFrame([(1, "real")], "id long, v string"))]
+    )
+    got = {r["id"]: r["v"] for r in eng2.db().table("t").collect()}
+    assert got == {1: "real"}
