@@ -54,7 +54,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order for the tail.  Any prefix of the returned dict is then a
 # maximally-informative correctness sample.
 _PRIORITY: list[str] = [
-    # Round 9 rotation (VERDICT r8 task 1).  Zone order: (a) the 5
+    # Round 9 rotation (VERDICT r8 task 1).  Zone order: (a) the
     # never-driver-checked names head the gate — after r9 every one of
     # the registry's names has driver CORRECTNESS evidence, closing the
     # ledger; (b) the stale backlog in evidence order (the 37 r4 names,
@@ -63,7 +63,7 @@ _PRIORITY: list[str] = [
     # keeps every name's evidence <= ~4 rounds old; (c) the fresh
     # (r6+) names.  tests/test_entry_contract.py pins this layout
     # against the r1-r8 artifacts (_EVIDENCE_BASIS_ROUND = 8).
-    # -- never driver-checked (8): the 2 r8 leftovers + the 6 new r9
+    # -- never driver-checked (9): the 2 r8 leftovers + the 7 new r9
     #    queries; heading the gate makes the ledger complete --
     "xtql_asof_join",
     "xtql_scalar_stdlib",
@@ -118,12 +118,13 @@ _PRIORITY: list[str] = [
     #    (stream_structured_tumbling, multimodal_frame_sampling and
     #    stream_kafka_log_transport gained full value-hash oracles)
     #    and the ANN family beside the new exactness queries.
-    #    Late-round re-curation: the 3 new sequence/graph queries took
-    #    window slots (never-checked names must head the gate), so the
-    #    window's r5 zone is now exactly the 5 names whose ORACLES were
-    #    upgraded this round (simhash/tumbling/frame-sampling/transport/
-    #    cdc-tail — each check verifies new oracle code); the
-    #    non-upgraded r5 names queue at the r10 head --
+    #    Late-round re-curation: the 4 new sequence/graph/sampling
+    #    queries took window slots (never-checked names must head the
+    #    gate), leaving 4 r5 slots for the oracle-upgraded names
+    #    (simhash/cdc-tail/frame-sampling/tumbling — each check
+    #    verifies new oracle code); stream_kafka_log_transport (also
+    #    upgraded, parity-proven locally at 4 tiers) heads the r10
+    #    queue with the non-upgraded r5 names --
     "dedup_simhash",
     "stream_cdc_log_tail",
     "multimodal_frame_sampling",
