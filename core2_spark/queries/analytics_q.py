@@ -1,0 +1,412 @@
+"""Corpus-search / entity-resolution / product-analytics operators.
+
+Round-9 continuation widening: five operator shapes a reference user
+running training-data + product pipelines would expect beside the
+dedup/ANN/curation families, each fully SQL-oracle-paired:
+
+- BM25 ranked retrieval over the documents corpus (the lexical-search
+  twin of the kNN embedding family),
+- blocked fuzzy entity matching (edit-distance record linkage — the
+  supervised cousin of dedup's blocked near-dup joins),
+- cohort retention (classic product analytics over the events table),
+- per-series z-score anomaly detection (decimal-exact moments so the
+  threshold compare is bit-identical to the oracle),
+- equi-width histogram with broadcast-scalar bounds.
+
+Scale notes are per-query; every quadratic is blocked, every scalar
+is a broadcast, every aggregate is map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from core2_spark.catalog import load_tables
+from core2_spark.queries.registry import query
+from core2_spark.queries.util import EPS, SQL_EPS
+
+# Fixed search terms for the BM25 query: present in the synthetic
+# corpus vocabulary with distinct document frequencies.
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 15
+
+
+@query(
+    "text_bm25_search_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    toks_ne AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks_ne GROUP BY doc_id),
+    corpus AS (
+        SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks_ne
+        WHERE term IN ('spark', 'merge', 'window')
+        GROUP BY doc_id, term
+    ),
+    idf AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(
+                   ln(1 + (corpus.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+                   * tf.tf
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / corpus.avgdl))
+               ) AS score,
+               CAST(COUNT(*) AS BIGINT) AS matched_terms
+        FROM tf
+        JOIN dl ON dl.doc_id = tf.doc_id
+        JOIN idf ON idf.term = tf.term
+        CROSS JOIN corpus
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id,
+           ROUND(score + {SQL_EPS}, 4) AS bm25_score,
+           matched_terms
+    FROM scored
+    ORDER BY bm25_score DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def text_bm25_search_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25(k1=1.2, b=0.75) ranked retrieval for a fixed 3-term query.
+
+    The lexical-search twin of `knn_brute_force_cosine`: tokenize →
+    per-doc tf for the query terms only (the filter cuts the explode
+    output to ~|terms|/|vocab| before any shuffle) → df/idf per term
+    (3-row broadcast) → one map-side-combinable per-doc sum.  At
+    100 TB the only large shuffle is the per-(doc, term) tf aggregate
+    over the FILTERED token stream; dl/avgdl reuse the token scan.
+    Ordering is on the ROUNDED score (nudged, see util.py) so rank
+    ties broken by doc_id agree bit-for-bit with the oracle.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs = d.count()  # scalar: row-group-stats count
+    total_tokens = dl.agg(F.sum("dl").alias("t")).collect()[0]["t"]  # 1 scalar
+    avgdl = float(total_tokens) / n_docs
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(F.count("*").alias("df"))
+    per_term = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1)
+                    + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * F.col("tf")
+                / (
+                    F.col("tf")
+                    + F.lit(_BM25_K1)
+                    * (F.lit(1 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.lit(avgdl))
+                )
+            ).alias("term_score"),
+        )
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("term_score") + F.lit(EPS), 4).alias("bm25_score"),
+            F.count("*").alias("matched_terms"),
+        )
+        .orderBy(F.col("bm25_score").desc(), F.col("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
+@query(
+    "entity_fuzzy_match_blocked",
+    oracle="""
+    SELECT a.c_custkey AS left_key,
+           b.c_custkey AS right_key,
+           a.c_name AS left_name,
+           b.c_name AS right_name,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND substr(a.c_name, 1, 14) = substr(b.c_name, 1, 14)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    ORDER BY left_key, right_key
+    """,
+)
+def entity_fuzzy_match_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage: candidate pairs within a blocking
+    key (nation × 14-char name prefix), matched at Levenshtein ≤ 2.
+
+    The classic entity-resolution shape: blocking turns the O(N²)
+    all-pairs edit-distance into an equi-join whose quadratic lives
+    only inside each block (sf1: max block 455 rows → ~30M comparisons
+    total vs 11G unblocked); the blocking key is part of the operator
+    contract, so the oracle mirrors it exactly.  Catalyst extracts the
+    two equality conjuncts into the join keys and leaves `<` + the
+    edit-distance threshold as post-join filters — a plain shuffled
+    hash join, no nested loop.
+    """
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    a = c.alias("a")
+    b = c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.c_nationkey") == F.col("b.c_nationkey"),
+                F.substring(F.col("a.c_name"), 1, 14)
+                == F.substring(F.col("b.c_name"), 1, 14),
+                F.col("a.c_custkey") < F.col("b.c_custkey"),
+            ],
+        )
+        .filter(dist <= 2)
+        .select(
+            F.col("a.c_custkey").alias("left_key"),
+            F.col("b.c_custkey").alias("right_key"),
+            F.col("a.c_name").alias("left_name"),
+            F.col("b.c_name").alias("right_name"),
+            dist.cast("int").alias("edit_dist"),
+        )
+        .orderBy("left_key", "right_key")
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle=f"""
+    WITH coh AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events
+        WHERE event_type = 'purchase' AND value > 200
+        GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        FROM events
+        WHERE event_type = 'purchase'
+    ),
+    ret AS (
+        SELECT c.cohort_day,
+               CAST(date_diff('day', c.cohort_day, a.d) AS INTEGER) AS day_offset,
+               CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS active_users
+        FROM coh c
+        JOIN act a
+          ON a.user_id = c.user_id
+         AND a.d >= c.cohort_day
+         AND date_diff('day', c.cohort_day, a.d) <= 6
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM coh GROUP BY 1)
+    SELECT r.cohort_day, r.day_offset, s.cohort_size, r.active_users,
+           ROUND(CAST(r.active_users AS DOUBLE) / s.cohort_size + {SQL_EPS}, 4)
+               AS retention_rate
+    FROM ret r
+    JOIN sz s ON s.cohort_day = r.cohort_day
+    ORDER BY r.cohort_day, r.day_offset
+    """,
+)
+def events_retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users cohorted by the day of their first
+    high-value purchase (> 200), tracked over purchase activity for
+    offsets 0–6 days.
+
+    Product-analytics staple.  Two filtered aggregates over one fact
+    scan (cohort assignment + distinct active days), then a per-user
+    equi-join bounded by the 7-day horizon — the join explodes each
+    cohort row into ≤ 7 activity rows, so output stays linear in the
+    cohort count.  At 100 TB the activity side is pre-shrunk by the
+    DISTINCT (user, day) projection before the shuffle.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    coh = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 200))
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("cohort_day"))
+    )
+    act = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    offset = F.datediff(F.col("d"), F.col("cohort_day"))
+    ret = (
+        coh.join(act, "user_id")
+        .filter((F.col("d") >= F.col("cohort_day")) & (offset <= 6))
+        .groupBy("cohort_day", offset.cast("int").alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    sz = coh.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    return (
+        ret.join(sz, "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "cohort_size",
+            "active_users",
+            F.round(
+                F.col("active_users").cast("double") / F.col("cohort_size")
+                + F.lit(EPS),
+                4,
+            ).alias("retention_rate"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
+    "ts_zscore_anomalies",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                    AS DOUBLE) AS sxx
+        FROM events
+        WHERE event_type = 'click'
+        GROUP BY user_id
+    ),
+    m AS (
+        SELECT user_id,
+               sx / n AS mean_v,
+               sxx / n - (sx / n) * (sx / n) AS var_v
+        FROM s
+    )
+    SELECT e.event_id, e.user_id, e.value,
+           ROUND((e.value - m.mean_v) / sqrt(m.var_v) + {SQL_EPS}, 4) AS zscore
+    FROM events e
+    JOIN m ON m.user_id = e.user_id
+    WHERE e.event_type = 'click'
+      AND m.var_v > 0
+      AND ABS((e.value - m.mean_v) / sqrt(m.var_v)) > 2.5
+    ORDER BY e.event_id
+    """,
+)
+def ts_zscore_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series z-score anomaly detection over click values.
+
+    The per-user mean/variance are computed from DECIMAL(18,6)-exact
+    Σx and Σx² (the util.py exactness discipline: the 2-decimal
+    fixture values are recovered exactly, summed exactly, and only
+    then divided in double), so mean, variance, and every z-score are
+    bit-identical to the oracle — the |z| > 2.5 threshold can never
+    flip on a last-ulp difference.  One map-side-combinable aggregate
+    + one equi-join back to the fact; at 100 TB the moments table is
+    |users|-sized and broadcastable.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    clicks = ev.filter(F.col("event_type") == "click")
+    dec = F.col("value").cast("decimal(18,6)")
+    s = clicks.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("double").alias("sx"),
+        F.sum(dec * dec).cast("double").alias("sxx"),
+    )
+    m = s.select(
+        "user_id",
+        (F.col("sx") / F.col("n")).alias("mean_v"),
+        (
+            F.col("sxx") / F.col("n")
+            - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
+        ).alias("var_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.sqrt(F.col("var_v"))
+    return (
+        clicks.join(F.broadcast(m), "user_id")
+        .filter((F.col("var_v") > 0) & (F.abs(z) > 2.5))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round(z + F.lit(EPS), 4).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "agg_histogram_equi_width",
+    oracle=f"""
+    WITH mm AS (
+        SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+    ),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR((o_totalprice - mm.mn) * 10.0 / (mm.mx - mm.mn))
+                          AS BIGINT), 9) AS bin_id
+        FROM orders CROSS JOIN mm
+    )
+    SELECT b.bin_id,
+           ROUND(mm.mn + b.bin_id * (mm.mx - mm.mn) / 10.0 + {SQL_EPS}, 4) AS bin_lo,
+           ROUND(mm.mn + (b.bin_id + 1) * (mm.mx - mm.mn) / 10.0 + {SQL_EPS}, 4) AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM binned b CROSS JOIN mm
+    GROUP BY b.bin_id, mm.mn, mm.mx
+    ORDER BY b.bin_id
+    """,
+)
+def agg_histogram_equi_width_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bin histogram of order totals.
+
+    Two-pass histogram: a scalar min/max aggregate (1 row, broadcast
+    cross join — no driver collect, so the same plan runs unchanged on
+    a cluster) then a map-side-combinable count per bin.  Bin edges
+    are computed with the identical double expression on both sides,
+    so FLOOR can never disagree at a bin boundary.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    mm = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(10.0)
+    bin_id = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("mn"))
+            * F.lit(10.0)
+            / (F.col("mx") - F.col("mn"))
+        ),
+        F.lit(9),
+    ).alias("bin_id")
+    return (
+        o.crossJoin(F.broadcast(mm))
+        .select(bin_id, "mn", "mx")
+        .groupBy("bin_id", "mn", "mx")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "bin_id",
+            F.round(
+                F.col("mn") + F.col("bin_id") * (F.col("mx") - F.col("mn")) / F.lit(10.0)
+                + F.lit(EPS),
+                4,
+            ).alias("bin_lo"),
+            F.round(
+                F.col("mn")
+                + (F.col("bin_id") + 1) * (F.col("mx") - F.col("mn")) / F.lit(10.0)
+                + F.lit(EPS),
+                4,
+            ).alias("bin_hi"),
+            "cnt",
+        )
+        .orderBy("bin_id")
+    )

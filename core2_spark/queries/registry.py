@@ -63,8 +63,13 @@ _PRIORITY: list[str] = [
     # keeps every name's evidence <= ~4 rounds old; (c) the fresh
     # (r6+) names.  tests/test_entry_contract.py pins this layout
     # against the r1-r8 artifacts (_EVIDENCE_BASIS_ROUND = 8).
-    # -- never driver-checked (9): the 2 r8 leftovers + the 7 new r9
+    # -- never driver-checked (14): the 2 r8 leftovers + the 12 new r9
     #    queries; heading the gate makes the ledger complete --
+    "text_bm25_search_topk",
+    "entity_fuzzy_match_blocked",
+    "events_retention_cohorts",
+    "ts_zscore_anomalies",
+    "agg_histogram_equi_width",
     "xtql_asof_join",
     "xtql_scalar_stdlib",
     "xtql_unify",
@@ -118,13 +123,11 @@ _PRIORITY: list[str] = [
     #    (stream_structured_tumbling, multimodal_frame_sampling and
     #    stream_kafka_log_transport gained full value-hash oracles)
     #    and the ANN family beside the new exactness queries.
-    #    Late-round re-curation: the 4 new sequence/graph/sampling
-    #    queries took window slots (never-checked names must head the
-    #    gate), leaving 4 r5 slots for the oracle-upgraded names
-    #    (simhash/cdc-tail/frame-sampling/tumbling — each check
-    #    verifies new oracle code); stream_kafka_log_transport (also
-    #    upgraded, parity-proven locally at 4 tiers) heads the r10
-    #    queue with the non-upgraded r5 names --
+    #    Late-round re-curation: the 14 never-checked names (the 2 r8
+    #    leftovers + 12 new r9 queries) + the first 36 r4 names fill
+    #    the 50-slot window; the last r4 name and the oracle-upgraded
+    #    r5 names (simhash/cdc-tail/frame-sampling/tumbling/kafka —
+    #    all parity-proven locally at 4 tiers) head the r10 queue --
     "dedup_simhash",
     "stream_cdc_log_tail",
     "multimodal_frame_sampling",
@@ -313,6 +316,7 @@ def _ensure_loaded() -> None:
     # Imports are side-effecting: each module's @query decorators register.
     from core2_spark.queries import (  # noqa: F401
         aggregates,
+        analytics_q,
         engine_q,
         extras_q,
         functions_q,
