@@ -410,3 +410,183 @@ def agg_histogram_equi_width_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+               SUM(CAST(value AS DECIMAL(18,6))) AS sx
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    d AS (
+        SELECT e.event_id, e.user_id, e.value, s.n,
+               SUM(s.n * CAST(e.value AS DECIMAL(18,6))
+                   - s.sx
+                   - s.n * CAST(5.0 AS DECIMAL(18,6)))
+                 OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                       ROWS UNBOUNDED PRECEDING) AS c
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE e.event_type = 'click'
+    ),
+    cs AS (
+        SELECT event_id, user_id, value, n,
+               c - LEAST(CAST(0 AS DECIMAL(38,6)),
+                         MIN(c) OVER (PARTITION BY user_id
+                                      ORDER BY event_id
+                                      ROWS UNBOUNDED PRECEDING)) AS sp
+        FROM d
+    )
+    SELECT event_id, user_id, value,
+           ROUND(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) + 0.000000001, 4)
+               AS cusum_stat
+    FROM cs
+    WHERE sp > n * CAST(50.0 AS DECIMAL(18,6))
+    ORDER BY event_id
+    """,
+)
+def ts_cusum_changepoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint alarms over per-user click values
+    (slack k=5, alarm level h=50 in value units).
+
+    The CUSUM recursion S_t = max(0, S_{t-1} + x_t − μ − k) is not a
+    windowable aggregate as written, but its prefix-sum identity
+    S_t = C_t − min(0, min_{j≤t} C_j) with C_t = Σ(x_j − μ − k) IS —
+    so the "stateful" operator compiles to two running-window passes
+    (cumulative sum + cumulative min), one shuffle on user_id, no UDF,
+    no iteration.  Everything before the final display division is
+    computed in scaled decimals (multiply through by n so the mean
+    never divides): the cumulative sums are exact under any
+    evaluation association, making the alarm threshold compare
+    S'_t > n·h exact integer-decimal arithmetic — bit-identical to
+    the oracle even though DuckDB evaluates window sums over a
+    segment tree and Spark accumulates sequentially.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    from pyspark.sql import Window
+
+    clicks = ev.filter(F.col("event_type") == "click")
+    dec = F.col("value").cast("decimal(18,6)")
+    s = clicks.groupBy("user_id").agg(
+        F.count("*").cast("decimal(10,0)").alias("n"),
+        F.sum(dec).alias("sx"),
+    )
+    d = clicks.join(s, "user_id").select(
+        "event_id",
+        "user_id",
+        "value",
+        "ts",
+        "n",
+        (
+            F.col("n") * dec
+            - F.col("sx")
+            - F.col("n") * F.lit(5.0).cast("decimal(18,6)")
+        ).alias("dd"),
+    )
+    w_sum = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_min = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("c", F.sum("dd").over(w_sum))
+    cs = c.withColumn(
+        "sp",
+        F.col("c")
+        - F.least(F.lit(0).cast("decimal(38,6)"), F.min("c").over(w_min)),
+    )
+    return (
+        cs.filter(F.col("sp") > F.col("n") * F.lit(50.0).cast("decimal(18,6)"))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round(
+                F.col("sp").cast("double") / F.col("n").cast("double") + F.lit(EPS),
+                4,
+            ).alias("cusum_stat"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH touches AS (
+        SELECT user_id, ts, max_by(event_type, event_id) AS touch_type
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT p.user_id, p.ts, p.value, t.ts AS touch_ts, t.touch_type
+        FROM p ASOF LEFT JOIN touches t
+          ON p.user_id = t.user_id AND p.ts >= t.ts
+    )
+    SELECT CASE WHEN touch_ts IS NULL OR touch_ts < ts - INTERVAL 3 DAY
+                THEN 'none' ELSE touch_type END AS channel,
+           CAST(COUNT(*) AS BIGINT) AS purchases,
+           {{dsum}} AS revenue
+    FROM j
+    GROUP BY 1
+    ORDER BY channel
+    """.format(dsum="ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)"
+               f" + {SQL_EPS}, 4)"),
+)
+def events_attribution_last_touch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent click/view within a 3-day lookback, else
+    'none'; revenue rolls up per channel with exact-decimal sums.
+
+    Applies the library as-of join (operators/asof_join.py — the
+    union+window matcher, one shuffle on user_id, no range join) to
+    the attribution domain; the oracle uses DuckDB's NATIVE ASOF LEFT
+    JOIN, so the two independent as-of implementations must agree on
+    every match including same-instant and beyond-lookback edges.
+    Touches are pre-deduplicated per (user, instant) with max_by for
+    a deterministic match on timestamp collisions.
+    """
+    from core2_spark.operators.asof_join import asof_join
+    from core2_spark.queries.util import dsum
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_type", "event_id").alias("touch_type"))
+        .withColumn("touch_ts", F.col("ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(
+        purchases,
+        touches,
+        ts_col="ts",
+        by_cols=["user_id"],
+        value_cols=["touch_type", "touch_ts"],
+        direction="backward",
+    )
+    channel = F.when(
+        F.col("touch_ts").isNull()
+        | (F.col("touch_ts") < F.col("ts") - F.expr("INTERVAL 3 DAYS")),
+        F.lit("none"),
+    ).otherwise(F.col("touch_type"))
+    return (
+        j.select(channel.alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("purchases"),
+            dsum("value", 4).alias("revenue"),
+        )
+        .orderBy("channel")
+    )

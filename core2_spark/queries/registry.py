@@ -63,8 +63,10 @@ _PRIORITY: list[str] = [
     # keeps every name's evidence <= ~4 rounds old; (c) the fresh
     # (r6+) names.  tests/test_entry_contract.py pins this layout
     # against the r1-r8 artifacts (_EVIDENCE_BASIS_ROUND = 8).
-    # -- never driver-checked (14): the 2 r8 leftovers + the 12 new r9
+    # -- never driver-checked (16): the 2 r8 leftovers + the 14 new r9
     #    queries; heading the gate makes the ledger complete --
+    "ts_cusum_changepoint",
+    "events_attribution_last_touch",
     "text_bm25_search_topk",
     "entity_fuzzy_match_blocked",
     "events_retention_cohorts",
