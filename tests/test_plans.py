@@ -371,3 +371,42 @@ def test_sequence_queries_no_cartesian(spark, name):
     plan = plan_of(QUERIES[name](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_bm25_search_topk",
+        "entity_fuzzy_match_blocked",
+        "events_retention_cohorts",
+        "ts_zscore_anomalies",
+        "events_attribution_last_touch",
+        "ts_cusum_changepoint",
+    ],
+)
+def test_analytics_queries_no_cartesian_no_python_udf(spark, name):
+    """The analytics family (BM25 / fuzzy linkage / cohorts / z-score /
+    attribution / CUSUM) must stay equi-join + window shaped: no
+    cartesian, no nested loop (the blocking keys and by-keys are real
+    equi conjuncts Catalyst must extract), and no Python row/batch
+    eval anywhere — these are pure JVM column-algebra pipelines."""
+    plan = plan_of(QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "EvalPython" not in plan, name  # Batch/ArrowEvalPython
+
+
+def test_fuzzy_match_blocking_becomes_equi_join(spark):
+    """The Levenshtein threshold must ride on an equi join over the
+    blocking key (nation x name prefix) — never a theta-only join."""
+    plan = plan_of(QUERIES["entity_fuzzy_match_blocked"](spark, SF_DIR))
+    assert plan.count("HashJoin") + plan.count("SortMergeJoin") >= 1, plan
+
+
+def test_histogram_scalar_bounds_are_broadcast(spark):
+    """The min/max bounds row joins the fact via ONE 1-row broadcast
+    nested loop (the allowed scalar-combine shape) — the histogram
+    itself is a single map-side-combinable aggregate."""
+    plan = plan_of(QUERIES["agg_histogram_equi_width"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count(") BroadcastNestedLoopJoin") <= 1, plan
