@@ -245,15 +245,81 @@ def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_sketches")  # rows-only: sketch internals differ from DuckDB's
+@query(
+    "agg_approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS hll_within_10pct,
+           TRUE AS approx_median_in_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches (HLL distinct, approx quantile) — Spark
     freebies beyond the reference (cf. quantile-sketch literature,
-    PAPERS.md).  No oracle: sketch estimates are engine-specific."""
+    PAPERS.md).
+
+    Upgraded from rows-only to a value oracle: the sketch ESTIMATES
+    are engine-specific (DuckDB cannot reproduce Spark's HLL or
+    KLL-ish percentile internals), but their error CONTRACTS are
+    checkable — the query emits exact group stats beside booleans
+    asserting each sketch landed inside its bound:
+
+    - HLL (default rsd=0.05): |approx − exact| / exact ≤ 0.10;
+    - percentile_approx(accuracy=1000) guarantees rank error ≤ 1/1000,
+      so the approx median's TRUE rank interval [#(<v)/n, #(≤v)/n]
+      must intersect [0.45, 0.55] — verified by COUNTING around the
+      estimate (integer arithmetic, exact) rather than computing an
+      exact percentile, because Spark's exact `percentile` buffers
+      every group value in the agg buffer and OOMs at sf1 — the
+      count-based rank check is one extra broadcast-join + aggregate
+      and scales to any group size.
+
+    Both sketches are deterministic for a fixed dataset, so a FALSE
+    is a real regression, never flake.  The oracle pins the exact
+    columns and TRUE for the bound checks."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    return li.groupBy("l_returnflag").agg(
+    sk = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+        F.count("*").alias("n_rows"),
+    )
+    ranks = (
+        li.join(F.broadcast(sk.select("l_returnflag", "approx_median")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") < F.col("approx_median")).cast("long")
+            ).alias("cnt_lt"),
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("approx_median")).cast("long")
+            ).alias("cnt_le"),
+        )
+    )
+    return (
+        sk.join(ranks, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "n_rows",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                * F.lit(10)
+                <= F.col("exact_parts")
+            ).alias("hll_within_10pct"),
+            # rank interval of the estimate must intersect [0.45, 0.55]:
+            # #(<v)/n <= 0.55  AND  #(<=v)/n >= 0.45, in exact integers
+            (
+                (F.col("cnt_lt") * 100 <= F.col("n_rows") * 55)
+                & (F.col("cnt_le") * 100 >= F.col("n_rows") * 45)
+            ).alias("approx_median_in_band"),
+        )
+        .orderBy("l_returnflag")
     )
 
 
