@@ -31,3 +31,9 @@ def test_bench_emits_one_json_line():
     # sequential companion: same query set, uncontaminated per-query times
     assert set(payload["queries_sequential"]) == set(payload["queries"])
     assert all(v >= 0 for v in payload["queries_sequential"].values())
+    # analytics block: the round-9 family rides along on the primary
+    # tier (sequential-only; never part of the comparable wall)
+    from bench import ANALYTICS
+
+    assert set(payload["analytics_sequential"]) == set(ANALYTICS)
+    assert all(v >= 0 for v in payload["analytics_sequential"].values())
