@@ -1,0 +1,143 @@
+"""BM25 ranked retrieval as a reusable operator.
+
+The lexical-search twin of the kNN embedding family (similarity.py):
+tokenize → per-doc term frequencies for the QUERY terms only → per-term
+document frequencies (a tiny broadcast) → one map-side-combinable
+per-doc score sum.  At 100 TB the only large shuffle is the
+per-(doc, term) tf aggregate over the term-filtered token stream —
+|terms|/|vocab| of the exploded tokens — and the df/idf side is
+|terms| rows.
+
+Exactness discipline (queries/util.py): tf/df/dl are exact integers,
+avgdl and every score factor are IEEE doubles computed with the same
+association the SQL oracle uses, and ranking is on the EPS-nudged
+ROUNDED score with an id tiebreak so rank ties agree bit-for-bit
+across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from core2_spark.queries.util import EPS
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 15,
+) -> DataFrame:
+    """Top-``topk`` documents for ``terms`` under BM25(k1, b).
+
+    Output: (id_col, bm25_score rounded to 4, matched_terms), ordered
+    by (bm25_score DESC, id_col) — deterministic under ties.
+    """
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    n_docs = docs.count()  # scalar: row-group-stats count
+    total_tokens = dl.agg(F.sum("dl").alias("t")).collect()[0]["t"]  # 1 scalar
+    avgdl = float(total_tokens) / n_docs
+    tf = (
+        toks.filter(F.col("term").isin(*terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(F.count("*").alias("df"))
+    per_term = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(idf), "term")
+        .select(
+            id_col,
+            (
+                F.log(
+                    F.lit(1)
+                    + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * F.col("tf")
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                )
+            ).alias("term_score"),
+        )
+    )
+    return (
+        per_term.groupBy(id_col)
+        .agg(
+            F.round(F.sum("term_score") + F.lit(EPS), 4).alias("bm25_score"),
+            F.count("*").alias("matched_terms"),
+        )
+        .orderBy(F.col("bm25_score").desc(), F.col(id_col))
+        .limit(topk)
+    )
+
+
+def bm25_oracle_sql(
+    terms: Sequence[str],
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 15,
+) -> str:
+    """DuckDB mirror of :func:`bm25_topk` with the same association in
+    every score factor (see module docstring)."""
+    quoted = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS term
+        FROM {table}
+    ),
+    toks_ne AS (SELECT {id_col}, term FROM toks WHERE term <> ''),
+    dl AS (SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM toks_ne GROUP BY {id_col}),
+    corpus AS (
+        SELECT CAST((SELECT COUNT(*) FROM {table}) AS DOUBLE) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / (SELECT COUNT(*) FROM {table}) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT {id_col}, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks_ne
+        WHERE term IN ({quoted})
+        GROUP BY {id_col}, term
+    ),
+    idf AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.{id_col},
+               SUM(
+                   ln(1 + (corpus.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+                   * tf.tf
+                   / (tf.tf + {k1!r} * (1 - {b!r} + {b!r} * dl.dl / corpus.avgdl))
+               ) AS score,
+               CAST(COUNT(*) AS BIGINT) AS matched_terms
+        FROM tf
+        JOIN dl ON dl.{id_col} = tf.{id_col}
+        JOIN idf ON idf.term = tf.term
+        CROSS JOIN corpus
+        GROUP BY tf.{id_col}
+    )
+    SELECT {id_col},
+           ROUND(score + 0.000000001, 4) AS bm25_score,
+           matched_terms
+    FROM scored
+    ORDER BY bm25_score DESC, {id_col}
+    LIMIT {topk}
+    """

@@ -23,6 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from core2_spark.catalog import load_tables
+from core2_spark.operators.bm25 import bm25_oracle_sql, bm25_topk
+from core2_spark.operators.cusum import cusum_alarms, cusum_oracle_sql
+from core2_spark.operators.linkage import (
+    blocked_fuzzy_oracle_sql,
+    blocked_fuzzy_pairs,
+)
 from core2_spark.queries.registry import query
 from core2_spark.queries.util import EPS, SQL_EPS
 
@@ -36,160 +42,49 @@ _BM25_TOPK = 15
 
 @query(
     "text_bm25_search_topk",
-    oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        FROM documents
-    ),
-    toks_ne AS (SELECT doc_id, term FROM toks WHERE term <> ''),
-    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks_ne GROUP BY doc_id),
-    corpus AS (
-        SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n_docs,
-               CAST(SUM(dl) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS avgdl
-        FROM dl
-    ),
-    tf AS (
-        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-        FROM toks_ne
-        WHERE term IN ('spark', 'merge', 'window')
-        GROUP BY doc_id, term
-    ),
-    idf AS (
-        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
-        FROM tf GROUP BY term
-    ),
-    scored AS (
-        SELECT tf.doc_id,
-               SUM(
-                   ln(1 + (corpus.n_docs - idf.df + 0.5) / (idf.df + 0.5))
-                   * tf.tf
-                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / corpus.avgdl))
-               ) AS score,
-               CAST(COUNT(*) AS BIGINT) AS matched_terms
-        FROM tf
-        JOIN dl ON dl.doc_id = tf.doc_id
-        JOIN idf ON idf.term = tf.term
-        CROSS JOIN corpus
-        GROUP BY tf.doc_id
-    )
-    SELECT doc_id,
-           ROUND(score + {SQL_EPS}, 4) AS bm25_score,
-           matched_terms
-    FROM scored
-    ORDER BY bm25_score DESC, doc_id
-    LIMIT {_BM25_TOPK}
-    """,
+    oracle=bm25_oracle_sql(_BM25_TERMS, k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK),
 )
 def text_bm25_search_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25(k1=1.2, b=0.75) ranked retrieval for a fixed 3-term query.
 
-    The lexical-search twin of `knn_brute_force_cosine`: tokenize →
-    per-doc tf for the query terms only (the filter cuts the explode
-    output to ~|terms|/|vocab| before any shuffle) → df/idf per term
-    (3-row broadcast) → one map-side-combinable per-doc sum.  At
-    100 TB the only large shuffle is the per-(doc, term) tf aggregate
-    over the FILTERED token stream; dl/avgdl reuse the token scan.
-    Ordering is on the ROUNDED score (nudged, see util.py) so rank
-    ties broken by doc_id agree bit-for-bit with the oracle.
+    The lexical-search twin of `knn_brute_force_cosine`, via the
+    reusable operator (operators/bm25.py — see there for the scale
+    and exactness story); tests/test_random_analytics.py drives the
+    same operator with randomized terms/k1/b/topk against generated
+    DuckDB mirrors.
     """
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    toks = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-    ).filter(F.col("term") != "")
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    n_docs = d.count()  # scalar: row-group-stats count
-    total_tokens = dl.agg(F.sum("dl").alias("t")).collect()[0]["t"]  # 1 scalar
-    avgdl = float(total_tokens) / n_docs
-    tf = (
-        toks.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    idf = tf.groupBy("term").agg(F.count("*").alias("df"))
-    per_term = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(idf), "term")
-        .select(
-            "doc_id",
-            (
-                F.log(
-                    F.lit(1)
-                    + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                )
-                * F.col("tf")
-                / (
-                    F.col("tf")
-                    + F.lit(_BM25_K1)
-                    * (F.lit(1 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.lit(avgdl))
-                )
-            ).alias("term_score"),
-        )
-    )
-    return (
-        per_term.groupBy("doc_id")
-        .agg(
-            F.round(F.sum("term_score") + F.lit(EPS), 4).alias("bm25_score"),
-            F.count("*").alias("matched_terms"),
-        )
-        .orderBy(F.col("bm25_score").desc(), F.col("doc_id"))
-        .limit(_BM25_TOPK)
-    )
+    return bm25_topk(d, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK)
 
 
 @query(
     "entity_fuzzy_match_blocked",
-    oracle="""
-    SELECT a.c_custkey AS left_key,
-           b.c_custkey AS right_key,
-           a.c_name AS left_name,
-           b.c_name AS right_name,
-           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
-    FROM customer a
-    JOIN customer b
-      ON a.c_nationkey = b.c_nationkey
-     AND substr(a.c_name, 1, 14) = substr(b.c_name, 1, 14)
-     AND a.c_custkey < b.c_custkey
-    WHERE levenshtein(a.c_name, b.c_name) <= 2
-    ORDER BY left_key, right_key
-    """,
+    oracle=blocked_fuzzy_oracle_sql(
+        table="customer",
+        key_col="c_custkey",
+        name_col="c_name",
+        block_cols=("c_nationkey",),
+        prefix_len=14,
+        max_dist=2,
+    ),
 )
 def entity_fuzzy_match_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy record linkage: candidate pairs within a blocking
-    key (nation × 14-char name prefix), matched at Levenshtein ≤ 2.
-
-    The classic entity-resolution shape: blocking turns the O(N²)
-    all-pairs edit-distance into an equi-join whose quadratic lives
-    only inside each block (sf1: max block 455 rows → ~30M comparisons
-    total vs 11G unblocked); the blocking key is part of the operator
-    contract, so the oracle mirrors it exactly.  Catalyst extracts the
-    two equality conjuncts into the join keys and leaves `<` + the
-    edit-distance threshold as post-join filters — a plain shuffled
-    hash join, no nested loop.
+    key (nation × 14-char name prefix), matched at Levenshtein ≤ 2,
+    via the reusable operator (operators/linkage.py — see there for
+    the blocking/scale story; sf1: max block 455 rows → ~30M
+    comparisons total vs 11G unblocked).
+    tests/test_random_analytics.py drives the operator with randomized
+    prefix lengths and thresholds against generated DuckDB mirrors.
     """
     c = load_tables(spark, sf_dir, ("customer",))["customer"]
-    a = c.alias("a")
-    b = c.alias("b")
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.c_nationkey") == F.col("b.c_nationkey"),
-                F.substring(F.col("a.c_name"), 1, 14)
-                == F.substring(F.col("b.c_name"), 1, 14),
-                F.col("a.c_custkey") < F.col("b.c_custkey"),
-            ],
-        )
-        .filter(dist <= 2)
-        .select(
-            F.col("a.c_custkey").alias("left_key"),
-            F.col("b.c_custkey").alias("right_key"),
-            F.col("a.c_name").alias("left_name"),
-            F.col("b.c_name").alias("right_name"),
-            dist.cast("int").alias("edit_dist"),
-        )
-        .orderBy("left_key", "right_key")
+    return blocked_fuzzy_pairs(
+        c,
+        key_col="c_custkey",
+        name_col="c_name",
+        block_cols=("c_nationkey",),
+        prefix_len=14,
+        max_dist=2,
     )
 
 
@@ -414,105 +309,25 @@ def agg_histogram_equi_width_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_cusum_changepoint",
-    oracle="""
-    WITH s AS (
-        SELECT user_id,
-               CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
-               SUM(CAST(value AS DECIMAL(18,6))) AS sx
-        FROM events WHERE event_type = 'click' GROUP BY user_id
-    ),
-    d AS (
-        SELECT e.event_id, e.user_id, e.value, s.n,
-               SUM(s.n * CAST(e.value AS DECIMAL(18,6))
-                   - s.sx
-                   - s.n * CAST(5.0 AS DECIMAL(18,6)))
-                 OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
-                       ROWS UNBOUNDED PRECEDING) AS c
-        FROM events e JOIN s ON s.user_id = e.user_id
-        WHERE e.event_type = 'click'
-    ),
-    cs AS (
-        SELECT event_id, user_id, value, n,
-               c - LEAST(CAST(0 AS DECIMAL(38,6)),
-                         MIN(c) OVER (PARTITION BY user_id
-                                      ORDER BY event_id
-                                      ROWS UNBOUNDED PRECEDING)) AS sp
-        FROM d
-    )
-    SELECT event_id, user_id, value,
-           ROUND(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) + 0.000000001, 4)
-               AS cusum_stat
-    FROM cs
-    WHERE sp > n * CAST(50.0 AS DECIMAL(18,6))
-    ORDER BY event_id
-    """,
+    oracle=cusum_oracle_sql(k=5.0, h=50.0),
 )
 def ts_cusum_changepoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM changepoint alarms over per-user click values
-    (slack k=5, alarm level h=50 in value units).
-
-    The CUSUM recursion S_t = max(0, S_{t-1} + x_t − μ − k) is not a
-    windowable aggregate as written, but its prefix-sum identity
-    S_t = C_t − min(0, min_{j≤t} C_j) with C_t = Σ(x_j − μ − k) IS —
-    so the "stateful" operator compiles to two running-window passes
-    (cumulative sum + cumulative min), one shuffle on user_id, no UDF,
-    no iteration.  Everything before the final display division is
-    computed in scaled decimals (multiply through by n so the mean
-    never divides): the cumulative sums are exact under any
-    evaluation association, making the alarm threshold compare
-    S'_t > n·h exact integer-decimal arithmetic — bit-identical to
-    the oracle even though DuckDB evaluates window sums over a
-    segment tree and Spark accumulates sequentially.
+    (slack k=5, alarm level h=50 in value units), via the reusable
+    operator (operators/cusum.py — see there for how the stateful
+    recursion compiles to two running-window passes over exact scaled
+    decimals); tests/test_random_analytics.py drives the operator with
+    randomized k/h/event-type against generated DuckDB mirrors.
     """
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    from pyspark.sql import Window
-
-    clicks = ev.filter(F.col("event_type") == "click")
-    dec = F.col("value").cast("decimal(18,6)")
-    s = clicks.groupBy("user_id").agg(
-        F.count("*").cast("decimal(10,0)").alias("n"),
-        F.sum(dec).alias("sx"),
-    )
-    d = clicks.join(s, "user_id").select(
-        "event_id",
-        "user_id",
-        "value",
-        "ts",
-        "n",
-        (
-            F.col("n") * dec
-            - F.col("sx")
-            - F.col("n") * F.lit(5.0).cast("decimal(18,6)")
-        ).alias("dd"),
-    )
-    w_sum = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_min = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("event_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = d.withColumn("c", F.sum("dd").over(w_sum))
-    cs = c.withColumn(
-        "sp",
-        F.col("c")
-        - F.least(F.lit(0).cast("decimal(38,6)"), F.min("c").over(w_min)),
-    )
-    return (
-        cs.filter(F.col("sp") > F.col("n") * F.lit(50.0).cast("decimal(18,6)"))
-        .select(
-            "event_id",
-            "user_id",
-            "value",
-            F.round(
-                F.col("sp").cast("double") / F.col("n").cast("double") + F.lit(EPS),
-                4,
-            ).alias("cusum_stat"),
-        )
-        .orderBy("event_id")
+    return cusum_alarms(
+        ev.filter(F.col("event_type") == "click"),
+        series_col="user_id",
+        order_col="ts",
+        id_col="event_id",
+        value_col="value",
+        k=5.0,
+        h=50.0,
     )
 
 

@@ -1,0 +1,133 @@
+"""Randomized differential testing of the analytics operators
+(operators/bm25.py, cusum.py, linkage.py): hypothesis draws random
+parameters, the operator compiles them to DataFrame algebra, and the
+operator's own generated DuckDB mirror computes the same answer —
+results must match exactly.  This tests OUR operator composition (not
+just engine SQL agreement): a wrong association in a BM25 score
+factor, a decimal-precision overflow in the CUSUM prefix sums, or a
+blocking conjunct Catalyst fails to extract diverges from the mirror.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from core2_spark.catalog import load_tables
+from core2_spark.operators.bm25 import bm25_oracle_sql, bm25_topk
+from core2_spark.operators.cusum import cusum_alarms, cusum_oracle_sql
+from core2_spark.operators.linkage import (
+    blocked_fuzzy_oracle_sql,
+    blocked_fuzzy_pairs,
+)
+from pyspark.sql import functions as F
+from tests.conftest import SF_DIR
+from tests.parity import assert_frames_match
+
+# Mix of common corpus vocabulary, a stopword-ish very-high-df term,
+# and one term that appears in no document (df=0 edge: it must simply
+# not contribute, not crash or skew idf).
+VOCAB = ("spark", "merge", "window", "batch", "join", "scan", "hash",
+         "table", "a", "zzz_absent")
+
+EVENT_TYPES = ("signup", "view", "click", "purchase", "error")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("documents", "events", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    terms=st.sets(st.sampled_from(VOCAB), min_size=1, max_size=4),
+    k1=st.sampled_from((0.8, 1.2, 2.0)),
+    b=st.sampled_from((0.0, 0.25, 0.5, 0.75, 1.0)),
+    topk=st.sampled_from((5, 20)),
+)
+def test_bm25_random_differential(spark, duck, terms, k1, b, topk):
+    terms = tuple(sorted(terms))
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    spdf = bm25_topk(docs, terms, k1=k1, b=b, topk=topk).toPandas()
+    dpdf = duck.execute(
+        bm25_oracle_sql(terms, k1=k1, b=b, topk=topk)
+    ).df()
+    assert_frames_match(spdf, dpdf, f"bm25{terms}k1={k1},b={b},topk={topk}")
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    etype=st.sampled_from(EVENT_TYPES),
+    k=st.sampled_from((0.0, 2.5, 5.0, 10.0)),
+    h=st.sampled_from((10.0, 50.0, 100.0)),
+)
+def test_cusum_random_differential(spark, duck, etype, k, h):
+    ev = load_tables(spark, SF_DIR, ("events",))["events"]
+    spdf = cusum_alarms(
+        ev.filter(F.col("event_type") == etype),
+        series_col="user_id",
+        order_col="ts",
+        id_col="event_id",
+        value_col="value",
+        k=k,
+        h=h,
+    ).toPandas()
+    dpdf = duck.execute(
+        cusum_oracle_sql(filter_sql=f"event_type = '{etype}'", k=k, h=h)
+    ).df()
+    assert_frames_match(spdf, dpdf, f"cusum({etype},k={k},h={h})")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    prefix_len=st.sampled_from((12, 14, 16)),
+    max_dist=st.sampled_from((1, 2, 3)),
+    use_nation_block=st.booleans(),
+)
+def test_fuzzy_linkage_random_differential(
+    spark, duck, prefix_len, max_dist, use_nation_block
+):
+    blocks = ("c_nationkey",) if use_nation_block else ()
+    cust = load_tables(spark, SF_DIR, ("customer",))["customer"]
+    spdf = blocked_fuzzy_pairs(
+        cust,
+        key_col="c_custkey",
+        name_col="c_name",
+        block_cols=blocks,
+        prefix_len=prefix_len,
+        max_dist=max_dist,
+    ).toPandas()
+    dpdf = duck.execute(
+        blocked_fuzzy_oracle_sql(
+            table="customer",
+            key_col="c_custkey",
+            name_col="c_name",
+            block_cols=blocks,
+            prefix_len=prefix_len,
+            max_dist=max_dist,
+        )
+    ).df()
+    assert_frames_match(
+        spdf, dpdf, f"fuzzy(prefix={prefix_len},dist={max_dist},block={blocks})"
+    )
