@@ -43,3 +43,20 @@ def test_reader_snapshot_consistency_under_chaos(spark, tmp_path):
     )
     assert not problems, problems
     assert ok > 0  # "clean" must not mean "every read errored"
+
+
+from fuzz_wire_under_writers import run_schedule as wire_schedule  # noqa: E402
+
+
+def test_wire_snapshot_consistency_under_chaos(spark, tmp_path):
+    """Bounded twin of scripts/fuzz_wire_under_writers.py: a live
+    pgwire socket and HTTP /query endpoint polling while writers and
+    swap maintenance race must only ever serialize serial-prefix
+    states onto the wire, failed requests must leave the session
+    usable, and both transports must read the exact final state at
+    quiesce."""
+    errors, tallies = wire_schedule(
+        spark, seed=7100, root=str(tmp_path / "w"), n_writers=3
+    )
+    assert not errors, errors
+    assert tallies["pg_ok"] > 0 and tallies["http_ok"] > 0, tallies
