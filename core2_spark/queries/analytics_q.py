@@ -405,3 +405,56 @@ def events_attribution_last_touch_q(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "events_rolling_7d_actives",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    bounds AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),
+    contrib AS (
+        SELECT user_id, d + CAST(r.k AS INTEGER) AS end_day
+        FROM days CROSS JOIN range(7) r(k)
+    )
+    SELECT c.end_day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS active_users_7d
+    FROM contrib c CROSS JOIN bounds b
+    WHERE c.end_day <= b.mx
+    GROUP BY c.end_day
+    ORDER BY c.end_day
+    """,
+)
+def events_rolling_7d_actives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users (the WAU curve) per end day.
+
+    Sliding COUNT DISTINCT cannot ride a window frame (distinct state
+    is not subtractable), and re-scanning a 7-day range per day is
+    quadratic in the window.  The scale-correct shape: project to
+    distinct (user, day) once, explode each activity day into the ≤ 7
+    window END days it contributes to (a constant ×7 map-side blowup
+    of the already-deduplicated pairs), then one count-distinct per
+    end day.  Linear in |user-days|, two shuffles total, any window
+    length.  Trailing windows past the data's last day are clipped via
+    a broadcast scalar bound.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    bounds = ev.agg(F.max(F.col("ts").cast("date")).alias("mx"))
+    contrib = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("k"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("k")).alias("end_day"))
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("end_day") <= F.col("mx"))
+        .groupBy("end_day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+        .orderBy("end_day")
+    )
