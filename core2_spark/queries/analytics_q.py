@@ -1,20 +1,26 @@
 """Corpus-search / entity-resolution / product-analytics operators.
 
-Round-9 continuation widening: five operator shapes a reference user
+Round-9 continuation widening: the operator shapes a reference user
 running training-data + product pipelines would expect beside the
 dedup/ANN/curation families, each fully SQL-oracle-paired:
 
-- BM25 ranked retrieval over the documents corpus (the lexical-search
-  twin of the kNN embedding family),
-- blocked fuzzy entity matching (edit-distance record linkage — the
-  supervised cousin of dedup's blocked near-dup joins),
-- cohort retention (classic product analytics over the events table),
+- BM25 ranked retrieval over the documents corpus (operators/bm25.py —
+  the lexical-search twin of the kNN embedding family),
+- blocked fuzzy entity matching (operators/linkage.py — edit-distance
+  record linkage, the supervised cousin of blocked near-dup joins),
+- cohort retention and rolling 7-day distinct actives (classic
+  product analytics over the events table),
 - per-series z-score anomaly detection (decimal-exact moments so the
   threshold compare is bit-identical to the oracle),
+- one-sided CUSUM changepoint alarms (operators/cusum.py — a stateful
+  recursion compiled to two running windows over exact decimals),
+- last-touch attribution through the library as-of join,
 - equi-width histogram with broadcast-scalar bounds.
 
 Scale notes are per-query; every quadratic is blocked, every scalar
-is a broadcast, every aggregate is map-side combinable.
+is a broadcast, every aggregate is map-side combinable.  The
+parameterized operators get randomized DuckDB-mirror differentials in
+tests/test_random_analytics.py.
 """
 
 from __future__ import annotations

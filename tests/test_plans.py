@@ -403,10 +403,14 @@ def test_fuzzy_match_blocking_becomes_equi_join(spark):
     assert plan.count("HashJoin") + plan.count("SortMergeJoin") >= 1, plan
 
 
-def test_histogram_scalar_bounds_are_broadcast(spark):
-    """The min/max bounds row joins the fact via ONE 1-row broadcast
-    nested loop (the allowed scalar-combine shape) — the histogram
-    itself is a single map-side-combinable aggregate."""
-    plan = plan_of(QUERIES["agg_histogram_equi_width"](spark, SF_DIR))
-    assert "CartesianProduct" not in plan
+@pytest.mark.parametrize(
+    "name", ["agg_histogram_equi_width", "events_rolling_7d_actives"]
+)
+def test_scalar_bounds_are_broadcast(spark, name):
+    """The scalar bounds row (histogram min/max, rolling-window max
+    day) joins the fact via ONE 1-row broadcast nested loop (the
+    allowed scalar-combine shape) — the aggregate itself stays
+    map-side combinable."""
+    plan = plan_of(QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, name
     assert plan.count(") BroadcastNestedLoopJoin") <= 1, plan
