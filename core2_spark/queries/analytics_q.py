@@ -94,67 +94,33 @@ def entity_fuzzy_match_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_retention_cohorts",
-    oracle=f"""
-    WITH coh AS (
-        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
-        FROM events
-        WHERE event_type = 'purchase' AND value > 200
-        GROUP BY user_id
-    ),
-    act AS (
-        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
-        FROM events
-        WHERE event_type = 'purchase'
-    ),
-    ret AS (
-        SELECT c.cohort_day,
-               CAST(date_diff('day', c.cohort_day, a.d) AS INTEGER) AS day_offset,
-               CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS active_users
-        FROM coh c
-        JOIN act a
-          ON a.user_id = c.user_id
-         AND a.d >= c.cohort_day
-         AND date_diff('day', c.cohort_day, a.d) <= 6
-        GROUP BY 1, 2
-    ),
-    sz AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM coh GROUP BY 1)
-    SELECT r.cohort_day, r.day_offset, s.cohort_size, r.active_users,
-           ROUND(CAST(r.active_users AS DOUBLE) / s.cohort_size + {SQL_EPS}, 4)
-               AS retention_rate
-    FROM ret r
-    JOIN sz s ON s.cohort_day = r.cohort_day
-    ORDER BY r.cohort_day, r.day_offset
-    """,
-)
-def events_retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention: users cohorted by the day of their first
-    high-value purchase (> 200), tracked over purchase activity for
-    offsets 0–6 days.
 
-    Product-analytics staple.  Two filtered aggregates over one fact
-    scan (cohort assignment + distinct active days), then a per-user
-    equi-join bounded by the 7-day horizon — the join explodes each
-    cohort row into ≤ 7 activity rows, so output stays linear in the
-    cohort count.  At 100 TB the activity side is pre-shrunk by the
-    DISTINCT (user, day) projection before the shuffle.
-    """
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
+
+def retention_cohorts(
+    ev, *, cohort_event: str = "purchase", cohort_min_value: float = 200.0,
+    activity_event: str = "purchase", horizon_days: int = 6,
+):
+    """Parameterized cohort-retention pipeline (the registered query
+    fixes cohort=first purchase>200, activity=purchases, horizon=6);
+    tests/test_random_analytics.py drives random parameters against a
+    generated DuckDB mirror."""
     coh = (
-        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 200))
+        ev.filter(
+            (F.col("event_type") == cohort_event)
+            & (F.col("value") > cohort_min_value)
+        )
         .groupBy("user_id")
         .agg(F.min(F.col("ts").cast("date")).alias("cohort_day"))
     )
     act = (
-        ev.filter(F.col("event_type") == "purchase")
+        ev.filter(F.col("event_type") == activity_event)
         .select("user_id", F.col("ts").cast("date").alias("d"))
         .distinct()
     )
     offset = F.datediff(F.col("d"), F.col("cohort_day"))
     ret = (
         coh.join(act, "user_id")
-        .filter((F.col("d") >= F.col("cohort_day")) & (offset <= 6))
+        .filter((F.col("d") >= F.col("cohort_day")) & (offset <= horizon_days))
         .groupBy("cohort_day", offset.cast("int").alias("day_offset"))
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
@@ -173,6 +139,119 @@ def events_retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention_rate"),
         )
         .orderBy("cohort_day", "day_offset")
+    )
+
+
+def retention_oracle_sql(
+    *, cohort_event: str = "purchase", cohort_min_value: float = 200.0,
+    activity_event: str = "purchase", horizon_days: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`retention_cohorts`."""
+    return f"""
+    WITH coh AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events
+        WHERE event_type = '{cohort_event}' AND value > {cohort_min_value!r}
+        GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        FROM events
+        WHERE event_type = '{activity_event}'
+    ),
+    ret AS (
+        SELECT c.cohort_day,
+               CAST(date_diff('day', c.cohort_day, a.d) AS INTEGER) AS day_offset,
+               CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS active_users
+        FROM coh c
+        JOIN act a
+          ON a.user_id = c.user_id
+         AND a.d >= c.cohort_day
+         AND date_diff('day', c.cohort_day, a.d) <= {horizon_days}
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+           FROM coh GROUP BY 1)
+    SELECT r.cohort_day, r.day_offset, s.cohort_size, r.active_users,
+           ROUND(CAST(r.active_users AS DOUBLE) / s.cohort_size + {SQL_EPS}, 4)
+               AS retention_rate
+    FROM ret r
+    JOIN sz s ON s.cohort_day = r.cohort_day
+    ORDER BY r.cohort_day, r.day_offset
+    """
+
+
+def rolling_actives(ev, *, window_days: int = 7):
+    """Parameterized rolling distinct-actives pipeline; see the
+    registered query's docstring for the explode-into-windows shape."""
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    bounds = ev.agg(F.max(F.col("ts").cast("date")).alias("mx"))
+    contrib = days.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("k"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("k")).alias("end_day"))
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("end_day") <= F.col("mx"))
+        .groupBy("end_day")
+        .agg(F.countDistinct("user_id").alias(f"active_users_{window_days}d"))
+        .orderBy("end_day")
+    )
+
+
+def rolling_actives_oracle_sql(*, window_days: int = 7) -> str:
+    """DuckDB mirror of :func:`rolling_actives`."""
+    return f"""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    bounds AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),
+    contrib AS (
+        SELECT user_id, d + CAST(r.k AS INTEGER) AS end_day
+        FROM days CROSS JOIN range({window_days}) r(k)
+    )
+    SELECT c.end_day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS active_users_{window_days}d
+    FROM contrib c CROSS JOIN bounds b
+    WHERE c.end_day <= b.mx
+    GROUP BY c.end_day
+    ORDER BY c.end_day
+    """
+
+
+@query(
+    "events_retention_cohorts",
+    oracle=retention_oracle_sql(
+        cohort_event="purchase",
+        cohort_min_value=200.0,
+        activity_event="purchase",
+        horizon_days=6,
+    ),
+)
+def events_retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users cohorted by the day of their first
+    high-value purchase (> 200), tracked over purchase activity for
+    offsets 0–6 days, via the parameterized pipeline above (which
+    tests/test_random_analytics.py drives with random cohort/activity
+    events, thresholds and horizons).
+
+    Product-analytics staple.  Two filtered aggregates over one fact
+    scan (cohort assignment + distinct active days), then a per-user
+    equi-join bounded by the horizon — the join explodes each cohort
+    row into ≤ horizon+1 activity rows, so output stays linear in the
+    cohort count.  At 100 TB the activity side is pre-shrunk by the
+    DISTINCT (user, day) projection before the shuffle.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return retention_cohorts(
+        ev,
+        cohort_event="purchase",
+        cohort_min_value=200.0,
+        activity_event="purchase",
+        horizon_days=6,
     )
 
 
@@ -415,52 +494,21 @@ def events_attribution_last_touch_q(spark: SparkSession, sf_dir: str) -> DataFra
 
 @query(
     "events_rolling_7d_actives",
-    oracle="""
-    WITH days AS (
-        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
-    ),
-    bounds AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),
-    contrib AS (
-        SELECT user_id, d + CAST(r.k AS INTEGER) AS end_day
-        FROM days CROSS JOIN range(7) r(k)
-    )
-    SELECT c.end_day,
-           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS active_users_7d
-    FROM contrib c CROSS JOIN bounds b
-    WHERE c.end_day <= b.mx
-    GROUP BY c.end_day
-    ORDER BY c.end_day
-    """,
+    oracle=rolling_actives_oracle_sql(window_days=7),
 )
 def events_rolling_7d_actives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct active users (the WAU curve) per end day.
 
     Sliding COUNT DISTINCT cannot ride a window frame (distinct state
     is not subtractable), and re-scanning a 7-day range per day is
-    quadratic in the window.  The scale-correct shape: project to
-    distinct (user, day) once, explode each activity day into the ≤ 7
-    window END days it contributes to (a constant ×7 map-side blowup
-    of the already-deduplicated pairs), then one count-distinct per
-    end day.  Linear in |user-days|, two shuffles total, any window
-    length.  Trailing windows past the data's last day are clipped via
-    a broadcast scalar bound.
+    quadratic in the window.  The scale-correct shape (rolling_actives
+    above, random-window differential in test_random_analytics.py):
+    project to distinct (user, day) once, explode each activity day
+    into the ≤ window end days it contributes to (a constant ×W
+    map-side blowup of the already-deduplicated pairs), then one
+    count-distinct per end day.  Linear in |user-days|, two shuffles
+    total, any window length.  Trailing windows past the data's last
+    day are clipped via a broadcast scalar bound.
     """
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    days = ev.select(
-        "user_id", F.col("ts").cast("date").alias("d")
-    ).distinct()
-    bounds = ev.agg(F.max(F.col("ts").cast("date")).alias("mx"))
-    contrib = days.select(
-        "user_id",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(6))
-        ).alias("k"),
-        "d",
-    ).select("user_id", F.date_add(F.col("d"), F.col("k")).alias("end_day"))
-    return (
-        contrib.crossJoin(F.broadcast(bounds))
-        .filter(F.col("end_day") <= F.col("mx"))
-        .groupBy("end_day")
-        .agg(F.countDistinct("user_id").alias("active_users_7d"))
-        .orderBy("end_day")
-    )
+    return rolling_actives(ev, window_days=7)

@@ -131,3 +131,62 @@ def test_fuzzy_linkage_random_differential(
     assert_frames_match(
         spdf, dpdf, f"fuzzy(prefix={prefix_len},dist={max_dist},block={blocks})"
     )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cohort_event=st.sampled_from(EVENT_TYPES),
+    activity_event=st.sampled_from(EVENT_TYPES),
+    threshold=st.sampled_from((0.0, 100.0, 250.0)),
+    horizon=st.sampled_from((0, 3, 10)),
+)
+def test_retention_random_differential(
+    spark, duck, cohort_event, activity_event, threshold, horizon
+):
+    from core2_spark.queries.analytics_q import (
+        retention_cohorts,
+        retention_oracle_sql,
+    )
+
+    ev = load_tables(spark, SF_DIR, ("events",))["events"]
+    spdf = retention_cohorts(
+        ev,
+        cohort_event=cohort_event,
+        cohort_min_value=threshold,
+        activity_event=activity_event,
+        horizon_days=horizon,
+    ).toPandas()
+    dpdf = duck.execute(
+        retention_oracle_sql(
+            cohort_event=cohort_event,
+            cohort_min_value=threshold,
+            activity_event=activity_event,
+            horizon_days=horizon,
+        )
+    ).df()
+    assert_frames_match(
+        spdf, dpdf,
+        f"retention({cohort_event}>{threshold} -> {activity_event}, h={horizon})",
+    )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(window=st.sampled_from((1, 3, 14, 45)))
+def test_rolling_actives_random_differential(spark, duck, window):
+    from core2_spark.queries.analytics_q import (
+        rolling_actives,
+        rolling_actives_oracle_sql,
+    )
+
+    ev = load_tables(spark, SF_DIR, ("events",))["events"]
+    spdf = rolling_actives(ev, window_days=window).toPandas()
+    dpdf = duck.execute(rolling_actives_oracle_sql(window_days=window)).df()
+    assert_frames_match(spdf, dpdf, f"rolling(window={window})")
