@@ -3,14 +3,14 @@
 
 `fuzz_reader_snapshots.py` proved in-process readers never see torn
 state while writers and maintenance race; this harness proves the same
-property THROUGH THE CLIENT BOUNDARY — a live pgwire socket and a live
-HTTP /query endpoint — where an extra layer (executor threads, result
+property THROUGH THE CLIENT BOUNDARY — a live pgwire socket, a live HTTP
+/query endpoint and an Arrow Flight server — where an extra layer (executor threads, result
 serialization, per-request engine refresh, error framing) could leak a
 half-applied swap or wedge a session.
 
 Per schedule: N writer threads run the reader-fuzz's seeded
-Put/Delete/Patch + optimize/vacuum programs, while two wire clients
-(one pgwire simple-query loop, one HTTP JSON loop) poll
+Put/Delete/Patch + optimize/vacuum programs, while three wire clients
+(pgwire simple-query, HTTP JSON, Arrow Flight DoGet) poll
 ``SELECT id, v, p FROM t``.  Properties:
 
   1. Every response that returns data decodes to the Python replay of
@@ -19,7 +19,7 @@ Put/Delete/Patch + optimize/vacuum programs, while two wire clients
   2. A failed request (swap yanked files mid-plan → ErrorResponse /
      HTTP 4xx-5xx) is a counted retry, and the SAME connection must
      serve the next request — chaos must not wedge a session.
-  3. At quiesce, both transports return the exact final serial state.
+  3. At quiesce, every transport returns the exact final serial state.
 
 Usage: python scripts/fuzz_wire_under_writers.py [n_schedules] [n_writers]
 Exit 1 on any violation; prints per-transport read/retry tallies so
@@ -41,6 +41,7 @@ from pyspark.sql import SparkSession
 
 import fuzz_reader_snapshots as frs  # noqa: E402 — same-dir sibling
 from core2_spark.engine import ConcurrentWriterError, Delete, Engine, Patch, Put
+from core2_spark.flight_server import SqlFlightServer, fetch_sql
 from core2_spark.http_server import SqlHttpServer, http_query
 from core2_spark.pgwire_server import PgWireServer
 from tests.test_pgwire_server import MiniPgClient
@@ -63,7 +64,11 @@ def run_schedule(spark, seed: int, root: str, n_writers: int):
     committed: list[tuple] = []
     errors: list[str] = []
     observed: list[tuple[str, dict]] = []
-    tallies = {"pg_ok": 0, "pg_retry": 0, "http_ok": 0, "http_retry": 0}
+    tallies = {
+        "pg_ok": 0, "pg_retry": 0,
+        "http_ok": 0, "http_retry": 0,
+        "flight_ok": 0, "flight_retry": 0,
+    }
     writers_done = threading.Event()
 
     # One serving engine per transport; the executor refreshes to the
@@ -80,6 +85,8 @@ def run_schedule(spark, seed: int, root: str, n_writers: int):
 
     pg = PgWireServer(executor)
     http = SqlHttpServer(executor)
+    flight = SqlFlightServer(executor)
+    flight_loc = f"grpc://127.0.0.1:{flight.port}"
 
     def maintenance(eng: Engine, op: tuple) -> None:
         for _ in range(8):
@@ -196,10 +203,46 @@ def run_schedule(spark, seed: int, root: str, n_writers: int):
         with lock:
             observed.append(("http_final", st, has_p))
 
+    def _flight_fetch():
+        """Arrow Flight DoGet with the v-only fallback (new connection
+        per request — Flight's model; the server must survive chaos)."""
+        try:
+            tab = fetch_sql(flight_loc, SQL)
+        except Exception:  # noqa: BLE001
+            tab = fetch_sql(flight_loc, SQL_NO_P)
+        cols = tab.column_names
+        rows = list(zip(*[tab.column(c).to_pylist() for c in cols])) if tab.num_rows else []
+        return cols, rows
+
+    def flight_client() -> None:
+        while not writers_done.is_set():
+            try:
+                cols, rows = _flight_fetch()
+            except Exception:  # noqa: BLE001 — swap mid-plan → FlightServerError
+                with lock:
+                    tallies["flight_retry"] += 1
+                time.sleep(0.01)
+                continue
+            st, has_p = _decode(cols, rows)
+            with lock:
+                observed.append(("flight", st, has_p))
+                tallies["flight_ok"] += 1
+            time.sleep(0.01)
+        try:
+            cols, rows = _flight_fetch()
+        except Exception as exc:  # noqa: BLE001
+            with lock:
+                errors.append(f"flight final read failed: {exc}")
+            return
+        st, has_p = _decode(cols, rows)
+        with lock:
+            observed.append(("flight_final", st, has_p))
+
     wthreads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
     cthreads = [
         threading.Thread(target=pg_client),
         threading.Thread(target=http_client),
+        threading.Thread(target=flight_client),
     ]
     try:
         for t in cthreads + wthreads:
@@ -212,6 +255,7 @@ def run_schedule(spark, seed: int, root: str, n_writers: int):
     finally:
         pg.shutdown()
         http.shutdown()
+        flight.shutdown()
 
     # prefix check against the total committed order
     states = frs._replay_prefixes(committed)
@@ -221,7 +265,7 @@ def run_schedule(spark, seed: int, root: str, n_writers: int):
         ok = (st in states) if has_p else (st in vstates)
         if not ok:
             errors.append(f"{transport}: torn read {st}; prefixes={states}")
-    for transport in ("pg_final", "http_final"):
+    for transport in ("pg_final", "http_final", "flight_final"):
         finals = [(st, hp) for tr, st, hp in observed if tr == transport]
         if finals:
             st, hp = finals[-1]
@@ -246,7 +290,11 @@ def main() -> None:
     base = "_data/fuzz_wire"
     t0 = time.time()
     failures = 0
-    totals = {"pg_ok": 0, "pg_retry": 0, "http_ok": 0, "http_retry": 0}
+    totals = {
+        "pg_ok": 0, "pg_retry": 0,
+        "http_ok": 0, "http_retry": 0,
+        "flight_ok": 0, "flight_retry": 0,
+    }
     for s in range(n_schedules):
         root = f"{base}/s{s}"
         shutil.rmtree(root, ignore_errors=True)
