@@ -68,6 +68,7 @@ ANALYTICS = [
     "text_bm25_search_topk",
     "entity_fuzzy_match_blocked",
     "events_retention_cohorts",
+    "events_rolling_7d_actives",
     "ts_zscore_anomalies",
     "ts_cusum_changepoint",
     "events_attribution_last_touch",
