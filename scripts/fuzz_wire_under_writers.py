@@ -9,7 +9,9 @@ serialization, per-request engine refresh, error framing) could leak a
 half-applied swap or wedge a session.
 
 Per schedule: N writer threads run the reader-fuzz's seeded
-Put/Delete/Patch + optimize/vacuum programs, while three wire clients
+Put/Delete/Patch + optimize/vacuum programs and a fourth actor ingests
+rows via Arrow Flight DoPut (atomic wire transactions on a disjoint
+id space), while three wire clients
 (pgwire simple-query, HTTP JSON, Arrow Flight DoGet) poll
 ``SELECT id, v, p FROM t``.  Properties:
 
@@ -41,7 +43,7 @@ from pyspark.sql import SparkSession
 
 import fuzz_reader_snapshots as frs  # noqa: E402 — same-dir sibling
 from core2_spark.engine import ConcurrentWriterError, Delete, Engine, Patch, Put
-from core2_spark.flight_server import SqlFlightServer, fetch_sql
+from core2_spark.flight_server import SqlFlightServer, fetch_sql, put_table
 from core2_spark.http_server import SqlHttpServer, http_query
 from core2_spark.pgwire_server import PgWireServer
 from tests.test_pgwire_server import MiniPgClient
@@ -62,6 +64,7 @@ def run_schedule(spark, seed: int, root: str, n_writers: int):
 
     lock = threading.Lock()
     committed: list[tuple] = []
+    ingested: list[tuple[int, str]] = []  # wire-DoPut rows (ids >= 100)
     errors: list[str] = []
     observed: list[tuple[str, dict]] = []
     tallies = {
@@ -85,7 +88,7 @@ def run_schedule(spark, seed: int, root: str, n_writers: int):
 
     pg = PgWireServer(executor)
     http = SqlHttpServer(executor)
-    flight = SqlFlightServer(executor)
+    flight = SqlFlightServer(executor, engine=srv_eng)
     flight_loc = f"grpc://127.0.0.1:{flight.port}"
 
     def maintenance(eng: Engine, op: tuple) -> None:
@@ -238,12 +241,35 @@ def run_schedule(spark, seed: int, root: str, n_writers: int):
         with lock:
             observed.append(("flight_final", st, has_p))
 
+    def wire_ingest() -> None:
+        """Fourth actor: Arrow Flight DoPut ingest (one atomic engine
+        transaction per upload) racing the writers and swaps.  Ids
+        >= 100 are disjoint from the chaos id space, so consistency
+        decomposes: the chaos projection of every read must still be
+        a serial prefix, and the wire projection must be a subset of
+        the successfully ingested rows with exact values."""
+        import pyarrow as pa
+
+        for k in range(5):
+            tab = pa.table({"id": pa.array([100 + k], pa.int64()),
+                            "v": pa.array([f"wire{k}"])})
+            for _ in range(10):
+                try:
+                    put_table(flight_loc, "t", tab)
+                    with lock:
+                        ingested.append((100 + k, f"wire{k}"))
+                    break
+                except Exception:  # noqa: BLE001 — concurrent-writer retry
+                    time.sleep(0.05)
+            time.sleep(0.02)
+
     wthreads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
     cthreads = [
         threading.Thread(target=pg_client),
         threading.Thread(target=http_client),
         threading.Thread(target=flight_client),
     ]
+    wthreads.append(threading.Thread(target=wire_ingest))
     try:
         for t in cthreads + wthreads:
             t.start()
@@ -257,22 +283,41 @@ def run_schedule(spark, seed: int, root: str, n_writers: int):
         http.shutdown()
         flight.shutdown()
 
-    # prefix check against the total committed order
+    # prefix check against the total committed order.  Wire-ingested
+    # ids (>= 100) are disjoint from the chaos id space: the chaos
+    # projection of every read must be a serial prefix, and the wire
+    # projection a value-exact subset of the ingested ledger.
     states = frs._replay_prefixes(committed)
     vstates = [{i: vp[0] for i, vp in s.items()} for s in states]
     final, vfinal = states[-1], vstates[-1]
+    wire_final = dict(ingested)
     for transport, st, has_p in observed:
-        ok = (st in states) if has_p else (st in vstates)
+        chaos = {i: x for i, x in st.items() if i < 100}
+        wire = {i: x for i, x in st.items() if i >= 100}
+        ok = (chaos in states) if has_p else (chaos in vstates)
         if not ok:
-            errors.append(f"{transport}: torn read {st}; prefixes={states}")
+            errors.append(f"{transport}: torn read {chaos}; prefixes={states}")
+        for i, x in wire.items():
+            v = x[0] if has_p else x
+            p = x[1] if has_p else None
+            if wire_final.get(i) != v or p is not None:
+                errors.append(
+                    f"{transport}: wire row {i} reads {x}, ingested {wire_final.get(i)}"
+                )
     for transport in ("pg_final", "http_final", "flight_final"):
         finals = [(st, hp) for tr, st, hp in observed if tr == transport]
         if finals:
             st, hp = finals[-1]
+            chaos = {i: x for i, x in st.items() if i < 100}
+            wire = {i: (x[0] if hp else x) for i, x in st.items() if i >= 100}
             want = final if hp else vfinal
-            if st != want:
+            if chaos != want:
                 errors.append(
-                    f"{transport}: quiesce read {st} != final {want}"
+                    f"{transport}: quiesce read {chaos} != final {want}"
+                )
+            if wire != wire_final:
+                errors.append(
+                    f"{transport}: quiesce wire rows {wire} != ingested {wire_final}"
                 )
     return errors, tallies
 
