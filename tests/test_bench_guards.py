@@ -44,6 +44,21 @@ CEILINGS = {
 }
 
 
+# Analytics-family ceilings: 1.5x a clean-machine HEAD measurement
+# (first pinned in the round-9 continuation; no driver history yet).
+# The fuzzy-match ceiling is the family's only join-heavy entry.
+ANALYTICS_CEILINGS = {
+    "text_bm25_search_topk": 2.2,
+    "entity_fuzzy_match_blocked": 2.6,
+    "events_retention_cohorts": 1.1,
+    "events_rolling_7d_actives": 0.9,
+    "ts_zscore_anomalies": 0.9,
+    "ts_cusum_changepoint": 1.3,
+    "events_attribution_last_touch": 1.6,
+    "agg_histogram_equi_width": 0.9,
+}
+
+
 def _run_bench() -> dict:
     env = dict(
         os.environ,
@@ -59,23 +74,25 @@ def _run_bench() -> dict:
     )
     assert out.returncode == 0, out.stderr[-2000:]
     line = [l for l in out.stdout.splitlines() if l.strip()][-1]
-    return json.loads(line)["queries_sequential"]
+    payload = json.loads(line)
+    return {**payload["queries_sequential"], **payload["analytics_sequential"]}
 
 
 def test_per_query_sequential_ceilings():
+    ceilings = {**CEILINGS, **ANALYTICS_CEILINGS}
     seq = _run_bench()
-    assert set(seq) == set(CEILINGS)
-    over = {q: t for q, t in seq.items() if t > CEILINGS[q]}
+    assert set(seq) == set(ceilings)
+    over = {q: t for q, t in seq.items() if t > ceilings[q]}
     if over:
         # one retry: transient machine load inflates uniformly and does
         # not reproduce; a real regression does
         seq2 = _run_bench()
         best = {q: min(seq[q], seq2[q]) for q in seq}
-        over = {q: t for q, t in best.items() if t > CEILINGS[q]}
+        over = {q: t for q, t in best.items() if t > ceilings[q]}
     assert not over, (
-        "per-query sequential regression past 1.5x the r7/r8 median: "
+        "per-query sequential regression past the pinned ceiling: "
         + ", ".join(
-            f"{q}={t:.3f}s (ceiling {CEILINGS[q]:.3f}s)"
+            f"{q}={t:.3f}s (ceiling {ceilings[q]:.3f}s)"
             for q, t in sorted(over.items())
         )
     )
