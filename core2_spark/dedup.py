@@ -25,6 +25,29 @@ from pyspark.sql import functions as F
 from core2_spark.functions.text import fingerprint, tokens
 
 
+def _cpu_spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition with an EXPLICIT partition count before
+    CPU-heavy per-row work (shingle/signature construction, Python
+    UDF hashing, per-pair set intersection).
+
+    Why: partition counts follow BYTES — a compact table scans as one
+    parquet split, and AQE re-coalesces keyed repartitions by
+    advisory size — but these operators are minutes-of-CPU per
+    megabyte, so byte-driven layouts serialize them onto one core
+    (measured: the blocked fuzzy join at sf0.1 ran 16 s single-task
+    vs 1.8 s spread).  An explicit count (REPARTITION_BY_NUM) opts
+    out of AQE coalescing; max(defaultParallelism, shuffle.partitions)
+    matches cores locally and executor slots on a cluster, where a
+    100 TB input already arrives in thousands of splits and the extra
+    round-robin shuffle is noise against the per-row compute."""
+    sess = df.sparkSession
+    n = max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions", "8")),
+    )
+    return df.repartition(n)
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Groups of exact duplicates by normalized-text fingerprint."""
     return (
@@ -183,7 +206,9 @@ def minhash_candidate_pairs(
     what's traded away is only the explicit enumeration of clique
     edges (pair-level recall inside oversized buckets).  Default None
     keeps the exact all-pairs contract."""
-    sigs = df.select(
+    # signature construction is the pipeline's linear CPU wall —
+    # spread it across cores regardless of the scan's split count
+    sigs = _cpu_spread(df).select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         *minhash_signature(items_fn(F.col(text_col)), k),
@@ -220,7 +245,18 @@ def minhash_candidate_pairs(
         )
     else:
         small, star = buckets, None
-    left = small.select(F.col(id_col).alias("a_id"), *join_keys)
+    # explicit-count co-partitioning on the join key: the bucket join
+    # is byte-light (md5 strings, heavily compressed) but its
+    # per-bucket pair expansion is the CPU wall, and AQE would
+    # coalesce a size-based layout back to a couple of tasks
+    sess = small.sparkSession
+    n_parts = max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions", "8")),
+    )
+    left = small.select(F.col(id_col).alias("a_id"), *join_keys).repartition(
+        n_parts, *[F.col(c) for c in join_keys]
+    )
     right = small.select(F.col(id_col).alias("b_id"), *join_keys)
     pairs = (
         left.join(right, join_keys)
@@ -262,7 +298,9 @@ def minhash_near_duplicates(
         df, id_col, text_col, k, rows_per_band, block_cols, items_fn,
         max_bucket_rows,
     )
-    sets_df = df.select(
+    # the verify join's per-pair set intersection dominates: spread
+    # the shingle-array construction and the join probe side
+    sets_df = _cpu_spread(df).select(
         F.col(id_col), items_fn(F.col(text_col)).alias("items")
     )
     a_sets = sets_df.select(F.col(id_col).alias("a_id"), F.col("items").alias("a_items"))
@@ -271,8 +309,11 @@ def minhash_near_duplicates(
     # array_intersect twice); +1e-9 before rounding: Jaccard is a
     # small-denominator rational that can sit exactly on the 6-decimal
     # boundary, where engines' ROUND implementations disagree.
+    # candidate pairs are tiny in bytes but each costs an
+    # array_intersect over shingle sets — spread them explicitly so
+    # the verify join cannot collapse onto a few tasks
     return (
-        pairs.join(a_sets, "a_id")
+        _cpu_spread(pairs).join(a_sets, "a_id")
         .join(b_sets, "b_id")
         .withColumn("_raw_jac", jaccard(F.col("a_items"), F.col("b_items")))
         .filter(F.col("_raw_jac") >= threshold)
@@ -320,7 +361,11 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             out[row] = sig
         return pd.Series(out)
 
-    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+    # Arrow-batch parallelism = input partition count; a single-split
+    # scan would md5-hash the whole corpus in one Python worker
+    return _cpu_spread(df).select(
+        F.col(id_col), _simhash(F.col(text_col)).alias("simhash")
+    )
 
 
 def simhash_near_duplicates(
