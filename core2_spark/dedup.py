@@ -26,26 +26,11 @@ from core2_spark.functions.text import fingerprint, tokens
 
 
 def _cpu_spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition with an EXPLICIT partition count before
-    CPU-heavy per-row work (shingle/signature construction, Python
-    UDF hashing, per-pair set intersection).
+    """Round-robin explicit-count spread before CPU-heavy map work —
+    see plans.spread_partitions for the full AQE-starvation story."""
+    from core2_spark.plans import spread_partitions
 
-    Why: partition counts follow BYTES — a compact table scans as one
-    parquet split, and AQE re-coalesces keyed repartitions by
-    advisory size — but these operators are minutes-of-CPU per
-    megabyte, so byte-driven layouts serialize them onto one core
-    (measured: the blocked fuzzy join at sf0.1 ran 16 s single-task
-    vs 1.8 s spread).  An explicit count (REPARTITION_BY_NUM) opts
-    out of AQE coalescing; max(defaultParallelism, shuffle.partitions)
-    matches cores locally and executor slots on a cluster, where a
-    100 TB input already arrives in thousands of splits and the extra
-    round-robin shuffle is noise against the per-row compute."""
-    sess = df.sparkSession
-    n = max(
-        sess.sparkContext.defaultParallelism,
-        int(sess.conf.get("spark.sql.shuffle.partitions", "8")),
-    )
-    return df.repartition(n)
+    return spread_partitions(df)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -249,13 +234,10 @@ def minhash_candidate_pairs(
     # is byte-light (md5 strings, heavily compressed) but its
     # per-bucket pair expansion is the CPU wall, and AQE would
     # coalesce a size-based layout back to a couple of tasks
-    sess = small.sparkSession
-    n_parts = max(
-        sess.sparkContext.defaultParallelism,
-        int(sess.conf.get("spark.sql.shuffle.partitions", "8")),
-    )
-    left = small.select(F.col(id_col).alias("a_id"), *join_keys).repartition(
-        n_parts, *[F.col(c) for c in join_keys]
+    from core2_spark.plans import spread_partitions
+
+    left = spread_partitions(
+        small.select(F.col(id_col).alias("a_id"), *join_keys), *join_keys
     )
     right = small.select(F.col(id_col).alias("b_id"), *join_keys)
     pairs = (
@@ -310,8 +292,13 @@ def minhash_near_duplicates(
     # small-denominator rational that can sit exactly on the 6-decimal
     # boundary, where engines' ROUND implementations disagree.
     # candidate pairs are tiny in bytes but each costs an
-    # array_intersect over shingle sets — spread them explicitly so
-    # the verify join cannot collapse onto a few tasks
+    # array_intersect over shingle sets — spread them explicitly so the
+    # verify join cannot collapse onto a few tasks.  ROUND-ROBIN on
+    # purpose: AQE's runtime stats demote both set joins to broadcasts
+    # (the shingle side is ~15 MB), which PRESERVES the spread's
+    # partitioning; pre-keying on a_id instead locks in a sort-merge
+    # plan that re-sorts the array side (measured at sf0.1: keyed
+    # 48 s vs round-robin 2.6 s on dedup_minhash_lsh).
     return (
         _cpu_spread(pairs).join(a_sets, "a_id")
         .join(b_sets, "b_id")

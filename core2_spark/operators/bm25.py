@@ -46,7 +46,14 @@ def bm25_topk(
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
     n_docs = docs.count()  # scalar: row-group-stats count
     total_tokens = dl.agg(F.sum("dl").alias("t")).collect()[0]["t"]  # 1 scalar
-    avgdl = float(total_tokens) / n_docs
+    # Degenerate corpora: an empty table (n_docs=0) or an all-empty-
+    # text one (total_tokens NULL) produces zero tf rows, so no row
+    # ever reaches the score expression — any finite avgdl placeholder
+    # gives the same (empty) result while avoiding 0/0 and float(None).
+    if not n_docs or total_tokens is None:
+        avgdl = 1.0
+    else:
+        avgdl = float(total_tokens) / n_docs
     tf = (
         toks.filter(F.col("term").isin(*terms))
         .groupBy(id_col, "term")

@@ -61,9 +61,14 @@ def cusum_alarms(
         .orderBy(F.col(order_col).asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The prefix-min MUST walk the same (order_col, id_col) sequence
+    # as the cumulative sum: S_t = C_t − min(0, min_{j≤t} C_j) is only
+    # the CUSUM recursion when j ranges over the series order.  An
+    # id-ordered min silently computes a different statistic whenever
+    # ids are not monotone in time.
     w_min = (
         Window.partitionBy(series_col)
-        .orderBy(F.col(id_col).asc())
+        .orderBy(F.col(order_col).asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     c = d.withColumn("c", F.sum("dd").over(w_sum))
@@ -108,7 +113,7 @@ def cusum_oracle_sql(
         FROM {table} WHERE {filter_sql} GROUP BY {series_col}
     ),
     d AS (
-        SELECT e.{id_col}, e.{series_col}, e.{value_col}, s.n,
+        SELECT e.{id_col}, e.{series_col}, e.{value_col}, e.{order_col}, s.n,
                SUM(s.n * CAST(e.{value_col} AS DECIMAL(18,6))
                    - s.sx
                    - s.n * CAST({k!r} AS DECIMAL(18,6)))
@@ -122,7 +127,7 @@ def cusum_oracle_sql(
         SELECT {id_col}, {series_col}, {value_col}, n,
                c - LEAST(CAST(0 AS DECIMAL(38,6)),
                          MIN(c) OVER (PARTITION BY {series_col}
-                                      ORDER BY {id_col}
+                                      ORDER BY {order_col}, {id_col}
                                       ROWS UNBOUNDED PRECEDING)) AS sp
         FROM d
     )

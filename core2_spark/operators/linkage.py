@@ -43,13 +43,11 @@ def blocked_fuzzy_pairs(
     # and a 15k-row table is "one partition" of bytes even when its
     # blocked self-join is minutes of CPU — an explicit count opts out
     # of coalescing (REPARTITION_BY_NUM) and keeps every core busy.
+    from core2_spark.plans import spread_partitions
+
     prefix = F.substring(F.col(name_col), 1, prefix_len)
-    n_parts = max(
-        df.sparkSession.sparkContext.defaultParallelism,
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")),
-    )
-    a = df.repartition(
-        n_parts, *[F.col(c) for c in block_cols], prefix
+    a = spread_partitions(
+        df, *[F.col(c) for c in block_cols], prefix
     ).alias("a")
     b = df.alias("b")
     dist = F.levenshtein(F.col(f"a.{name_col}"), F.col(f"b.{name_col}"))

@@ -58,3 +58,37 @@ def pushed_filters(df: DataFrame) -> str:
         if "PushedFilters" in line:
             return line.strip()
     return ""
+
+
+def spread_partitions(df: DataFrame, *key_cols) -> DataFrame:
+    """Repartition with an EXPLICIT partition count before CPU-heavy
+    per-row work (shingle/signature construction, Python UDF hashing,
+    per-pair string/set comparison).
+
+    Why explicit: partition counts follow BYTES — a compact table
+    scans as one parquet split, and AQE re-coalesces keyed
+    repartitions by advisory size — but these operators are
+    minutes-of-CPU per megabyte, so byte-driven layouts serialize
+    them onto one core (measured: the blocked fuzzy join at sf0.1 ran
+    16 s single-task vs 1.8 s spread; the LSH verify join coalesced
+    to 2 tasks).  An explicit count (REPARTITION_BY_NUM) opts out of
+    AQE coalescing; max(defaultParallelism, shuffle.partitions)
+    matches cores locally and executor slots on a cluster.
+
+    Pass ``key_cols`` when the spread feeds an equi-join on those
+    columns: the resulting HashPartitioning then SATISFIES the join's
+    distribution requirement, so a non-broadcast plan reuses it
+    instead of stacking a fresh (AQE-coalescible) exchange on top —
+    a bare round-robin spread would be discarded there.  With no
+    keys, rows spread round-robin (right before per-row map work)."""
+    sess = df.sparkSession
+    n = max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions", "8")),
+    )
+    if key_cols:
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+        return df.repartition(n, *cols)
+    return df.repartition(n)

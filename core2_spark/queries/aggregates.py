@@ -289,8 +289,12 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
         F.count("*").alias("n_rows"),
     )
+    # carry the sketch columns THROUGH the rank aggregate (F.first per
+    # group) instead of re-joining sk afterwards — sk's heavy
+    # countDistinct + percentile aggregate would otherwise recompute
+    # from lineage on the second reference
     ranks = (
-        li.join(F.broadcast(sk.select("l_returnflag", "approx_median")), "l_returnflag")
+        li.join(F.broadcast(sk), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
             F.sum(
@@ -299,10 +303,13 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 (F.col("l_extendedprice") <= F.col("approx_median")).cast("long")
             ).alias("cnt_le"),
+            F.first("approx_parts").alias("approx_parts"),
+            F.first("exact_parts").alias("exact_parts"),
+            F.first("n_rows").alias("n_rows"),
         )
     )
     return (
-        sk.join(ranks, "l_returnflag")
+        ranks
         .select(
             "l_returnflag",
             "exact_parts",

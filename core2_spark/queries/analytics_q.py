@@ -359,7 +359,6 @@ def agg_histogram_equi_width_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = o.agg(
         F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
     )
-    width = (F.col("mx") - F.col("mn")) / F.lit(10.0)
     bin_id = F.least(
         F.floor(
             (F.col("o_totalprice") - F.col("mn"))

@@ -126,11 +126,12 @@ _PRIORITY: list[str] = [
     #    (stream_structured_tumbling, multimodal_frame_sampling and
     #    stream_kafka_log_transport gained full value-hash oracles)
     #    and the ANN family beside the new exactness queries.
-    #    Late-round re-curation: the 14 never-checked names (the 2 r8
-    #    leftovers + 12 new r9 queries) + the first 36 r4 names fill
-    #    the 50-slot window; the last r4 name and the oracle-upgraded
-    #    r5 names (simhash/cdc-tail/frame-sampling/tumbling/kafka —
-    #    all parity-proven locally at 4 tiers) head the r10 queue --
+    #    Late-round re-curation: the 17 never-checked names (the 2 r8
+    #    leftovers + 15 new r9 queries) + the first 33 r4 names fill
+    #    the 50-slot window; the last 4 r4 names and the
+    #    oracle-upgraded r5 names (simhash/cdc-tail/frame-sampling/
+    #    tumbling/kafka — all parity-proven locally at 4 tiers) head
+    #    the r10 queue --
     "dedup_simhash",
     "stream_cdc_log_tail",
     "multimodal_frame_sampling",

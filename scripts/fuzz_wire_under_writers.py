@@ -88,7 +88,12 @@ def run_schedule(spark, seed: int, root: str, n_writers: int):
 
     pg = PgWireServer(executor)
     http = SqlHttpServer(executor)
-    flight = SqlFlightServer(executor, engine=srv_eng)
+    # DoPut commits land on a DEDICATED engine (one-engine-per-writer,
+    # the same convention as the chaos writer threads): submit_tx
+    # mutates engine state, and sharing srv_eng would race the
+    # exec_lock-protected refresh+plan path on the read transports.
+    ingest_eng = Engine(spark, root, writer_retries=50)
+    flight = SqlFlightServer(executor, engine=ingest_eng)
     flight_loc = f"grpc://127.0.0.1:{flight.port}"
 
     def maintenance(eng: Engine, op: tuple) -> None:

@@ -153,3 +153,65 @@ def test_spiky_series_alarms_match(spark):
     assert_frames_match(sp, dk, "spike")
     assert len(sp) > 0  # the spike must actually alarm
     con.close()
+
+
+def test_cusum_nonmonotone_ids_walk_time_order(spark):
+    """event_ids deliberately REVERSED against time: the prefix-min
+    must walk (ts, id) — the same sequence as the cumulative sum —
+    not id order.  With a spike early in time but late in id space,
+    an id-ordered min computes a different statistic; both engines
+    must agree on the time-ordered one, and the alarms must equal a
+    plain-Python replay of the true CUSUM recursion."""
+    n = 20
+    values = [300.0, 280.0] + [10.0] * (n - 2)  # spike FIRST in time
+    rows = [
+        (n - i, TS + pd.Timedelta(minutes=i), 1, "click", values[i])
+        for i in range(n)
+    ]  # ids n..1 descend while time ascends
+    ev = _events(spark, rows)
+    con = _duck(rows)
+    sp = cusum_alarms(
+        ev,
+        series_col="user_id",
+        order_col="ts",
+        id_col="event_id",
+        value_col="value",
+        k=5.0,
+        h=50.0,
+    ).toPandas()
+    dk = con.execute(cusum_oracle_sql(k=5.0, h=50.0)).df()
+    assert_frames_match(sp, dk, "nonmonotone-ids")
+    con.close()
+    # independent ground truth: the textbook recursion in plain Python
+    mean = sum(values) / n
+    s_stat, alarm_ids = 0.0, []
+    for i in range(n):
+        s_stat = max(0.0, s_stat + values[i] - mean - 5.0)
+        if s_stat > 50.0:
+            alarm_ids.append(n - i)
+    assert sorted(sp["event_id"]) == sorted(alarm_ids), (
+        sorted(sp["event_id"]), sorted(alarm_ids))
+
+
+def test_bm25_and_linkage_degenerate_inputs(spark):
+    """Empty corpus, all-empty-text corpus, and empty customer table:
+    the operators must return empty results with the right schema —
+    not divide by zero (avgdl), not float(None), not crash."""
+    from core2_spark.operators.bm25 import bm25_topk
+    from core2_spark.operators.linkage import blocked_fuzzy_pairs
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    out = bm25_topk(empty_docs, ("spark",))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "bm25_score", "matched_terms"]
+
+    blank_docs = spark.createDataFrame(
+        [(1, ""), (2, "")], "doc_id long, text string")
+    assert bm25_topk(blank_docs, ("spark",)).count() == 0
+
+    empty_cust = spark.createDataFrame(
+        [], "c_custkey long, c_name string, c_nationkey int")
+    assert blocked_fuzzy_pairs(
+        empty_cust, key_col="c_custkey", name_col="c_name",
+        block_cols=("c_nationkey",)).count() == 0
