@@ -511,3 +511,91 @@ def events_rolling_7d_actives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return rolling_actives(ev, window_days=7)
+
+
+@query(
+    "events_attribution_linear_multitouch",
+    oracle=f"""
+    WITH touches AS (
+        SELECT user_id, ts, max_by(event_type, event_id) AS touch_type
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT p.event_id, p.value, t.touch_type,
+               CAST(COUNT(*) OVER (PARTITION BY p.event_id) AS BIGINT) AS n_touches
+        FROM p JOIN touches t
+          ON t.user_id = p.user_id
+         AND t.ts <= p.ts
+         AND t.ts >= p.ts - INTERVAL 3 DAY
+    )
+    SELECT touch_type AS channel,
+           ROUND(SUM(CAST(1.0 AS DOUBLE) / n_touches) + {{eps}}, 4)
+               AS credited_purchases,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)) * 1000000
+                          / CAST(n_touches AS DECIMAL(18,0)))
+                      AS DOUBLE) / 1000000.0 + {{eps}}, 4) AS credited_revenue
+    FROM j
+    GROUP BY touch_type
+    ORDER BY channel
+    """.format(eps=SQL_EPS),
+)
+def events_attribution_linear_multitouch_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear multi-touch attribution: every click/view in the 3-day
+    lookback shares a purchase's credit equally (1/n of the count and
+    of the revenue) — the fractional-credit counterpart of the
+    last-touch query.
+
+    Shape: a bounded range join (per-user equi-join + 3-day window
+    predicate — each purchase meets only that user's recent touches),
+    a per-purchase window count, then one aggregate.  Exactness: the
+    revenue share divides a ≤6-decimal value by an integer — an exact
+    decimal division is scale-bounded, so both engines compute
+    value×10⁶/n in integer-scaled decimals and divide back by 10⁶ in
+    double, making the per-share value bit-identical before the
+    nudged display round; the credited-purchase count sums 1/n in
+    double where each addend is an exact binary or shared-rounding
+    value (n ≤ a few hundred), with the EPS nudge absorbing last-ulp
+    summation-order differences.
+    """
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_type", "event_id").alias("touch_type"))
+        .select("user_id", F.col("ts").alias("t_ts"), "touch_type")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = purchases.join(touches, "user_id").filter(
+        (F.col("t_ts") <= F.col("ts"))
+        & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 3 DAYS"))
+    )
+    w = Window.partitionBy("event_id")
+    j = j.withColumn("n_touches", F.count("*").over(w))
+    share_rev = (
+        F.col("value").cast("decimal(18,6)")
+        * F.lit(1000000)
+        / F.col("n_touches").cast("decimal(18,0)")
+    )
+    return (
+        j.groupBy(F.col("touch_type").alias("channel"))
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0).cast("double") / F.col("n_touches")) + F.lit(EPS), 4
+            ).alias("credited_purchases"),
+            F.round(
+                F.sum(share_rev).cast("double") / F.lit(1000000.0) + F.lit(EPS), 4
+            ).alias("credited_revenue"),
+        )
+        .orderBy("channel")
+    )

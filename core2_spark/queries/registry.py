@@ -63,8 +63,9 @@ _PRIORITY: list[str] = [
     # keeps every name's evidence <= ~4 rounds old; (c) the fresh
     # (r6+) names.  tests/test_entry_contract.py pins this layout
     # against the r1-r8 artifacts (_EVIDENCE_BASIS_ROUND = 8).
-    # -- never driver-checked (17): the 2 r8 leftovers + the 15 new r9
+    # -- never driver-checked (18): the 2 r8 leftovers + the 16 new r9
     #    queries; heading the gate makes the ledger complete --
+    "events_attribution_linear_multitouch",
     "events_rolling_7d_actives",
     "ts_cusum_changepoint",
     "events_attribution_last_touch",

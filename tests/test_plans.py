@@ -381,6 +381,7 @@ def test_sequence_queries_no_cartesian(spark, name):
         "events_retention_cohorts",
         "ts_zscore_anomalies",
         "events_attribution_last_touch",
+        "events_attribution_linear_multitouch",
         "ts_cusum_changepoint",
     ],
 )
