@@ -922,15 +922,22 @@ class Engine:
                         # the in-process _rollback: remove it when no
                         # parquet remains — unless a peer's scratch
                         # (_tmp_/_old_) is present, whose cleanup
-                        # belongs to its owner.
-                        if not any(
-                            f.endswith(".parquet")
-                            for f in _walk_all_files(tdir)
-                        ) and not any(
-                            e.startswith(("_tmp_", "_old_"))
-                            for e in os.listdir(tdir)
-                        ):
-                            shutil.rmtree(tdir, ignore_errors=True)
+                        # belongs to its owner.  A concurrently
+                        # recovering peer can rmtree the same husk
+                        # between our isdir check and the walk/listdir
+                        # — a vanished tdir is already-cleaned, not an
+                        # error (r9 advisor).
+                        try:
+                            if not any(
+                                f.endswith(".parquet")
+                                for f in _walk_all_files(tdir)
+                            ) and not any(
+                                e.startswith(("_tmp_", "_old_"))
+                                for e in os.listdir(tdir)
+                            ):
+                                shutil.rmtree(tdir, ignore_errors=True)
+                        except OSError:
+                            pass
             os.remove(full)
 
     def _reclassify_race(self, exc: Exception) -> None:

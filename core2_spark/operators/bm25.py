@@ -22,7 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from core2_spark.queries.util import EPS
+from core2_spark.queries.util import EPS, sql_quote
 
 
 def bm25_topk(
@@ -34,26 +34,40 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     topk: int = 15,
+    corpus_stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Top-``topk`` documents for ``terms`` under BM25(k1, b).
 
     Output: (id_col, bm25_score rounded to 4, matched_terms), ordered
     by (bm25_score DESC, id_col) — deterministic under ties.
+
+    Scale boundary: the two corpus scalars (doc count, average doc
+    length) are bounded 1-row collects, but each is a full-corpus
+    aggregate job executed BEFORE the main pipeline.  Fine per ad-hoc
+    query; when the operator runs per-query over a query SET against
+    the same corpus, precompute them once and pass
+    ``corpus_stats=(n_docs, avgdl)`` so the corpus is scanned once,
+    not 2×|queries| times.
     """
+    if not terms:
+        raise ValueError("bm25_topk: terms must be non-empty")
     toks = docs.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
     ).filter(F.col("term") != "")
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    n_docs = docs.count()  # scalar: row-group-stats count
-    total_tokens = dl.agg(F.sum("dl").alias("t")).collect()[0]["t"]  # 1 scalar
-    # Degenerate corpora: an empty table (n_docs=0) or an all-empty-
-    # text one (total_tokens NULL) produces zero tf rows, so no row
-    # ever reaches the score expression — any finite avgdl placeholder
-    # gives the same (empty) result while avoiding 0/0 and float(None).
-    if not n_docs or total_tokens is None:
-        avgdl = 1.0
+    if corpus_stats is not None:
+        n_docs, avgdl = corpus_stats
     else:
-        avgdl = float(total_tokens) / n_docs
+        n_docs = docs.count()  # scalar: row-group-stats count
+        total_tokens = dl.agg(F.sum("dl").alias("t")).collect()[0]["t"]  # 1 scalar
+        # Degenerate corpora: an empty table (n_docs=0) or an all-empty-
+        # text one (total_tokens NULL) produces zero tf rows, so no row
+        # ever reaches the score expression — any finite avgdl placeholder
+        # gives the same (empty) result while avoiding 0/0 and float(None).
+        if not n_docs or total_tokens is None:
+            avgdl = 1.0
+        else:
+            avgdl = float(total_tokens) / n_docs
     tf = (
         toks.filter(F.col("term").isin(*terms))
         .groupBy(id_col, "term")
@@ -103,7 +117,9 @@ def bm25_oracle_sql(
 ) -> str:
     """DuckDB mirror of :func:`bm25_topk` with the same association in
     every score factor (see module docstring)."""
-    quoted = ", ".join(f"'{t}'" for t in terms)
+    if not terms:
+        raise ValueError("bm25_oracle_sql: terms must be non-empty")
+    quoted = ", ".join(sql_quote(t) for t in terms)
     return f"""
     WITH toks AS (
         SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS term

@@ -104,7 +104,11 @@ def cusum_oracle_sql(
     h: float,
 ) -> str:
     """DuckDB mirror of :func:`cusum_alarms` (same scaled-decimal
-    arithmetic; see module docstring)."""
+    arithmetic; see module docstring).
+
+    ``filter_sql`` is a raw SQL fragment BY CONTRACT (callers pass a
+    predicate, not data) — string *values* embedded in it must be
+    pre-quoted by the caller (``queries.util.sql_quote``)."""
     return f"""
     WITH s AS (
         SELECT {series_col},

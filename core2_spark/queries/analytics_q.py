@@ -36,7 +36,7 @@ from core2_spark.operators.linkage import (
     blocked_fuzzy_pairs,
 )
 from core2_spark.queries.registry import query
-from core2_spark.queries.util import EPS, SQL_EPS
+from core2_spark.queries.util import EPS, SQL_EPS, sql_quote
 
 # Fixed search terms for the BM25 query: present in the synthetic
 # corpus vocabulary with distinct document frequencies.
@@ -151,13 +151,14 @@ def retention_oracle_sql(
     WITH coh AS (
         SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
         FROM events
-        WHERE event_type = '{cohort_event}' AND value > {cohort_min_value!r}
+        WHERE event_type = {sql_quote(cohort_event)}
+          AND value > {cohort_min_value!r}
         GROUP BY user_id
     ),
     act AS (
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
         FROM events
-        WHERE event_type = '{activity_event}'
+        WHERE event_type = {sql_quote(activity_event)}
     ),
     ret AS (
         SELECT c.cohort_day,
@@ -326,68 +327,107 @@ def ts_zscore_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "agg_histogram_equi_width",
-    oracle=f"""
-    WITH mm AS (
-        SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
-    ),
-    binned AS (
-        SELECT LEAST(CAST(FLOOR((o_totalprice - mm.mn) * 10.0 / (mm.mx - mm.mn))
-                          AS BIGINT), 9) AS bin_id
-        FROM orders CROSS JOIN mm
-    )
-    SELECT b.bin_id,
-           ROUND(mm.mn + b.bin_id * (mm.mx - mm.mn) / 10.0 + {SQL_EPS}, 4) AS bin_lo,
-           ROUND(mm.mn + (b.bin_id + 1) * (mm.mx - mm.mn) / 10.0 + {SQL_EPS}, 4) AS bin_hi,
-           CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM binned b CROSS JOIN mm
-    GROUP BY b.bin_id, mm.mn, mm.mx
-    ORDER BY b.bin_id
-    """,
-)
-def agg_histogram_equi_width_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-width 10-bin histogram of order totals.
+def histogram_equi_width(df: DataFrame, value: F.Column, *, bins: int = 10) -> DataFrame:
+    """Equi-width ``bins``-bin histogram of ``value``.
 
     Two-pass histogram: a scalar min/max aggregate (1 row, broadcast
     cross join — no driver collect, so the same plan runs unchanged on
     a cluster) then a map-side-combinable count per bin.  Bin edges
     are computed with the identical double expression on both sides,
-    so FLOOR can never disagree at a bin boundary.
+    so FLOOR can never disagree at a bin boundary.  Degenerate
+    all-equal columns (mx == mn) would otherwise hit 0/0 → floor(NaN)
+    (NULL bin in Spark, an error in DuckDB's BIGINT cast) — guarded to
+    bin 0 identically on both sides.
     """
-    o = load_tables(spark, sf_dir, ("orders",))["orders"]
-    mm = o.agg(
-        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    mm = df.agg(F.min(value).alias("mn"), F.max(value).alias("mx"))
+    bin_id = (
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.floor(
+                    (value - F.col("mn"))
+                    * F.lit(float(bins))
+                    / (F.col("mx") - F.col("mn"))
+                ),
+                F.lit(bins - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("bin_id")
     )
-    bin_id = F.least(
-        F.floor(
-            (F.col("o_totalprice") - F.col("mn"))
-            * F.lit(10.0)
-            / (F.col("mx") - F.col("mn"))
-        ),
-        F.lit(9),
-    ).alias("bin_id")
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(bins))
     return (
-        o.crossJoin(F.broadcast(mm))
+        df.crossJoin(F.broadcast(mm))
         .select(bin_id, "mn", "mx")
         .groupBy("bin_id", "mn", "mx")
         .agg(F.count("*").alias("cnt"))
         .select(
             "bin_id",
+            F.round(F.col("mn") + F.col("bin_id") * width + F.lit(EPS), 4).alias(
+                "bin_lo"
+            ),
             F.round(
-                F.col("mn") + F.col("bin_id") * (F.col("mx") - F.col("mn")) / F.lit(10.0)
-                + F.lit(EPS),
-                4,
-            ).alias("bin_lo"),
-            F.round(
-                F.col("mn")
-                + (F.col("bin_id") + 1) * (F.col("mx") - F.col("mn")) / F.lit(10.0)
-                + F.lit(EPS),
-                4,
+                F.col("mn") + (F.col("bin_id") + 1) * width + F.lit(EPS), 4
             ).alias("bin_hi"),
             "cnt",
         )
         .orderBy("bin_id")
+    )
+
+
+def histogram_oracle_sql(value_sql: str, *, table: str, bins: int = 10) -> str:
+    """DuckDB mirror of :func:`histogram_equi_width` (same guarded
+    bin expression, same edge arithmetic)."""
+    return f"""
+    WITH src AS (SELECT ({value_sql}) AS v FROM {table}),
+    mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM src),
+    binned AS (
+        SELECT CASE WHEN mm.mx > mm.mn
+                    THEN LEAST(CAST(FLOOR((src.v - mm.mn) * {float(bins)!r}
+                                          / (mm.mx - mm.mn)) AS BIGINT),
+                               {bins - 1})
+                    ELSE 0 END AS bin_id
+        FROM src CROSS JOIN mm
+    )
+    SELECT b.bin_id,
+           ROUND(mm.mn + b.bin_id * (mm.mx - mm.mn) / {float(bins)!r}
+                 + {SQL_EPS}, 4) AS bin_lo,
+           ROUND(mm.mn + (b.bin_id + 1) * (mm.mx - mm.mn) / {float(bins)!r}
+                 + {SQL_EPS}, 4) AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM binned b CROSS JOIN mm
+    GROUP BY b.bin_id, mm.mn, mm.mx
+    ORDER BY b.bin_id
+    """
+
+
+@query(
+    "agg_histogram_equi_width",
+    oracle=histogram_oracle_sql("o_totalprice", table="orders"),
+)
+def agg_histogram_equi_width_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bin histogram of order totals, via the reusable
+    helper above (see there for the plan shape and the degenerate
+    guard)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return histogram_equi_width(o, F.col("o_totalprice"))
+
+
+@query(
+    "agg_histogram_degenerate",
+    oracle=histogram_oracle_sql(
+        "CAST(o_orderkey AS DOUBLE) - o_orderkey + 42.5", table="orders"
+    ),
+)
+def agg_histogram_degenerate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-edge twin of `agg_histogram_equi_width`: every value
+    identical (mx == mn), which unguarded hits 0/0 → floor(NaN) — a
+    NULL bin in Spark but a hard CAST error in DuckDB (divergence
+    flagged by the r9 advisor).  Pinned in the driver gate so the
+    guard can never regress on one engine only."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return histogram_equi_width(
+        o, F.col("o_orderkey").cast("double") - F.col("o_orderkey") + F.lit(42.5)
     )
 
 

@@ -544,6 +544,76 @@ def knn_ivf_full_probe_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_knn(e, qv, k=10, n_clusters=8, nprobe=8)
 
 
+def _recall_contract(
+    exact: DataFrame, approx: DataFrame, *, config: str, k: int, min_hits: int
+) -> DataFrame:
+    """Recall-floor contract for a probe-pruned ANN config: one row
+    (config, k, min_hits, meets_floor) where meets_floor ⇔
+    |approx ∩ exact-top-k| ≥ min_hits.
+
+    The pruned result set is legitimately engine-specific (so the
+    members can't be SQL-oracled), but the RECALL of a fixed
+    deterministic config against exact brute-force is a pure function
+    of the data — hashable, so the driver value-checks it against a
+    constant-literal oracle asserting TRUE.  Floors are pinned with
+    ≥1-hit margin from measured recall across 500→100k-vector tiers
+    (scripts/probe_ann_recall.py); probe depth scales with corpus size
+    (auto plane count / ~√N cells), which is exactly how a deployment
+    holds recall as the corpus grows."""
+    hits = exact.select("vec_id").join(approx.select("vec_id"), "vec_id")
+    return hits.agg(F.count("*").alias("_h")).select(
+        F.lit(config).alias("config"),
+        F.lit(k).cast("long").alias("k"),
+        F.lit(min_hits).cast("long").alias("min_hits"),
+        (F.col("_h") >= min_hits).alias("meets_floor"),
+    )
+
+
+def _recall_oracle(config: str, k: int, min_hits: int) -> str:
+    return (
+        f"SELECT '{config}' AS config, CAST({k} AS BIGINT) AS k, "
+        f"CAST({min_hits} AS BIGINT) AS min_hits, TRUE AS meets_floor"
+    )
+
+
+@query(
+    "knn_lsh_recall_contract",
+    oracle=_recall_oracle("lsh_multiprobe4", 10, 6),
+)
+def knn_lsh_recall_contract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall floor for the LSH scale path (auto planes,
+    multiprobe_bits=4): ≥6 of the exact top-10 at every tier
+    (measured 7–10 across 500→100k vectors)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = similarity.query_vector(e, "vec_id", "embedding", 0)
+    return _recall_contract(
+        similarity.brute_force_knn(e, qv, k=10),
+        similarity.lsh_bucketed_knn(e, qv, k=10, multiprobe_bits=4),
+        config="lsh_multiprobe4",
+        k=10,
+        min_hits=6,
+    )
+
+
+@query(
+    "knn_ivf_recall_contract",
+    oracle=_recall_oracle("ivf_nprobe3", 10, 6),
+)
+def knn_ivf_recall_contract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall floor for the IVF scale path (~√N cells, nprobe=3): ≥6
+    of the exact top-10 at every tier (measured 7–10 across
+    500→100k vectors)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = similarity.query_vector(e, "vec_id", "embedding", 0)
+    return _recall_contract(
+        similarity.brute_force_knn(e, qv, k=10),
+        similarity.ivf_knn(e, qv, k=10, nprobe=3),
+        config="ivf_nprobe3",
+        k=10,
+        min_hits=6,
+    )
+
+
 @query("knn_ivf_probe")  # rows-only: approximate result set is engine-specific
 def knn_ivf_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate kNN: deterministic coarse quantizer cells
@@ -961,16 +1031,27 @@ def dedup_ngram_jaccard_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- training-data pipeline: splits, mixtures, packing -----------------
 #
-# Deterministic bucket in [0, 100): Knuth multiplicative hash in plain
-# BIGINT arithmetic — bit-identical in Spark and DuckDB (no engine hash
-# involved), so splits are reproducible across engines and runs.
-_BUCKET_SQL = "((doc_id * 2654435761) % 4294967296) % 100"
+# Deterministic bucket in [0, 100): Knuth multiplicative hash —
+# bit-identical in Spark and DuckDB (no engine hash involved), so
+# splits are reproducible across engines and runs.  The multiply runs
+# in 38-digit decimal (Spark) / HUGEINT (DuckDB): plain BIGINT would
+# silently wrap in non-ANSI Spark but ERROR in DuckDB once
+# doc_id > ~3.5e9, so the wide-integer form is what makes the
+# "any corpus size" claim true (r9 advisor finding).
+_BUCKET_SQL = (
+    "CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) % 100"
+)
+
+
+def _hkey_col() -> F.Column:
+    return (
+        (F.col("doc_id").cast("decimal(38,0)") * F.lit(2654435761))
+        % F.lit(4294967296)
+    ).cast("long")
 
 
 def _bucket_col() -> F.Column:
-    return F.pmod(
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296), F.lit(100)
-    )
+    return F.pmod(_hkey_col(), F.lit(100))
 
 
 @query(
@@ -1013,7 +1094,8 @@ def split_train_val_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
         SELECT doc_id, source, lang,
-               (doc_id * 2654435761) % 4294967296 AS hkey
+               CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                    AS BIGINT) AS hkey
         FROM documents
     ), r AS (
         SELECT doc_id, source, lang,
@@ -1038,9 +1120,8 @@ def sample_stratified_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     from pyspark.sql.window import Window
 
-    hkey = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
     w = Window.partitionBy("source", "lang").orderBy(
-        hkey.asc(), F.col("doc_id").asc()
+        _hkey_col().asc(), F.col("doc_id").asc()
     )
     return (
         d.select("doc_id", "source", "lang")
@@ -1319,6 +1400,67 @@ def knn_quantized_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qv = similarity.query_vector(e, "vec_id", "embedding", 0)
     return similarity.lsh_bucketed_knn(deq, qv, k=10, multiprobe_bits=2)
+
+
+@query(
+    "knn_quantized_lsh_recall_contract",
+    oracle=_recall_oracle("quantized_lsh_multiprobe4", 10, 6),
+)
+def knn_quantized_lsh_recall_contract_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall floor for the composed int8-quantize → LSH stack (auto
+    planes, multiprobe_bits=4), against UNQUANTIZED exact brute-force
+    — so the floor bounds quantization loss AND probe pruning
+    together: ≥6 of the exact top-10 at every tier (measured 7–10
+    across 500→100k vectors)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    deq = similarity.quantize_int8(e).select(
+        "vec_id",
+        F.transform(
+            "q_vec", lambda x: x.cast("double") * F.col("q_scale")
+        ).alias("embedding"),
+    )
+    qv = similarity.query_vector(e, "vec_id", "embedding", 0)
+    return _recall_contract(
+        similarity.brute_force_knn(e, qv, k=10),
+        similarity.lsh_bucketed_knn(deq, qv, k=10, multiprobe_bits=4),
+        config="quantized_lsh_multiprobe4",
+        k=10,
+        min_hits=6,
+    )
+
+
+@query(
+    "knn_ivf_layout_recall_contract",
+    oracle=_recall_oracle("ivf_layout_nprobe4", 10, 8),
+)
+def knn_ivf_layout_recall_contract_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall floor for the Hive-partitioned IVF layout path (8 cells,
+    nprobe=4, PartitionFilters pruning): ≥8 of the exact top-10 at
+    every tier (measured 10/10 across 500→100k vectors)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cents = similarity._centroids_from_seed_rows(e, 8, "vec_id", "embedding")
+    qv = similarity.query_vector(e, "vec_id", "embedding", 0)
+    path = os.path.join(
+        tempfile.gettempdir(), "core2_spark_ivf_rc", uuid.uuid4().hex[:8]
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.write_ivf_partitioned(e, path, cents)
+    return _recall_contract(
+        similarity.brute_force_knn(e, qv, k=10),
+        similarity.ivf_knn_partitioned(spark, path, qv, cents, k=10, nprobe=4),
+        config="ivf_layout_nprobe4",
+        k=10,
+        min_hits=8,
+    )
 
 
 @query(

@@ -54,92 +54,36 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order for the tail.  Any prefix of the returned dict is then a
 # maximally-informative correctness sample.
 _PRIORITY: list[str] = [
-    # Round 9 rotation (VERDICT r8 task 1).  Zone order: (a) the
-    # never-driver-checked names head the gate — after r9 every one of
-    # the registry's names has driver CORRECTNESS evidence, closing the
-    # ledger; (b) the stale backlog in evidence order (the 37 r4 names,
-    # then the 40 r5 names — the first 8 fill the 50-slot window, the
-    # rest queue contiguously for r10), so the rolling freshness window
-    # keeps every name's evidence <= ~4 rounds old; (c) the fresh
-    # (r6+) names.  tests/test_entry_contract.py pins this layout
-    # against the r1-r8 artifacts (_EVIDENCE_BASIS_ROUND = 8).
-    # -- never driver-checked (18): the 2 r8 leftovers + the 16 new r9
-    #    queries; heading the gate makes the ledger complete --
-    "events_attribution_linear_multitouch",
-    "events_rolling_7d_actives",
-    "ts_cusum_changepoint",
-    "events_attribution_last_touch",
-    "text_bm25_search_topk",
-    "entity_fuzzy_match_blocked",
-    "events_retention_cohorts",
-    "ts_zscore_anomalies",
-    "agg_histogram_equi_width",
-    "xtql_asof_join",
-    "xtql_scalar_stdlib",
-    "xtql_unify",
-    "knn_lsh_full_probe_exact",
-    "knn_ivf_full_probe_exact",
-    "events_funnel_ordered",
-    "events_error_burst_runs",
-    "graph_triangle_count",
-    "sample_stratified_topk",
-    # -- last checked round 4 (37): the whole r4 tier, refreshed so no
-    #    name's evidence is ever more than ~4 rounds old --
-    "knn_brute_force_cosine",
-    "graph_copurchase_pairs",
-    "graph_connected_components",
-    "subquery_scalar",
-    "subquery_in",
-    "exists_flag_projection",
-    "dedup_exact_groups",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "text_quality_stats",
-    "text_language_id",
-    "text_fingerprint",
-    "knn_top3_per_label",
-    "embedding_norm_stats",
-    "embedding_label_near_dup",
-    "text_doc_frequency_idf",
-    "text_tfidf_distinctive_term_per_doc",
-    "split_train_val_test",
-    "corpus_weighted_mixture",
-    "pack_sequences_boundaries",
-    "text_unigram_logprob_score",
-    "text_chunk_windows_udtf",
-    "curation_decontaminate_ngram",
-    "unwind_explode",
-    "unwind_outer_empty",
-    "array_functions",
-    "json_from_json_struct",
-    "struct_construct_access",
-    "array_higher_order",
-    "set_semantics_arrays",
-    "tagged_identifier_types",
-    "null_three_valued_logic",
+    # Round 10 rotation (VERDICT r9 task 1).  Zone order: (a) the
+    # never-driver-checked names head the gate (the 4 new ANN
+    # recall-contract queries + the histogram degenerate-edge twin);
+    # (b) the ENTIRE stale backlog — the 5 r4 names then all 40 r5
+    # names (the five oracle-UPGRADED ones first: simhash / cdc-tail /
+    # frame-sampling / tumbling / kafka gained full value-hash oracles
+    # in r9 that have never been driver-run) — 5 + 45 = exactly the
+    # 50-slot window, so after r10 no name's driver evidence predates
+    # r6; (c) the fresh (r6+) names.  tests/test_entry_contract.py
+    # pins this layout against the r1-r9 artifacts
+    # (_EVIDENCE_BASIS_ROUND = 9).
+    # -- never driver-checked (5): new in r10 --
+    "agg_histogram_degenerate",
+    "knn_lsh_recall_contract",
+    "knn_ivf_recall_contract",
+    "knn_quantized_lsh_recall_contract",
+    "knn_ivf_layout_recall_contract",
+    # -- last checked round 4 (5): the r4 tier's tail, displaced from
+    #    the r9 window --
     "cast_functions",
     "orderby_multi_key_limit",
     "interval_arithmetic",
     "ts_last_point_per_device",
     "ts_hourly_rollup_daily_peak",
-    # -- last checked round 5 (first 8 of 40 fill the 50-slot window):
-    #    curated to hold the three checks UPGRADED this round
-    #    (stream_structured_tumbling, multimodal_frame_sampling and
-    #    stream_kafka_log_transport gained full value-hash oracles)
-    #    and the ANN family beside the new exactness queries.
-    #    Late-round re-curation: the 17 never-checked names (the 2 r8
-    #    leftovers + 15 new r9 queries) + the first 33 r4 names fill
-    #    the 50-slot window; the last 4 r4 names and the
-    #    oracle-upgraded r5 names (simhash/cdc-tail/frame-sampling/
-    #    tumbling/kafka — all parity-proven locally at 4 tiers) head
-    #    the r10 queue --
+    # -- last checked round 5 (40): oracle-upgraded names first --
     "dedup_simhash",
     "stream_cdc_log_tail",
     "multimodal_frame_sampling",
     "stream_structured_tumbling",
     "stream_kafka_log_transport",
-    # -- last checked round 5 (remaining; immediately after the window
-    #    so they head the r10 gate) --
     "engine_replica_cdc_roundtrip",
     "multimodal_image_resize",
     "embedding_cosine_near_dup",
@@ -176,6 +120,56 @@ _PRIORITY: list[str] = [
     "window_range_frame",
     "window_moving_avg",
     # -- displaced: every name here has r6+ evidence (fresh zone) --
+    "events_attribution_linear_multitouch",
+    "events_rolling_7d_actives",
+    "ts_cusum_changepoint",
+    "events_attribution_last_touch",
+    "text_bm25_search_topk",
+    "entity_fuzzy_match_blocked",
+    "events_retention_cohorts",
+    "ts_zscore_anomalies",
+    "agg_histogram_equi_width",
+    "xtql_asof_join",
+    "xtql_scalar_stdlib",
+    "xtql_unify",
+    "knn_lsh_full_probe_exact",
+    "knn_ivf_full_probe_exact",
+    "events_funnel_ordered",
+    "events_error_burst_runs",
+    "graph_triangle_count",
+    "sample_stratified_topk",
+    "knn_brute_force_cosine",
+    "graph_copurchase_pairs",
+    "graph_connected_components",
+    "subquery_scalar",
+    "subquery_in",
+    "exists_flag_projection",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_quality_stats",
+    "text_language_id",
+    "text_fingerprint",
+    "knn_top3_per_label",
+    "embedding_norm_stats",
+    "embedding_label_near_dup",
+    "text_doc_frequency_idf",
+    "text_tfidf_distinctive_term_per_doc",
+    "split_train_val_test",
+    "corpus_weighted_mixture",
+    "pack_sequences_boundaries",
+    "text_unigram_logprob_score",
+    "text_chunk_windows_udtf",
+    "curation_decontaminate_ngram",
+    "unwind_explode",
+    "unwind_outer_empty",
+    "array_functions",
+    "json_from_json_struct",
+    "struct_construct_access",
+    "array_higher_order",
+    "set_semantics_arrays",
+    "tagged_identifier_types",
+    "null_three_valued_logic",
     "pivot_sum_values",
     "skew_salted_hot_key_agg",
     "string_functions_extended",

@@ -33,6 +33,16 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def sql_quote(s: str) -> str:
+    """Quote a string as an ANSI-SQL literal for generated oracle SQL.
+
+    Every oracle *builder* that interpolates user-supplied strings
+    (BM25 terms, retention/attribution event types) must route them
+    through here — an embedded single quote would otherwise produce
+    broken oracle SQL."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def fround(col: Column | str, scale: int = 4) -> Column:
     """Plain round — for raw low-decimal or irrational values that can
     never sit exactly on a rounding boundary."""

@@ -25,7 +25,7 @@ def test_registry_shape():
 # counting it would make the window's own names trivially fresh and
 # invert the assertion (the round-7 self-invalidation).  Bump this when
 # re-pinning the rotation for a new round.
-_EVIDENCE_BASIS_ROUND = 8
+_EVIDENCE_BASIS_ROUND = 9
 
 
 def test_priority_prefix_rotates_to_unchecked_tail():
@@ -33,11 +33,11 @@ def test_priority_prefix_rotates_to_unchecked_tail():
     rotation keeps it maximally informative: never-driver-checked
     names head the window (checking them completes the ledger), then
     the stale backlog in evidence order, and nothing inside the window
-    may be fresher than anything it displaced.  Round 9: the 4
-    never-checked names (2 r8 leftovers + 2 new r9 queries), the whole
-    37-name r4 tier, and 9 of the 40 r5 names fill the 50 slots; the
-    31 remaining r5 names queue immediately after for the r10
-    window."""
+    may be fresher than anything it displaced.  Round 10: the 5 new
+    queries (4 ANN recall contracts + the histogram degenerate twin)
+    plus the ENTIRE stale tail — 5 r4 names + 40 r5 names — fill the
+    50 slots exactly, so after r10 no name's driver evidence predates
+    r6."""
     import glob
     import json
     import os
