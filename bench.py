@@ -76,6 +76,15 @@ ANALYTICS = [
 ]
 
 
+def _heap_used_mb(spark) -> int | None:
+    """Used JVM heap in MiB (py4j only; None on a Connect session)."""
+    try:
+        rt = spark._jvm.java.lang.Runtime.getRuntime()
+        return int((rt.totalMemory() - rt.freeMemory()) / (1024 * 1024))
+    except Exception:
+        return None
+
+
 def _bench_tier(spark, queries, sf_dir: str) -> dict:
     """Warm + sequential best-of-2 + min-of-N concurrent sweep for one
     scale tier; returns the result block for the JSON line."""
@@ -84,6 +93,7 @@ def _bench_tier(spark, queries, sf_dir: str) -> dict:
         sf_num = float(sf)
     except ValueError:
         sf_num = None
+    heap_before = _heap_used_mb(spark)
     # shuffle partitions scale with the tier: 8 is right where task
     # overhead dominates (sf<=0.1); the 10x tier's heavy joins want
     # real parallelism (measured ~8% on q3/q5/q10 at sf1).  Branch on
@@ -135,11 +145,13 @@ def _bench_tier(spark, queries, sf_dir: str) -> dict:
 
     # Analytics family: warm once + sequential best-of-2 (same
     # discipline as queries_sequential; never in the concurrent wall).
-    # Primary tier only — the scale tiers' job is tracking the fixed
-    # headline ladder, and the fuzzy-match block join at sf5 would
+    # Runs at the primary tier AND the 10× sf1 tier — the family has a
+    # history of AQE starvation, so its scale behavior needs to be
+    # artifact-tracked, not PERF.md prose (VERDICT r9 task 2).  sf5
+    # stays headline-only: the fuzzy-match block join there would
     # triple the tier's runtime for no extra regression signal.
     analytics_sequential: dict[str, float] = {}
-    if not big:
+    if sf_num is not None and sf_num <= 1:
         for name in ANALYTICS:
             run(name)
         for _ in range(2):
@@ -170,11 +182,53 @@ def _bench_tier(spark, queries, sf_dir: str) -> dict:
         "analytics_sequential": analytics_sequential,
         "sweep_walls": walls,
         "sf": sf_num,
+        # Per-tier JVM-state markers: heap occupancy at tier entry/exit
+        # makes tier-order contamination visible in the artifact
+        # (VERDICT r9 task 3 — the +40% sf1 drift in BENCH_r09 was the
+        # sf1 tier inheriting the sf0.1 tier's heap/GC state).
+        "heap_mb": {"before": heap_before, "after": _heap_used_mb(spark)},
     }
+
+
+def _run_tier_subprocess(sf_dir: str) -> dict | None:
+    """Run one scale tier in a FRESH JVM (own subprocess) and return
+    its result block.
+
+    BENCH_r09's sf1 wall read +40% over r8 purely because the sf1/sf5
+    tiers ran in the same heap straight after the sf0.1 sweeps —
+    min-of-3 can't recover a number measured inside another tier's
+    garbage.  A fresh session per tier is the isolation a real
+    multi-cluster benchmark has.  Falls back to None on any failure
+    (caller then measures in-process, flagged)."""
+    import subprocess
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_TIER_ONLY="1",
+        SPARK_GRAFT_SKIP_SF1="1",
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=1800,
+        )
+        if out.returncode != 0:
+            return None
+        line = [l for l in out.stdout.splitlines() if l.strip()][-1]
+        block = json.loads(line)
+        block["isolated_jvm"] = True
+        return block
+    except Exception:
+        return None
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    tier_only = os.environ.get("SPARK_GRAFT_TIER_ONLY") == "1"
     from core2_spark.queries.registry import all_queries
     from core2_spark.session import get_spark
 
@@ -189,6 +243,10 @@ def main() -> None:
     queries = all_queries()
 
     result = _bench_tier(spark, queries, sf_dir)
+    if tier_only:
+        # Child mode (_run_tier_subprocess): emit the bare tier block.
+        print(json.dumps(result))
+        return
     out = {
         "metric": "headline_query_sweep_wall",
         "unit": "sec",
@@ -196,9 +254,9 @@ def main() -> None:
         **result,
     }
 
-    # Scale tier: the sf1 (10×) sweep rides along in the SAME JSON line
-    # so the round artifact tracks scale regressions, not just sf0.1
-    # (PERF.md "measured scaling" moved the ladder into the artifact).
+    # Scale tiers: the sf1 (10×) and sf5 (50×) sweeps ride along in the
+    # SAME JSON line so the round artifact tracks scale regressions, not
+    # just sf0.1 — each tier in its OWN JVM (see _run_tier_subprocess).
     # Only when the seeded fixture tier exists (scripts/gen_fixtures.py
     # writes it; _data/ is not tracked) and the primary tier is the
     # driver default — a custom SPARK_GRAFT_SF_DIR run stays single-tier.
@@ -208,12 +266,28 @@ def main() -> None:
         and os.path.isdir(sf1_dir)
         and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1"
     ):
-        sf1 = _bench_tier(spark, queries, sf1_dir)
+        # Release the primary tier's JVM (32g heap + 32 executor
+        # threads) before the tier children start — a resident idle
+        # JVM still competes for cores/GC with the fresh ones.
+        spark.stop()
+        def in_process_fallback(tier_dir: str) -> dict:
+            # Subprocess failed: re-measure in-process (flagged) — the
+            # primary session was stopped above, so make a fresh one.
+            sp = get_spark(
+                app_name="core2-spark-bench-tier",
+                shuffle_partitions=8,
+                extra_conf={
+                    "spark.scheduler.mode": "FAIR",
+                    "spark.ui.showConsoleProgress": "false",
+                },
+            )
+            return {**_bench_tier(sp, queries, tier_dir), "isolated_jvm": False}
+
+        sf1 = _run_tier_subprocess(sf1_dir)
+        if sf1 is None:
+            sf1 = in_process_fallback(sf1_dir)
         sf1["sf"] = 1.0
         out["sf1"] = sf1
-        # 50x tier: completes the in-artifact scale ladder
-        # (0.1 -> 1 -> 5) so scaling regressions show up per-round
-        # without a prose PERF.md sweep.  Same gating as sf1.
         sf5_dir = os.environ.get(
             "SPARK_GRAFT_SF5_DIR", os.path.join(REPO, "_data", "sf5")
         )
@@ -221,7 +295,9 @@ def main() -> None:
             os.path.isdir(sf5_dir)
             and os.environ.get("SPARK_GRAFT_SKIP_SF5") != "1"
         ):
-            sf5 = _bench_tier(spark, queries, sf5_dir)
+            sf5 = _run_tier_subprocess(sf5_dir)
+            if sf5 is None:
+                sf5 = in_process_fallback(sf5_dir)
             sf5["sf"] = 5.0
             out["sf5"] = sf5
 

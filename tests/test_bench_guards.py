@@ -59,6 +59,23 @@ ANALYTICS_CEILINGS = {
 }
 
 
+# sf1 (10×) analytics-family ceilings: 1.5x the min of two isolated-JVM
+# HEAD measurements (r10 — the round the family entered the sf1 bench
+# tier; VERDICT r9 task 2).  The family's AQE-starvation history is
+# exactly the class these would catch: a starved stage serializes onto
+# one core and blows 3-10x past these, not 1.5x.
+SF1_ANALYTICS_CEILINGS = {
+    "text_bm25_search_topk": 3.5,
+    "entity_fuzzy_match_blocked": 14.0,
+    "events_retention_cohorts": 1.4,
+    "events_rolling_7d_actives": 1.4,
+    "ts_zscore_anomalies": 1.3,
+    "ts_cusum_changepoint": 2.5,
+    "events_attribution_last_touch": 2.3,
+    "agg_histogram_equi_width": 1.2,
+}
+
+
 def _run_bench() -> dict:
     env = dict(
         os.environ,
@@ -76,6 +93,48 @@ def _run_bench() -> dict:
     line = [l for l in out.stdout.splitlines() if l.strip()][-1]
     payload = json.loads(line)
     return {**payload["queries_sequential"], **payload["analytics_sequential"]}
+
+
+def _run_sf1_tier() -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/repo/_data/sf1",
+        SPARK_GRAFT_TIER_ONLY="1",
+        SPARK_GRAFT_SKIP_SF1="1",
+    )
+    out = subprocess.run(
+        [sys.executable, "/root/repo/bench.py"],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=1200,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.strip()][-1]
+    return json.loads(line)["analytics_sequential"]
+
+
+def test_sf1_analytics_ceilings():
+    """The analytics family's 10× scale tier, isolated-JVM (the same
+    measurement the bench artifact's sf1 block carries since r10)."""
+    import pytest
+
+    if not os.path.isdir("/root/repo/_data/sf1"):
+        pytest.skip("sf1 fixture tier not generated")
+    seq = _run_sf1_tier()
+    assert set(seq) == set(SF1_ANALYTICS_CEILINGS)
+    over = {q: t for q, t in seq.items() if t > SF1_ANALYTICS_CEILINGS[q]}
+    if over:
+        seq2 = _run_sf1_tier()
+        best = {q: min(seq[q], seq2[q]) for q in seq}
+        over = {q: t for q, t in best.items() if t > SF1_ANALYTICS_CEILINGS[q]}
+    assert not over, (
+        "sf1 analytics regression past the pinned ceiling: "
+        + ", ".join(
+            f"{q}={t:.3f}s (ceiling {SF1_ANALYTICS_CEILINGS[q]:.3f}s)"
+            for q, t in sorted(over.items())
+        )
+    )
 
 
 def test_per_query_sequential_ceilings():
