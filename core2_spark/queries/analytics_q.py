@@ -553,17 +553,209 @@ def events_rolling_7d_actives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_actives(ev, window_days=7)
 
 
-@query(
-    "events_attribution_linear_multitouch",
-    oracle=f"""
+def linear_multitouch(
+    ev,
+    *,
+    touch_events: tuple[str, ...] = ("click", "view"),
+    purchase_event: str = "purchase",
+    lookback_days: int = 3,
+):
+    """Linear multi-touch attribution: every touch event in the
+    lookback shares a purchase's credit equally (1/n of the count and
+    of the revenue) — the fractional-credit counterpart of the
+    last-touch query.
+
+    Shape: NO JOIN, NO SLIDING FRAME — prefix-sum differences at probe
+    rows.  The pair set itself is the enemy: one zipf hot user owning
+    20% of sf1 events has ~40k purchases × ~8k in-window touches =
+    320M TRUE pairs, so a per-user equi-join + range filter (75 s at
+    sf1 zipf vs 0.75 s uniform) and even a windowed interval range
+    frame (Spark evaluates sliding frames O(rows × frame-width):
+    129 s) both die on that one key.  Interval aggregation that never
+    materializes pairs:
+
+    1. ``n_touches(p) = C(p_ts) − C(p_ts − L − 1µs)`` where C is the
+       per-user RUNNING count of deduplicated touches — evaluated by
+       unioning two zero-weight probe rows per purchase into the touch
+       timeline and taking one unbounded-preceding range frame
+       (incremental, O(n) per partition in Spark's window exec);
+    2. each purchase's credit shares (1/n count, value/n revenue, both
+       ×10⁶-scaled exact decimals) form a second per-user timeline
+       whose running sums are probed the same way at ``t_ts + L`` and
+       ``t_ts − 1µs`` per touch: per-touch credit = S(hi) − S(lo).
+
+    Both probe regroupings are groupBys on unique keys (event_id /
+    (user, instant)) — evenly distributed whatever the user skew; the
+    zipf probe (scripts/probe_zipf_skew.py) is the regression check,
+    tests/test_random_analytics.py the randomized differential.
+
+    Exactness: every share is the identical scaled-decimal division in
+    both engines (value×10⁶/n; 10⁶/n for the count credit), running
+    sums and their differences are exact decimal algebra, so the
+    per-channel totals telescope to the oracle's per-pair sums
+    bit-for-bit before the one double division + nudged round.
+    """
+    from pyspark.sql import Window
+
+    look_us = lookback_days * 86_400 * 1_000_000
+    touches = (
+        ev.filter(F.col("event_type").isin(*touch_events))
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_type", "event_id").alias("touch_type"))
+        .select("user_id", F.unix_micros("ts").alias("t_ord"), "touch_type")
+    )
+    purchases = ev.filter(F.col("event_type") == purchase_event).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("p_ord"), "value"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ord")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+
+    # -- pass 1: n_touches per purchase via probes into the touch
+    #    timeline (ct=1 on touch rows, 0 on probes; the range-running
+    #    frame makes same-instant touches visible to the hi probe) --
+    def probe(df, ord_col, kind):
+        return df.select(
+            "user_id",
+            "event_id",
+            "p_ord",
+            "value",
+            ord_col.alias("ord"),
+            F.lit(kind).alias("kind"),
+            F.lit(0).alias("ct"),
+        )
+
+    tl1 = (
+        touches.select(
+            "user_id",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("long").alias("p_ord"),
+            F.lit(None).cast("double").alias("value"),
+            F.col("t_ord").alias("ord"),
+            F.lit(None).cast("string").alias("kind"),
+            F.lit(1).alias("ct"),
+        )
+        .unionByName(probe(purchases, F.col("p_ord"), "hi"))
+        .unionByName(probe(purchases, F.col("p_ord") - look_us - 1, "lo"))
+        .withColumn("c_run", F.sum("ct").over(w_run))
+    )
+    n_df = (
+        tl1.filter(F.col("kind").isNotNull())
+        .groupBy("event_id")
+        .agg(
+            F.max("user_id").alias("user_id"),
+            F.max("p_ord").alias("p_ord"),
+            F.max("value").alias("value"),
+            (
+                F.max(F.when(F.col("kind") == "hi", F.col("c_run")))
+                - F.max(F.when(F.col("kind") == "lo", F.col("c_run")))
+            ).alias("n_touches"),
+        )
+        .filter(F.col("n_touches") > 0)
+    )
+    n_dec = F.col("n_touches").cast("decimal(18,0)")
+    shares = n_df.select(
+        "user_id",
+        F.col("p_ord").alias("ord"),
+        (F.lit(1).cast("decimal(18,6)") * F.lit(1000000) / n_dec).alias("s_cnt"),
+        (
+            F.col("value").cast("decimal(18,6)") * F.lit(1000000) / n_dec
+        ).alias("s_rev"),
+    )
+
+    # -- pass 2: per-touch credit via probes into the purchase-share
+    #    running sums (hi at t+3d includes a purchase AT the horizon;
+    #    lo at t−1µs keeps a same-instant purchase creditable) --
+    def tprobe(ord_col, kind):
+        return touches.select(
+            "user_id",
+            "t_ord",
+            "touch_type",
+            ord_col.alias("ord"),
+            F.lit(kind).alias("kind"),
+            F.lit(None).cast("decimal(18,6)").alias("s_cnt"),
+            F.lit(None).cast("decimal(18,6)").alias("s_rev"),
+        )
+
+    tl2 = (
+        # s_cnt/s_rev keep their raw division scale — the union merely
+        # widens the probe rows' null literals to match, so per-share
+        # values stay bit-identical to the oracle's division results.
+        shares.select(
+            "user_id",
+            F.lit(None).cast("long").alias("t_ord"),
+            F.lit(None).cast("string").alias("touch_type"),
+            "ord",
+            F.lit(None).cast("string").alias("kind"),
+            "s_cnt",
+            "s_rev",
+        )
+        .unionByName(tprobe(F.col("t_ord") + look_us, "hi"))
+        .unionByName(tprobe(F.col("t_ord") - 1, "lo"))
+        .withColumn("cnt_run", F.sum("s_cnt").over(w_run))
+        .withColumn("rev_run", F.sum("s_rev").over(w_run))
+    )
+    zero = F.lit(0).cast("decimal(28,6)")
+    credited = (
+        tl2.filter(F.col("kind").isNotNull())
+        .groupBy("user_id", "t_ord")
+        .agg(
+            F.max("touch_type").alias("touch_type"),
+            (
+                F.coalesce(
+                    F.max(F.when(F.col("kind") == "hi", F.col("cnt_run"))), zero
+                )
+                - F.coalesce(
+                    F.max(F.when(F.col("kind") == "lo", F.col("cnt_run"))), zero
+                )
+            ).alias("c_cnt"),
+            (
+                F.coalesce(
+                    F.max(F.when(F.col("kind") == "hi", F.col("rev_run"))), zero
+                )
+                - F.coalesce(
+                    F.max(F.when(F.col("kind") == "lo", F.col("rev_run"))), zero
+                )
+            ).alias("c_rev"),
+        )
+        .filter(F.col("c_cnt") > 0)
+    )
+    return (
+        credited.groupBy(F.col("touch_type").alias("channel"))
+        .agg(
+            F.round(
+                F.sum("c_cnt").cast("double") / F.lit(1000000.0) + F.lit(EPS), 4
+            ).alias("credited_purchases"),
+            F.round(
+                F.sum("c_rev").cast("double") / F.lit(1000000.0) + F.lit(EPS), 4
+            ).alias("credited_revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+def multitouch_oracle_sql(
+    *,
+    touch_events: tuple[str, ...] = ("click", "view"),
+    purchase_event: str = "purchase",
+    lookback_days: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`linear_multitouch` — deliberately the
+    NAIVE join form (per-user equi-join + range filter + per-purchase
+    window count), so the prefix-sum algebra is checked against an
+    independently-shaped computation."""
+    touch_in = ", ".join(sql_quote(t) for t in touch_events)
+    return f"""
     WITH touches AS (
         SELECT user_id, ts, max_by(event_type, event_id) AS touch_type
-        FROM events WHERE event_type IN ('click', 'view')
+        FROM events WHERE event_type IN ({touch_in})
         GROUP BY user_id, ts
     ),
     p AS (
         SELECT event_id, user_id, ts, value
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = {sql_quote(purchase_event)}
     ),
     j AS (
         SELECT p.event_id, p.value, t.touch_type,
@@ -571,71 +763,40 @@ def events_rolling_7d_actives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM p JOIN touches t
           ON t.user_id = p.user_id
          AND t.ts <= p.ts
-         AND t.ts >= p.ts - INTERVAL 3 DAY
+         AND t.ts >= p.ts - INTERVAL {lookback_days} DAY
     )
     SELECT touch_type AS channel,
-           ROUND(SUM(CAST(1.0 AS DOUBLE) / n_touches) + {{eps}}, 4)
+           ROUND(CAST(SUM(CAST(1 AS DECIMAL(18,6)) * 1000000
+                          / CAST(n_touches AS DECIMAL(18,0)))
+                      AS DOUBLE) / 1000000.0 + {SQL_EPS}, 4)
                AS credited_purchases,
            ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)) * 1000000
                           / CAST(n_touches AS DECIMAL(18,0)))
-                      AS DOUBLE) / 1000000.0 + {{eps}}, 4) AS credited_revenue
+                      AS DOUBLE) / 1000000.0 + {SQL_EPS}, 4) AS credited_revenue
     FROM j
     GROUP BY touch_type
     ORDER BY channel
-    """.format(eps=SQL_EPS),
+    """
+
+
+@query(
+    "events_attribution_linear_multitouch",
+    oracle=multitouch_oracle_sql(
+        touch_events=("click", "view"), purchase_event="purchase", lookback_days=3
+    ),
 )
 def events_attribution_linear_multitouch_q(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Linear multi-touch attribution: every click/view in the 3-day
-    lookback shares a purchase's credit equally (1/n of the count and
-    of the revenue) — the fractional-credit counterpart of the
-    last-touch query.
-
-    Shape: a bounded range join (per-user equi-join + 3-day window
-    predicate — each purchase meets only that user's recent touches),
-    a per-purchase window count, then one aggregate.  Exactness: the
-    revenue share divides a ≤6-decimal value by an integer — an exact
-    decimal division is scale-bounded, so both engines compute
-    value×10⁶/n in integer-scaled decimals and divide back by 10⁶ in
-    double, making the per-share value bit-identical before the
-    nudged display round; the credited-purchase count sums 1/n in
-    double where each addend is an exact binary or shared-rounding
-    value (n ≤ a few hundred), with the EPS nudge absorbing last-ulp
-    summation-order differences.
-    """
-    from pyspark.sql import Window
-
+    """Linear multi-touch attribution over a 3-day lookback, via the
+    parameterized prefix-sum operator above (see there for why the
+    join form is a zipf-skew time bomb and how probe rows replace it);
+    tests/test_random_analytics.py drives random touch/purchase event
+    sets and lookbacks against generated join-form DuckDB mirrors."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    touches = (
-        ev.filter(F.col("event_type").isin("click", "view"))
-        .groupBy("user_id", "ts")
-        .agg(F.max_by("event_type", "event_id").alias("touch_type"))
-        .select("user_id", F.col("ts").alias("t_ts"), "touch_type")
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    j = purchases.join(touches, "user_id").filter(
-        (F.col("t_ts") <= F.col("ts"))
-        & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 3 DAYS"))
-    )
-    w = Window.partitionBy("event_id")
-    j = j.withColumn("n_touches", F.count("*").over(w))
-    share_rev = (
-        F.col("value").cast("decimal(18,6)")
-        * F.lit(1000000)
-        / F.col("n_touches").cast("decimal(18,0)")
-    )
-    return (
-        j.groupBy(F.col("touch_type").alias("channel"))
-        .agg(
-            F.round(
-                F.sum(F.lit(1.0).cast("double") / F.col("n_touches")) + F.lit(EPS), 4
-            ).alias("credited_purchases"),
-            F.round(
-                F.sum(share_rev).cast("double") / F.lit(1000000.0) + F.lit(EPS), 4
-            ).alias("credited_revenue"),
-        )
-        .orderBy("channel")
+    return linear_multitouch(
+        ev,
+        touch_events=("click", "view"),
+        purchase_event="purchase",
+        lookback_days=3,
     )

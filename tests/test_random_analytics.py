@@ -96,6 +96,52 @@ def test_cusum_random_differential(spark, duck, etype, k, h):
 
 
 @settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    touch_events=st.sets(
+        st.sampled_from(EVENT_TYPES), min_size=1, max_size=3
+    ),
+    purchase_event=st.sampled_from(EVENT_TYPES),
+    lookback_days=st.sampled_from((0, 1, 3, 7)),
+)
+def test_multitouch_random_differential(
+    spark, duck, touch_events, purchase_event, lookback_days
+):
+    """The prefix-sum multi-touch attribution (probe rows + running
+    sums) vs the oracle's NAIVE join form — independent shapes must
+    agree on every credit, including lookback=0 (same-instant only)
+    and purchase_event ∈ touch_events (an event crediting itself)."""
+    from core2_spark.queries.analytics_q import (
+        linear_multitouch,
+        multitouch_oracle_sql,
+    )
+
+    touch_events = tuple(sorted(touch_events))
+    ev = load_tables(spark, SF_DIR, ("events",))["events"]
+    spdf = linear_multitouch(
+        ev,
+        touch_events=touch_events,
+        purchase_event=purchase_event,
+        lookback_days=lookback_days,
+    ).toPandas()
+    dpdf = duck.execute(
+        multitouch_oracle_sql(
+            touch_events=touch_events,
+            purchase_event=purchase_event,
+            lookback_days=lookback_days,
+        )
+    ).df()
+    assert_frames_match(
+        spdf,
+        dpdf,
+        f"multitouch({touch_events},{purchase_event},L={lookback_days})",
+    )
+
+
+@settings(
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
