@@ -529,13 +529,15 @@ class Engine:
         import pyarrow.compute as pa_compute
         import pyarrow.parquet as pq
 
+        per_file: dict[str, object] = {}
         for name, path in self._all_tables().items():
             for root_dir, _dirs, names in os.walk(path):
                 for n in names:
                     if not n.endswith(".parquet"):
                         continue
+                    fpath = os.path.join(root_dir, n)
                     try:
-                        md = pq.ParquetFile(os.path.join(root_dir, n)).metadata
+                        md = pq.ParquetFile(fpath).metadata
                     except Exception:
                         continue
                     cols = {
@@ -554,18 +556,41 @@ class Engine:
                         # the ONE column via pyarrow (column-pruned
                         # driver read; legacy roots only, a root the
                         # engine has written even once has _log.json)
-                        tbl = pq.read_table(
-                            os.path.join(root_dir, n), columns=[bt.SYS_START]
-                        )
+                        tbl = pq.read_table(fpath, columns=[bt.SYS_START])
                         mx = pa_compute.max(tbl.column(0)).as_py()
                         f_max = mx
-                    t = f_max
-                    if isinstance(t, datetime) and t.tzinfo is not None:
-                        t = t.astimezone(timezone.utc).replace(tzinfo=None)
-                    if t is not None and (
-                        self._last_tx_time is None or t > self._last_tx_time
-                    ):
-                        self._last_tx_time = t
+                    if f_max is not None:
+                        per_file[fpath] = f_max
+        # An IN-FLIGHT or crashed-uncommitted transaction's files must
+        # not drive the clock: on a root whose _log.json does not exist
+        # yet (a writer died before EVER committing, and its successor
+        # is mid-first-commit), the footer sweep would otherwise adopt
+        # the in-flight tx's SYS_START and make its half-published rows
+        # VISIBLE to a concurrent reader — a torn read through every
+        # wire transport (found by scripts/fuzz_failover_wire.py, seed
+        # 9001).  Every such file is listed in a _pending/ manifest
+        # BEFORE it is published, so subtracting pending-listed files
+        # is exact; reading the manifests AFTER the walk closes the
+        # race where a manifest+publish lands between the two.
+        pdir = os.path.join(self.root, "_pending")
+        if os.path.isdir(pdir):
+            for mname in os.listdir(pdir):
+                if not mname.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(pdir, mname)) as f:
+                        meta = json.load(f)
+                    for fpath in meta.get("files", []):
+                        per_file.pop(fpath, None)
+                except (OSError, ValueError, json.JSONDecodeError):
+                    continue
+        for t in per_file.values():
+            if isinstance(t, datetime) and t.tzinfo is not None:
+                t = t.astimezone(timezone.utc).replace(tzinfo=None)
+            if t is not None and (
+                self._last_tx_time is None or t > self._last_tx_time
+            ):
+                self._last_tx_time = t
 
     def _persist_clock(
         self, _locked: bool = False, commit_txid: str | None = None
