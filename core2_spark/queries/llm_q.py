@@ -1034,18 +1034,21 @@ def dedup_ngram_jaccard_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic bucket in [0, 100): Knuth multiplicative hash —
 # bit-identical in Spark and DuckDB (no engine hash involved), so
 # splits are reproducible across engines and runs.  The multiply runs
-# in 38-digit decimal (Spark) / HUGEINT (DuckDB): plain BIGINT would
-# silently wrap in non-ANSI Spark but ERROR in DuckDB once
-# doc_id > ~3.5e9, so the wide-integer form is what makes the
-# "any corpus size" claim true (r9 advisor finding).
+# in scale-0 DECIMAL(28,0) — wide enough that any int64 doc_id times
+# the 32-bit constant stays exact (plain BIGINT would silently wrap
+# in non-ANSI Spark but ERROR in DuckDB once doc_id > ~3.5e9; r9
+# advisor finding), and ANSI-portable so the SAME text runs in Spark
+# SQL, keeping the triple-agreement check (oracle text executed by
+# both engines) intact.
 _BUCKET_SQL = (
-    "CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) % 100"
+    "CAST((CAST(doc_id AS DECIMAL(28,0)) * 2654435761) % 4294967296"
+    " AS BIGINT) % 100"
 )
 
 
 def _hkey_col() -> F.Column:
     return (
-        (F.col("doc_id").cast("decimal(38,0)") * F.lit(2654435761))
+        (F.col("doc_id").cast("decimal(28,0)") * F.lit(2654435761))
         % F.lit(4294967296)
     ).cast("long")
 
@@ -1094,7 +1097,7 @@ def split_train_val_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
         SELECT doc_id, source, lang,
-               CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+               CAST((CAST(doc_id AS DECIMAL(28,0)) * 2654435761) % 4294967296
                     AS BIGINT) AS hkey
         FROM documents
     ), r AS (
