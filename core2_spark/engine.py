@@ -2048,12 +2048,25 @@ class Engine:
         footer min/max stats prune predicates on them.  Returns the
         compact path."""
         import json
+        import uuid as _uuid
 
         snap = self.db()
-        path = os.path.join(self.root, "_current", table)
+        # VERSIONED IMMUTABLE compact dirs + an atomic pointer: the old
+        # layout swapped ONE dir (`_current/<table>`) in place and then
+        # wrote the sidecar — so a reader could pin the sidecar's clock
+        # yet list the dir mid-swap (or post-swap, pre-sidecar) and
+        # read a DIFFERENT compact's data at that clock (the
+        # fuzz_failover_wire torn-read class).  Each compact now lands
+        # in a fresh dir no reader has ever seen; the sidecar is
+        # os.replace'd to point at it, so readers get (clock, dir) as
+        # one atomic unit and the dir's contents can never change
+        # under them.  Superseded dirs are pruned only once older than
+        # the reclaim window (a reader may briefly hold the previous
+        # pointer).
+        dirname = f"{table}__{_uuid.uuid4().hex[:12]}"
+        path = os.path.join(self.root, "_current", dirname)
         # explicit times bypass any existing compact, so the plan reads
-        # only version files — the atomic swap is belt-and-braces for
-        # concurrent readers of the previous compact
+        # only version files
         current = snap.table(
             table, system_time=self._last_tx_time, app_time=self._last_tx_time
         )
@@ -2075,10 +2088,56 @@ class Engine:
             current = current.repartitionByRange(*parts).sortWithinPartitions(
                 *sort_by
             )
-        self._rewrite_atomic(path, current)
-        with open(os.path.join(self.root, "_current", f"{table}.json"), "w") as f:
-            json.dump({"tx_time": self._last_tx_time.isoformat()}, f)
+        with self._micros_timestamps():
+            self._writer(current).parquet(path)
+        meta = os.path.join(self.root, "_current", f"{table}.json")
+        tmp = meta + f".tmp{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"tx_time": self._last_tx_time.isoformat(), "dir": dirname}, f
+            )
+        os.replace(tmp, meta)
+        # prune superseded versioned dirs past the reclaim window
+        import time as _time
+
+        cur_dir = os.path.join(self.root, "_current")
+        now = _time.time()
+        for entry in os.listdir(cur_dir):
+            if not entry.startswith(f"{table}__") or entry == dirname:
+                continue
+            full = os.path.join(cur_dir, entry)
+            try:
+                if (
+                    os.path.isdir(full)
+                    and now - os.path.getmtime(full) > self._reclaim_after_s
+                ):
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
         return path
+
+    def _compact_pointer(self, table: str):
+        """(compact dir path, its clock) from the atomic sidecar, or
+        None.  The sidecar is os.replace'd as one unit pointing at an
+        IMMUTABLE versioned dir (see ``compact``), so the pair can
+        never be torn; a missing/garbled sidecar or a pruned dir reads
+        as no-compact (live resolution).  Legacy roots whose sidecar
+        predates the versioned layout point at the in-place
+        ``_current/<table>`` dir."""
+        import json
+
+        meta = os.path.join(self.root, "_current", f"{table}.json")
+        try:
+            with open(meta) as f:
+                m = json.load(f)
+            tx = datetime.fromisoformat(m["tx_time"])
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            return None
+        d = m.get("dir")
+        path = os.path.join(self.root, "_current", d if d else table)
+        if not os.path.isdir(path):
+            return None
+        return path, tx
 
     def _stale_compact(self, table: str, basis_time):
         """(compact path, its clock) when a compact exists that is
@@ -2086,31 +2145,19 @@ class Engine:
         — or None.  Never offered for app-bounded tables (a bounded
         period can expire between the compact's clock and the basis,
         changing an id's current state with no new version rows)."""
-        import json
-
         if table in self._app_bounded:
             return None
-        meta = os.path.join(self.root, "_current", f"{table}.json")
-        if not os.path.exists(meta):
+        ptr = self._compact_pointer(table)
+        if ptr is None or ptr[1] >= basis_time:
             return None
-        with open(meta) as f:
-            tx = datetime.fromisoformat(json.load(f)["tx_time"])
-        if tx >= basis_time:
-            return None
-        return os.path.join(self.root, "_current", table), tx
+        return ptr
 
     def _fresh_compact_path(self, table: str, basis_time) -> str | None:
         """Compact path if one exists AND matches the basis clock."""
-        import json
-
-        meta = os.path.join(self.root, "_current", f"{table}.json")
-        if not os.path.exists(meta):
+        ptr = self._compact_pointer(table)
+        if ptr is None or ptr[1] != basis_time:
             return None
-        with open(meta) as f:
-            tx = datetime.fromisoformat(json.load(f)["tx_time"])
-        if tx != basis_time:
-            return None
-        return os.path.join(self.root, "_current", table)
+        return ptr[0]
 
     # -- incremental materialized views (see mviews.py) ----------------
     def create_materialized_view(
@@ -2347,8 +2394,19 @@ class Snapshot:
         compact outright at commit."""
         spark = self.engine.spark
         t0_col = bt._ts(t0)
+        s = t = self.basis.current_time
+        # Bound the touched-id set at the BASIS clock, not just t0: the
+        # pinned manifest can hold a concurrent writer's published-but-
+        # unlogged files (SYS_START beyond the basis — the tx is mid-
+        # commit).  Unbounded, such an id counts as "touched", gets
+        # anti-joined out of the compact base, and its basis-visible
+        # version — which lives IN the base, pre-t0 — is not in the
+        # recent files, so the row silently vanishes until the in-
+        # flight tx logs.  Found by scripts/fuzz_failover_wire.py as
+        # load-sensitive torn reads on every wire transport (the
+        # publish→log window stretches under load).
         recent = self._versions(table, day_lo=t0.date()).filter(
-            F.col(bt.SYS_START) > t0_col
+            (F.col(bt.SYS_START) > t0_col) & (F.col(bt.SYS_START) <= bt._ts(s))
         )
         recent_ids = recent.select("id").distinct()
         base = spark.read.parquet(compact_path)
@@ -2356,15 +2414,14 @@ class Snapshot:
         # resolve touched ids over the RECENT files only: the
         # no-app-bounds invariant gating this path means the visible
         # version of any touched id is its latest system version, and
-        # a touched id BY DEFINITION has that version after t0 — a
-        # pre-t0 version can never win for it (a post-t0 tombstone
+        # a touched id BY DEFINITION has that version in (t0, basis]
+        # — a pre-t0 version can never win for it (a post-t0 tombstone
         # hides the id the same way).  Resolving over the full log
         # instead re-opened EVERY table file per read (one task per
         # file), turning the whole merge-on-read into the O(all
         # history) plan it exists to avoid — found by the r9
         # 1,200-day probe as a 1,232-task stage inside every
         # incremental mview refresh.
-        s = t = self.basis.current_time
         vis = bt.resolve_as_of(recent, s, t, "id")
         drop = [*bt.TEMPORAL_COLS, bt.TOMBSTONE, bt.TX_SEQ, bt.ROW_SEQ, bt.SYS_DAY]
         vis = vis.drop(*[c for c in drop if c in vis.columns])

@@ -181,17 +181,15 @@ def _affected_keys(engine, snap, table, keys, as_of, feed, changed):
     Fallback — no usable compact: scan (id, keys) over all history
     semi-joined to the changed ids (column-pruned; id-bloom filters
     and runtime bloom-filter pushdown cut the row groups read)."""
-    import json as _json
-    from datetime import datetime as _dt
-
     spark = engine.spark
-    meta = os.path.join(engine.root, "_current", f"{table}.json")
-    compact_clock = None
-    if os.path.exists(meta) and table not in engine._app_bounded:
-        with open(meta) as f:
-            c = _dt.fromisoformat(_json.load(f)["tx_time"])
-        if c <= as_of:
-            compact_clock = c
+    # atomic (dir, clock) pointer: the versioned-compact sidecar
+    # (Engine._compact_pointer) — never read the clock and the dir in
+    # two separate steps, a concurrent compact could land in between
+    compact_path = compact_clock = None
+    if table not in engine._app_bounded:
+        ptr = engine._compact_pointer(table)
+        if ptr is not None and ptr[1] <= as_of:
+            compact_path, compact_clock = ptr
     from core2_spark import temporal as bt
 
     if compact_clock is None:
@@ -204,7 +202,7 @@ def _affected_keys(engine, snap, table, keys, as_of, feed, changed):
         )
 
     compact_keys = (
-        spark.read.parquet(os.path.join(engine.root, "_current", table))
+        spark.read.parquet(compact_path)
         .select(*_id_and_keys(keys))
         .join(F.broadcast(changed), "id", "left_semi")
         .select(*keys)

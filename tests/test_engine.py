@@ -910,6 +910,92 @@ def test_merge_on_read_never_rescans_pre_compact_history(spark):
     assert got == expect
 
 
+def test_merge_on_read_ignores_inflight_future_rows(spark):
+    """Regression pin for the failover-fuzz load-sensitive torn read:
+    a concurrent writer's PUBLISHED-BUT-UNLOGGED files (SYS_START
+    beyond the basis) used to count an id as 'touched since the
+    compact', anti-joining its row out of the compact base while the
+    basis-time resolution over recent files could not see its real
+    (in-base, pre-compact) version — the row vanished until the
+    in-flight tx logged.  The touched-id set must be bounded at the
+    basis clock."""
+    from pyspark.sql import functions as F
+
+    from core2_spark import temporal as bt
+
+    root = ROOT + "_mor_inflight"
+    shutil.rmtree(root, ignore_errors=True)
+    eng = Engine(spark, root)
+    eng.submit_tx(
+        [Put("t", spark.createDataFrame(
+            [(1, "a"), (2, "a")], "id long, v string"))],
+        tx_time="2024-01-01 00:00:01",
+    )
+    eng.compact("t")
+    eng.submit_tx(
+        [Put("t", spark.createDataFrame([(3, "b")], "id long, v string"))],
+        tx_time="2024-01-02 00:00:01",
+    )  # compact now STALE: default reads take merge-on-read
+    # Simulate a peer mid-commit: publish rows for id=1 at a FUTURE tx
+    # time exactly the way _submit_tx_once does (files + pending
+    # manifest), but never advance the log.
+    from datetime import datetime
+
+    future = datetime.fromisoformat("2024-01-03 00:00:01")
+    rows = (
+        bt.put(
+            spark.createDataFrame([(1, "inflight")], "id long, v string"),
+            tx_time=future,
+        )
+        .withColumn(bt.TOMBSTONE, F.lit(False))
+        .withColumn(bt.TX_SEQ, F.lit(0))
+        .withColumn(bt.ROW_SEQ, F.monotonically_increasing_id())
+        .withColumn(bt.SYS_DAY, F.to_date(F.col(bt.SYS_START)))
+    )
+    pending = eng._pending_path()
+    eng._append_manifested(
+        eng._table_path("t"), rows, pending, future, [], []
+    )
+    reader = Engine(spark, root)
+    merged = reader.db().table("t")
+    assert any("_current" in f for f in merged.inputFiles())
+    got = {(r["id"], r["v"]) for r in merged.collect()}
+    assert got == {(1, "a"), (2, "a"), (3, "b")}, got
+
+
+def test_compact_pointer_is_atomic_and_versioned(spark):
+    """compact() lands each materialization in a fresh immutable dir
+    with an os.replace'd (clock, dir) sidecar — a reader can never
+    pair one compact's clock with another's data (the old in-place
+    swap allowed exactly that between the data swap and the sidecar
+    write)."""
+    import json
+    import os
+
+    root = ROOT + "_compact_ptr"
+    shutil.rmtree(root, ignore_errors=True)
+    eng = Engine(spark, root)
+    eng.submit_tx(
+        [Put("t", spark.createDataFrame([(1, "a")], "id long, v string"))],
+        tx_time="2024-01-01 00:00:01",
+    )
+    p1 = eng.compact("t")
+    eng.submit_tx(
+        [Put("t", spark.createDataFrame([(1, "b")], "id long, v string"))],
+        tx_time="2024-01-02 00:00:01",
+    )
+    p2 = eng.compact("t")
+    assert p1 != p2, "compact dirs must be versioned, never reused"
+    assert os.path.isdir(p1), "previous compact stays readable (reclaim-gated)"
+    with open(os.path.join(root, "_current", "t.json")) as f:
+        meta = json.load(f)
+    assert os.path.join(root, "_current", meta["dir"]) == p2
+    ptr = eng._compact_pointer("t")
+    assert ptr == (p2, eng._last_tx_time)
+    got = {(r["id"], r["v"]) for r in eng.db().table("t").collect()}
+    assert got == {(1, "b")}
+
+
 def test_reclassify_race_covers_mkdirs_failure(spark):
     """A concurrent whole-table swap can rename a maintenance op's
     in-flight scratch root away; Hadoop's committer then surfaces
