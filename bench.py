@@ -150,8 +150,11 @@ def _bench_tier(spark, queries, sf_dir: str) -> dict:
     # artifact-tracked, not PERF.md prose (VERDICT r9 task 2).  sf5
     # stays headline-only: the fuzzy-match block join there would
     # triple the tier's runtime for no extra regression signal.
+    # Unparsable tiers (custom SPARK_GRAFT_SF_DIR whose basename is not
+    # 'sf<float>') count as small: they'd otherwise silently skip the
+    # family and emit an empty analytics_sequential with no hint why.
     analytics_sequential: dict[str, float] = {}
-    if sf_num is not None and sf_num <= 1:
+    if sf_num is None or sf_num <= 1:
         for name in ANALYTICS:
             run(name)
         for _ in range(2):
@@ -272,7 +275,11 @@ def main() -> None:
         spark.stop()
         def in_process_fallback(tier_dir: str) -> dict:
             # Subprocess failed: re-measure in-process (flagged) — the
-            # primary session was stopped above, so make a fresh one.
+            # primary session was stopped above, so make a fresh one,
+            # and STOP it afterwards: getOrCreate would otherwise hand
+            # the sf5 fallback the sf1 fallback's still-running session
+            # and its dirty heap — the exact cross-tier contamination
+            # tier isolation exists to eliminate.
             sp = get_spark(
                 app_name="core2-spark-bench-tier",
                 shuffle_partitions=8,
@@ -281,7 +288,13 @@ def main() -> None:
                     "spark.ui.showConsoleProgress": "false",
                 },
             )
-            return {**_bench_tier(sp, queries, tier_dir), "isolated_jvm": False}
+            try:
+                return {
+                    **_bench_tier(sp, queries, tier_dir),
+                    "isolated_jvm": False,
+                }
+            finally:
+                sp.stop()
 
         sf1 = _run_tier_subprocess(sf1_dir)
         if sf1 is None:
@@ -302,6 +315,43 @@ def main() -> None:
             out["sf5"] = sf5
 
     print(json.dumps(out))
+
+    # Driver artifact contract (VERDICT r10 task 2): BENCH_rN.json keeps
+    # only the LAST 2000 chars of stdout and json-parses them.  The full
+    # three-tier detail line outgrew that in r10, truncating the sf0.1
+    # headline wall — the number BASELINE.md's 2x budget binds against —
+    # out of the artifact.  Emit a compact summary as the final stdout
+    # bytes, newline-padded so the 2000-char tail is exactly
+    # (whitespace + summary line): parseable whether the driver loads
+    # the raw tail or just its last line.
+    summary = {
+        "metric": "headline_query_sweep_wall",
+        "unit": "sec",
+        "concurrency": CONCURRENCY,
+        "value": out["value"],
+        "sf": out["sf"],
+        "queries": out["queries"],
+        "sweep_walls": out["sweep_walls"],
+        "tiers": {
+            f"sf{out['sf']}" if out["sf"] is not None else "primary": out[
+                "value"
+            ],
+            **{
+                k: out[k]["value"]
+                for k in ("sf1", "sf5")
+                if isinstance(out.get(k), dict)
+            },
+        },
+        "isolated_jvm": {
+            k: out[k].get("isolated_jvm")
+            for k in ("sf1", "sf5")
+            if isinstance(out.get(k), dict)
+        },
+        "detail": "full per-tier JSON on the first stdout line",
+    }
+    line = json.dumps(summary)
+    sys.stdout.write("\n" * max(0, 2000 - len(line) - 1))
+    print(line)
 
 
 if __name__ == "__main__":

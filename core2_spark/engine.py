@@ -574,16 +574,37 @@ class Engine:
         # race where a manifest+publish lands between the two.
         pdir = os.path.join(self.root, "_pending")
         if os.path.isdir(pdir):
+            # Manifest paths were spelled with the WRITER's root string,
+            # which can differ from this reader's for the same physical
+            # root (trailing slash, relative vs absolute, symlinked
+            # mount).  Exact-string pop would then miss silently and the
+            # fallback clock would re-adopt the in-flight tx's SYS_START
+            # — the torn read the subtraction exists to prevent.  New
+            # manifests record their writer's root, so compare
+            # root-relative; legacy manifests fall back to realpath
+            # equality (resolves symlinks/..-segments to one spelling).
+            real_index: dict[str, str] | None = None
             for mname in os.listdir(pdir):
                 if not mname.endswith(".json"):
                     continue
                 try:
                     with open(os.path.join(pdir, mname)) as f:
                         meta = json.load(f)
-                    for fpath in meta.get("files", []):
-                        per_file.pop(fpath, None)
                 except (OSError, ValueError, json.JSONDecodeError):
                     continue
+                for fpath in meta.get("files", []):
+                    if per_file.pop(fpath, None) is not None:
+                        continue  # identical spelling
+                    local = self._localize_manifest_path(meta, fpath)
+                    if local != fpath and per_file.pop(local, None) is not None:
+                        continue
+                    if real_index is None:
+                        real_index = {
+                            os.path.realpath(p): p for p in per_file
+                        }
+                    hit = real_index.get(os.path.realpath(fpath))
+                    if hit is not None:
+                        per_file.pop(hit, None)
         for t in per_file.values():
             if isinstance(t, datetime) and t.tzinfo is not None:
                 t = t.astimezone(timezone.utc).replace(tzinfo=None)
@@ -864,12 +885,31 @@ class Engine:
             json.dump(
                 {
                     "tx_time": t.isoformat(),
+                    # The writer's root string: a reader that opened the
+                    # same physical root under a DIFFERENT spelling
+                    # (trailing slash, relative path, symlinked mount)
+                    # re-bases these absolute paths onto its own root
+                    # via _localize_manifest_path before comparing.
+                    "root": self.root,
                     "files": list(files),
                     "restores": [list(r) for r in restores],
                 },
                 f,
             )
         os.replace(tmp, pending)
+
+    def _localize_manifest_path(self, meta: dict, fpath: str) -> str:
+        """Re-spell a manifest-recorded absolute path (written with the
+        WRITER's root string) under THIS engine's root string.  Returns
+        ``fpath`` unchanged when the manifest predates the ``root`` key
+        or the path lies outside the recorded root."""
+        m_root = meta.get("root")
+        if not m_root or m_root == self.root:
+            return fpath
+        rel = os.path.relpath(fpath, m_root)
+        if rel.startswith(".."):
+            return fpath
+        return os.path.join(self.root, rel)
 
     def _remove_pending(self, pending: str) -> None:
         for p in (pending, pending + ".tmp"):
@@ -924,11 +964,14 @@ class Engine:
                 )
             if not logged:  # crashed before durability: roll back
                 for pth, old in reversed(meta.get("restores", [])):
+                    pth = self._localize_manifest_path(meta, pth)
+                    old = self._localize_manifest_path(meta, old)
                     if os.path.exists(old):
                         shutil.rmtree(pth, ignore_errors=True)
                         os.rename(old, pth)
                 tables = set()
                 for fpath in meta.get("files", []):
+                    fpath = self._localize_manifest_path(meta, fpath)
                     try:
                         os.remove(fpath)
                     except OSError:
@@ -2097,13 +2140,36 @@ class Engine:
                 {"tx_time": self._last_tx_time.isoformat(), "dir": dirname}, f
             )
         os.replace(tmp, meta)
-        # prune superseded versioned dirs past the reclaim window
+        # Prune superseded dirs past the reclaim window.  Candidates are
+        # matched by the EXACT versioned pattern (never a bare
+        # startswith: with tables 'user' and 'user__events', a prefix
+        # test on 'user' would reap 'user__events__<hex>' — another
+        # table's LIVE compact) plus this table's legacy in-place
+        # `_current/<table>` dir, which nothing references once the
+        # sidecar carries a 'dir' key and would otherwise leak a full
+        # table copy forever on upgraded roots.  Any dir an existing
+        # sidecar points at is unconditionally kept.
+        import re as _re
         import time as _time
 
         cur_dir = os.path.join(self.root, "_current")
         now = _time.time()
+        live: set[str] = set()
+        for sname in os.listdir(cur_dir):
+            if not sname.endswith(".json") or ".json.tmp" in sname:
+                continue
+            try:
+                with open(os.path.join(cur_dir, sname)) as f:
+                    smeta = json.load(f)
+                # a legacy sidecar (no 'dir') implicitly references the
+                # bare in-place dir named after its table
+                live.add(smeta.get("dir") or sname[: -len(".json")])
+            except (OSError, ValueError, json.JSONDecodeError):
+                continue
+        versioned = _re.compile(rf"{_re.escape(table)}__[0-9a-f]{{12}}\Z")
         for entry in os.listdir(cur_dir):
-            if not entry.startswith(f"{table}__") or entry == dirname:
+            superseded = bool(versioned.fullmatch(entry)) or entry == table
+            if not superseded or entry == dirname or entry in live:
                 continue
             full = os.path.join(cur_dir, entry)
             try:

@@ -54,31 +54,81 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order for the tail.  Any prefix of the returned dict is then a
 # maximally-informative correctness sample.
 _PRIORITY: list[str] = [
-    # Round 10 rotation (VERDICT r9 task 1).  Zone order: (a) the
-    # never-driver-checked names head the gate (the 4 new ANN
-    # recall-contract queries + the histogram degenerate-edge twin);
-    # (b) the ENTIRE stale backlog — the 5 r4 names then all 40 r5
-    # names (the five oracle-UPGRADED ones first: simhash / cdc-tail /
-    # frame-sampling / tumbling / kafka gained full value-hash oracles
-    # in r9 that have never been driver-run) — 5 + 45 = exactly the
-    # 50-slot window, so after r10 no name's driver evidence predates
-    # r6; (c) the fresh (r6+) names.  tests/test_entry_contract.py
-    # pins this layout against the r1-r9 artifacts
-    # (_EVIDENCE_BASIS_ROUND = 9).
-    # -- never driver-checked (5): new in r10 --
+    # Round 11 rotation (VERDICT r10 task 3).  Gate = the FIRST 50
+    # names (verified against CORRECTNESS_r10: artifact keys == the
+    # first 50 of this list, in order).  Zone order: (a) the one name
+    # new in r11 (`stream_stateful_sessions`, the applyInPandasWithState
+    # surface gaining its oracle pair); (b) the 50-name r6-evidence
+    # backlog.  That is 51 candidates for 50 slots: the overflow is
+    # `tpch_q3_shipping_priority` at position 51 — the ONE name with
+    # independent driver evidence every round regardless (it is the
+    # entry() flagship the driver smoke-runs per round AND a bench
+    # headline query in every BENCH_rN artifact), so it is the only
+    # r6 name whose literal gate slot can be deferred to r12 without
+    # losing real coverage.  (c) the fresh (r7+) names.
+    # tests/test_entry_contract.py pins this layout against the
+    # r1-r10 artifacts (_EVIDENCE_BASIS_ROUND = 10).
+    "stream_stateful_sessions",
+    "agg_distinct",
+    "recursion_fixpoint_ancestors",
+    "asof_join_enrichment",
+    "datalog_rules_recursive",
+    "dynamic_variant_union_legs",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_region_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
+    "tpch_q21_waiting_suppliers",
+    "join_full_outer",
+    "join_anti",
+    "temporal_asof_bitemporal",
+    "temporal_latest_versions",
+    "temporal_rectangle_resolution",
+    "period_predicates",
+    "dedup_exact_survivors",
+    "window_topk_per_group",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "set_except_all",
+    "join_interval_overlap_binned",
+    "engine_sql_time_travel",
+    "engine_dml_roundtrip",
+    "engine_sql_period_overlaps",
+    "engine_dml_portion_of_app_time",
+    "engine_changes_feed",
+    "engine_dml_delete_portion",
+    "json_dynamic_access",
+    "subquery_not_in_3vl",
+    "agg_grouping_sets",
+    "unwind_with_ordinality",
+    "window_rank_dense",
+    "multimodal_feature_extract",
+    "engine_mview_incremental",
+    "engine_speculative_with_tx",
+    "engine_sql_basis_now",
+    "join_lateral_topk",
+    "external_orc_source",
+    "curation_pii_detect",
+    "curation_decontaminate_substring",
+    "text_repetition_filter",
+    "engine_vacuum_partition_drop",
+    "engine_concurrent_writers",
+    "multimodal_jpeg_features",
+    "multimodal_video_frames",
+    "dedup_exact_substring_spans",
+    "graph_pagerank_fixed_iterations",
+    "multimodal_audio_features",
+    "tpch_q3_shipping_priority",
     "agg_histogram_degenerate",
     "knn_lsh_recall_contract",
     "knn_ivf_recall_contract",
     "knn_quantized_lsh_recall_contract",
     "knn_ivf_layout_recall_contract",
-    # -- last checked round 4 (5): the r4 tier's tail, displaced from
-    #    the r9 window --
     "cast_functions",
     "orderby_multi_key_limit",
     "interval_arithmetic",
     "ts_last_point_per_device",
     "ts_hourly_rollup_daily_peak",
-    # -- last checked round 5 (40): oracle-upgraded names first --
     "dedup_simhash",
     "stream_cdc_log_tail",
     "multimodal_frame_sampling",
@@ -119,7 +169,6 @@ _PRIORITY: list[str] = [
     "window_statistics",
     "window_range_frame",
     "window_moving_avg",
-    # -- displaced: every name here has r6+ evidence (fresh zone) --
     "events_attribution_linear_multitouch",
     "events_rolling_7d_actives",
     "ts_cusum_changepoint",
@@ -270,21 +319,6 @@ _PRIORITY: list[str] = [
     "like_variants",
     "multi_column_in_subquery",
     "pivot_status_by_priority",
-    "engine_sql_time_travel",
-    "engine_dml_roundtrip",
-    "engine_sql_period_overlaps",
-    "engine_dml_portion_of_app_time",
-    "engine_dml_delete_portion",
-    "engine_changes_feed",
-    "temporal_asof_bitemporal",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_region_revenue",
-    "tpch_q10_returned_items",
-    "agg_distinct",
-    "window_topk_per_group",
-    "stream_tumbling_window",
-    "dedup_exact_survivors",
 ]
 
 

@@ -224,6 +224,66 @@ def stream_interval_join_batch_twin_q(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "stream_stateful_sessions",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, date_trunc('second', ts) AS ts, value FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, value,
+               -- inclusive gap (<=), matching both F.session_window and
+               -- the stateful operator's boundary-merge rule
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL 10 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM e
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER
+                 (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    ),
+    agg AS (
+        SELECT user_id, sid,
+               MIN(ts)                      AS session_start,
+               MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+               CAST(COUNT(*) AS BIGINT)     AS n_events,
+               -- outer cast: DuckDB SUM(BIGINT) is HUGEINT, which
+               -- pandas renders as float and breaks the value hash
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+        FROM sessions
+        GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events, value_cents
+    FROM agg
+    -- the stateful operator holds each user's FINAL session open in
+    -- GroupState at end-of-stream (it might still grow); only closed
+    -- sessions are emitted
+    QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)
+    """,
+)
+def stream_stateful_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization executed through the REAL
+    streaming engine (applyInPandasWithState, memory sink) — the §2.11
+    stateful-UDF surface, driver-gated with a full value oracle: gap
+    semantics, session boundaries, exact integer-cents sums, and the
+    open-session-stays-in-state rule are all derivable in SQL via the
+    gaps-and-islands construction, so a wrong state hand-off or a
+    double emission mismatches the hash."""
+    from core2_spark.streaming.events import _event_stream, run_stream_to_memory
+    from core2_spark.streaming.stateful import sessionize_stateful
+
+    stream = _event_stream(spark, sf_dir).select("user_id", "ts", "value")
+    sink = run_stream_to_memory(
+        sessionize_stateful(stream, gap_minutes=10), mode="update"
+    )
+    return spark.table(sink)
+
+
+@query(
     "stream_cdc_log_tail",
     oracle="""
     SELECT 'put' AS _change, COUNT(*) AS n_changes,

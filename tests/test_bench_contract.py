@@ -21,8 +21,18 @@ def test_bench_emits_one_json_line():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.splitlines() if l.strip()]
-    assert len(lines) == 1, f"stdout must be exactly one line, got {len(lines)}"
+    # r11 contract: full detail line first, then a newline-padded compact
+    # summary as the LAST stdout bytes so the driver's 2000-char tail
+    # always carries every tier's wall (VERDICT r10 task 2).
+    assert len(lines) == 2, f"stdout must be detail+summary, got {len(lines)}"
     payload = json.loads(lines[0])
+    summary = json.loads(lines[1])
+    assert summary["value"] == payload["value"]
+    assert summary["tiers"] == {"sf0.001": payload["value"]}
+    # the driver json-parses the raw 2000-char tail: it must be exactly
+    # whitespace + the summary line
+    tail = json.loads(out.stdout[-2000:])
+    assert tail == summary
     assert payload["unit"] == "sec"
     assert payload["value"] > 0
     assert payload["sf"] == 0.001

@@ -90,7 +90,9 @@ def _run_bench() -> dict:
         timeout=600,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    line = [l for l in out.stdout.splitlines() if l.strip()][-1]
+    # first non-empty line = the full detail JSON (the last line is the
+    # driver-tail compact summary, which omits the sequential blocks)
+    line = [l for l in out.stdout.splitlines() if l.strip()][0]
     payload = json.loads(line)
     return {**payload["queries_sequential"], **payload["analytics_sequential"]}
 

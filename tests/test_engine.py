@@ -1955,3 +1955,112 @@ def test_crashed_first_tx_on_new_table_leaves_no_husk(spark, tmp_path):
     )
     got = {r["id"]: r["v"] for r in eng2.db().table("t").collect()}
     assert got == {1: "real"}
+
+
+def test_pending_clock_guard_survives_root_respelling(spark, tmp_path):
+    """The bootstrap-clock pending-file subtraction must match files by
+    PATH IDENTITY, not string equality: manifests are spelled with the
+    WRITER's root string, and a reader opening the same physical root
+    through a symlink (or any other respelling) would otherwise miss
+    the pop and re-adopt an in-flight tx's SYS_START — the exact torn
+    read the guard exists to prevent (advisor, engine.py:584)."""
+    import glob
+    import json as _json
+    import os
+    from datetime import datetime
+
+    root = str(tmp_path / "respell")
+    eng = Engine(spark, root)
+    t1 = datetime.fromisoformat("2024-01-02 00:00:01")
+    eng.submit_tx(
+        [Put("t", spark.createDataFrame([(1, "x")], "id long, v string"))],
+        tx_time=t1,
+    )
+    files = glob.glob(os.path.join(root, "t", "**", "*.parquet"), recursive=True)
+    assert files
+    # simulate: writer crashed mid-FIRST-commit — no log, files pending
+    os.remove(os.path.join(root, "_log.json"))
+    link = str(tmp_path / "respell_link")
+    os.symlink(root, link)
+    respelled = [os.path.join(link, os.path.relpath(f, root)) for f in files]
+    pdir = os.path.join(root, "_pending")
+    os.makedirs(pdir, exist_ok=True)
+
+    def write_manifest(meta):
+        with open(os.path.join(pdir, "tx_deadbeef.json"), "w") as f:
+            _json.dump(meta, f)
+
+    # (a) new-format manifest: recorded writer root, link-spelled files
+    write_manifest({"tx_time": t1.isoformat(), "root": link, "files": respelled})
+    eng2 = Engine(spark, root)  # default reclaim: manifest treated live
+    assert eng2._last_tx_time is None, (
+        "link-spelled pending files must still be subtracted from the "
+        "fallback clock sweep"
+    )
+    # (b) legacy manifest without 'root': realpath fallback must match
+    write_manifest({"tx_time": t1.isoformat(), "files": respelled})
+    eng3 = Engine(spark, root)
+    assert eng3._last_tx_time is None
+
+
+def test_compact_prune_spares_other_tables_live_compact(spark, tmp_path):
+    """Compacting table 'u' must never reap a compact dir of table
+    'u__events' — the old startswith('u__') prefix test matched the
+    sibling table's versioned dirs (advisor, engine.py:2106)."""
+    import os
+    import time
+
+    root = str(tmp_path / "prefix")
+    eng = Engine(spark, root, reclaim_after_s=0.0)
+    eng.submit_tx(
+        [Put("u", spark.createDataFrame([(1, "a")], "id long, v string"))]
+    )
+    eng.submit_tx(
+        [Put("u__events", spark.createDataFrame([(2, "b")], "id long, v string"))]
+    )
+    p_ev = eng.compact("u__events")
+    time.sleep(0.2)
+    p_u1 = eng.compact("u")
+    assert os.path.isdir(p_ev), "sibling table's live compact was pruned"
+    assert eng._compact_pointer("u__events") is not None
+    # superseded versioned dirs of the SAME table still get pruned
+    time.sleep(0.2)
+    p_u2 = eng.compact("u")
+    assert p_u2 != p_u1
+    assert not os.path.isdir(p_u1), "superseded own compact must be pruned"
+    assert os.path.isdir(p_ev)
+    got = {r["v"] for r in eng.db().table("u__events").collect()}
+    assert got == {"b"}
+
+
+def test_compact_prunes_legacy_in_place_dir(spark, tmp_path):
+    """On a root upgraded from the in-place layout, the bare
+    _current/<table> dir is unreferenced once the sidecar carries a
+    'dir' key — compact() must reclaim it instead of leaking a full
+    table copy forever (advisor, engine.py:2137)."""
+    import os
+    import time
+
+    root = str(tmp_path / "legacy")
+    eng = Engine(spark, root, reclaim_after_s=0.0)
+    eng.submit_tx(
+        [Put("t", spark.createDataFrame([(1, "a")], "id long, v string"))]
+    )
+    legacy = os.path.join(root, "_current", "t")
+    os.makedirs(legacy)
+    with open(os.path.join(legacy, "part-legacy.parquet"), "w") as f:
+        f.write("stub")
+    os.utime(legacy, (1, 1))  # well past any reclaim window
+    time.sleep(0.2)
+    p = eng.compact("t")
+    assert os.path.isdir(p)
+    assert not os.path.exists(legacy), "legacy in-place dir must be reclaimed"
+    # but a legacy dir still referenced by a dir-less sidecar is kept
+    other = os.path.join(root, "_current", "t2")
+    os.makedirs(other)
+    os.utime(other, (1, 1))
+    with open(os.path.join(root, "_current", "t2.json"), "w") as f:
+        f.write('{"tx_time": "2024-01-01T00:00:00"}')
+    time.sleep(0.2)
+    eng.compact("t")
+    assert os.path.isdir(other), "sidecar-referenced legacy dir must survive"

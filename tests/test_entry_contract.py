@@ -25,7 +25,11 @@ def test_registry_shape():
 # counting it would make the window's own names trivially fresh and
 # invert the assertion (the round-7 self-invalidation).  Bump this when
 # re-pinning the rotation for a new round.
-_EVIDENCE_BASIS_ROUND = 9
+_EVIDENCE_BASIS_ROUND = 10
+
+# Evidence at or below this round counts as the stale backlog zone;
+# above it is the fresh zone.  r11 rotation: stale = the r6 names.
+_STALE_THROUGH_ROUND = 6
 
 
 def test_priority_prefix_rotates_to_unchecked_tail():
@@ -33,11 +37,11 @@ def test_priority_prefix_rotates_to_unchecked_tail():
     rotation keeps it maximally informative: never-driver-checked
     names head the window (checking them completes the ledger), then
     the stale backlog in evidence order, and nothing inside the window
-    may be fresher than anything it displaced.  Round 10: the 5 new
-    queries (4 ANN recall contracts + the histogram degenerate twin)
-    plus the ENTIRE stale tail — 5 r4 names + 40 r5 names — fill the
-    50 slots exactly, so after r10 no name's driver evidence predates
-    r6."""
+    may be fresher than anything it displaced.  Round 11: the 1 new
+    query (`stream_stateful_sessions`) plus the 50-name r6 backlog is
+    51 candidates for 50 slots — the overflow at position 51 is
+    `tpch_q3_shipping_priority`, the one name the driver independently
+    exercises every round via entry() and the bench headline set."""
     import glob
     import json
     import os
@@ -54,7 +58,8 @@ def test_priority_prefix_rotates_to_unchecked_tail():
     first50 = names[:50]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
-    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")):
+    # NB: r* not r0*: the artifact names are not zero-padded past r9
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         rnd = int(re.search(r"_r(\d+)", f).group(1))
         if rnd > _EVIDENCE_BASIS_ROUND:
             continue  # written after this rotation was authored
@@ -76,7 +81,7 @@ def test_priority_prefix_rotates_to_unchecked_tail():
         def zone(n: str) -> int:
             if n not in latest:
                 return 0
-            return 1 if latest[n] <= 5 else 2
+            return 1 if latest[n] <= _STALE_THROUGH_ROUND else 2
 
         zones = [zone(n) for n in _PRIORITY]
         assert zones == sorted(zones), (

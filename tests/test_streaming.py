@@ -656,3 +656,60 @@ def test_stream_upsert_null_delete_flag_is_upsert(spark, tmp_path):
     q.stop()
     got = [tuple(r) for r in eng.db().sql("SELECT id, name FROM t").collect()]
     assert got == [(1, "a")]
+
+
+def test_stateful_sessionize_state_spans_micro_batches(spark, tmp_path):
+    """sessionize_stateful's GroupState hand-off across micro-batches:
+    a session open at the end of batch 1 must MERGE with batch 2's
+    continuation (one emission, combined counts), a gap at the batch
+    boundary must close it, and each closed session is emitted exactly
+    once.  The driver-gated oracle runs single-batch, so this is the
+    only check of the cross-batch stitch."""
+    import os
+    import time
+    from datetime import datetime
+
+    from core2_spark.streaming.stateful import sessionize_stateful
+
+    def ts(m):
+        return datetime(2024, 1, 1, 10, m)
+
+    batch1 = [(1, ts(0), 1.00), (1, ts(5), 2.00), (2, ts(0), 5.00)]
+    # user 1: 10:08 continues the open session (3 min after 10:05);
+    # 10:30 closes it (22 min gap); 10:45 closes [10:30] (15 min gap)
+    # and stays open in state.  user 2: 10:20 closes [10:00].
+    batch2 = [
+        (1, ts(8), 4.00),
+        (1, ts(30), 8.00),
+        (1, ts(45), 16.00),
+        (2, ts(20), 32.00),
+    ]
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    schema = "user_id long, ts timestamp, value double"
+    for i, rows in enumerate((batch1, batch2)):
+        f = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f)
+        part = [n for n in os.listdir(f) if n.endswith(".parquet")][0]
+        dst = os.path.join(src, f"batch{i}.parquet")
+        os.rename(os.path.join(f, part), dst)
+        # file source ingests oldest-mtime first; force the order
+        os.utime(dst, (1000 + i * 100, 1000 + i * 100))
+        time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = run_stream_to_memory(sessionize_stateful(stream), mode="update")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["value_cents"])
+        for r in spark.table(sink).collect()
+    }
+    assert got == {
+        (1, ts(0), ts(18), 3, 700),    # 10:00+10:05 stitched with 10:08
+        (1, ts(30), ts(40), 1, 800),   # closed by 10:45 within batch 2
+        (2, ts(0), ts(10), 1, 500),    # closed by 10:20 at the boundary
+    }
+    assert spark.table(sink).count() == 3, "each closed session emits once"
