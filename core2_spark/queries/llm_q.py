@@ -506,10 +506,12 @@ def embedding_norm_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("knn_lsh_bucketed")  # rows-only: approximate result set is engine-specific
 def knn_lsh_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate kNN (sign random projection,
-    multi-probe) — the 100 TB scale path for similarity search."""
+    multi-probe) — the 100 TB scale path for similarity search.
+    Probe radius scales with the plane count (auto_multiprobe_bits),
+    so recall holds flat as auto_n_planes grows with the corpus."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     qv = similarity.query_vector(e, "vec_id", "embedding", 0)
-    return similarity.lsh_bucketed_knn(e, qv, k=10, multiprobe_bits=2)
+    return similarity.lsh_bucketed_knn(e, qv, k=10)
 
 
 @query("knn_lsh_full_probe_exact", oracle=_KNN_ORACLE)
@@ -578,20 +580,25 @@ def _recall_oracle(config: str, k: int, min_hits: int) -> str:
 
 @query(
     "knn_lsh_recall_contract",
-    oracle=_recall_oracle("lsh_multiprobe4", 10, 6),
+    oracle=_recall_oracle("lsh_auto_probe", 10, 8),
 )
 def knn_lsh_recall_contract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall floor for the LSH scale path (auto planes,
-    multiprobe_bits=4): ≥6 of the exact top-10 at every tier
-    (measured 7–10 across 500→100k vectors)."""
+    """Recall floor for the LSH scale path (auto planes, probe radius
+    scaled with the plane count via auto_multiprobe_bits — VERDICT r10
+    task 4): ≥8 of the exact top-10 at every tier.  The r10 fixed
+    radius (multiprobe_bits=4) measured 10/10/10/9/7 across the
+    20→100k-vector ladder — decaying with N; the scaled radius
+    measures 10/10/10/9/10 on the same ladder
+    (scripts/probe_ann_recall.py), so the floor rises 6 → 8 with a
+    1-hit margin under the measured minimum."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     qv = similarity.query_vector(e, "vec_id", "embedding", 0)
     return _recall_contract(
         similarity.brute_force_knn(e, qv, k=10),
-        similarity.lsh_bucketed_knn(e, qv, k=10, multiprobe_bits=4),
-        config="lsh_multiprobe4",
+        similarity.lsh_bucketed_knn(e, qv, k=10),
+        config="lsh_auto_probe",
         k=10,
-        min_hits=6,
+        min_hits=8,
     )
 
 
@@ -1402,21 +1409,22 @@ def knn_quantized_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     qv = similarity.query_vector(e, "vec_id", "embedding", 0)
-    return similarity.lsh_bucketed_knn(deq, qv, k=10, multiprobe_bits=2)
+    return similarity.lsh_bucketed_knn(deq, qv, k=10)
 
 
 @query(
     "knn_quantized_lsh_recall_contract",
-    oracle=_recall_oracle("quantized_lsh_multiprobe4", 10, 6),
+    oracle=_recall_oracle("quantized_lsh_auto_probe", 10, 8),
 )
 def knn_quantized_lsh_recall_contract_q(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Recall floor for the composed int8-quantize → LSH stack (auto
-    planes, multiprobe_bits=4), against UNQUANTIZED exact brute-force
-    — so the floor bounds quantization loss AND probe pruning
-    together: ≥6 of the exact top-10 at every tier (measured 7–10
-    across 500→100k vectors)."""
+    planes, probe radius scaled with plane count), against UNQUANTIZED
+    exact brute-force — so the floor bounds quantization loss AND
+    probe pruning together: ≥8 of the exact top-10 at every tier
+    (measured 10/9/10/9/10 across the 20→100k-vector ladder,
+    scripts/probe_ann_recall.py; floor has a 1-hit margin)."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     deq = similarity.quantize_int8(e).select(
         "vec_id",
@@ -1427,10 +1435,10 @@ def knn_quantized_lsh_recall_contract_q(
     qv = similarity.query_vector(e, "vec_id", "embedding", 0)
     return _recall_contract(
         similarity.brute_force_knn(e, qv, k=10),
-        similarity.lsh_bucketed_knn(deq, qv, k=10, multiprobe_bits=4),
-        config="quantized_lsh_multiprobe4",
+        similarity.lsh_bucketed_knn(deq, qv, k=10),
+        config="quantized_lsh_auto_probe",
         k=10,
-        min_hits=6,
+        min_hits=8,
     )
 
 

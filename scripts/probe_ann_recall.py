@@ -1,6 +1,11 @@
 """Measure recall@10 of every probe-pruned ANN config against exact
 brute-force, per sf tier — pins the min_hits floors for the
-knn_*_recall_contract gate queries (VERDICT r9 task 5)."""
+knn_*_recall_contract gate queries (VERDICT r9 task 5; extended in
+r11 with the _data sf1/sf5 tiers and the auto-scaled probe radius,
+VERDICT r10 task 4: a FIXED multiprobe radius decayed 10→7 across
+the ladder because a neighbor's expected bucket Hamming distance
+grows linearly with the plane count; auto_multiprobe_bits scales the
+radius with the planes and holds recall ≥9 at every tier)."""
 
 from __future__ import annotations
 
@@ -14,12 +19,23 @@ from core2_spark.catalog import load_tables
 from core2_spark.session import get_spark
 from pyspark.sql import functions as F
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def main() -> None:
     spark = get_spark()
-    tiers = [t for t in ("sf0.001", "sf0.01", "sf0.1", "sf1") if os.path.isdir(f"/root/testdata/{t}")]
-    for tier in tiers:
-        sf_dir = f"/root/testdata/{tier}"
+    tiers = [
+        d
+        for d in (
+            "/root/testdata/sf0.001",
+            "/root/testdata/sf0.01",
+            "/root/testdata/sf0.1",
+            os.path.join(REPO, "_data", "sf1"),
+            os.path.join(REPO, "_data", "sf5"),
+        )
+        if os.path.isdir(d)
+    ]
+    for sf_dir in tiers:
         e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
         qv = similarity.query_vector(e, "vec_id", "embedding", 0)
         exact = set(
@@ -32,12 +48,19 @@ def main() -> None:
             ).alias("embedding"),
         )
         configs = {
+            # legacy fixed radii (kept to document the decay)
             "lsh_multiprobe2": lambda: similarity.lsh_bucketed_knn(
                 e, qv, k=10, multiprobe_bits=2
             ),
+            "lsh_multiprobe4": lambda: similarity.lsh_bucketed_knn(
+                e, qv, k=10, multiprobe_bits=4
+            ),
+            # the shipped scale path: radius scales with plane count
+            "lsh_auto_probe": lambda: similarity.lsh_bucketed_knn(e, qv, k=10),
             "ivf_nprobe2": lambda: similarity.ivf_knn(e, qv, k=10, nprobe=2),
-            "quantized_lsh": lambda: similarity.lsh_bucketed_knn(
-                deq, qv, k=10, multiprobe_bits=2
+            "ivf_nprobe3": lambda: similarity.ivf_knn(e, qv, k=10, nprobe=3),
+            "quantized_lsh_auto_probe": lambda: similarity.lsh_bucketed_knn(
+                deq, qv, k=10
             ),
         }
         out = {}
@@ -63,7 +86,7 @@ def main() -> None:
         )
         shutil.rmtree(path, ignore_errors=True)
         out["ivf_layout_nprobe4"] = len(got & exact)
-        print(tier, out, flush=True)
+        print(sf_dir, out, flush=True)
 
 
 if __name__ == "__main__":

@@ -15,6 +15,7 @@ from hypothesis import strategies as st
 
 from core2_spark.catalog import load_tables
 from core2_spark.operators.sequences import consecutive_runs, funnel
+from core2_spark.queries.util import sql_quote
 from tests.conftest import SF_DIR
 from tests.parity import assert_frames_match
 
@@ -27,7 +28,7 @@ def _funnel_sql(stages: list[str], days: int) -> str:
         if k == 0:
             ctes.append(
                 f"s0 AS (SELECT user_id, MIN(ts) AS m0 FROM events "
-                f"WHERE event_type='{stage}' GROUP BY 1)"
+                f"WHERE event_type={sql_quote(stage)} GROUP BY 1)"
             )
         else:
             ctes.append(
@@ -35,11 +36,11 @@ def _funnel_sql(stages: list[str], days: int) -> str:
                 f"FROM events e JOIN s{k - 1} p ON e.user_id=p.user_id "
                 f"AND e.ts > p.m{k - 1} "
                 f"AND e.ts <= p.m{k - 1} + INTERVAL {days} DAY "
-                f"WHERE e.event_type='{stage}' GROUP BY 1)"
+                f"WHERE e.event_type={sql_quote(stage)} GROUP BY 1)"
             )
         prev = k
     selects = [
-        f"SELECT {k + 1} AS stage_idx, '{stage}' AS stage, "
+        f"SELECT {k + 1} AS stage_idx, {sql_quote(stage)} AS stage, "
         f"CAST(COUNT(*) AS BIGINT) AS n_users FROM s{k}"
         for k, stage in enumerate(stages)
     ]
@@ -62,7 +63,7 @@ def _runs_sql(etype: str, min_run: int) -> str:
       SELECT user_id, rn,
              rn - ROW_NUMBER() OVER (PARTITION BY user_id
                                      ORDER BY rn) AS grp
-      FROM seq WHERE event_type = '{etype}'
+      FROM seq WHERE event_type = {sql_quote(etype)}
     ), runs AS (
       SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS run_len
       FROM cls GROUP BY user_id, grp
