@@ -1577,11 +1577,17 @@ def curation_decontaminate_substring_q(
     n = F.length(F.col("s"))
 
     def shingles(step: int):
-        idx = F.when(
-            n >= 40, F.sequence(F.lit(1), n - 39, F.lit(step))
-        ).otherwise(F.array().cast("array<int>"))
-        return F.array_distinct(
-            F.transform(idx, lambda i: F.col("s").substr(i, F.lit(40)))
+        # zip_with-laddered shingling (dedup.char_shingles): the old
+        # substr-per-start form is O(doc²) — see char_shingles'
+        # docstring; the mega-doc in the skewed corpus took minutes.
+        all40 = dedup.char_shingles(F.col("s"), 40)
+        strided = (
+            all40
+            if step == 1
+            else F.filter(all40, lambda x, i: i % F.lit(step) == 0)
+        )
+        return F.when(n >= 40, F.array_distinct(strided)).otherwise(
+            F.array().cast("array<string>")
         )
 
     eval_g = (
