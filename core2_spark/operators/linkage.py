@@ -31,40 +31,44 @@ def blocked_fuzzy_pairs(
     Levenshtein ≤ ``max_dist``; each unordered pair appears once
     (left_key < right_key).  Output: (left_key, right_key, left_name,
     right_name, edit_dist) ordered by the key pair."""
-    # Repartition the probe side by the blocking key: the edit-distance
-    # work is proportional to Σ block², and a compact table often scans
-    # as a handful of parquet partitions (at bench scale: ONE), which
-    # would serialize every comparison behind the broadcast join onto
-    # one core (measured 16 s → 2 s at sf0.1).  Hashing on the block
-    # key spreads blocks across spark.sql.shuffle.partitions cores and
-    # is exactly the co-partitioning a non-broadcast plan would need
-    # at cluster scale, so the same plan survives 100×.
-    # The partition count is EXPLICIT: AQE coalesces by shuffle bytes,
-    # and a 15k-row table is "one partition" of bytes even when its
-    # blocked self-join is minutes of CPU — an explicit count opts out
-    # of coalescing (REPARTITION_BY_NUM) and keeps every core busy.
-    from core2_spark.plans import spread_partitions
+    # SALTED pair join (dedup.salted_pair_sides): the edit-distance
+    # work is Σ block², and hashing by block key alone lands each
+    # whole block's quadratic on ONE task — the r11 skewed-corpus
+    # probe measured 7.05× (9.9 s → 70 s at sf1) when 3% of customers
+    # share a single (nation, 14-char surname prefix) block: ~10M
+    # Levenshtein comparisons serialized on one core while 31 sat
+    # idle.  Salting the a-side by key hash and replicating the
+    # b-side across the salt domain spreads ONE block's pairs over
+    # ``buckets`` tasks (each pair still meets exactly once, at a's
+    # salt); the b-side shuffle grows buckets×, which is the right
+    # trade — pair CPU, not shuffle bytes, is the binding cost, the
+    # same argument as the n-gram pair join.  At 100 TB the hot block
+    # is the expected shape (real name distributions are power-law),
+    # so the salt is unconditional, not a skew-detect special case.
+    from core2_spark.dedup import salted_pair_sides
 
     prefix = F.substring(F.col(name_col), 1, prefix_len)
-    a = spread_partitions(
-        df, *[F.col(c) for c in block_cols], prefix
-    ).alias("a")
-    b = df.alias("b")
-    dist = F.levenshtein(F.col(f"a.{name_col}"), F.col(f"b.{name_col}"))
-    conds = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
-    conds.append(
-        F.substring(F.col(f"a.{name_col}"), 1, prefix_len)
-        == F.substring(F.col(f"b.{name_col}"), 1, prefix_len)
+    a = df.withColumn("_pfx", prefix)
+    b = df.withColumn("_pfx", prefix).select(
+        F.col(key_col).alias("_b_key"),
+        F.col(name_col).alias("_b_name"),
+        F.col("_pfx").alias("_b_pfx"),
+        *[F.col(c).alias(f"_b_{c}") for c in block_cols],
     )
-    conds.append(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+    a2, b2 = salted_pair_sides(a, key_col, b, ("_pfx", *block_cols))
+    dist = F.levenshtein(F.col(name_col), F.col("_b_name"))
+    conds = [F.col(c) == F.col(f"_b_{c}") for c in block_cols]
+    conds.append(F.col("_pfx") == F.col("_b_pfx"))
+    conds.append(F.col("_ps_a") == F.col("_ps_b"))
+    conds.append(F.col(key_col) < F.col("_b_key"))
     return (
-        a.join(b, on=conds)
+        a2.join(b2, on=conds)
         .filter(dist <= max_dist)
         .select(
-            F.col(f"a.{key_col}").alias("left_key"),
-            F.col(f"b.{key_col}").alias("right_key"),
-            F.col(f"a.{name_col}").alias("left_name"),
-            F.col(f"b.{name_col}").alias("right_name"),
+            F.col(key_col).alias("left_key"),
+            F.col("_b_key").alias("right_key"),
+            F.col(name_col).alias("left_name"),
+            F.col("_b_name").alias("right_name"),
             dist.cast("int").alias("edit_dist"),
         )
         .orderBy("left_key", "right_key")

@@ -19,6 +19,10 @@ TIMING row (its engine side is the banded join under test).
 Usage: python scripts/probe_skewed_corpus.py [runs]
 Fixtures: _data/sf1 (uniform), _data/sf1_skewdocs + _data/sf0.01_skewdocs
   (gen_skewed_docs.py).
+Env: SPARK_GRAFT_SKEW_ONLY=name,name  restricts to a subset;
+     SPARK_GRAFT_SKEW_PHASE=parity|timing|all (default all) — the
+     DuckDB side of some sf1 oracles runs tens of minutes, so reruns
+     after a fix usually want timing only.
 """
 
 from __future__ import annotations
@@ -46,7 +50,12 @@ FAMILY = [
     ("dedup_ngram_jaccard_lsh", True, True),
     ("dedup_simhash", False, True),
     ("dedup_ngram_jaccard", False, False),
-    ("dedup_cluster_canonical", True, True),
+    # cluster_canonical parity runs at the sf0.01 twin: its DuckDB
+    # mirror recomputes the whole minhash pipeline PLUS a WITH
+    # RECURSIVE closure — ~30+ min single-engine cost at sf1-skew
+    # (the Spark side finishes in seconds; measured via the timing
+    # phase below).
+    ("dedup_cluster_canonical", False, True),
     ("text_doc_frequency_idf", True, True),
     ("text_tfidf_distinctive_term_per_doc", True, True),
     ("text_quality_stats", True, True),
@@ -93,11 +102,17 @@ def main() -> int:
     )
     queries, oracles = all_queries(), all_oracles()
     bad: list[str] = []
+    only = os.environ.get("SPARK_GRAFT_SKEW_ONLY")
+    family = FAMILY
+    if only:
+        wanted = set(only.split(","))
+        family = [f for f in FAMILY if f[0] in wanted]
+    phase = os.environ.get("SPARK_GRAFT_SKEW_PHASE", "all")
 
     # 1) parity on the skewed corpus
     con_big = _connect(SKEWED)
     con_small = _connect(SKEWED_SMALL)
-    for name, sf1_parity, _ in FAMILY:
+    for name, sf1_parity, _ in family if phase in ("all", "parity") else []:
         tier, con = (
             (SKEWED, con_big) if sf1_parity else (SKEWED_SMALL, con_small)
         )
@@ -126,10 +141,14 @@ def main() -> int:
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
+    if phase == "parity":
+        print(f"parity failures: {bad or 'none'}")
+        spark.stop()
+        return 1 if bad else 0
     print("\n| query | uniform s | skewed s | ratio |")
     print("|---|---|---|---|")
     worst = 0.0
-    for name, _, timed in FAMILY:
+    for name, _, timed in family:
         if not timed:
             continue
         tu = best(name, UNIFORM)
