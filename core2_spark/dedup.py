@@ -303,17 +303,22 @@ def minhash_near_duplicates(
     # array_intersect twice); +1e-9 before rounding: Jaccard is a
     # small-denominator rational that can sit exactly on the 6-decimal
     # boundary, where engines' ROUND implementations disagree.
-    # candidate pairs are tiny in bytes but each costs an
-    # array_intersect over shingle sets — spread them explicitly so the
-    # verify join cannot collapse onto a few tasks.  ROUND-ROBIN on
-    # purpose: AQE's runtime stats demote both set joins to broadcasts
-    # (the shingle side is ~15 MB), which PRESERVES the spread's
-    # partitioning; pre-keying on a_id instead locks in a sort-merge
-    # plan that re-sorts the array side (measured at sf0.1: keyed
-    # 48 s vs round-robin 2.6 s on dedup_minhash_lsh).
+    # Join strategy (revised by the r11 4 GB memory-pressure tier):
+    # the earlier shape let AQE demote both set joins to BROADCASTS —
+    # fast at sf0.1 (the shingle side was ~15 MB) but a heap bomb at
+    # scale, because AQE judges on COMPRESSED shuffle bytes and
+    # shingle arrays compress ~30×: a "small" broadcast deserializes
+    # to GBs and killed the tight-heap tier at sf5.  Shuffled HASH
+    # joins instead: the first builds on the candidate PAIRS (two
+    # longs per row — the smallest possible build side), the second on
+    # the b-side sets, partitioned by the shuffle so the per-task
+    # build is corpus/partitions and spills if it must; the
+    # array-carrying relations are only ever STREAMED — never sorted
+    # (the sort-merge alternative re-sorts the array side: measured
+    # 48 s vs 2.6 s at sf0.1), never broadcast.
     return (
-        _cpu_spread(pairs).join(a_sets, "a_id")
-        .join(b_sets, "b_id")
+        _cpu_spread(pairs).hint("shuffle_hash").join(a_sets, "a_id")
+        .join(b_sets.hint("shuffle_hash"), "b_id")
         .withColumn("_raw_jac", jaccard(F.col("a_items"), F.col("b_items")))
         .filter(F.col("_raw_jac") >= threshold)
         .select(

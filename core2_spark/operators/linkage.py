@@ -56,6 +56,16 @@ def blocked_fuzzy_pairs(
         *[F.col(c).alias(f"_b_{c}") for c in block_cols],
     )
     a2, b2 = salted_pair_sides(a, key_col, b, ("_pfx", *block_cols))
+    # Forbid broadcasting the replicated side: its Catalyst size
+    # estimate predates the salt explode (a 3 MB customer scan reads
+    # as broadcastable while the exploded relation is 32× that), and
+    # the planner's broadcast build of the replicated table is exactly
+    # what the 4 GB memory-pressure tier killed
+    # (notEnoughMemoryToBuildAndBroadcastTableError at sf5).  A merge
+    # join sorts and SPILLS both sides, so the plan survives any heap
+    # and any scale; the sort cost is on light (key, name, block)
+    # rows.
+    b2 = b2.hint("shuffle_merge")
     dist = F.levenshtein(F.col(name_col), F.col("_b_name"))
     conds = [F.col(c) == F.col(f"_b_{c}") for c in block_cols]
     conds.append(F.col("_pfx") == F.col("_b_pfx"))
