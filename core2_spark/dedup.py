@@ -283,11 +283,26 @@ def minhash_near_duplicates(
     block_cols: tuple[str, ...] = (),
     items_fn=token_set,
     max_bucket_rows: int | None = None,
+    verify_join: str = "fast",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified by exact Jaccard
     ≥ threshold (raw value, rounded only for display).  Returns
     (a_id, b_id, jaccard_sim).  ``max_bucket_rows`` bounds degenerate
-    LSH buckets via star linkage — see minhash_candidate_pairs."""
+    LSH buckets via star linkage — see minhash_candidate_pairs.
+
+    ``verify_join`` picks the set-join strategy by SHINGLE WIDTH, the
+    axis the r11 memory-pressure tier measured: "fast" lets AQE
+    broadcast the item-set sides when their shuffle bytes look small —
+    right for narrow sets (word tokens: ~50 items/doc; completed the
+    sf5 4 GB tier), but AQE judges on COMPRESSED bytes and shingle
+    arrays compress ~30×, so WIDE sets (character trigrams: ~250
+    hashed longs/doc) deserialize a "small" broadcast into GBs and
+    OOM a tight heap.  "merge" bounds memory at any heap and scale:
+    join 1 is a shuffled-hash join building on the candidate PAIRS
+    (two longs per row — SHJ builds cannot spill, so build on the
+    smallest side), join 2 a merge join whose sorts spill; the price
+    is sorting the array-carrying rows (~+55% at sf1 for trigram
+    sets), which is the honest trade against an unsalvageable OOM."""
     pairs = minhash_candidate_pairs(
         df, id_col, text_col, k, rows_per_band, block_cols, items_fn,
         max_bucket_rows,
@@ -303,22 +318,21 @@ def minhash_near_duplicates(
     # array_intersect twice); +1e-9 before rounding: Jaccard is a
     # small-denominator rational that can sit exactly on the 6-decimal
     # boundary, where engines' ROUND implementations disagree.
-    # Join strategy (revised by the r11 4 GB memory-pressure tier):
-    # the earlier shape let AQE demote both set joins to BROADCASTS —
-    # fast at sf0.1 (the shingle side was ~15 MB) but a heap bomb at
-    # scale, because AQE judges on COMPRESSED shuffle bytes and
-    # shingle arrays compress ~30×: a "small" broadcast deserializes
-    # to GBs and killed the tight-heap tier at sf5.  Shuffled HASH
-    # joins instead: the first builds on the candidate PAIRS (two
-    # longs per row — the smallest possible build side), the second on
-    # the b-side sets, partitioned by the shuffle so the per-task
-    # build is corpus/partitions and spills if it must; the
-    # array-carrying relations are only ever STREAMED — never sorted
-    # (the sort-merge alternative re-sorts the array side: measured
-    # 48 s vs 2.6 s at sf0.1), never broadcast.
+    # Join strategy: see the verify_join docstring.  In "fast" mode
+    # the candidate pairs stay ROUND-ROBIN spread on purpose: AQE's
+    # runtime stats demote both set joins to broadcasts, which
+    # preserves the spread's partitioning, while pre-keying on a_id
+    # would lock in a sort-merge that re-sorts the array side
+    # (measured at sf0.1: keyed 48 s vs round-robin 2.6 s).
+    if verify_join == "merge":
+        joined = (
+            _cpu_spread(pairs).hint("shuffle_hash").join(a_sets, "a_id")
+            .join(b_sets.hint("shuffle_merge"), "b_id")
+        )
+    else:
+        joined = _cpu_spread(pairs).join(a_sets, "a_id").join(b_sets, "b_id")
     return (
-        _cpu_spread(pairs).hint("shuffle_hash").join(a_sets, "a_id")
-        .join(b_sets.hint("shuffle_hash"), "b_id")
+        joined
         .withColumn("_raw_jac", jaccard(F.col("a_items"), F.col("b_items")))
         .filter(F.col("_raw_jac") >= threshold)
         .select(

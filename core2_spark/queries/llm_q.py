@@ -1033,6 +1033,10 @@ def dedup_ngram_jaccard_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.55,
         block_cols=("lang", "source"),
         items_fn=lambda c: dedup.ngram_set(c, 3),
+        # trigram sets are ~250 hashed longs per doc — the wide-shingle
+        # case where the fast plan's broadcast deserializes to GBs and
+        # OOMs a tight heap (r11 memory tier); merge spills instead
+        verify_join="merge",
     ).withColumnRenamed("jaccard_sim", "trigram_jaccard")
 
 
