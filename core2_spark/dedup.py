@@ -325,8 +325,14 @@ def minhash_near_duplicates(
     # would lock in a sort-merge that re-sorts the array side
     # (measured at sf0.1: keyed 48 s vs round-robin 2.6 s).
     if verify_join == "merge":
+        # BOTH joins merge: a shuffled-hash build looked attractive for
+        # the pairs side (two longs per row), but Spark allocates the
+        # hash relation's INITIAL page at 256 MB regardless of build
+        # content ("Can't acquire 268435456 bytes ... got 163634001"
+        # at 4g×8 tasks, reproduced) — SHJ is unusable at tight heap
+        # whatever the data.  Sort-merge spills on both sides.
         joined = (
-            _cpu_spread(pairs).hint("shuffle_hash").join(a_sets, "a_id")
+            _cpu_spread(pairs).join(a_sets.hint("shuffle_merge"), "a_id")
             .join(b_sets.hint("shuffle_merge"), "b_id")
         )
     else:
