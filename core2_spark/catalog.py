@@ -53,6 +53,34 @@ _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 _CACHEABLE = frozenset({"region", "nation", "customer", "supplier", "part"})
 
+# Per-application cache of the UNRESOLVED table DataFrames (r11, guide
+# §7.3 "planning time" + §6 "file listing").  `spark.read.parquet`
+# costs 150-400 ms *warm* per call (footer schema inference + a fresh
+# InMemoryFileIndex), and every query build pays it once per table it
+# touches — at bench scale that planning overhead rivals the query's
+# own execution.  Caching the returned DataFrame object reuses the
+# already-inferred schema and file index; it caches NO data and NO
+# results (the object is an immutable logical plan — every action on
+# it still scans the parquet files), so bench/oracle runs keep
+# computing from the inputs.  Keyed by applicationId so a restarted
+# session cannot see another JVM's relations; FIFO-capped so a
+# long-lived test session over hundreds of tmp fixture dirs does not
+# pin their file indexes forever.  Fixture tables are immutable by
+# contract (nothing in the repo writes into a table_path), so the
+# cached file listing cannot go stale.
+_RELATION_CACHE: dict[tuple[str, str, str, bool], DataFrame] = {}
+_RELATION_CACHE_MAX = 512
+
+
+def _relation_cache_key(
+    spark: SparkSession, sf_dir: str, name: str, merge_schema: bool
+) -> tuple[str, str, str, bool] | None:
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        return None  # stopped or Connect-style session: bypass
+    return (app, os.path.normpath(sf_dir), name, merge_schema)
+
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, merge_schema: bool = False
@@ -63,6 +91,15 @@ def load_table(
     key = (id(spark), sf_dir, name)
     if use_cache and key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
+    rkey = (
+        None
+        if _os.environ.get("SPARK_GRAFT_NO_RELATION_CACHE") == "1"
+        else _relation_cache_key(spark, sf_dir, name, merge_schema)
+    )
+    if rkey is not None:
+        cached = _RELATION_CACHE.get(rkey)
+        if cached is not None:
+            return cached
     if name == "events":
         df = _load_events(spark, sf_dir)
     else:
@@ -70,6 +107,10 @@ def load_table(
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(table_path(sf_dir, name))
+    if rkey is not None:
+        while len(_RELATION_CACHE) >= _RELATION_CACHE_MAX:
+            _RELATION_CACHE.pop(next(iter(_RELATION_CACHE)))
+        _RELATION_CACHE[rkey] = df
     if use_cache:
         df = df.persist()
         _TABLE_CACHE[key] = df
