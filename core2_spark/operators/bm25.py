@@ -51,32 +51,55 @@ def bm25_topk(
     """
     if not terms:
         raise ValueError("bm25_topk: terms must be non-empty")
-    toks = docs.select(
-        id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
-    ).filter(F.col("term") != "")
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # r11 restructure (guide §2.3 "shuffle fewer bytes" + §8 "one pass
+    # over the heavy data"): the pre-r11 shape scanned and tokenized
+    # the CORPUS TEXT three times — (a) an explode+groupBy over the
+    # whole token stream just to count tokens per doc, (b) the
+    # term-filtered tf explode, and (c) a DUPLICATE of (b), because
+    # deriving idf as tf.groupBy().agg() makes Catalyst evaluate the
+    # tf subtree twice (once under the broadcast, once under the
+    # join; the r11 plan audit shows 3 `Generate explode` nodes).
+    # Now: per-doc length is the map-side expression
+    # size(filter(split(...))) carried THROUGH the tf explode (min()
+    # of a per-doc constant recovers it after the aggregate), and df
+    # is a count window over tf partitioned by term — so the text is
+    # scanned and tokenized exactly ONCE, and only |matching tokens|
+    # rows ever reach an exchange.  At 100 TB the corpus scan is the
+    # dominant cost; this is a 3×→1× on it.  Equivalence: dl per doc,
+    # df per term, and every score factor are value-identical
+    # (oracle-checked + hypothesis random differential).
+    dl_expr = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
     if corpus_stats is not None:
         n_docs, avgdl = corpus_stats
     else:
-        n_docs = docs.count()  # scalar: row-group-stats count
-        total_tokens = dl.agg(F.sum("dl").alias("t")).collect()[0]["t"]  # 1 scalar
+        # ONE bounded scalar job for both corpus stats (was two: a
+        # count plus a sum over the exploded-token aggregate).
+        row = docs.agg(
+            F.count("*").alias("n"), F.sum(dl_expr).alias("t")
+        ).collect()[0]
+        n_docs, total_tokens = row["n"], row["t"]
         # Degenerate corpora: an empty table (n_docs=0) or an all-empty-
-        # text one (total_tokens NULL) produces zero tf rows, so no row
+        # text one (total_tokens NULL/0) produces zero tf rows, so no row
         # ever reaches the score expression — any finite avgdl placeholder
         # gives the same (empty) result while avoiding 0/0 and float(None).
-        if not n_docs or total_tokens is None:
+        if not n_docs or not total_tokens:
             avgdl = 1.0
         else:
             avgdl = float(total_tokens) / n_docs
+    toks = docs.select(
+        id_col,
+        dl_expr.alias("dl"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
     tf = (
         toks.filter(F.col("term").isin(*terms))
         .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
     )
-    idf = tf.groupBy("term").agg(F.count("*").alias("df"))
+    from pyspark.sql.window import Window
+
     per_term = (
-        tf.join(dl, id_col)
-        .join(F.broadcast(idf), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .select(
             id_col,
             (
