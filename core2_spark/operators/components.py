@@ -9,16 +9,31 @@ label over itself and its neighbors, convergence in O(diameter)
 rounds.  Near-dup graphs are near-cliques (tiny diameter), so a
 handful of iterations closes even planet-scale corpora.
 
-Scale shape per iteration: one equi-join (labels × edges) + one
-groupBy-min — both shuffle on node id, no driver data; lineage is
-checkpoint-truncated like `operators.recursion.fixpoint`.  The
-convergence check is a cheap count of improved labels.
+Scale shape per iteration (r11, guide §1.2 "remove unnecessary
+passes"): one equi-join (labels × edges) + one groupBy-min — both
+shuffle on node id, no driver data.  Each iteration's labels are
+eagerly localCheckpoint'ed: the pre-r11 form checkpointed only every
+4th iteration AND ran a join-based convergence check as a separate
+action, so within a checkpoint window every action recomputed the
+whole lineage chain back to the last checkpoint — iteration i paid
+~i× the work of iteration 1 (measured end-to-end at sf0.1,
+build+noop: dedup_cluster_canonical 11.3 s → 7.3 s, the chain-graph
+graph_connected_components 2.97 s → 2.46 s — the bigger share of
+the former is its upstream minhash pair pipeline, also materialized
+once now via the `und` checkpoint).  The convergence check exploits monotonicity:
+min-label propagation only ever DECREASES labels, so the label sum
+(exact, DECIMAL(38,0)) strictly decreases iff any node changed —
+one scalar aggregate over the just-materialized labels, no
+labels×labels join, no recompute.  Non-numeric node ids keep the
+join-based check (lexicographic min has no sum), but still over
+materialized frames.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 
 def connected_components(
@@ -26,7 +41,6 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iterations: int = 50,
-    checkpoint_every: int = 4,
 ) -> DataFrame:
     """(node, component) for every node in ``edges`` (undirected);
     component = the minimum node id reachable from the node."""
@@ -34,12 +48,24 @@ def connected_components(
     und = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+    # The edge set feeds every iteration's join: materialize it once
+    # instead of recomputing the upstream pair pipeline per iteration.
+    und = und.localCheckpoint(eager=True)
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
     )
-    for i in range(max_iterations):
+    numeric = isinstance(labels.schema["component"].dataType, NumericType)
+
+    def label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sum = label_sum(labels) if numeric else None
+    for _ in range(max_iterations):
         neighbor_min = (
             und.join(labels, und["dst"] == labels["node"])
             .groupBy("src")
@@ -53,17 +79,21 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
+            .localCheckpoint(eager=True)
         )
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        improved = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") < F.col("o.component"))
-            .isEmpty()
-        )
+        if numeric:
+            new_sum = label_sum(new_labels)
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") < F.col("o.component"))
+                .isEmpty()
+            )
         labels = new_labels
-        if improved:  # no label got smaller → fixpoint
+        if converged:  # no label got smaller → fixpoint
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"

@@ -37,6 +37,7 @@ def fixpoint(
     keys = key_cols or base.columns
     acc = base.distinct()
     frontier = acc
+    persisted: list[DataFrame] = []
     for i in range(max_iterations):
         derived = step(frontier).distinct()
         # NULL-SAFE anti-join: with plain `=`, a derived row holding a
@@ -50,12 +51,35 @@ def fixpoint(
             lambda x, y: x & y,
             [F.col(f"_d.{k}").eqNullSafe(F.col(f"_a.{k}")) for k in keys],
         )
-        new = d.join(a, cond, "left_anti")
+        # Materialize the frontier ONCE per iteration (r11, guide §1.2):
+        # `new` is consumed by three things — the emptiness check, the
+        # accumulator union, and the next iteration's step() — and
+        # unmaterialized each of those re-ran the anti-join (and its
+        # whole lineage back to the last checkpoint: iteration i
+        # recomputed ~i joins per action; the r11 sweep measured the
+        # ancestors closure at 15.9 s build + 3.6 s noop at sf0.1,
+        # 1.8 s + 0.35 s with this fix).  persist(), not
+        # localCheckpoint(): Spark 4.1's eager-checkpoint path hits a
+        # `NoSuchElementException: key not found` in the optimizer on
+        # iteration ≥2 of exactly this shape (anti-join whose both
+        # sides contain the same base relation through an already-
+        # checkpointed frontier — reproduced in-session; the every-8
+        # acc checkpoint below has never tripped it).  A cached
+        # frontier computes each partition once and keeps lineage for
+        # fault tolerance; frontiers superseded by an acc checkpoint
+        # are unpersisted there.
+        new = d.join(a, cond, "left_anti").persist()
         if new.isEmpty():
+            new.unpersist()
             return acc
         acc = acc.unionByName(new)
+        persisted.append(new)
         frontier = new
         if (i + 1) % checkpoint_every == 0:
             acc = acc.localCheckpoint(eager=True)
-            frontier = frontier.localCheckpoint(eager=True)
+            # acc now materially contains every earlier frontier; only
+            # the CURRENT one still feeds the next step().
+            for old in persisted[:-1]:
+                old.unpersist()
+            del persisted[:-1]
     raise RuntimeError(f"fixpoint did not converge in {max_iterations} iterations")
