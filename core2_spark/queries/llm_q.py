@@ -1406,10 +1406,16 @@ def knn_quantized_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dequantized vectors in the probed buckets only — compression and
     candidate pruning composed, the shape a 100 TB deployment runs."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    # zip_with binds q_scale per ROW (see quantize_int8's r11 note:
+    # an outer F.col ref in a transform lambda re-evaluates the
+    # inlined scale expression per element once pushdown collapses
+    # the projections).
     deq = similarity.quantize_int8(e).select(
         "vec_id",
-        F.transform(
-            "q_vec", lambda x: x.cast("double") * F.col("q_scale")
+        F.zip_with(
+            F.col("q_vec"),
+            F.array_repeat(F.col("q_scale"), F.size(F.col("q_vec"))),
+            lambda x, s: x.cast("double") * s,
         ).alias("embedding"),
     )
     qv = similarity.query_vector(e, "vec_id", "embedding", 0)
@@ -1430,10 +1436,16 @@ def knn_quantized_lsh_recall_contract_q(
     (measured 10/9/10/9/10 across the 20→100k-vector ladder,
     scripts/probe_ann_recall.py; floor has a 1-hit margin)."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    # zip_with binds q_scale per ROW (see quantize_int8's r11 note:
+    # an outer F.col ref in a transform lambda re-evaluates the
+    # inlined scale expression per element once pushdown collapses
+    # the projections).
     deq = similarity.quantize_int8(e).select(
         "vec_id",
-        F.transform(
-            "q_vec", lambda x: x.cast("double") * F.col("q_scale")
+        F.zip_with(
+            F.col("q_vec"),
+            F.array_repeat(F.col("q_scale"), F.size(F.col("q_vec"))),
+            lambda x, s: x.cast("double") * s,
         ).alias("embedding"),
     )
     qv = similarity.query_vector(e, "vec_id", "embedding", 0)
@@ -1521,7 +1533,10 @@ def curation_decontaminate_ngram_q(spark: SparkSession, sf_dir: str) -> DataFram
     grams5 = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(5))))
     )
-    g = d.select("doc_id", F.explode(grams5).alias("g"))
+    # r11 (guide §2.5 input skew): the gram construction is the CPU
+    # wall and a compact corpus scans as ONE parquet split, so without
+    # an explicit spread the whole explode ran on one core.
+    g = dedup._cpu_spread(d).select("doc_id", F.explode(grams5).alias("g"))
     eval_g = g.filter(F.col("doc_id") % 7 == 0).select(
         F.col("doc_id").alias("eval_id"), "g"
     )
@@ -1577,7 +1592,11 @@ def curation_decontaminate_substring_q(
     side broadcast, never an all-pairs comparison.  At 100 TB the
     corpus side is one map + broadcast probe, no shuffle."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    t = d.select("doc_id", F.lower(F.col("text")).alias("s"))
+    # r11 (guide §2.5): 40-char shingling is minutes-of-CPU per MB and
+    # the compact corpus scans as one split — spread before the map
+    # work or both sides' shingle explodes serialize on one core
+    # (measured single-task at sf0.1 in the r11 sweep).
+    t = dedup._cpu_spread(d).select("doc_id", F.lower(F.col("text")).alias("s"))
     n = F.length(F.col("s"))
 
     def shingles(step: int):
@@ -1943,6 +1962,14 @@ def _exact_substring_spans(
             F.coalesce(windows, F.array().cast("array<string>"))
         ).alias("w"),
     )
+    # r11 (guide §2.5): the k-gram explode + md5 anchor below is the
+    # CPU wall, and without a spread it runs inside the SCAN task (a
+    # compact corpus is one parquet split; both explodes fuse into one
+    # stage).  Spreading the WINDOW rows — not the doc rows — is also
+    # skew-proof: a mega-doc is already ~|s|/chunk windows here, so
+    # its grams spread across every core instead of serializing on
+    # one (measured at sf0.1: 5.1 s single-task → 1.0 s spread).
+    chunks = dedup._cpu_spread(chunks)
     wn = F.length(F.col("w"))
     idx = F.when(wn >= k, F.sequence(F.lit(1), wn - (k - 1))).otherwise(
         F.array().cast("array<int>")

