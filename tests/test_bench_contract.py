@@ -17,7 +17,12 @@ def test_bench_emits_one_json_line():
         capture_output=True,
         text=True,
         env=env,
-        timeout=420,
+        # The box runs inside a shared microVM with multi-minute noise
+        # waves (r11: the same bench measured 130 s clean and 390 s
+        # during a wave, at 2% vs 30%+ steal).  This test guards the
+        # OUTPUT CONTRACT, not speed — the timeout only exists to kill
+        # a hung subprocess, so set it well past any observed wave.
+        timeout=900,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.splitlines() if l.strip()]

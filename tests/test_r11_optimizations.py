@@ -1,0 +1,122 @@
+"""Focused guards for the r11 optimization-round changes: each test
+pins the NEW internal shape (cache hit, plan fragment, fallback branch)
+so a regression to the slow form fails loudly.  Result equivalence is
+separately covered by the oracle suite (every touched query keeps its
+oracle pair)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from core2_spark.catalog import load_table
+from core2_spark.plans import plan_text
+from core2_spark.queries.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_relation_cache_returns_same_plan_object(spark):
+    """load_table memoizes the UNRESOLVED DataFrame per (app, dir,
+    table) — schema inference and file listing run once, not per
+    query build.  No data is cached: the object is a logical plan."""
+    a = load_table(spark, SF_DIR, "orders")
+    b = load_table(spark, SF_DIR, "orders")
+    assert a is b
+    # distinct sf_dir → distinct relation
+    c = load_table(spark, "/root/testdata/sf0.01", "orders")
+    assert c is not a
+    # the escape hatch bypasses the cache
+    os.environ["SPARK_GRAFT_NO_RELATION_CACHE"] = "1"
+    try:
+        d = load_table(spark, SF_DIR, "orders")
+        assert d is not a
+    finally:
+        del os.environ["SPARK_GRAFT_NO_RELATION_CACHE"]
+    # cached relation still computes (sanity action)
+    assert a.count() > 0
+
+
+def test_decontamination_spreads_before_shingling(spark):
+    """Both decontamination queries must spread the corpus across
+    cores BEFORE the gram/shingle explode: a compact corpus scans as
+    one parquet split, and the r11 sweep measured the 40-char shingle
+    pass serialized on a single task without the explicit round-robin
+    repartition (REPARTITION_BY_NUM opts out of AQE coalescing)."""
+    qs = all_queries()
+    for name in (
+        "curation_decontaminate_ngram",
+        "curation_decontaminate_substring",
+    ):
+        plan = plan_text(qs[name](spark, SF_DIR))
+        assert "RoundRobinPartitioning" in plan, name
+
+
+def test_bm25_single_corpus_scan(spark):
+    """bm25_topk tokenizes the corpus exactly ONCE: doc length is the
+    map-side size(filter(split(...))) carried through the tf explode,
+    and df is a window over tf — pre-r11 the plan held THREE explode
+    generators (a whole-stream length aggregate plus a duplicated tf
+    subtree under the idf broadcast)."""
+    plan = plan_text(all_queries()["text_bm25_search_topk"](spark, SF_DIR))
+    assert plan.count("Arguments: explode") == 1, plan
+    # one physical scan (each scan prints once in the tree and once in
+    # the detail section; Location lines appear once per scan)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_connected_components_string_ids_fallback(spark):
+    """Non-numeric node ids take the join-based convergence check (no
+    label sum to compare) — same fixpoint, multi-hop chain."""
+    from core2_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("x", "y"), ("a", "b")],
+        ["a_id", "b_id"],
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        ("a", "a"),
+        ("b", "a"),
+        ("c", "a"),
+        ("d", "a"),
+        ("x", "x"),
+        ("y", "x"),
+    }
+
+
+def test_connected_components_numeric_sum_check(spark):
+    """Numeric ids take the monotone label-sum convergence check; a
+    chain forces genuine multi-iteration propagation."""
+    from core2_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)] + [(20, 21)],
+        ["a_id", "b_id"],
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 10)} | {(20, 20), (21, 20)}
+
+
+@pytest.mark.parametrize("text,expected_nonempty", [
+    ("a b  c", 3),          # double space → empty token filtered
+    ("", 0),
+    ("   ", 0),
+])
+def test_bm25_mapside_dl_matches_exploded_count(spark, text, expected_nonempty):
+    """The map-side dl expression equals the old exploded count."""
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    dl = df.select(
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("dl")
+    ).first()["dl"]
+    assert dl == expected_nonempty
