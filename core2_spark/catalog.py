@@ -53,23 +53,32 @@ _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 _CACHEABLE = frozenset({"region", "nation", "customer", "supplier", "part"})
 
-# Per-application cache of the UNRESOLVED table DataFrames (r11, guide
+# Per-application cache of the inferred table SCHEMAS (r11, guide
 # §7.3 "planning time" + §6 "file listing").  `spark.read.parquet`
-# costs 150-400 ms *warm* per call (footer schema inference + a fresh
-# InMemoryFileIndex), and every query build pays it once per table it
-# touches — at bench scale that planning overhead rivals the query's
-# own execution.  Caching the returned DataFrame object reuses the
-# already-inferred schema and file index; it caches NO data and NO
-# results (the object is an immutable logical plan — every action on
-# it still scans the parquet files), so bench/oracle runs keep
-# computing from the inputs.  Keyed by applicationId so a restarted
-# session cannot see another JVM's relations; FIFO-capped so a
+# costs 150-400 ms *warm* per call, most of it parquet footer schema
+# inference, and every query build pays it once per table it touches —
+# at bench scale that planning overhead rivals the query's own
+# execution.  The first load infers and memoizes the schema; later
+# loads pass it to `spark.read.schema(...)`, which skips inference
+# (measured: 0.35 s -> 0.12 s per lineitem relation, warm).
+#
+# Deliberately a SCHEMA cache, not a DataFrame cache: the first r11
+# form memoized the returned DataFrame object, and sharing one
+# LogicalRelation instance across the bench's 10 concurrent query
+# threads serialized their analysis/optimization on the instance's
+# JVM-side lazy-val locks — every concurrent per-query time inflated
+# ~2x and the headline wall went 2.3 s -> 4.2 s with NO sequential
+# regression (A/B'd both ways in-session; cache-off restored 2.4 s).
+# A schema is an immutable value: each build constructs its own
+# relation, so concurrent plans share nothing.  No data and no results
+# are cached — every action still scans the parquet inputs.  Keyed by
+# applicationId so a restarted session re-infers; FIFO-capped so a
 # long-lived test session over hundreds of tmp fixture dirs does not
-# pin their file indexes forever.  Fixture tables are immutable by
-# contract (nothing in the repo writes into a table_path), so the
-# cached file listing cannot go stale.
-_RELATION_CACHE: dict[tuple[str, str, str, bool], DataFrame] = {}
-_RELATION_CACHE_MAX = 512
+# pin entries forever.  Fixture tables are immutable by contract
+# (nothing in the repo writes into a table_path), so a cached schema
+# cannot go stale.
+_SCHEMA_CACHE: dict[tuple[str, str, str, bool], "StructType"] = {}
+_SCHEMA_CACHE_MAX = 512
 
 
 def _relation_cache_key(
@@ -96,29 +105,49 @@ def load_table(
         if _os.environ.get("SPARK_GRAFT_NO_RELATION_CACHE") == "1"
         else _relation_cache_key(spark, sf_dir, name, merge_schema)
     )
-    if rkey is not None:
-        cached = _RELATION_CACHE.get(rkey)
-        if cached is not None:
-            return cached
+    cached_schema = _SCHEMA_CACHE.get(rkey) if rkey is not None else None
     if name == "events":
-        df = _load_events(spark, sf_dir)
+        # events: the cached entry is the RAW on-disk schema (pre
+        # ts-normalization) — the hit path re-runs the same
+        # normalization branch on it.
+        df, raw_schema = _load_events(spark, sf_dir, raw_schema=cached_schema)
+        if rkey is not None and cached_schema is None:
+            while len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_MAX:
+                _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
+            _SCHEMA_CACHE[rkey] = raw_schema
+        if use_cache:
+            df = df.persist()
+            _TABLE_CACHE[key] = df
+        return df
+    if cached_schema is not None:
+        # Schema supplied -> no footer inference; per-file
+        # reconciliation against an explicit schema is exactly what
+        # mergeSchema's merged result produces, so the hit path is
+        # value-identical for both flags.
+        df = spark.read.schema(cached_schema).parquet(table_path(sf_dir, name))
     else:
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(table_path(sf_dir, name))
-    if rkey is not None:
-        while len(_RELATION_CACHE) >= _RELATION_CACHE_MAX:
-            _RELATION_CACHE.pop(next(iter(_RELATION_CACHE)))
-        _RELATION_CACHE[rkey] = df
+    if rkey is not None and cached_schema is None:
+        while len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_MAX:
+            _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
+        _SCHEMA_CACHE[rkey] = df.schema
     if use_cache:
         df = df.persist()
         _TABLE_CACHE[key] = df
     return df
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _load_events(
+    spark: SparkSession, sf_dir: str, raw_schema=None
+) -> tuple[DataFrame, "StructType"]:
     """Load events, tolerating either physical encoding of ``ts``.
+    Returns ``(normalized_df, raw_read_schema)``; passing a previously
+    returned ``raw_schema`` back in skips footer inference (the
+    ``nanosAsLong`` conf is still set, so an int64-ns fixture reads
+    identically on the hit path).
 
     Fixture generations differ: some write ``ts`` as Parquet
     TIMESTAMP(NANOS) — which Spark's reader rejects outright unless the
@@ -133,8 +162,10 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the oracle's (DuckDB truncates the same way on its ns→µs
     cast)."""
     ensure_nanos_conf(spark)
-    df = spark.read.parquet(table_path(sf_dir, "events"))
-    return normalize_event_ts(df, df.schema["ts"].dataType)
+    reader = spark.read if raw_schema is None else spark.read.schema(raw_schema)
+    df = reader.parquet(table_path(sf_dir, "events"))
+    raw = df.schema
+    return normalize_event_ts(df, raw["ts"].dataType), raw
 
 
 _NANOS_CONF_SESSIONS: "weakref.WeakSet" = None  # type: ignore[assignment]
