@@ -281,14 +281,35 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both sketches are deterministic for a fixed dataset, so a FALSE
     is a real regression, never flake.  The oracle pins the exact
-    columns and TRUE for the bound checks."""
+    columns and TRUE for the bound checks.
+
+    r11 (guide §2.3 two-level aggregation): countDistinct may NOT sit
+    in the same groupBy as the sketch aggregates — Spark plans a
+    mixed distinct/non-distinct aggregate by RE-KEYING the first
+    aggregate level on (l_returnflag, l_partkey), so every one of the
+    ~60k fine-grained groups allocates, serializes and shuffles the
+    52-word HLL register array PLUS a percentile_approx sketch buffer
+    (a 56-column ObjectHashAggregate row, through TWO exchanges — see
+    plans/r11/agg_approx_sketches_before.txt nodes 5–10; measured at
+    sf0.1: 4.1–4.9 s combined vs 0.4–0.8 s for each aggregate alone).
+    Splitting the exact distinct into its own narrow two-level
+    aggregate and joining the two 3-row results keeps every sketch
+    buffer keyed by flag only (3 groups, one buffer per task):
+    0.9–1.5 s, same declared output.  The internal approx_median
+    estimate shifts within its guaranteed 1/1000 rank band under the
+    changed merge tree — it is not emitted; the emitted band boolean
+    has 50× margin (rank error 0.001 vs band half-width 0.05) and the
+    exact columns are exact."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    sk = li.groupBy("l_returnflag").agg(
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
         F.count("*").alias("n_rows"),
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    sk = sketches.join(exact, "l_returnflag")
     # carry the sketch columns THROUGH the rank aggregate (F.first per
     # group) instead of re-joining sk afterwards — sk's heavy
     # countDistinct + percentile aggregate would otherwise recompute
