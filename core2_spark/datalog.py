@@ -448,13 +448,33 @@ def _attach_pull(resolver, rel: DataFrame, var: str, spec: dict) -> DataFrame:
     if attrs == "*":  # Datomic [*] wildcard: every non-id column
         attrs = [c for c in ent.columns if c != spec["id"]]
         spec = {**spec, "attrs": attrs}
+    # r12 (guide §3.2/§8 — decide with small rows): only entities whose
+    # id is BOUND in the pipeline can survive the final left join, yet
+    # the pre-r12 shape aggregated EVERY rel row into sorted
+    # array<struct> documents before throwing the unmatched ones away —
+    # at scale the collect_list shuffle is the pull's whole cost, and a
+    # selective :where (both gate pulls filter to one nation, 1/25th)
+    # paid it in full.  Semi-filtering the entity table and every rel
+    # table by the bound ids pushes the pipeline's selectivity below
+    # the heavy aggregation; the semi side is just the distinct id
+    # column (broadcast when small, plain hash semi-join otherwise).
+    # Equivalence: the final join is an equi left join on the id, so
+    # rows whose id is not bound could never match it (NULL ids
+    # included — `=` never matches NULL), and entities bound in rel
+    # keep their full order set (the fk semi-join drops only rows
+    # whose fk is not a bound id).
+    bound_ids = rel.select(F.col(var)).distinct()
     doc = ent.select(
         F.col(spec["id"]).alias(var),
         *[F.col(a) for a in attrs],
-    )
+    ).join(bound_ids, var, "left_semi")
     rel_names = []
     for r_spec in spec.get("rels", []):
-        r = resolver(r_spec["table"])
+        r = resolver(r_spec["table"]).join(
+            bound_ids.select(F.col(var).alias("__pull_bound_id__")),
+            F.col(r_spec["fk"]) == F.col("__pull_bound_id__"),
+            "left_semi",
+        )
         r_attrs = r_spec["attrs"]
         if r_attrs == "*":  # wildcard: every non-fk column
             r_attrs = [c for c in r.columns if c != r_spec["fk"]]

@@ -337,6 +337,18 @@ def minhash_near_duplicates(
         )
     else:
         joined = _cpu_spread(pairs).join(a_sets, "a_id").join(b_sets, "b_id")
+    # size-ratio prune (r12): Jaccard ≤ min(|A|,|B|)/max(|A|,|B|)
+    # exactly, so candidate pairs whose set sizes differ by more than
+    # the threshold ratio are dropped by two O(1) length reads before
+    # the O(|A|+|B|) array_intersect — LSH false positives are often
+    # exactly such cross-length boilerplate pairs.  The -1e-9 slack
+    # protects borderline-exact ratios from double rounding; the kept
+    # pairs (and the declared output) are unchanged.
+    _sa, _sb = F.size(F.col("a_items")), F.size(F.col("b_items"))
+    joined = joined.filter(
+        F.least(_sa, _sb).cast("double")
+        >= (F.lit(threshold) - F.lit(1e-9)) * F.greatest(_sa, _sb)
+    )
     return (
         joined
         .withColumn("_raw_jac", jaccard(F.col("a_items"), F.col("b_items")))

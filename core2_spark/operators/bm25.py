@@ -68,7 +68,16 @@ def bm25_topk(
     # dominant cost; this is a 3×→1× on it.  Equivalence: dl per doc,
     # df per term, and every score factor are value-identical
     # (oracle-checked + hypothesis random differential).
-    dl_expr = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+    # greatest(·, 0): under non-ANSI legacy sizeOfNull semantics,
+    # size(NULL) is -1 and a NULL-text doc would SUBTRACT one token
+    # from the corpus total (the pre-r11 exploded-token sum simply
+    # contributed nothing); greatest maps both NULL and -1 to 0 so
+    # avgdl is config-independent (ADVICE r12).  Docs with text are
+    # unaffected (size >= 0).
+    dl_expr = F.greatest(
+        F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != "")),
+        F.lit(0),
+    )
     if corpus_stats is not None:
         n_docs, avgdl = corpus_stats
     else:

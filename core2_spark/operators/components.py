@@ -33,7 +33,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import NumericType
+from pyspark.sql.types import (
+    ByteType,
+    DecimalType,
+    IntegerType,
+    LongType,
+    ShortType,
+)
 
 
 def connected_components(
@@ -57,7 +63,15 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    numeric = isinstance(labels.schema["component"].dataType, NumericType)
+    # Sum-based convergence is EXACT only for integral ids: the
+    # decimal(38,0) cast ROUNDS fractional values, so a label change
+    # that leaves the rounded sum unchanged (2.4 → 2.0) would report a
+    # false fixpoint on float/fractional-decimal-id graphs (ADVICE
+    # r12).  Those fall back to the join-based check below.
+    _dt = labels.schema["component"].dataType
+    numeric = isinstance(_dt, (ByteType, ShortType, IntegerType, LongType)) or (
+        isinstance(_dt, DecimalType) and _dt.scale == 0
+    )
 
     def label_sum(df: DataFrame):
         return df.agg(

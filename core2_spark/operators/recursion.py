@@ -32,12 +32,39 @@ def fixpoint(
     ``step`` maps the current frontier to candidate new rows (same
     schema).  ``key_cols`` identify a row (default: all columns).
     """
-    from functools import reduce
-
     keys = key_cols or base.columns
     acc = base.distinct()
     frontier = acc
     persisted: list[DataFrame] = []
+    try:
+        return _fixpoint_loop(
+            acc, frontier, step, keys, max_iterations, checkpoint_every,
+            persisted,
+        )
+    finally:
+        # r12 (ADVICE): drain EVERY still-cached frontier on the way
+        # out — converged, non-converged (RuntimeError), or a step()
+        # failure.  On the converged path the returned acc was eagerly
+        # checkpointed first (see below), so unpersisting here never
+        # forces a recompute; pre-r12 the frontiers accumulated since
+        # the last checkpoint stayed in the CacheManager for the life
+        # of the session (benches/suites run many fixpoints).
+        for old in persisted:
+            old.unpersist()
+        persisted.clear()
+
+
+def _fixpoint_loop(
+    acc: DataFrame,
+    frontier: DataFrame,
+    step,
+    keys: list[str],
+    max_iterations: int,
+    checkpoint_every: int,
+    persisted: list[DataFrame],
+) -> DataFrame:
+    from functools import reduce
+
     for i in range(max_iterations):
         derived = step(frontier).distinct()
         # NULL-SAFE anti-join: with plain `=`, a derived row holding a
@@ -71,6 +98,15 @@ def fixpoint(
         new = d.join(a, cond, "left_anti").persist()
         if new.isEmpty():
             new.unpersist()
+            # Converged: acc's lineage still threads through the cached
+            # frontiers the caller's finally is about to unpersist —
+            # materialize it first (the acc-checkpoint shape is the one
+            # documented safe against the Spark 4.1 eager-checkpoint
+            # optimizer bug; the frontier shape is not).  When no
+            # frontier is cached (base was already the fixpoint) acc is
+            # self-contained and the extra action would be pure cost.
+            if persisted:
+                acc = acc.localCheckpoint(eager=True)
             return acc
         acc = acc.unionByName(new)
         persisted.append(new)

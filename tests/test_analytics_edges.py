@@ -85,10 +85,12 @@ def _compare_all(spark, rows):
     con.close()
 
 
+@pytest.mark.slow
 def test_empty_events(spark):
     _compare_all(spark, [])
 
 
+@pytest.mark.slow
 def test_constant_series_no_alarms_no_nan(spark):
     """A constant series has var=0 (z-score path must exclude, not
     NaN) and every CUSUM increment is −k ≤ 0, so S stays 0: zero
@@ -110,6 +112,7 @@ def test_constant_series_no_alarms_no_nan(spark):
     assert alarms.count() == 0
 
 
+@pytest.mark.slow
 def test_single_event_per_user(spark):
     """One event per user: CUSUM C₁ = −n·k < 0 → no alarm; retention
     collapses to offset 0 with rate 1.0; rolling window counts the
@@ -121,6 +124,7 @@ def test_single_event_per_user(spark):
     _compare_all(spark, rows)
 
 
+@pytest.mark.slow
 def test_same_instant_ties_are_deterministic(spark):
     """Multiple clicks at the SAME timestamp for one user: the CUSUM
     window order falls back to event_id, so both engines must walk
@@ -193,6 +197,7 @@ def test_cusum_nonmonotone_ids_walk_time_order(spark):
         sorted(sp["event_id"]), sorted(alarm_ids))
 
 
+@pytest.mark.slow
 def test_bm25_and_linkage_degenerate_inputs(spark):
     """Empty corpus, all-empty-text corpus, and empty customer table:
     the operators must return empty results with the right schema —
@@ -217,6 +222,7 @@ def test_bm25_and_linkage_degenerate_inputs(spark):
         block_cols=("c_nationkey",)).count() == 0
 
 
+@pytest.mark.slow
 def test_quoted_event_types_through_every_oracle_builder(spark):
     """Event-type strings containing single quotes and backslashes
     flow through every parameterized oracle builder that interpolates

@@ -47,6 +47,14 @@ def test_reader_snapshot_consistency_under_chaos(spark, tmp_path):
 
 from fuzz_wire_under_writers import run_schedule as wire_schedule  # noqa: E402
 
+# Randomized/fuzz/soak tier (VERDICT r11 task 2): excluded from the
+# default run so the driver's verify finishes; run with -m slow /
+# --runslow / SPARK_GRAFT_RUN_SLOW=1.  Deterministic gate coverage of
+# the same machinery stays in the default tier (oracle parity, unit
+# and plan-shape tests).
+pytestmark = pytest.mark.slow
+
+
 
 def test_wire_snapshot_consistency_under_chaos(spark, tmp_path):
     """Bounded twin of scripts/fuzz_wire_under_writers.py: a live

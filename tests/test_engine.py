@@ -667,6 +667,7 @@ def test_schema_cache_serves_evolved_tables_without_footer_sweep(spark):
     assert leg.db().history("old_table").count() == 2  # mergeSchema path
 
 
+@pytest.mark.slow
 def test_randomized_transaction_sequence_differential(spark):
     """Hardening for the round-5 write-path machinery (rollback,
     schema cache, manifest pruning, deferred Erase cleanup): a fixed-
@@ -1501,6 +1502,7 @@ def _vacuum_scenario(draw):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(scenario=_vacuum_scenario())
+@pytest.mark.slow
 def test_vacuum_differential_property(spark, tmp_path_factory, scenario):
     """Partition-wise vacuum (round 6) against the retention contract:
     for ANY op sequence and ANY horizon, every read with both clocks at

@@ -868,6 +868,7 @@ def test_datalog_pull_wildcard_attrs(spark):
     assert rows[2]["pets"] == []
 
 
+@pytest.mark.slow
 def test_datalog_mutual_semi_naive_deep_chain(spark):
     """A 24-hop chain drives the joint semi-naive fixpoint through
     many rounds: exact odd/even reachability sets from node 0."""

@@ -214,6 +214,7 @@ def op_sequence(draw):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(txs=op_sequence())
+@pytest.mark.slow
 def test_refresh_matches_full_recompute_under_random_ops(spark, txs):
     import tempfile
 
@@ -263,6 +264,7 @@ def test_refresh_matches_full_recompute_under_random_ops(spark, txs):
     assert _stored(engine) == _expected(engine)
 
 
+@pytest.mark.slow
 def test_sql_maintenance_statements(spark, engine):
     """CREATE/REFRESH/DROP MATERIALIZED VIEW through the SQL frontend
     behave exactly like the Engine-method API (same mviews.py path)."""
@@ -337,6 +339,7 @@ def test_sql_count_distinct_parses(spark, engine):
     assert got == want
 
 
+@pytest.mark.slow
 def test_auto_refresh_views_tracks_commits(spark, tmp_path):
     """Engine(auto_refresh_views=True): views of touched tables
     refresh after each commit — no manual refresh calls."""
@@ -360,6 +363,7 @@ def test_auto_refresh_views_tracks_commits(spark, tmp_path):
     assert engine.materialized_views()["agg"]["table"] == "t"
 
 
+@pytest.mark.slow
 def test_refresh_with_compact_discovery_path(spark, engine):
     """When a compact exists at or before the view's clock, affected-
     key discovery reads the compact + the (c, as_of] version slice
@@ -583,6 +587,7 @@ def test_mview_reference_case_insensitive(spark, engine):
     assert [(r["grp"], r["n"]) for r in rows] == [("g0", 2), ("g1", 2)]
 
 
+@pytest.mark.slow
 def test_sidecar_discovery_never_reads_table_history(spark, engine):
     """Round 6: with the id→keys sidecar, group discovery's as-of-keys
     plan reads ONLY sidecar files — never table history or compact —
@@ -620,6 +625,7 @@ def test_sidecar_discovery_never_reads_table_history(spark, engine):
     assert _stored(engine) == _expected(engine)
 
 
+@pytest.mark.slow
 def test_sidecar_fold_and_many_refreshes(spark, engine):
     """Past _IDKEYS_COMPACT_AT deltas the sidecar folds into its base;
     view equality holds across 20 refreshes including deletes and
@@ -647,6 +653,7 @@ def test_sidecar_fold_and_many_refreshes(spark, engine):
     assert n_deltas <= mviews._IDKEYS_COMPACT_AT + 1  # folding engaged
 
 
+@pytest.mark.slow
 def test_sidecar_legacy_view_bootstraps(spark, engine):
     """A pre-round-6 view (no idkeys dir, no idkeys_seq) falls back to
     table-side discovery once, bootstraps the sidecar, then goes
@@ -680,6 +687,7 @@ def test_sidecar_legacy_view_bootstraps(spark, engine):
     assert _stored(engine) == _expected(engine)
 
 
+@pytest.mark.slow
 def test_sidecar_crashed_fold_invalidates_and_rebuilds(spark, engine):
     """Self-review r6: a crash between the fold's base swap and the
     meta write leaves the base seq-marker AHEAD of meta.idkeys_seq —
@@ -707,6 +715,7 @@ def test_sidecar_crashed_fold_invalidates_and_rebuilds(spark, engine):
     assert _stored(engine) == _expected(engine)
 
 
+@pytest.mark.slow
 def test_vacuum_marker_equal_to_view_clock_repairs(spark, engine):
     """Seed-1004 regression (3-writer fuzz): a refresh racing a
     vacuum's physical swap can advance the view's as_of to EXACTLY the

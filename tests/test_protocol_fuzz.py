@@ -18,6 +18,14 @@ import pytest
 
 from core2_spark.engine import Engine, Put
 
+# Randomized/fuzz/soak tier (VERDICT r11 task 2): excluded from the
+# default run so the driver's verify finishes; run with -m slow /
+# --runslow / SPARK_GRAFT_RUN_SLOW=1.  Deterministic gate coverage of
+# the same machinery stays in the default tier (oracle parity, unit
+# and plan-shape tests).
+pytestmark = pytest.mark.slow
+
+
 ROOT = "/root/repo/_data/protocol_fuzz_test"
 
 N_STATEMENTS = 24

@@ -148,8 +148,14 @@ def test_sketch_aggregate_not_rekeyed_by_partkey(spark):
     plan = plan_text(df)
     import re
 
-    for m in re.finditer(r"ObjectHashAggregate[\s\S]*?Keys \[(\d+)\]: \[([^\]]*)\]", plan):
-        keys = m.group(2)
+    matches = re.findall(
+        r"ObjectHashAggregate[\s\S]*?Keys \[(\d+)\]: \[([^\]]*)\]", plan
+    )
+    # vacuous-pass guard (ADVICE r12): the sketch aggregate MUST plan
+    # as ObjectHashAggregate — zero matches would mean the regex (or a
+    # Spark formatted-plan change) silently stopped checking anything
+    assert matches, "no ObjectHashAggregate Keys found in plan:\n" + plan
+    for _, keys in matches:
         assert "l_partkey" not in keys, (
             "sketch aggregate re-keyed by l_partkey — the distinct "
             "aggregate leaked back into the sketch groupBy:\n" + keys

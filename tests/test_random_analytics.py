@@ -26,6 +26,14 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_DIR
 from tests.parity import assert_frames_match
 
+# Randomized/fuzz/soak tier (VERDICT r11 task 2): excluded from the
+# default run so the driver's verify finishes; run with -m slow /
+# --runslow / SPARK_GRAFT_RUN_SLOW=1.  Deterministic gate coverage of
+# the same machinery stays in the default tier (oracle parity, unit
+# and plan-shape tests).
+pytestmark = pytest.mark.slow
+
+
 # Mix of common corpus vocabulary, a stopword-ish very-high-df term,
 # and one term that appears in no document (df=0 edge: it must simply
 # not contribute, not crash or skew idf).

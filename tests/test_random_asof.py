@@ -16,6 +16,14 @@ from hypothesis import strategies as st
 
 from tests.parity import assert_frames_match
 
+# Randomized/fuzz/soak tier (VERDICT r11 task 2): excluded from the
+# default run so the driver's verify finishes; run with -m slow /
+# --runslow / SPARK_GRAFT_RUN_SLOW=1.  Deterministic gate coverage of
+# the same machinery stays in the default tier (oracle parity, unit
+# and plan-shape tests).
+pytestmark = pytest.mark.slow
+
+
 # NULL keys stay in the domain (both engines agree: never match).
 # NULL timestamps are EXCLUDED: DuckDB's sort-based ASOF matches a
 # NULL ts to a NULL ts (an implementation artifact of NULLS-LAST

@@ -12,6 +12,16 @@ import tempfile
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+import pytest
+
+# Randomized/fuzz/soak tier (VERDICT r11 task 2): excluded from the
+# default run so the driver's verify finishes; run with -m slow /
+# --runslow / SPARK_GRAFT_RUN_SLOW=1.  Deterministic gate coverage of
+# the same machinery stays in the default tier (oracle parity, unit
+# and plan-shape tests).
+pytestmark = pytest.mark.slow
+
+
 rows = st.lists(
     st.tuples(st.integers(0, 9), st.integers(-5, 5)),
     min_size=0,

@@ -19,6 +19,16 @@ from core2_spark.queries.util import sql_quote
 from tests.conftest import SF_DIR
 from tests.parity import assert_frames_match
 
+import pytest
+
+# Randomized/fuzz/soak tier (VERDICT r11 task 2): excluded from the
+# default run so the driver's verify finishes; run with -m slow /
+# --runslow / SPARK_GRAFT_RUN_SLOW=1.  Deterministic gate coverage of
+# the same machinery stays in the default tier (oracle parity, unit
+# and plan-shape tests).
+pytestmark = pytest.mark.slow
+
+
 EVENT_TYPES = ("signup", "view", "click", "purchase", "error")
 
 

@@ -18,6 +18,14 @@ from core2_spark.catalog import register_views
 from tests.conftest import SF_DIR
 from tests.parity import assert_frames_match
 
+# Randomized/fuzz/soak tier (VERDICT r11 task 2): excluded from the
+# default run so the driver's verify finishes; run with -m slow /
+# --runslow / SPARK_GRAFT_RUN_SLOW=1.  Deterministic gate coverage of
+# the same machinery stays in the default tier (oracle parity, unit
+# and plan-shape tests).
+pytestmark = pytest.mark.slow
+
+
 # Column pools per table: (name, kind) with kind in num/str/int
 TABLES = {
     "orders": [

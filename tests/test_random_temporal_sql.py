@@ -13,6 +13,14 @@ import pytest
 from core2_spark import temporal as bt
 from core2_spark.sql_dialect import sql_with_temporal
 
+# Randomized/fuzz/soak tier (VERDICT r11 task 2): excluded from the
+# default run so the driver's verify finishes; run with -m slow /
+# --runslow / SPARK_GRAFT_RUN_SLOW=1.  Deterministic gate coverage of
+# the same machinery stays in the default tier (oracle parity, unit
+# and plan-shape tests).
+pytestmark = pytest.mark.slow
+
+
 GRID = [f"2024-0{m}-01 00:00:00" for m in range(1, 8)]
 
 

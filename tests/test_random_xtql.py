@@ -26,6 +26,14 @@ from core2_spark.xtql import xtql_with_resolver
 from tests.conftest import SF_DIR, table_path
 from tests.parity import assert_frames_match
 
+# Randomized/fuzz/soak tier (VERDICT r11 task 2): excluded from the
+# default run so the driver's verify finishes; run with -m slow /
+# --runslow / SPARK_GRAFT_RUN_SLOW=1.  Deterministic gate coverage of
+# the same machinery stays in the default tier (oracle parity, unit
+# and plan-shape tests).
+pytestmark = pytest.mark.slow
+
+
 TABLES = {
     "orders": {
         "int": ["o_orderkey", "o_custkey"],

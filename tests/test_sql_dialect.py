@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from core2_spark import temporal as bt
 from core2_spark.sql_dialect import rewrite_temporal_sql, sql_with_temporal
+import pytest
 
 
 def test_rewrite_string_forms():
@@ -436,6 +437,7 @@ def test_snapshot_sql_now_is_basis_pinned(spark, tmp_path):
     assert str(r3[0]["d"]) == "2024-06-01"
 
 
+@pytest.mark.slow
 def test_bare_table_rename_case_insensitive_fuzz(spark, tmp_path):
     """Round 6 (ADVICE): identifier lookups in rename_bare_tables fold
     case.  Random case-manglings of table and mview references through

@@ -135,6 +135,7 @@ def test_sql_dml_many_single_transaction(spark, eng):
     assert len(times) == 1
 
 
+@pytest.mark.slow
 def test_random_dml_sequences_match_model(spark, tmp_path):
     """Property: random INSERT/UPDATE/DELETE statement sequences through
     the SQL DML frontend agree with a naive dict replay."""

@@ -16,6 +16,16 @@ from hypothesis import strategies as st
 
 from core2_spark import temporal as bt
 
+import pytest
+
+# Randomized/fuzz/soak tier (VERDICT r11 task 2): excluded from the
+# default run so the driver's verify finishes; run with -m slow /
+# --runslow / SPARK_GRAFT_RUN_SLOW=1.  Deterministic gate coverage of
+# the same machinery stays in the default tier (oracle parity, unit
+# and plan-shape tests).
+pytestmark = pytest.mark.slow
+
+
 T0 = datetime(2024, 1, 1)
 END = datetime(9999, 12, 31)
 

@@ -14,6 +14,14 @@ from core2_spark.queries.registry import all_oracles, all_queries
 from tests.conftest import SF_DIR
 from tests.parity import assert_frames_match
 
+# Randomized/fuzz/soak tier (VERDICT r11 task 2): excluded from the
+# default run so the driver's verify finishes; run with -m slow /
+# --runslow / SPARK_GRAFT_RUN_SLOW=1.  Deterministic gate coverage of
+# the same machinery stays in the default tier (oracle parity, unit
+# and plan-shape tests).
+pytestmark = pytest.mark.slow
+
+
 # Oracles written in the ANSI subset both engines parse — 113 of the
 # 170 oracle pairs; the remainder use DuckDB list/recursive-CTE
 # features Spark lacks (list_transform, WITH RECURSIVE, ASOF JOIN).
